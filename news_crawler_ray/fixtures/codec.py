@@ -1,0 +1,158 @@
+"""Pure-Python image codecs for the synthetic page-store.
+
+The sandbox has no PIL/imageio, so the page-store's ``bytes`` column is
+produced by two self-contained codecs:
+
+* ``"png"``  — a minimal but REAL PNG writer/reader (RGB8, filter 0,
+  zlib). Lossless: decode(encode(px)) is byte-exact.
+* ``"jpeg"`` — a clearly-marked STAND-IN for a lossy codec: deterministic
+  6-bit-per-channel quantization behind a private container format
+  (magic ``QIM1``). It is genuinely lossy (PSNR ~46 dB), which exercises
+  the per-row invariant from BASELINE.json input_hint (PSNR >= 40 dB for
+  lossy formats) without a real JPEG library. Swapping in libjpeg later
+  only changes this module.
+
+Also provides ``phash64`` — an average-hash perceptual digest (8x8
+block-mean grayscale, 64-bit), used for the ``phash:int64`` column.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QIM_MAGIC = b"QIM1"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real RGB8 PNG (filter 0)."""
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = px.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * 3)], axis=1
+    ).tobytes()  # each scanline prefixed by filter byte 0
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG produced by :func:`encode_png` (RGB8, filter 0/1/2)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only RGB8 supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3 + 1
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    filters, body = rows[:, 0], rows[:, 1:].copy()
+    if np.any(filters == 1):  # Sub filter
+        for y in np.nonzero(filters == 1)[0]:
+            line = body[y].reshape(w, 3)
+            for x in range(1, w):
+                line[x] = line[x] + line[x - 1]
+    if np.any(filters == 2):  # Up filter
+        for y in np.nonzero(filters == 2)[0]:
+            if y > 0:
+                body[y] = body[y] + body[y - 1]
+    if np.any(filters > 2):
+        raise ValueError("unsupported PNG filter")
+    return body.reshape(h, w, 3)
+
+
+def encode_lossy(px: np.ndarray) -> bytes:
+    """STUB lossy codec (JPEG stand-in): 6-bit/channel quantization.
+
+    Deterministic and genuinely lossy (PSNR ~46 dB on natural noise),
+    so the PSNR>=40 invariant path is exercised for real. Replace with
+    libjpeg when available.
+    """
+    if px.dtype != np.uint8 or px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w = px.shape[:2]
+    q = (px >> 2).astype(np.uint8)  # 6-bit quantize
+    return _QIM_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_lossy(data: bytes) -> np.ndarray:
+    if data[:4] != _QIM_MAGIC:
+        raise ValueError("not a QIM1 payload")
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), np.uint8).reshape(h, w, 3)
+    return ((q.astype(np.uint16) << 2) | (q >> 4)).astype(np.uint8)  # dequantize
+
+
+def encode(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(px)
+    if fmt == "jpeg":
+        return encode_lossy(px)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_lossy(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 arrays."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit average-hash: 8x8 block-mean grayscale vs its mean.
+
+    Signed int64 (two's complement) so it fits the ``phash:int64``
+    page-store column.
+    """
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8))
+    for i in range(8):
+        for j in range(8):
+            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells > cells.mean()).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(np.int64(val))

@@ -1,0 +1,268 @@
+"""Deterministic synthetic fixtures: page-store, frontier, robots, IOC pages.
+
+Shapes follow FIXTURES.md / BASELINE.json ``input_hint``. Everything is
+reproducible from ``(seed, row_count)`` alone — no wall clock, no network.
+
+The page-store is the stand-in for the reference's fetched HTML pages
+(SURVEY.md §2.1 S1-S4): a table of image+caption pairs whose captions
+embed ``link:imgXXXXXXXX`` outlink tokens, so the parse stage discovers
+depth-1+ frontier rows deterministically (the ASEC listing->post
+expansion, /root/reference/src/secbot/fetchers/asec.py:64-76, becomes a
+caption-token expansion here).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import codec
+
+N_HOSTS = 50
+SIZES = (32, 64, 128)
+EPOCH_US = 1_750_000_000_000_000  # fixed base timestamp (us)
+
+_VOCAB = (
+    "malware ransom phishing exploit patch advisory breach botnet leak "
+    "zero day campaign actor sample report update security network data "
+    "image photo caption scene object color light frame detail view"
+).split()
+
+_KEYWORDS = (
+    "malware ransom phishing exploit breach botnet zeroday backdoor "
+    "trojan rootkit spyware keylogger cve vulnerability apt injection "
+    "xss dos hijack stealer wiper worm rat loader dropper miner c2 skimmer"
+).split()  # 28 tokens, mirroring the reference's 28-keyword list (news.py:38-68)
+
+
+def _zipf_cdf(n_hosts: int, zipf_s: float) -> np.ndarray:
+    ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
+    p = ranks**-zipf_s
+    return np.cumsum(p / p.sum())
+
+
+def host_of(idx: int, n_hosts: int = N_HOSTS, zipf_s: float = 1.2, seed: int = 42) -> str:
+    """Deterministic Zipf-skewed host for image index ``idx``.
+
+    MUST stay consistent with :func:`_hosts_for` — outlink expansion maps
+    an image_id back to the exact URL the frontier generator would emit.
+    """
+    cdf = _zipf_cdf(n_hosts, zipf_s)
+    u = np.random.default_rng((seed, int(idx))).random()
+    return f"news{int(np.searchsorted(cdf, u, side='right'))}.example.com"
+
+
+def _hosts_for(idxs: np.ndarray, n_hosts: int, zipf_s: float, seed: int) -> np.ndarray:
+    """Vectorized host assignment: one RNG draw keyed by (seed, idx)."""
+    cdf = _zipf_cdf(n_hosts, zipf_s)
+    # per-index uniform from a counter-based seed → reproducible per idx
+    u = np.array(
+        [np.random.default_rng((seed, int(i))).random() for i in idxs], dtype=np.float64
+    )
+    choice = np.searchsorted(cdf, u, side="right")
+    return np.array([f"news{c}.example.com" for c in choice])
+
+
+def image_id(k: int) -> str:
+    return f"img{k:08d}"
+
+
+def url_for(k: int, seed: int = 42) -> str:
+    return f"https://{host_of(k, seed=seed)}/p/{image_id(k)}"
+
+
+def make_pagestore(
+    n: int,
+    seed: int = 42,
+    out_degree: int = 3,
+    ioc_every: int = 7,
+    image_pool: int | None = None,
+) -> pa.Table:
+    """Build the image+caption page-store (input_hint schema).
+
+    ``image_pool``: if set, only that many distinct pixel arrays are
+    encoded and rows cycle through them (bytes/w/h/fmt/phash repeat) —
+    for large benchmark stores where encoding 10^6 unique images would
+    dominate generation time. Captions/ids stay unique.
+    """
+    rng = np.random.default_rng(seed)
+    pool_n = image_pool or n
+    pool_px, pool_bytes, pool_w, pool_h, pool_fmt, pool_hash = [], [], [], [], [], []
+    for k in range(pool_n):
+        r = np.random.default_rng((seed, 1, k))
+        w = int(r.choice(SIZES))
+        h = int(r.choice(SIZES))
+        fmt = "png" if r.random() < 0.5 else "jpeg"
+        px = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        pool_px.append(px)
+        pool_bytes.append(codec.encode(px, fmt))
+        pool_w.append(w)
+        pool_h.append(h)
+        pool_fmt.append(fmt)
+        pool_hash.append(codec.phash64(px))
+
+    ids, captions = [], []
+    w_col, h_col, fmt_col, bytes_col, hash_col = [], [], [], [], []
+    for k in range(n):
+        r = np.random.default_rng((seed, 2, k))
+        j = k % pool_n
+        ids.append(image_id(k))
+        w_col.append(pool_w[j])
+        h_col.append(pool_h[j])
+        fmt_col.append(pool_fmt[j])
+        bytes_col.append(pool_bytes[j])
+        hash_col.append(pool_hash[j])
+        words = list(r.choice(_VOCAB, size=8))
+        deg = int(r.integers(0, out_degree + 1))
+        targets = r.integers(0, n, size=deg)
+        for t in targets:
+            words.append(f"link:{image_id(int(t))}")
+        if k % ioc_every == 0:
+            words.append(f"{r.integers(1,255)}[.]{r.integers(0,255)}[.]{r.integers(0,255)}[.]{r.integers(1,255)}")
+        captions.append(" ".join(words))
+
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(bytes_col, pa.binary()),
+            "w": pa.array(w_col, pa.int32()),
+            "h": pa.array(h_col, pa.int32()),
+            "fmt": pa.array(fmt_col, pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(hash_col, pa.int64()),
+        }
+    )
+
+
+def make_frontier(
+    n: int, seed: int = 42, dup_frac: float = 0.05, noise_frac: float = 0.05
+) -> pa.Table:
+    """Seed/candidate frontier over the first ``n`` page-store URLs.
+
+    ~dup_frac verbatim duplicates and ~noise_frac canonicalization-noise
+    duplicates (uppercase host, :443 port, trailing '?', defanged [.])
+    exercise the canonicalizer (reference dedup identity:
+    scheduler.py:52-75, news.py:154-162).
+    """
+    idxs = np.arange(n)
+    hosts = _hosts_for(idxs, N_HOSTS, 1.2, seed)
+    urls = [f"https://{h}/p/{image_id(int(k))}" for k, h in zip(idxs, hosts)]
+    rng = np.random.default_rng((seed, 3))
+
+    rows_url, rows_host, rows_seq = list(urls), list(hosts), list(range(n))
+    n_dup = int(n * dup_frac)
+    for i in rng.integers(0, n, size=n_dup):
+        rows_url.append(urls[int(i)])
+        rows_host.append(hosts[int(i)])
+        rows_seq.append(n + len(rows_seq) - n)
+    n_noise = int(n * noise_frac)
+    for i in rng.integers(0, n, size=n_noise):
+        u, h = urls[int(i)], hosts[int(i)]
+        kind = int(rng.integers(0, 4))
+        if kind == 0:
+            u = u.replace("https://", "https://" + "", 1).replace(h, h.upper(), 1)
+        elif kind == 1:
+            u = u.replace(h, h + ":443", 1)
+        elif kind == 2:
+            u = u + "?"
+        else:
+            u = u.replace(".", "[.]")
+        rows_url.append(u)
+        rows_host.append(h)
+        rows_seq.append(len(rows_seq))
+
+    m = len(rows_url)
+    seq = np.arange(m, dtype=np.int64)
+    discovered = EPOCH_US + seq * 1_000_000
+    priority = 1.0 - seq / max(1, m)  # newer rows appended later get LOWER seq-priority;
+    # recency-derived: priority decreases with seq so file order == priority order,
+    # mirroring the reference's ordered feed list + newest-first sort (news.py:152).
+    return pa.table(
+        {
+            "url": pa.array(rows_url, pa.string()),
+            "host": pa.array(rows_host, pa.string()),
+            "depth": pa.array(np.zeros(m, np.int32)),
+            "discovered_at": pa.array(discovered, pa.timestamp("us")),
+            "priority": pa.array(priority, pa.float64()),
+        }
+    )
+
+
+def make_robots(seed: int = 42, n_hosts: int = N_HOSTS) -> pa.Table:
+    """Per-host robots rules + crawl delay (reference sleep(1) analog)."""
+    rng = np.random.default_rng((seed, 4))
+    hosts = [f"news{i}.example.com" for i in range(n_hosts)]
+    disallow, delay = [], []
+    for i in range(n_hosts):
+        if rng.random() < 0.10:
+            disallow.append([f"/p/img000000"])  # blocks img000000x ids by prefix
+        else:
+            disallow.append([])
+        delay.append(int(rng.choice([100, 500, 1000])))
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "disallow_prefixes": pa.array(disallow, pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array(delay, pa.int32()),
+        }
+    )
+
+
+def make_ioc_pages(n: int = 60, seed: int = 42, today: str = "2025-06-20") -> pa.Table:
+    """ASEC-analog text fixtures with known IOC counts (FIXTURES.md §5)."""
+    rng = np.random.default_rng((seed, 5))
+    docs, texts, dates, titles = [], [], [], []
+    for k in range(n):
+        r = np.random.default_rng((seed, 5, k))
+        parts = list(r.choice(_VOCAB, size=6))
+        parts.append(f"{r.integers(1,223)}.{r.integers(0,255)}.{r.integers(0,255)}.{r.integers(1,254)}")
+        parts.append(f"{r.integers(1,223)}[.]{r.integers(0,255)}[.]{r.integers(0,255)}[.]{r.integers(1,254)}")
+        parts.append("999.1.1.1")  # non-match (invalid octet)
+        parts.append("".join(r.choice(list("0123456789abcdef"), size=32)))  # md5
+        if k % 2 == 0:
+            parts.append("".join(r.choice(list("0123456789abcdef"), size=64)))  # sha256
+        parts.append(f"https://mal{k}.example.org/x{k}")
+        parts.append(f"https[:]//bad{k}[.]example[.]net/y{k}")
+        parts.append(f"https://asec.ahnlab.com/post{k}")  # excluded domain
+        parts.append("deadbeef" * 9)  # overlong hex, must not match
+        docs.append(f"doc{k:04d}")
+        texts.append(" ".join(parts))
+        dates.append(today if k % 3 != 2 else "2025-06-01")
+        kw = _KEYWORDS[k % len(_KEYWORDS)] if k % 2 == 0 else "weather"
+        titles.append(f"{kw} report {k}")
+    import datetime as _dt
+
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "published": pa.array(
+                [_dt.date.fromisoformat(d) for d in dates], pa.date32()
+            ),
+            "title": pa.array(titles, pa.string()),
+        }
+    )
+
+
+def keywords() -> list[str]:
+    return list(_KEYWORDS)
+
+
+def write_fixture_dir(
+    out_dir: str, n_pages: int, seed: int = 42, image_pool: int | None = None
+) -> dict[str, str]:
+    """Materialize pagestore/frontier/robots parquet under ``out_dir``."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for name, tbl in (
+        ("pagestore", make_pagestore(n_pages, seed=seed, image_pool=image_pool)),
+        ("frontier", make_frontier(n_pages, seed=seed)),
+        ("robots", make_robots(seed=seed)),
+    ):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, p)
+        paths[name] = p
+    return paths

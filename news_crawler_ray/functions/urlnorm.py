@@ -1,0 +1,101 @@
+"""URL canonicalization + seen-key hashing (vectorized).
+
+This is the engine's dedup identity — the analog of the reference's
+``sha256(title|link)`` seen-key (/root/reference/src/secbot/scheduler.py:52-53)
+combined with its defang/refang normalizers
+(src/secbot/main.py:38-42, src/secbot/defense/suricata_url.py:85-88).
+Canonical rules: refang ``[.]``/``[:]``, lowercase scheme+host, strip
+default ports, percent-decode the path, drop fragments and empty query
+strings, ensure a ``/`` path. Seen key = SHA-1(canonical URL) as 20-byte
+binary (north rule: canonicalized+SHA1).
+
+Design: most URLs in a crawl are already canonical, so a vectorized
+regex classifies each batch and only the nonconforming tail goes through
+the per-row ``urlsplit`` fallback. Runs inside ``map_batches`` over
+Arrow batches; no pandas conversion.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import unquote, urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Already-canonical fast path: lowercase scheme+host, no port, no escape
+# sequences, non-empty path, no query/fragment/defang markers.
+_CANONICAL_RE = r"^https?://[a-z0-9.\-]+/[^?#%\[\]]*$"
+
+
+def refang(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """``[.]`` -> ``.`` and ``[:]`` -> ``:`` (M11 defang normalizer)."""
+    out = pc.replace_substring(arr, pattern="[.]", replacement=".")
+    return pc.replace_substring(out, pattern="[:]", replacement=":")
+
+
+def _canonicalize_one(url: str) -> str:
+    s = url.strip().replace("[.]", ".").replace("[:]", ":")
+    if "://" not in s:
+        s = "http://" + s
+    parts = urlsplit(s)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower().rstrip(".")
+    port = parts.port
+    if port is not None and not (
+        (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = unquote(parts.path) or "/"
+    out = f"{scheme}://{host}{path}"
+    if parts.query:
+        out += f"?{parts.query}"
+    return out
+
+
+def canonicalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonicalize a string array: vectorized classify + slow-path loop."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ok = pc.match_substring_regex(arr, _CANONICAL_RE)
+    ok_np = ok.to_numpy(zero_copy_only=False)
+    if ok_np.all():
+        return arr
+    vals = arr.to_pylist()
+    out = [v if good else _canonicalize_one(v) for v, good in zip(vals, ok_np)]
+    return pa.array(out, pa.string())
+
+
+def sha1_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """SHA-1 digests (20-byte binary) of each string. Seen-key column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.array(
+        [hashlib.sha1(v.encode()).digest() for v in arr.to_pylist()], pa.binary()
+    )
+
+
+def host_array(canon: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Extract host (incl. nonstandard port) from canonical URLs."""
+    m = pc.extract_regex(canon, r"^[a-z]+://(?P<host>[^/]+)")
+    return pc.struct_field(m, "host")
+
+
+def shard_of(sha1_bytes: bytes, num_shards: int) -> int:
+    """Seen-set shard for a key: first 4 big-endian bytes mod P."""
+    return int.from_bytes(sha1_bytes[:4], "big") % num_shards
+
+
+def shard_array(keys: pa.Array | pa.ChunkedArray, num_shards: int) -> np.ndarray:
+    """Vectorized shard ids for a binary(20) key array."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    buf = np.frombuffer(b"".join(keys.to_pylist()), dtype=np.uint8).reshape(-1, 20)
+    head = (
+        buf[:, 0].astype(np.uint64) << 24
+        | buf[:, 1].astype(np.uint64) << 16
+        | buf[:, 2].astype(np.uint64) << 8
+        | buf[:, 3].astype(np.uint64)
+    )
+    return (head % np.uint64(num_shards)).astype(np.int64)

@@ -1,0 +1,60 @@
+import hashlib
+
+import pyarrow as pa
+
+from news_crawler_ray.functions import urlnorm
+
+
+def test_canonicalize_rules():
+    cases = {
+        "https://NEWS0.Example.COM/p/img00000001": "https://news0.example.com/p/img00000001",
+        "https://news1.example.com:443/p/a": "https://news1.example.com/p/a",
+        "http://news1.example.com:80/p/a": "http://news1.example.com/p/a",
+        "http://news1.example.com:8080/p/a": "http://news1.example.com:8080/p/a",
+        "https://news2.example.com/p/a?": "https://news2.example.com/p/a",
+        "https://news3[.]example[.]com/p/a": "https://news3.example.com/p/a",
+        "https[:]//news3[.]example[.]com/p/a": "https://news3.example.com/p/a",
+        "https://news4.example.com": "https://news4.example.com/",
+        "https://news5.example.com/p/%61%62": "https://news5.example.com/p/ab",
+        "https://news6.example.com/p/a#frag": "https://news6.example.com/p/a",
+        "https://news7.example.com/p/a?q=1": "https://news7.example.com/p/a?q=1",
+        "  https://news8.example.com/p/a  ": "https://news8.example.com/p/a",
+        "news9.example.com/p/a": "http://news9.example.com/p/a",
+        "https://news0.example.com/p/img0": "https://news0.example.com/p/img0",
+    }
+    out = urlnorm.canonicalize_array(pa.array(list(cases))).to_pylist()
+    for (raw, want), got in zip(cases.items(), out):
+        assert got == want, f"{raw!r}: {got!r} != {want!r}"
+
+
+def test_fast_path_is_identity():
+    urls = [f"https://news{i}.example.com/p/img{i:08d}" for i in range(100)]
+    assert urlnorm.canonicalize_array(pa.array(urls)).to_pylist() == urls
+
+
+def test_sha1_matches_hashlib():
+    urls = ["https://a.b/c", "https://d.e/f"]
+    keys = urlnorm.sha1_array(pa.array(urls)).to_pylist()
+    for u, k in zip(urls, keys):
+        assert k == hashlib.sha1(u.encode()).digest()
+        assert len(k) == 20
+
+
+def test_host_and_shard():
+    canon = pa.array(
+        ["https://news0.example.com/p/a", "https://x.y:8080/p/b"]
+    )
+    assert urlnorm.host_array(canon).to_pylist() == [
+        "news0.example.com",
+        "x.y:8080",
+    ]
+    keys = urlnorm.sha1_array(canon)
+    shards = urlnorm.shard_array(keys, 8)
+    assert len(shards) == 2
+    for key, s in zip(keys.to_pylist(), shards):
+        assert urlnorm.shard_of(key, 8) == s
+
+
+def test_refang():
+    arr = pa.array(["1[.]2[.]3[.]4", "https[:]//a[.]b/c"])
+    assert urlnorm.refang(arr).to_pylist() == ["1.2.3.4", "https://a.b/c"]

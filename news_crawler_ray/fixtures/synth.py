@@ -119,7 +119,7 @@ def make_pagestore(
         deg = int(r.integers(0, out_degree + 1))
         targets = r.integers(0, n, size=deg)
         for t in targets:
-            words.append(f"link:{image_id(int(t))}")
+            words.append(f"link:{url_for(int(t), seed=seed)}")
         if k % ioc_every == 0:
             words.append(f"{r.integers(1,255)}[.]{r.integers(0,255)}[.]{r.integers(0,255)}[.]{r.integers(1,255)}")
         captions.append(" ".join(words))

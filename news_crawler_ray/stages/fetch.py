@@ -1,0 +1,101 @@
+"""Fetch stage: resolve scheduled URLs against the image+caption page-store.
+
+In this sandbox "fetch" = keyed lookup into the synthetic page-store
+(SURVEY.md §2.1 S1/S4: the reference's cloudscraper/requests session
+becomes a stateful lookup stage; the page-store stands in for the web).
+Two execution modes, chosen by page-store size:
+
+* ``broadcast`` — page-store fits comfortably in the object store:
+  ``ray.put`` the Arrow table once; each fetch actor builds an
+  image_id -> row-index dict in ``__init__`` (once per actor, T1
+  session analog) and serves batches zero-copy with ``Table.take``.
+* ``join`` — both sides large: hash-partitioned ``Dataset.join`` on
+  ``image_id`` (J3), left-outer so missing pages surface as
+  ``fetch_status="missing"`` rows instead of failing the job (row-level
+  error semantics, reference skips rows not jobs: news.py:136-138).
+
+Payload columns ride through as zero-copy Arrow ``binary``; nothing is
+decoded here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+_ID_RE = r"/p/(?P<image_id>[^/?#]+)$"
+
+PAYLOAD_COLS = ["bytes", "w", "h", "fmt", "caption", "phash"]
+
+
+def add_image_id(batch: pa.Table) -> pa.Table:
+    """Derive the page-store key from the canonical URL path."""
+    ids = pc.struct_field(pc.extract_regex(batch["url"], _ID_RE), "image_id")
+    return batch.append_column("image_id", ids)
+
+
+class BroadcastFetcher:
+    """Actor-pool stage holding the broadcast page-store index."""
+
+    def __init__(self, store_ref):
+        self.store: pa.Table = ray.get(store_ref)
+        ids = self.store["image_id"].to_pylist()
+        self.index = {v: i for i, v in enumerate(ids)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = add_image_id(batch)
+        ids = batch["image_id"].to_pylist()
+        rows = np.array([self.index.get(v, -1) for v in ids], dtype=np.int64)
+        found = rows >= 0
+        payload = self.store.select(PAYLOAD_COLS).take(
+            pa.array(np.where(found, rows, 0), pa.int64())
+        )
+        cols = dict(zip(batch.column_names, batch.columns))
+        mask = pa.array(found)
+        for name in PAYLOAD_COLS:
+            cols[name] = pc.if_else(
+                mask, payload[name].combine_chunks(), pa.scalar(None, payload.schema.field(name).type)
+            )
+        cols["fetch_status"] = pc.if_else(mask, pa.scalar("ok"), pa.scalar("missing"))
+        return pa.table(cols)
+
+
+def fetch_broadcast(
+    wave_ds: "ray.data.Dataset",
+    store_ref,
+    concurrency: int | tuple = 2,
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    return wave_ds.map_batches(
+        BroadcastFetcher,
+        fn_constructor_kwargs={"store_ref": store_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def fetch_join(
+    wave_ds: "ray.data.Dataset",
+    pagestore_ds: "ray.data.Dataset",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Hash-join mode for page-stores too large to broadcast."""
+    keyed = wave_ds.map_batches(add_image_id, batch_format="pyarrow", zero_copy_batch=True)
+    joined = keyed.join(
+        pagestore_ds,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("image_id",),
+    )
+
+    def status(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t["bytes"])
+        return t.append_column(
+            "fetch_status", pc.if_else(ok, pa.scalar("ok"), pa.scalar("missing"))
+        )
+
+    return joined.map_batches(status, batch_format="pyarrow", zero_copy_batch=True)

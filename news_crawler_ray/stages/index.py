@@ -1,0 +1,124 @@
+"""Global ordering operators: zip-with-index and rank-within-group.
+
+Ray Data has no window/rank primitive, so this is the one place the
+engine drops to raw Ray tasks (SURVEY.md §7 "hard parts", stable-index
+A8 semantics: SID = BASE + position,
+/root/reference/src/secbot/defense/suricata.py:139-195): sort the
+dataset, then a metadata pass over the sorted blocks computes per-block
+(per-group) starting offsets, and a second per-block task adds the rank
+column. Two passes over block refs, no extra shuffle beyond the sort.
+
+Skew note: ``Dataset.sort`` is a range-partition sort — a hot group
+(e.g. one host with 10^8 rows) is *split across consecutive blocks* by
+Ray's sort rather than funneled into one task, and the offset pass
+stitches the ranks back together. That is the engine's hot-host
+handling for ranking: no single-task bottleneck, no salting needed
+because ranks are computed per block and only counts cross the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _block_group_counts(tbl: pa.Table, group_col: str | None):
+    """Run-length counts of the (sorted-within-block) group column."""
+    if group_col is None:
+        return [(None, tbl.num_rows)]
+    vals = tbl[group_col].to_pylist()
+    out: list[tuple[object, int]] = []
+    for v in vals:
+        if out and out[-1][0] == v:
+            out[-1] = (v, out[-1][1] + 1)
+        else:
+            out.append((v, 1))
+    return out
+
+
+@ray.remote
+def _add_rank(tbl: pa.Table, group_col: str | None, offsets: dict, rank_col: str):
+    if group_col is None:
+        ranks = np.arange(tbl.num_rows, dtype=np.int64) + offsets[None]
+    else:
+        vals = tbl[group_col].to_pylist()
+        ranks = np.empty(tbl.num_rows, dtype=np.int64)
+        pos, i = 0, 0
+        while i < tbl.num_rows:
+            j = i
+            while j < tbl.num_rows and vals[j] == vals[i]:
+                j += 1
+            start = offsets.get(vals[i], 0)
+            ranks[i:j] = np.arange(start, start + (j - i))
+            i = j
+    return tbl.append_column(rank_col, pa.array(ranks, pa.int64()))
+
+
+def with_group_rank(
+    ds: "ray.data.Dataset",
+    group_col: str | None,
+    order: list[str],
+    descending: list[bool],
+    rank_col: str = "rank",
+) -> "ray.data.Dataset":
+    """Sort by (group, *order) and add a 0-based rank within each group.
+
+    ``group_col=None`` gives a global zip-with-index over the sort order.
+    """
+    if group_col is not None:
+        sort_cols = [group_col] + list(order)
+        sort_desc = [False] + list(descending)
+    else:
+        sort_cols, sort_desc = list(order), list(descending)
+    mat = ds.sort(sort_cols, descending=sort_desc).materialize()
+    if mat.count() == 0:
+        # empty inputs can surface as schema-less blocks; emit an empty
+        # table with the rank column appended to the known schema
+        schema = mat.schema()
+        base = schema.base_schema if hasattr(schema, "base_schema") else None
+        if isinstance(base, pa.Schema):
+            empty = pa.table(
+                {f.name: pa.array([], f.type) for f in base}
+            ).append_column(rank_col, pa.array([], pa.int64()))
+            return ray.data.from_arrow(empty)
+        return mat
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    metas = ray.get([_block_group_counts.remote(r, group_col) for r in refs])
+    running: dict = {}
+    per_block_offsets = []
+    for counts in metas:
+        off = {g: running.get(g, 0) for g, _ in counts}
+        for g, n in counts:
+            running[g] = running.get(g, 0) + n
+        per_block_offsets.append(off)
+    new_refs = [
+        _add_rank.remote(r, group_col, off, rank_col)
+        for r, off in zip(refs, per_block_offsets)
+    ]
+    return ray.data.from_arrow_refs(new_refs)
+
+
+def zip_with_index(ds, order: list[str], descending: list[bool], rank_col: str = "rank"):
+    return with_group_rank(ds, None, order, descending, rank_col=rank_col)
+
+
+def assign_stable_ids(
+    ds,
+    value_col: str,
+    base: int,
+    id_col: str = "sid",
+):
+    """Distinct values -> sort asc -> id = base + position (A8 SID rule)."""
+    distinct = ds.groupby(value_col).count().drop_columns(["count()"])
+    ranked = zip_with_index(distinct, [value_col], [False], rank_col="_pos")
+    return ranked.map_batches(
+        lambda t: t.append_column(
+            id_col, pa.array(np.asarray(t["_pos"]) + base, pa.int64())
+        ).drop_columns(["_pos"]),
+        batch_format="pyarrow",
+    )

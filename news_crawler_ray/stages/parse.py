@@ -1,0 +1,170 @@
+"""Parse/extract stage: outlink expansion, keyword & exclusion filters,
+IOC extraction, date cutoff.
+
+Vectorized analogs of the reference's per-page parsing (SURVEY.md §2.2):
+outlink harvest S3/M9 (asec.py:64-76,102-105), keyword any-match M7
+(news.py:144-149), exclusion anti-filter M10 (asec.py:107-120), IOC
+regex extraction M8 (asec.py:44-53, parsers/ioc.py:34-53), today filter
+M6 (news.py:141-142). All stateless ``map_batches``; compiled patterns
+live at module import (once per worker process).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# -- IOC patterns (defang-aware, M8) -------------------------------------
+IP_RE = re.compile(r"(?<![\d.])(?:\d{1,3}(?:\[\.\]|\.)){3}\d{1,3}(?![\d.])")
+HASH_RE = re.compile(r"\b(?:[0-9a-fA-F]{64}|[0-9a-fA-F]{40}|[0-9a-fA-F]{32})\b")
+URL_RE = re.compile(r"https?(?:\[:\]|:)//[^\s\"'<>]+")
+LINK_TOKEN = "link:"
+
+
+def _refang(s: str) -> str:
+    return s.replace("[.]", ".").replace("[:]", ":")
+
+
+def _valid_ip(s: str) -> bool:
+    parts = s.split(".")
+    return len(parts) == 4 and all(p.isdigit() and int(p) <= 255 for p in parts)
+
+
+def extract_iocs_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Long-format extraction: (doc_id, kind, value), per-doc unique+sorted.
+
+    Per-doc set semantics = A5 (asec.py:80-83); refang on IPs/URLs = M11.
+    """
+    ids_out, kinds, values = [], [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        if text is None:
+            continue
+        ips = sorted({_refang(m) for m in IP_RE.findall(text) if _valid_ip(_refang(m))})
+        hashes = sorted({m.lower() for m in HASH_RE.findall(text)})
+        urls = sorted({_refang(m) for m in URL_RE.findall(text)})
+        for kind, vals in (("ip", ips), ("hash", hashes), ("url", urls)):
+            for v in vals:
+                ids_out.append(doc_id)
+                kinds.append(kind)
+                values.append(v)
+    return pa.table(
+        {
+            id_col: pa.array(ids_out, batch.schema.field(id_col).type),
+            "kind": pa.array(kinds, pa.string()),
+            "value": pa.array(values, pa.string()),
+        }
+    )
+
+
+def extract_iocs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: extract_iocs_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def merged_distinct_iocs(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Global distinct+sorted IOC table (A6/A7 partial+final distinct)."""
+    long = extract_iocs(ds, text_col, id_col).drop_columns([id_col])
+    # per-batch extraction already dedups per doc (partial); the groupby is
+    # the final distinct shuffle, then a small sort.
+    distinct = long.groupby(["kind", "value"]).count().drop_columns(["count()"])
+    return distinct.sort(["kind", "value"])
+
+
+# -- outlink expansion ----------------------------------------------------
+def extract_outlinks_batch(batch: pa.Table, decay: float = 0.5) -> pa.Table:
+    """Fetched pages -> child frontier candidates.
+
+    Captions embed ``link:<url>`` tokens (the synthetic stand-in for
+    href harvesting). Child priority = parent * decay (recency-weighted
+    chain), depth = parent + 1, discovered_at inherited.
+    """
+    urls, hosts, depths, disc, prios = [], [], [], [], []
+    has_depth = "depth" in batch.column_names
+    caps = batch["caption"].to_pylist()
+    p_prio = batch["priority"].to_pylist() if "priority" in batch.column_names else [1.0] * len(caps)
+    p_disc = (
+        batch["discovered_at"].to_pylist()
+        if "discovered_at" in batch.column_names
+        else [0] * len(caps)
+    )
+    p_depth = batch["depth"].to_pylist() if has_depth else [0] * len(caps)
+    for cap, prio, dat, dep in zip(caps, p_prio, p_disc, p_depth):
+        if not cap:
+            continue
+        for tok in cap.split():
+            if tok.startswith(LINK_TOKEN):
+                u = tok[len(LINK_TOKEN) :]
+                urls.append(u)
+                m = re.match(r"^[a-z]+://([^/]+)", u)
+                hosts.append(m.group(1) if m else "")
+                depths.append((dep or 0) + 1)
+                disc.append(dat)
+                prios.append((prio if prio is not None else 1.0) * decay)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "discovered_at": pa.array(
+                disc,
+                batch.schema.field("discovered_at").type
+                if "discovered_at" in batch.column_names
+                else pa.timestamp("us"),
+            ),
+            "priority": pa.array(prios, pa.float64()),
+        }
+    )
+
+
+def extract_outlinks(ds, decay: float = 0.5):
+    return ds.map_batches(
+        lambda b: extract_outlinks_batch(b, decay),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# -- filters --------------------------------------------------------------
+def keyword_any_match(ds, keywords: list[str], col: str = "title"):
+    """Keep rows whose ``col`` contains any keyword (case-insensitive).
+
+    One compiled alternation per batch call (M7); the keyword list is
+    query config, not data — no shuffle.
+    """
+    pattern = "|".join(re.escape(k) for k in keywords)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.match_substring_regex(t[col], pattern, ignore_case=True)
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def exclusion_filter(ds, exclude_exact: set[str], exclude_substring: str | None = None, col: str = "url"):
+    """Anti-filter against a tiny broadcast exclusion set (M10/J2)."""
+    exact = pa.array(sorted(exclude_exact), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t[col], value_set=exact))
+        if exclude_substring:
+            keep = pc.and_(keep, pc.invert(pc.match_substring(t[col], exclude_substring)))
+        return t.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def date_cutoff(ds, col: str, day: str):
+    """Keep rows where ``col`` falls on ``day`` (M6 today-filter)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = pc.cast(t[col], pa.date32())
+        return t.filter(pc.equal(d, pa.scalar(np.datetime64(day, "D").item(), pa.date32())))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,226 @@
+"""Sharded URL-seen set: counting-bloom + cuckoo prefilter, exact backing.
+
+The reference keeps a daily seen-set of SHA-256 keys in a flat file and
+rewrites it per run (/root/reference/src/secbot/scheduler.py:42-89). At
+10^10 URLs that set cannot live in one process or be re-shuffled against
+every candidate wave, so here it is P shard actors keyed by
+``hash(url_sha1) % P``:
+
+* approximate tier: counting bloom + cuckoo filter answer "definitely
+  new" without touching the exact set (false-positive path falls through
+  to the exact check, so final decisions are EXACT — the approximate
+  structures are prefilters only, per SURVEY.md §7 step 4);
+* exact tier: a per-shard key set, checkpointed to parquet
+  (``seen_dir/part={i}/epoch-{e}.parquet``) so a killed run resumes with
+  the same seen-set (reference analog: the day-scoped file).
+
+At cluster scale each shard actor lives on some node and candidate
+batches RPC only the shards their keys route to; no all-to-all shuffle
+of the seen table per wave.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..functions import urlnorm
+from ..state.bloom import CountingBloom, keys_to_matrix
+from ..state.cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.5)
+class SeenShard:
+    """One partition of the seen-set. All methods take/return lists."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16, fp_rate: float = 0.01):
+        self.shard_id = shard_id
+        self.bloom = CountingBloom(capacity, fp_rate)
+        self.cuckoo = CuckooFilter(capacity)
+        self.exact: set[bytes] = set()
+        self.prefilter_hits = 0  # candidates short-circuited as definitely-new
+        self.exact_checks = 0
+
+    def check_and_add(self, keys: list[bytes]) -> np.ndarray:
+        """For each key: True if NEW (not seen); marks all keys seen."""
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        km = keys_to_matrix(keys)
+        maybe = self.bloom.maybe_contains(km) & self.cuckoo.maybe_contains(km)
+        is_new = np.empty(len(keys), dtype=bool)
+        for i, key in enumerate(keys):
+            if not maybe[i]:
+                is_new[i] = True
+                self.prefilter_hits += 1
+            else:
+                self.exact_checks += 1
+                is_new[i] = key not in self.exact
+        new_idx = np.nonzero(is_new)[0]
+        if new_idx.size:
+            self.bloom.add(km[new_idx])
+            self.cuckoo.insert(km[new_idx])
+            self.exact.update(keys[i] for i in new_idx)
+        return is_new
+
+    def contains(self, keys: list[bytes]) -> np.ndarray:
+        if not keys:
+            return np.zeros(0, dtype=bool)
+        km = keys_to_matrix(keys)
+        maybe = self.bloom.maybe_contains(km) & self.cuckoo.maybe_contains(km)
+        out = np.zeros(len(keys), dtype=bool)
+        for i in np.nonzero(maybe)[0]:
+            out[i] = keys[i] in self.exact
+        return out
+
+    def add(self, keys: list[bytes]) -> int:
+        fresh = [k for k in keys if k not in self.exact]
+        if fresh:
+            km = keys_to_matrix(fresh)
+            self.bloom.add(km)
+            self.cuckoo.insert(km)
+            self.exact.update(fresh)
+        return len(fresh)
+
+    def remove(self, keys: list[bytes]) -> int:
+        """Counting-bloom/cuckoo deletes (day-window expiry path)."""
+        present = [k for k in keys if k in self.exact]
+        if present:
+            km = keys_to_matrix(present)
+            self.bloom.remove(km)
+            self.cuckoo.delete(km)
+            self.exact.difference_update(present)
+        return len(present)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def stats(self) -> dict:
+        return {
+            "shard": self.shard_id,
+            "size": len(self.exact),
+            "prefilter_hits": self.prefilter_hits,
+            "exact_checks": self.exact_checks,
+        }
+
+    def checkpoint(self, seen_dir: str, epoch: int) -> str:
+        d = os.path.join(seen_dir, f"part={self.shard_id}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"epoch-{epoch}.parquet")
+        tmp = path + ".tmp"
+        tbl = pa.table({"url_sha1": pa.array(sorted(self.exact), pa.binary())})
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)  # atomic publish
+        return path
+
+    def restore(self, seen_dir: str) -> int:
+        """Load the latest epoch checkpoint for this shard, if any."""
+        paths = sorted(glob.glob(os.path.join(seen_dir, f"part={self.shard_id}", "epoch-*.parquet")))
+        if not paths:
+            return 0
+        keys = pq.read_table(paths[-1])["url_sha1"].to_pylist()
+        return self.add(keys)
+
+
+class SeenSet:
+    """Driver-side handle to P SeenShard actors."""
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1 << 16):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.remote(i, capacity=capacity_per_shard) for i in range(num_shards)
+        ]
+
+    def _route(self, keys: list[bytes]) -> list[list[int]]:
+        by_shard: list[list[int]] = [[] for _ in range(self.num_shards)]
+        if keys:
+            shard_ids = urlnorm.shard_array(pa.array(keys, pa.binary()), self.num_shards)
+            for i, s in enumerate(shard_ids):
+                by_shard[int(s)].append(i)
+        return by_shard
+
+    def _scatter_gather(self, method: str, keys: list[bytes]) -> np.ndarray:
+        by_shard = self._route(keys)
+        futs, idxs = [], []
+        for s, idx in enumerate(by_shard):
+            if idx:
+                futs.append(getattr(self.shards[s], method).remote([keys[i] for i in idx]))
+                idxs.append(idx)
+        out = np.zeros(len(keys), dtype=bool)
+        for fut, idx in zip(futs, idxs):
+            out[idx] = ray.get(fut)
+        return out
+
+    def check_and_add(self, keys: list[bytes]) -> np.ndarray:
+        return self._scatter_gather("check_and_add", keys)
+
+    def contains(self, keys: list[bytes]) -> np.ndarray:
+        return self._scatter_gather("contains", keys)
+
+    def add(self, keys: list[bytes]) -> None:
+        by_shard = self._route(keys)
+        ray.get(
+            [
+                self.shards[s].add.remote([keys[i] for i in idx])
+                for s, idx in enumerate(by_shard)
+                if idx
+            ]
+        )
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def all_keys(self) -> set[bytes]:
+        """Test/conformance helper — materializes every shard. Small runs only."""
+        keys: set[bytes] = set()
+        for s in self.shards:
+            keys.update(
+                pq.read_table(ray.get(s.checkpoint.remote("/tmp/_seen_dump", 0)))[
+                    "url_sha1"
+                ].to_pylist()
+            )
+        return keys
+
+    def checkpoint(self, seen_dir: str, epoch: int) -> list[str]:
+        return ray.get([s.checkpoint.remote(seen_dir, epoch) for s in self.shards])
+
+    def restore(self, seen_dir: str) -> int:
+        return sum(ray.get([s.restore.remote(seen_dir) for s in self.shards]))
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+
+class SeenFilterStage:
+    """``map_batches`` callable: drop rows whose ``url_sha1`` is already seen,
+    marking survivors as seen (atomic check-and-add per shard).
+
+    Constructed with the shard actor handles
+    (``fn_constructor_kwargs={"shards": seen.shards}``) so every pool
+    actor routes its batch's keys to the right shard — batch-level RPCs,
+    no per-row calls, no shuffle of the seen table.
+    """
+
+    def __init__(self, shards: list):
+        self.shards = shards
+        self.num_shards = len(shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = batch["url_sha1"].to_pylist()
+        shard_ids = urlnorm.shard_array(batch["url_sha1"], self.num_shards)
+        futs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = np.nonzero(shard_ids == s)[0]
+            if idx.size:
+                futs.append(self.shards[s].check_and_add.remote([keys[i] for i in idx]))
+                idxs.append(idx)
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for fut, idx in zip(futs, idxs):
+            keep[idx] = ray.get(fut)
+        return batch.filter(pa.array(keep))

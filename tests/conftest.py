@@ -18,9 +18,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from news_crawler_ray.context import configure
 
-    DataContext.get_current().enable_progress_bars = False
+    configure()
     yield
     ray.shutdown()
 

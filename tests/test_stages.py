@@ -1,0 +1,251 @@
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from news_crawler_ray.fixtures import synth
+from news_crawler_ray.functions import urlnorm
+
+
+@pytest.fixture(scope="module")
+def frontier_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(synth.make_frontier(300, seed=42))
+
+
+def test_canonicalize_stage(ray_session, frontier_ds):
+    from news_crawler_ray.stages.canonicalize import canonicalize
+
+    out = canonicalize(frontier_ds).take_all()
+    for row in out:
+        assert "[.]" not in row["url"] and ":443" not in row["url"]
+        assert not row["url"].endswith("?")
+        assert row["url_sha1"] == hashlib.sha1(row["url"].encode()).digest()
+        assert row["host"] in row["url"]
+
+
+def test_dedup_frontier_exact(ray_session, frontier_ds):
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.dedup import dedup_frontier
+
+    canon = canonicalize(frontier_ds)
+    rows = canon.take_all()
+    # oracle: best row per key = max priority, then min discovered_at, min url
+    best = {}
+    for r in rows:
+        k = r["url_sha1"]
+        cand = (-r["priority"], r["discovered_at"], r["url"])
+        if k not in best or cand < best[k][0]:
+            best[k] = (cand, r["url"])
+    out = dedup_frontier(canon, num_partitions=4).take_all()
+    assert len(out) == len(best)
+    got = {r["url_sha1"]: r["url"] for r in out}
+    for k, (_, url) in best.items():
+        assert got[k] == url
+
+
+def test_seen_set_shards(ray_session):
+    from news_crawler_ray.stages.seen import SeenSet
+
+    seen = SeenSet(num_shards=4, capacity_per_shard=1024)
+    keys = [hashlib.sha1(f"u{i}".encode()).digest() for i in range(500)]
+    first = seen.check_and_add(keys)
+    assert first.all()
+    second = seen.check_and_add(keys)
+    assert not second.any()
+    mixed = keys[:100] + [hashlib.sha1(f"v{i}".encode()).digest() for i in range(50)]
+    res = seen.check_and_add(mixed)
+    assert not res[:100].any() and res[100:].all()
+    assert seen.size() == 550
+    st = seen.stats()
+    assert sum(s["size"] for s in st) == 550
+
+
+def test_seen_checkpoint_restore(ray_session, tmp_path):
+    from news_crawler_ray.stages.seen import SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=256)
+    keys = [hashlib.sha1(f"c{i}".encode()).digest() for i in range(100)]
+    seen.check_and_add(keys)
+    seen.checkpoint(str(tmp_path), epoch=0)
+    fresh = SeenSet(num_shards=2, capacity_per_shard=256)
+    assert fresh.restore(str(tmp_path)) == 100
+    assert not fresh.check_and_add(keys[:10]).any()
+
+
+def test_seen_filter_stage(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.seen import SeenFilterStage, SeenSet
+
+    seen = SeenSet(num_shards=2, capacity_per_shard=4096)
+    urls = [f"https://h{i % 5}.example.com/p/x{i}" for i in range(200)]
+    pre_seen = urls[:50]
+    seen.add([hashlib.sha1(u.encode()).digest() for u in pre_seen])
+    ds = canonicalize(rd.from_items([{"url": u} for u in urls]))
+    out = ds.map_batches(
+        SeenFilterStage,
+        fn_constructor_kwargs={"shards": seen.shards},
+        batch_format="pyarrow",
+        concurrency=1,
+        batch_size=64,
+    ).take_all()
+    got = {r["url"] for r in out}
+    assert got == set(urls[50:])
+    assert seen.size() == 200
+
+
+def test_with_group_rank_and_zip(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.stages.index import with_group_rank, zip_with_index
+
+    rows = [
+        {"g": f"g{i % 7}", "v": float((i * 37) % 100), "u": f"u{i:03d}"}
+        for i in range(500)
+    ]
+    ds = rd.from_items(rows)
+    ranked = with_group_rank(ds, "g", ["v", "u"], [True, False], rank_col="rk").take_all()
+    by_g = {}
+    for r in sorted(rows, key=lambda r: (r["g"], -r["v"], r["u"])):
+        by_g.setdefault(r["g"], []).append(r["u"])
+    for r in ranked:
+        assert by_g[r["g"]][r["rk"]] == r["u"]
+    idx = zip_with_index(ds, ["v", "u"], [False, False], rank_col="pos").take_all()
+    want = [r["u"] for r in sorted(rows, key=lambda r: (r["v"], r["u"]))]
+    for r in idx:
+        assert want[r["pos"]] == r["u"]
+
+
+def test_assign_stable_ids(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.stages.index import assign_stable_ids
+
+    ds = rd.from_items([{"value": v} for v in ["b", "a", "c", "a", "b", "b"]])
+    out = sorted(assign_stable_ids(ds, "value", base=7000000).take_all(), key=lambda r: r["sid"])
+    assert [(r["value"], r["sid"]) for r in out] == [
+        ("a", 7000000),
+        ("b", 7000001),
+        ("c", 7000002),
+    ]
+
+
+def test_politeness_schedule(ray_session):
+    import ray
+
+    from news_crawler_ray.stages.politeness import robots_table_to_config, schedule
+
+    import ray.data as rd
+
+    robots = synth.make_robots(seed=42)
+    cfg = robots_table_to_config(robots)
+    ref = ray.put(cfg)
+    fr = synth.make_frontier(120, seed=42)
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.dedup import dedup_frontier
+
+    ds = dedup_frontier(canonicalize(rd.from_arrow(fr)), num_partitions=2)
+    out = schedule(ds, ref, concurrency=1).take_all()
+    assert out, "schedule must emit rows"
+    # crawl_rank is a permutation of 0..n-1 in (fetch_at, -priority, url) order
+    out_sorted = sorted(out, key=lambda r: r["crawl_rank"])
+    assert [r["crawl_rank"] for r in out_sorted] == list(range(len(out)))
+    keys = [(r["fetch_at_us"], -r["priority"], r["url"]) for r in out_sorted]
+    assert keys == sorted(keys)
+    # per-host spacing honours crawl delay on the virtual clock
+    per_host = {}
+    for r in out_sorted:
+        per_host.setdefault(r["host"], []).append(r)
+    for h, rows in per_host.items():
+        rows.sort(key=lambda r: r["host_rank"])
+        delay = cfg[h][1] if h in cfg else 1000
+        for k, r in enumerate(rows):
+            assert r["host_rank"] == k
+            assert r["fetch_at_us"] == k * delay * 1000
+    # robots disallow enforced
+    for r in out_sorted:
+        if r["host"] in cfg:
+            prefixes = cfg[r["host"]][0]
+            path = r["url"].split(r["host"], 1)[1]
+            assert not any(path.startswith(p) for p in prefixes)
+
+
+def test_fetch_broadcast_and_join(ray_session):
+    import ray
+    import ray.data as rd
+
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.fetch import fetch_broadcast, fetch_join
+
+    ps = synth.make_pagestore(80, seed=42)
+    fr = synth.make_frontier(80, seed=42)
+    wave = canonicalize(rd.from_arrow(fr)).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    # add one URL that misses the store
+    import pyarrow as pa
+
+    miss = rd.from_items(
+        [{"url": "https://news0.example.com/p/img99999999", "host": "news0.example.com",
+          "depth": 0, "discovered_at": 0, "priority": 0.5}]
+    )
+    out_b = fetch_broadcast(wave, ray.put(ps), concurrency=1).take_all()
+    ok = [r for r in out_b if r["fetch_status"] == "ok"]
+    assert len(ok) == len(out_b)  # every frontier URL resolves
+    cap_by_id = dict(zip(ps["image_id"].to_pylist(), ps["caption"].to_pylist()))
+    for r in ok[:20]:
+        assert r["caption"] == cap_by_id[r["image_id"]]  # byte-exact caption invariant
+    out_j = fetch_join(wave, rd.from_arrow(ps), num_partitions=2).take_all()
+    assert len(out_j) == len(out_b)
+    assert all(r["fetch_status"] == "ok" for r in out_j)
+
+
+def test_parse_outlinks_and_filters(ray_session):
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from news_crawler_ray.stages.parse import (
+        date_cutoff,
+        exclusion_filter,
+        extract_outlinks,
+        keyword_any_match,
+        merged_distinct_iocs,
+    )
+
+    ps = synth.make_pagestore(60, seed=42)
+    pages = rd.from_arrow(ps.append_column("priority", pa.array([1.0] * 60)))
+    links = extract_outlinks(pages).take_all()
+    want = sum(1 for c in ps["caption"].to_pylist() for t in c.split() if t.startswith("link:"))
+    assert len(links) == want
+    for r in links[:10]:
+        assert r["url"].startswith("https://") and r["depth"] == 1 and r["priority"] == 0.5
+
+    ioc = synth.make_ioc_pages(30, seed=42)
+    ioc_ds = rd.from_arrow(ioc)
+    merged = merged_distinct_iocs(ioc_ds).take_all()
+    kinds = {r["kind"] for r in merged}
+    assert kinds == {"ip", "hash", "url"}
+    vals = [(r["kind"], r["value"]) for r in merged]
+    assert vals == sorted(vals)
+    assert not any("999.1.1.1" == v for _, v in vals)
+    assert not any("[.]" in v or "[:]" in v for _, v in vals)
+    assert not any(len(v) == 72 for k, v in vals if k == "hash")
+
+    kw = keyword_any_match(ioc_ds, synth.keywords(), col="title").take_all()
+    assert 0 < len(kw) < 30
+    for r in kw:
+        assert any(k in r["title"].lower() for k in synth.keywords())
+
+    today = date_cutoff(ioc_ds, "published", "2025-06-20").take_all()
+    assert 0 < len(today) < 30
+
+    url_rows = [r for r in merged if r["kind"] == "url"]
+    ex = exclusion_filter(
+        rd.from_items(url_rows), set(), exclude_substring="ahnlab.com", col="value"
+    ).take_all()
+    assert all("ahnlab.com" not in r["value"] for r in ex)
+    assert len(ex) < len(url_rows)

@@ -34,8 +34,12 @@ from ..state.bloom import CountingBloom, keys_to_matrix
 from ..state.cuckoo import CuckooFilter
 
 
-@ray.remote(num_cpus=0.5)
+@ray.remote(num_cpus=0)
 class SeenShard:
+    # num_cpus=0: shards are memory-holding index actors serving O(batch)
+    # set lookups; reserving CPU slots for them starves the map/task pools
+    # that share the node (observed deadlock at num_cpus=4). At cluster
+    # scale spread them with a placement strategy, not CPU reservations.
     """One partition of the seen-set. All methods take/return lists."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16, fp_rate: float = 0.01):

@@ -1,0 +1,428 @@
+"""Deduplication operators over document tables.
+
+Five families, each a composition of ``map_batches`` (vectorized partial
+work) + one key-colocating shuffle (``groupby``/``repartition``) — the
+partial/final pattern that keeps the all-to-all exchange as small as
+possible (SURVEY.md §2.5 A2/A4/A6 re-expressed for training data):
+
+* exact       — content hash → keep min-id per hash (one shuffle of
+                (hash, id), never of the texts themselves)
+* minhash-LSH — shingle → MinHash → band buckets → candidate pairs →
+                signature-verified jaccard (MMDS ch.3 / Broder '97 style)
+* simhash     — 64-bit SimHash → 4-band exact-match buckets → pairs with
+                hamming distance ≤ d (Charikar '02 / Manku et al. '07)
+* n-gram jaccard — exact token-shingle jaccard verification for a pairs
+                table (the verify stage behind minhash-LSH)
+* embedding cosine — random-hyperplane LSH buckets → within-bucket
+                cosine ≥ τ pairs (near-dup in embedding space)
+
+All pair outputs have ``id_a < id_b`` and are globally deduplicated.
+At 10^10-doc scale the bucket groupbys shuffle only (key, id, sig) —
+tens of bytes per row, not documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import hashing as H
+
+
+def _rename_tbl(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    """dict-based rename (pyarrow 16 only takes a list)."""
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+# ---------------------------------------------------------------- exact
+
+
+def content_hash_batch(batch: pa.Table, text_col: str, out_col: str = "content_hash") -> pa.Table:
+    """Vectorized 64-bit content hash (polars xxhash) of the text column."""
+    hashes = pl.from_arrow(batch[text_col].combine_chunks()).hash(seed=0).to_numpy()
+    return batch.append_column(out_col, pa.array(hashes.view(np.int64), pa.int64()))
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep the min-id row per distinct text content.
+
+    Partial: per-batch hash (no shuffle of text bytes). Final: groupby
+    the 64-bit hash, min(id). Returns Dataset[id_col, content_hash].
+    Collision probability at 10^10 docs over 64 bits is ~0.003 — pair a
+    second independent seed column if that matters for the corpus.
+    """
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col).select([id_col, "content_hash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    kept = hashed.groupby("content_hash").min(id_col)
+    return kept.map_batches(
+        lambda t: _rename_tbl(t, {f"min({id_col})": id_col}),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------- minhash-LSH
+
+
+def minhash_batch(
+    batch: pa.Table, text_col: str, id_col: str, num_perm: int, shingle_k: int
+) -> pa.Table:
+    """text → MinHash signature; all-vectorized (polars hash + reduceat).
+
+    Output: (id, sig fixed-size list<int64>). Stateless, so it runs in
+    the elastic task pool — no actor pinning needed.
+    """
+    th, off = H.tokenize_batch(batch[text_col])
+    sh, soff = H.shingle_hashes(th, off, shingle_k)
+    sig = H.minhash_signatures(sh, soff, num_perm)
+    flat = pa.array(sig.astype(np.int64).ravel(), pa.int64())
+    sig_col = pa.FixedSizeListArray.from_arrays(flat, num_perm)
+    return pa.table({id_col: batch[id_col], "sig": sig_col})
+
+
+def minhash_signature_ds(ds, text_col="text", id_col="doc_id", num_perm=64, shingle_k=5):
+    return ds.map_batches(
+        lambda b: minhash_batch(b, text_col, id_col, num_perm, shingle_k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _explode_bands(batch: pa.Table, bands: int, num_perm: int, id_col: str) -> pa.Table:
+    n = batch.num_rows
+    sig = np.asarray(batch["sig"].combine_chunks().flatten(), dtype=np.int64).reshape(n, num_perm).astype(np.uint64)
+    bh = H.band_hashes(sig, bands)  # (n, bands)
+    ids = batch[id_col]
+    idx = pa.array(np.repeat(np.arange(n), bands), pa.int64())
+    return pa.table(
+        {
+            id_col: ids.take(idx),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+            "bucket": pa.array(bh.ravel().astype(np.int64), pa.int64()),
+            "sig": batch["sig"].take(idx),
+        }
+    )
+
+
+def _bucket_pairs(group: pa.Table, id_col: str, num_perm: int, max_bucket: int = 256) -> pa.Table:
+    """All (a<b) pairs within one LSH bucket + their signature-est jaccard.
+
+    ``max_bucket`` caps degenerate buckets (e.g. empty-text docs): a
+    bucket of B docs emits B²/2 pairs, so one pathological bucket can
+    explode the output — cap and let the logged drop surface it.
+    """
+    n = group.num_rows
+    if n < 2:
+        return _empty_pairs(id_col)
+    if n > max_bucket:
+        group = group.slice(0, max_bucket)
+        n = max_bucket
+    ids = np.asarray(group[id_col], dtype=np.int64)
+    sig = np.asarray(group["sig"].combine_chunks().flatten(), dtype=np.int64).reshape(n, num_perm)
+    iu, ju = np.triu_indices(n, k=1)
+    est = (sig[iu] == sig[ju]).mean(axis=1)
+    a = np.minimum(ids[iu], ids[ju])
+    b = np.maximum(ids[iu], ids[ju])
+    keep = a != b
+    return pa.table(
+        {
+            "id_a": pa.array(a[keep], pa.int64()),
+            "id_b": pa.array(b[keep], pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        }
+    )
+
+
+def _empty_pairs(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+):
+    """Near-duplicate candidate pairs with signature-estimated jaccard.
+
+    sig → band-explode (flat narrow table) → groupby(band, bucket)
+    map_groups pairs → global pair dedup (groupby max est) → threshold
+    filter. Two shuffles, both over narrow rows.
+    """
+    sigs = minhash_signature_ds(ds, text_col, id_col, num_perm, shingle_k)
+    exploded = sigs.map_batches(
+        lambda b: _explode_bands(b, bands, num_perm, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col, num_perm), batch_format="pyarrow"
+    )
+    deduped = pairs.groupby(["id_a", "id_b"]).max("est_jaccard")
+    return deduped.map_batches(
+        lambda t: _rename_tbl(t, {"max(est_jaccard)": "est_jaccard"}).filter(
+            pc.greater_equal(t["max(est_jaccard)"], threshold)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def dedup_keep_min_id(pairs_ds, ids_ds, id_col: str = "doc_id"):
+    """Resolve a pairs table into kept ids: drop every id_b (id_a < id_b).
+
+    One-pass transitive approximation (b of any pair is dropped; chains
+    collapse to their min id when pairs are complete within buckets).
+    """
+    drop = (
+        pairs_ds.map_batches(
+            lambda t: pa.table({id_col: t["id_b"]}), batch_format="pyarrow"
+        )
+        .groupby(id_col)
+        .count()
+        .rename_columns({"count()": "_dup_n"})
+    )
+    joined = ids_ds.join(drop, join_type="left_outer", num_partitions=8, on=(id_col,))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_dup_n"])).select([id_col]),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------------------------- simhash
+
+
+def simhash_batch(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """text → 64-bit simhash (int64) per row; fully vectorized."""
+    th, off = H.tokenize_batch(batch[text_col])
+    sh = H.simhash64(th, off)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "simhash": pa.array(sh.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def simhash_ds(ds, text_col="text", id_col="doc_id"):
+    return ds.map_batches(
+        lambda b: simhash_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def simhash_near_dup_pairs(
+    ds, text_col="text", id_col="doc_id", max_hamming: int = 3, bands: int = 4
+):
+    """Pairs with hamming(simhash) ≤ ``max_hamming`` via the 4-band trick:
+    any two hashes within distance 3 agree exactly on ≥1 of 4 16-bit
+    bands (pigeonhole, Manku et al. WWW'07), so bucket per band value,
+    pair within buckets, verify the true distance vectorized.
+    """
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    sigs = simhash_ds(ds, text_col, id_col)
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        h = np.asarray(b["simhash"], dtype=np.int64).astype(np.uint64)
+        width = 64 // bands
+        mask = np.uint64((1 << width) - 1)
+        parts = [(h >> np.uint64(width * i)) & mask for i in range(bands)]
+        idx = pa.array(np.repeat(np.arange(n), bands), pa.int64())
+        return pa.table(
+            {
+                id_col: b[id_col].take(idx),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
+                "bucket": pa.array(np.stack(parts, axis=1).ravel().astype(np.int64), pa.int64()),
+                "simhash": b["simhash"].take(idx),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int32())}
+            )
+        if n > 256:
+            g = g.slice(0, 256)
+            n = 256
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        h = np.asarray(g["simhash"], dtype=np.int64).astype(np.uint64)
+        iu, ju = np.triu_indices(n, k=1)
+        dist = H.hamming_distance64(h[iu], h[ju])
+        a = np.minimum(ids[iu], ids[ju])
+        b_ = np.maximum(ids[iu], ids[ju])
+        keep = (dist <= max_hamming) & (a != b_)
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b_[keep], pa.int64()),
+                "hamming": pa.array(dist[keep].astype(np.int32), pa.int32()),
+            }
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    deduped = pairs.groupby(["id_a", "id_b"]).min("hamming")
+    return deduped.map_batches(
+        lambda t: _rename_tbl(t, {"min(hamming)": "hamming"}), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------- n-gram jaccard verify
+
+
+def ngram_jaccard_verify(
+    pairs_ds,
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.0,
+    num_partitions: int = 8,
+):
+    """Exact token-shingle jaccard for each (id_a, id_b) pair.
+
+    Joins the pairs table against the docs table twice (hash joins on
+    id), then computes true jaccard per pair vectorized-per-row. The
+    joins ship only the paired docs' texts — candidate pairs after LSH
+    are a tiny fraction of the corpus, so this never rescans everything.
+    """
+    docs_a = docs_ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_a", text_col: "_text_a"}
+    )
+    docs_b = docs_ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_b", text_col: "_text_b"}
+    )
+    j = pairs_ds.join(docs_a, join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    j = j.join(docs_b, join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def compute(b: pa.Table) -> pa.Table:
+        ja = np.empty(b.num_rows, dtype=np.float64)
+        ha, oa = H.tokenize_batch(b["_text_a"])
+        hb, ob = H.tokenize_batch(b["_text_b"])
+        sa, soa = H.shingle_hashes(ha, oa, shingle_k)
+        sb, sob = H.shingle_hashes(hb, ob, shingle_k)
+        for i in range(b.num_rows):
+            A = set(sa[soa[i] : soa[i + 1]].tolist())
+            B = set(sb[sob[i] : sob[i + 1]].tolist())
+            u = len(A | B)
+            ja[i] = (len(A & B) / u) if u else 1.0
+        out = b.drop_columns(["_text_a", "_text_b"]).append_column(
+            "jaccard", pa.array(ja, pa.float64())
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return j.map_batches(compute, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------- embedding cosine near-dup
+
+
+class CosineLSHStage:
+    """Embedding → random-hyperplane LSH bucket ids (T tables × B bits).
+
+    Projection matrix built once per actor from a fixed seed; buckets are
+    sign-bit codes. Near-identical vectors collide in ≥1 table w.h.p.
+    """
+
+    def __init__(self, vec_col: str, id_col: str, dim: int, n_tables: int, n_bits: int, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((n_tables, n_bits, dim))
+        self.vec_col, self.id_col = vec_col, id_col
+        self.n_tables, self.n_bits = n_tables, n_bits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        V = np.asarray(batch[self.vec_col].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        codes = np.zeros((n, self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (V @ self.proj[t].T) > 0  # (n, n_bits)
+            codes[:, t] = bits @ (1 << np.arange(self.n_bits, dtype=np.int64))
+        idx = pa.array(np.repeat(np.arange(n), self.n_tables), pa.int64())
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].take(idx),
+                "table": pa.array(np.tile(np.arange(self.n_tables, dtype=np.int32), n), pa.int32()),
+                "bucket": pa.array(codes.ravel(), pa.int64()),
+                self.vec_col: batch[self.vec_col].take(idx),
+            }
+        )
+
+
+def embedding_cosine_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_tables: int = 4,
+    n_bits: int = 12,
+    max_bucket: int = 512,
+    concurrency: int | tuple = 2,
+):
+    """Pairs with cosine ≥ threshold via hyperplane-LSH bucketing."""
+    exploded = ds.map_batches(
+        CosineLSHStage,
+        fn_constructor_kwargs={
+            "vec_col": vec_col, "id_col": id_col, "dim": dim,
+            "n_tables": n_tables, "n_bits": n_bits,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "cosine": pa.array([], pa.float64())}
+        )
+        if n < 2:
+            return empty
+        if n > max_bucket:
+            g = g.slice(0, max_bucket)
+            n = max_bucket
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        V = np.asarray(g[vec_col].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        S = V @ V.T
+        iu, ju = np.triu_indices(n, k=1)
+        cos = S[iu, ju]
+        a = np.minimum(ids[iu], ids[ju])
+        b_ = np.maximum(ids[iu], ids[ju])
+        keep = (cos >= threshold) & (a != b_)
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b_[keep], pa.int64()),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby(["table", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    deduped = pairs.groupby(["id_a", "id_b"]).max("cosine")
+    return deduped.map_batches(
+        lambda t: _rename_tbl(t, {"max(cosine)": "cosine"}), batch_format="pyarrow"
+    )

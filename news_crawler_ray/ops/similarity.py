@@ -1,0 +1,196 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_brute_force` — exact cosine top-k: the query matrix is
+  broadcast ONCE via ``ray.put``; each ``map_batches`` actor computes a
+  (batch × queries) matmul and emits only its local top-k rows (partial
+  top-k), and a final per-query ``map_groups`` merge keeps the global
+  top-k. Shuffled volume is O(num_queries × k × num_blocks), never the
+  corpus.
+* :func:`knn_ivf` — the scale path: k-means-style coarse quantizer
+  (trained on a sample, broadcast) assigns each vector to a centroid
+  list; queries probe only the ``nprobe`` nearest lists. At 100 TB this
+  turns a full scan into a ~nprobe/nlist fraction scan with the same
+  map_batches shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.flatten(), dtype=np.float64).reshape(n, -1)
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceScorer:
+    """Actor-pool stage: local cosine top-k against the broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str, exclude_self: bool):
+        q = ray.get(queries_ref)  # dict: {"ids": (Q,), "matrix": (Q, d)}
+        self.q_ids = np.asarray(q["ids"], dtype=np.int64)
+        self.Q = _normalize(np.asarray(q["matrix"], dtype=np.float64))
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _pairs_schema_table()
+        V = _normalize(_as_matrix(batch[self.vec_col], n))
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        S = self.Q @ V.T  # (Q, n)
+        if self.exclude_self:
+            S[self.q_ids[:, None] == ids[None, :]] = -np.inf
+        k = min(self.k, n)
+        top = np.argpartition(-S, k - 1, axis=1)[:, :k]  # (Q, k) unordered
+        rows_q = np.repeat(np.arange(len(self.q_ids)), k)
+        rows_v = top.ravel()
+        scores = S[rows_q, rows_v]
+        fin = np.isfinite(scores)
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[rows_q][fin], pa.int64()),
+                "neighbor_id": pa.array(ids[rows_v][fin], pa.int64()),
+                "score": pa.array(scores[fin], pa.float64()),
+            }
+        )
+
+
+def _pairs_schema_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _final_topk(group: pa.Table, k: int) -> pa.Table:
+    # order: score desc, then neighbor_id asc for deterministic ties
+    idx = np.lexsort(
+        (np.asarray(group["neighbor_id"], dtype=np.int64),
+         -np.asarray(group["score"], dtype=np.float64))
+    )
+    return group.take(pa.array(idx[:k], pa.int64()))
+
+
+def knn_brute_force(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+    concurrency: int | tuple = 2,
+):
+    """Exact cosine top-k neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, score) — k rows per query, ties
+    broken by smaller neighbor_id (deterministic at any parallelism).
+    """
+    ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+    partial = ds.map_batches(
+        BruteForceScorer,
+        fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "vec_col": vec_col,
+            "id_col": id_col, "exclude_self": exclude_self,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------- IVF
+
+
+def train_centroids(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Plain k-means on a driver-side sample (Lloyd, fixed seed).
+
+    The sample is small (e.g. 100k vectors) regardless of corpus size —
+    training is a driver/single-node concern; assignment is distributed.
+    """
+    rng = np.random.default_rng(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class IVFAssignStage:
+    """Assign each vector to its nearest centroid list (broadcast C)."""
+
+    def __init__(self, centroids_ref, vec_col: str):
+        self.C = _normalize(np.asarray(ray.get(centroids_ref), dtype=np.float64))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("ivf_list", pa.array([], pa.int32()))
+        V = _normalize(_as_matrix(batch[self.vec_col], n))
+        assign = np.argmax(V @ self.C.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(assign, pa.int32()))
+
+
+def knn_ivf(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+):
+    """Approximate top-k: scan only the ``nprobe`` closest inverted lists.
+
+    The corpus Dataset is filtered by list membership BEFORE scoring, so
+    the matmul touches ~nprobe/nlist of the data. Centroids + queries are
+    broadcast once. Recall depends on nprobe (exactness path:
+    :func:`knn_brute_force`).
+    """
+    c_ref = ray.put(centroids)
+    assigned = ds.map_batches(
+        IVFAssignStage,
+        fn_constructor_kwargs={"centroids_ref": c_ref, "vec_col": vec_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    Cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    Qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probe = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = np.unique(probe.ravel()).astype(np.int32)
+    wanted_set = pa.array(wanted, pa.int32())
+
+    import pyarrow.compute as pc
+
+    pruned = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=wanted_set)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return knn_brute_force(
+        pruned, query_ids, query_matrix, k=k, vec_col=vec_col,
+        id_col=id_col, exclude_self=exclude_self,
+    )

@@ -1,0 +1,187 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All stateless vectorized ``map_batches`` stages
+(pyarrow.compute kernels; the only per-row Python is md5, which is a C
+hot loop per string).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbol
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at it this that "
+    "be from"
+).split()
+
+# tiny function-word profiles for the n-gram/marker language heuristic;
+# deterministic and dependency-free (a real fastText model would slot in
+# as an actor-pool stage with the same signature)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "that"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es": ("el", "los", "las", "es", "una", "para", "como", "pero"),
+    "zh": ("的", "是", "了", "在", "我", "有"),
+}
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, n_tokens, n_bpe_tokens, n_chars_measured) — exact-integer stats."""
+    text = pc.coalesce(batch[text_col], "")
+    ws_tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+    # count only non-empty whitespace tokens: split("") -> [""]
+    empties = pc.cast(pc.equal(pc.utf8_trim_whitespace(text), ""), pa.int64())
+    n_tokens = pc.subtract(pc.cast(ws_tokens, pa.int64()), empties)
+    n_bpe = pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": n_tokens,
+            "n_bpe_tokens": n_bpe,
+            "n_chars_measured": n_chars,
+        }
+    )
+
+
+def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: token_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def quality_score_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> pa.Table:
+    """Heuristic quality features + a composite score in [0, 1].
+
+    Features mirror common pretraining-corpus filters (Gopher/C4-style):
+    length, mean word length, stopword ratio, punctuation ratio,
+    alpha ratio. Integer counts are exact; the composite is documented
+    arithmetic over them.
+    """
+    sw = stopwords or STOPWORDS
+    text = pc.coalesce(batch[text_col], "")
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_alpha = pc.cast(pc.count_substring_regex(text, r"[A-Za-z]"), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.float64())
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    nonempty = pc.cast(pc.not_equal(flat, ""), pa.int64())
+    offsets = np.asarray(toks.combine_chunks().offsets if isinstance(toks, pa.ChunkedArray) else toks.offsets, dtype=np.int64)
+    ne_np = nonempty.to_numpy(zero_copy_only=False)
+    csum = np.concatenate([[0], np.cumsum(ne_np)])
+    n_tokens = (csum[offsets[1:]] - csum[offsets[:-1]]).astype(np.float64)
+    sw_pattern = "|".join(f"(?:^{w}$)" for w in sw)
+    is_stop = pc.cast(pc.match_substring_regex(flat, sw_pattern, ignore_case=True), pa.int64())
+    st_np = pc.and_(pc.cast(is_stop, pa.bool_()), pc.cast(nonempty, pa.bool_()))
+    st_np = pc.cast(st_np, pa.int64()).to_numpy(zero_copy_only=False)
+    scs = np.concatenate([[0], np.cumsum(st_np)])
+    n_stop = (scs[offsets[1:]] - scs[offsets[:-1]]).astype(np.float64)
+
+    nt = np.maximum(n_tokens, 1.0)
+    nch = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1.0)
+    mean_wlen = nch / nt
+    stop_ratio = n_stop / nt
+    punct_ratio = n_punct.to_numpy(zero_copy_only=False) / nch
+    alpha_ratio = n_alpha.to_numpy(zero_copy_only=False) / nch
+    length_ok = np.clip(n_tokens / 50.0, 0, 1)  # saturates at 50 tokens
+    wlen_ok = np.exp(-0.5 * ((mean_wlen - 5.0) / 3.0) ** 2)
+    score = 0.35 * length_ok + 0.25 * np.clip(stop_ratio * 4, 0, 1) + 0.2 * alpha_ratio + 0.2 * wlen_ok * (1 - np.clip(punct_ratio * 4, 0, 1) * 0.5)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens.astype(np.int64), pa.int64()),
+            "n_stopwords": pa.array(n_stop.astype(np.int64), pa.int64()),
+            "mean_word_len": pa.array(mean_wlen, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+            "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            "quality_score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+def quality_score(ds, text_col: str = "text", id_col: str = "doc_id", stopwords=None):
+    return ds.map_batches(
+        lambda b: quality_score_batch(b, text_col, id_col, stopwords),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def detect_language_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Marker-word language vote: argmax over per-language marker counts.
+
+    Ties / no markers → 'und'. One vectorized regex count per language —
+    L passes over the batch, no per-row Python.
+    """
+    text = pc.coalesce(batch[text_col], "")
+    n = batch.num_rows
+    langs = list(LANG_MARKERS)
+    counts = np.zeros((n, len(langs)), dtype=np.int64)
+    for j, lang in enumerate(langs):
+        pattern = "|".join(rf"\b{m}\b" if lang != "zh" else m for m in LANG_MARKERS[lang])
+        counts[:, j] = pc.count_substring_regex(text, pattern, ignore_case=True).to_numpy(
+            zero_copy_only=False
+        )
+    best = counts.argmax(axis=1)
+    best_count = counts[np.arange(n), best]
+    second = np.sort(counts, axis=1)[:, -2] if len(langs) > 1 else np.zeros(n)
+    decided = (best_count > 0) & (best_count > second)
+    pred = np.array([langs[b] for b in best], dtype=object)
+    pred[~decided] = "und"
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+            "lang_votes": pa.array(best_count, pa.int64()),
+        }
+    )
+
+
+def detect_language(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: detect_language_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """(id, md5 hex, rolling 64-bit poly hash) content fingerprints.
+
+    md5 matches any external tool (DuckDB ``md5()``); the rolling hash is
+    the cheap in-pipeline identity (same family as the reference's
+    sha256(title|link) keying, scheduler.py:52-53).
+    """
+    texts = batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
+    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts.to_pylist()]
+    import polars as pl
+
+    roll = pl.from_arrow(texts).hash(seed=1).to_numpy().astype(np.uint64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "md5": pa.array(md5s, pa.string()),
+            "fingerprint64": pa.array(roll.view(np.int64), pa.int64()),
+        }
+    )
+
+
+def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: fingerprint_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,284 @@
+"""Tests for training-data operators: dedup, similarity, text, multimodal."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_tbl():
+    return pq.read_table(DOCS)
+
+
+@pytest.fixture(scope="module")
+def emb_tbl():
+    return pq.read_table(EMB)
+
+
+def _planted_docs(docs_tbl, mutate):
+    """Union docs with mutated copies at doc_id + 1_000_000."""
+    texts = docs_tbl["text"].to_pylist()
+    mut = [mutate(s) for s in texts]
+    mt = docs_tbl.set_column(
+        docs_tbl.schema.get_field_index("text"), "text", pa.array(mut, pa.string())
+    )
+    mt = mt.set_column(
+        mt.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array(np.asarray(docs_tbl["doc_id"]) + 1_000_000, pa.int64()),
+    )
+    return pa.concat_tables([docs_tbl, mt])
+
+
+# ----------------------------------------------------------- hashing
+
+
+def test_hashing_primitives():
+    from news_crawler_ray.ops import hashing as H
+
+    texts = pa.array(["a b c d e f", "a b c d e f", "x y", "", "a  b  c d e f ", None])
+    h, off = H.tokenize_batch(texts)
+    assert off.tolist() == [0, 6, 12, 14, 14, 20, 20]
+    sh, soff = H.shingle_hashes(h, off, 5)
+    sig = H.minhash_signatures(sh, soff, 32)
+    assert sig.shape == (6, 32)
+    assert (sig[0] == sig[1]).all() and (sig[0] == sig[4]).all()
+    assert (sig[3] == np.iinfo(np.uint64).max).all()
+    s = H.simhash64(h, off)
+    assert s[0] == s[1] == s[4]
+    assert H.hamming_distance64(s[:1], s[1:2])[0] == 0
+
+
+# ------------------------------------------------------------- dedup
+
+
+def test_exact_dedup(ray_session, docs_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import exact_dedup
+
+    both = _planted_docs(docs_tbl, lambda s: s)  # verbatim copies
+    kept = exact_dedup(rd.from_arrow(both)).take_all()
+    assert len(kept) == docs_tbl.num_rows
+    assert all(r["doc_id"] < 1_000_000 for r in kept)  # min-id wins
+
+
+def test_minhash_lsh_and_verify(ray_session, docs_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import minhash_lsh_pairs, ngram_jaccard_verify
+
+    planted = rd.from_arrow(
+        _planted_docs(docs_tbl, lambda s: " ".join(w for i, w in enumerate(s.split()) if i != 3))
+    )
+    pairs_ds = minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
+    pairs = pairs_ds.take_all()
+    found = sum(1 for r in pairs if r["id_b"] - r["id_a"] == 1_000_000)
+    assert found > 0.85 * docs_tbl.num_rows  # recall on planted near-dups
+    for r in pairs:
+        assert r["id_a"] < r["id_b"] and 0.5 <= r["est_jaccard"] <= 1.0
+    ver = ngram_jaccard_verify(pairs_ds, planted, threshold=0.0).take_all()
+    assert len(ver) == len(pairs)
+    planted_j = [r["jaccard"] for r in ver if r["id_b"] - r["id_a"] == 1_000_000]
+    # one-word-drop keeps most shingles; short docs lose a larger share
+    assert min(planted_j) > 0.3 and np.median(planted_j) > 0.7
+
+
+def test_simhash_near_dup(ray_session, docs_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import simhash_near_dup_pairs
+
+    # swap two words: simhash is order-insensitive over tokens, so the
+    # mutated copy has hamming 0 and MUST be found
+    def swap(s):
+        w = s.split()
+        if len(w) >= 2:
+            w[0], w[1] = w[1], w[0]
+        return " ".join(w)
+
+    planted = rd.from_arrow(_planted_docs(docs_tbl, swap))
+    pairs = simhash_near_dup_pairs(planted, max_hamming=3).take_all()
+    found = sum(1 for r in pairs if r["id_b"] - r["id_a"] == 1_000_000)
+    assert found == docs_tbl.num_rows  # distance 0: always caught
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+def test_embedding_cosine_pairs(ray_session, emb_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import embedding_cosine_pairs
+
+    E = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(3)
+    E2 = E + rng.standard_normal(E.shape) * 0.01
+    n = len(E)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([np.arange(n), np.arange(n) + 1_000_000]), pa.int64()
+            ),
+            "embedding": pa.array(
+                np.concatenate([E, E2]).tolist(), pa.list_(pa.float32())
+            ),
+        }
+    )
+    pairs = embedding_cosine_pairs(rd.from_arrow(tab), threshold=0.98).take_all()
+    found = sum(1 for r in pairs if r["id_b"] - r["id_a"] == 1_000_000)
+    assert found == n  # multi-table LSH recalls all near-identical pairs
+    for r in pairs:
+        assert r["cosine"] >= 0.98
+
+
+# --------------------------------------------------------- similarity
+
+
+def test_knn_brute_force_matches_numpy(ray_session, emb_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.similarity import knn_brute_force
+
+    E = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    q_ids = np.arange(7)
+    out = knn_brute_force(rd.from_arrow(emb_tbl), q_ids, E[:7], k=10).take_all()
+    assert len(out) == 70
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En[:7] @ En.T
+    for qi in range(7):
+        S[qi, qi] = -np.inf
+        want = set(np.argsort(-S[qi])[:10].tolist())
+        got = {r["neighbor_id"] for r in out if r["query_id"] == qi}
+        assert got == want
+
+
+def test_knn_ivf_recall(ray_session, emb_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.similarity import knn_brute_force, knn_ivf, train_centroids
+
+    E = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    C = train_centroids(E, nlist=16)
+    q_ids = np.arange(5)
+    exact = knn_brute_force(rd.from_arrow(emb_tbl), q_ids, E[:5], k=10).take_all()
+    approx = knn_ivf(rd.from_arrow(emb_tbl), q_ids, E[:5], C, k=10, nprobe=8).take_all()
+    # IVF with nprobe=8/16 recalls most exact neighbors
+    recall = 0
+    for qi in range(5):
+        want = {r["neighbor_id"] for r in exact if r["query_id"] == qi}
+        got = {r["neighbor_id"] for r in approx if r["query_id"] == qi}
+        recall += len(want & got) / len(want)
+    assert recall / 5 >= 0.5
+
+
+# --------------------------------------------------------------- text
+
+
+def test_token_stats_exact(ray_session, docs_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import token_stats
+
+    out = {r["doc_id"]: r for r in token_stats(rd.from_arrow(docs_tbl)).take_all()}
+    for did, txt in zip(docs_tbl["doc_id"].to_pylist()[:50], docs_tbl["text"].to_pylist()[:50]):
+        assert out[did]["n_tokens"] == len(txt.split())
+        assert out[did]["n_chars_measured"] == len(txt)
+
+
+def test_quality_and_langid(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import detect_language, quality_score
+
+    rows = [
+        {"doc_id": 1, "text": "the cat and the dog of the house went to the market"},
+        {"doc_id": 2, "text": "le chat et la maison dans les rues de paris"},
+        {"doc_id": 3, "text": "der hund ist nicht mit das haus und ein garten"},
+        {"doc_id": 4, "text": "el gato es una casa para los perros pero como"},
+        {"doc_id": 5, "text": "zz"},
+    ]
+    ds = rd.from_items(rows)
+    lang = {r["doc_id"]: r["lang_pred"] for r in detect_language(ds).take_all()}
+    assert lang == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "und"}
+    q = {r["doc_id"]: r for r in quality_score(ds).take_all()}
+    assert q[1]["n_tokens"] == 12 and q[1]["n_stopwords"] >= 5
+    assert 0 <= q[5]["quality_score"] < q[1]["quality_score"] <= 1
+
+
+def test_fingerprint_md5(ray_session, docs_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import fingerprint
+
+    out = {r["doc_id"]: r for r in fingerprint(rd.from_arrow(docs_tbl)).take_all()}
+    for did, txt in zip(docs_tbl["doc_id"].to_pylist()[:20], docs_tbl["text"].to_pylist()[:20]):
+        assert out[did]["md5"] == hashlib.md5(txt.encode()).hexdigest()
+    assert len({r["fingerprint64"] for r in out.values()}) == len(out)  # distinct texts
+
+
+# ---------------------------------------------------------- multimodal
+
+
+def test_image_features_and_resize(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import codec, synth
+    from news_crawler_ray.ops.multimodal import image_features, resize_images
+
+    ps = synth.make_pagestore(40, seed=42)
+    feats = image_features(rd.from_arrow(ps), concurrency=1).take_all()
+    assert len(feats) == 40
+    stored = dict(zip(ps["image_id"].to_pylist(), ps["phash"].to_pylist()))
+    fmts = dict(zip(ps["image_id"].to_pylist(), ps["fmt"].to_pylist()))
+    for r in feats:
+        assert r["decode_ok"]
+        # pixel-level invariant: lossless roundtrip -> identical phash;
+        # lossy -> perceptually identical (tiny hamming drift allowed)
+        dist = bin(r["phash_check"] ^ stored[r["image_id"]]).count("1")
+        assert dist == 0 if fmts[r["image_id"]] == "png" else dist <= 4
+        assert 0 <= r["mean_r"] <= 255
+
+    small = resize_images(rd.from_arrow(ps), 16, 16, concurrency=1).take_all()
+    for r in small[:10]:
+        px = codec.decode(r["bytes"], r["fmt"])
+        assert px.shape == (16, 16, 3)
+        assert r["w"] == 16 and r["h"] == 16
+
+
+def test_audio_video_stubs(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.multimodal import AudioFeatureStage, VideoFrameSampleStage
+
+    audio = pa.table(
+        {
+            "audio_id": pa.array(["a1"], pa.string()),
+            "bytes": pa.array([b"\x01\x02" * 8000], pa.binary()),
+            "sample_rate": pa.array([16000], pa.int32()),
+            "fmt": pa.array(["pcm"], pa.string()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        AudioFeatureStage(fake=False)(audio)
+    out = AudioFeatureStage(fake=True)(audio)
+    assert out["duration_s"][0].as_py() == pytest.approx(0.5)
+
+    video = pa.table(
+        {
+            "video_id": pa.array(["v1"], pa.string()),
+            "bytes": pa.array([bytes(range(256)) * 400], pa.binary()),
+            "fps": pa.array([30], pa.int32()),
+            "fmt": pa.array(["raw"], pa.string()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampleStage(fake=False)(video)
+    frames = VideoFrameSampleStage(every_n=30, fake=True)(video)
+    assert frames.num_rows >= 3
+    assert frames.column_names == ["video_id", "frame_idx", "frame_feature"]

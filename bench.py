@@ -1,0 +1,211 @@
+"""Benchmark harness: headline crawl pipelines + query suite.
+
+Usage:
+    python bench.py              # full suite; one JSON line on stdout (last line)
+    python bench.py --scaling    # same headline job at 8 and 32 CPUs in
+                                 # fresh processes; reports scaling efficiency
+
+Env:
+    GRAFT_SF_DIR   parquet table dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS num_cpus for ray.init (default 32)
+
+Headline metric (BASELINE.md): sustained fetch-schedule throughput
+(URLs/sec through canonicalize → frontier-dedup shuffle → sharded
+seen-set → politeness schedule → page-store fetch) and frontier-dedup
+rate, on a deterministic synthetic frontier + image page-store.
+Fixture generation is cached under /tmp and excluded from timings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FRONTIER_N = 120_000  # bench frontier rows (10^10 nominal, sandbox-scaled)
+PAGE_POOL = 64  # distinct encoded images (payloads repeat, ids unique)
+
+
+def _fixture_dir(n: int) -> str:
+    d = f"/tmp/nc_bench_fixtures/n{n}"
+    marker = os.path.join(d, "_done")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        from news_crawler_ray.fixtures import synth
+
+        synth.write_fixture_dir(d, n, seed=42, image_pool=PAGE_POOL)
+        open(marker, "w").close()
+    return d
+
+
+def bench_fetch_schedule(fix_dir: str) -> dict:
+    """One crawl wave over the full frontier: the headline pipeline."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    ps = pq.read_table(os.path.join(fix_dir, "pagestore.parquet"))
+    robots = pq.read_table(os.path.join(fix_dir, "robots.parquet"))
+    frontier = ray.data.read_parquet(os.path.join(fix_dir, "frontier.parquet"))
+    out_dir = f"/tmp/nc_bench_out/{time.monotonic_ns()}"
+    cfg = CrawlConfig(
+        max_waves=1,
+        num_seen_shards=8,
+        dedup_partitions=32,
+        fetch_concurrency=(2, 8),
+        fetch_batch_size=4096,
+    )
+    t0 = time.monotonic()
+    res = run_crawl(frontier, ps, robots, out_dir, config=cfg)
+    dt = time.monotonic() - t0
+    w = res.waves[0]
+    return {
+        "wall_s": dt,
+        "scheduled": w.scheduled,
+        "fetched_ok": w.fetched_ok,
+        "urls_per_sec": w.scheduled / dt if dt > 0 else 0.0,
+    }
+
+
+def bench_frontier_dedup(fix_dir: str) -> dict:
+    """Canonicalize + exact frontier dedup shuffle alone (dedup rate)."""
+    import ray.data
+
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.dedup import dedup_frontier
+
+    frontier = ray.data.read_parquet(os.path.join(fix_dir, "frontier.parquet"))
+    t0 = time.monotonic()
+    n_out = dedup_frontier(canonicalize(frontier), num_partitions=32).count()
+    dt = time.monotonic() - t0
+    n_in = frontier.count()
+    return {
+        "wall_s": dt,
+        "rows_in": n_in,
+        "rows_out": n_out,
+        "urls_per_sec": n_in / dt if dt > 0 else 0.0,
+    }
+
+
+QUERY_SUBSET = [
+    "exact_dedup_docs",
+    "token_stats",
+    "lineitem_agg",
+    "user_event_stats",
+    "knn_cosine",
+    "minhash_dedup_pairs",
+    "simhash_pairs",
+    "image_features",
+]
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    from news_crawler_ray.pipelines.queries import build_queries
+
+    qs = build_queries()
+    out: dict[str, float] = {}
+    for name in QUERY_SUBSET:
+        t0 = time.monotonic()
+        res = qs[name](sf_dir)
+        # consume the stream (count() executes the full pipeline)
+        n = res.count() if hasattr(res, "count") else len(res)
+        out[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return out
+
+
+def run_suite(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from news_crawler_ray.context import configure
+
+    configure()
+    fix_dir = _fixture_dir(FRONTIER_N)
+    fetch = bench_fetch_schedule(fix_dir)
+    dedup = bench_frontier_dedup(fix_dir)
+    result = {
+        "metric": "fetch_schedule_urls_per_sec",
+        "value": round(fetch["wall_s"], 3),
+        "unit": "sec",
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "frontier_rows": FRONTIER_N,
+        "urls_per_sec": round(fetch["urls_per_sec"], 1),
+        "fetched_ok": fetch["fetched_ok"],
+        "frontier_dedup": {
+            "wall_s": round(dedup["wall_s"], 3),
+            "urls_per_sec": round(dedup["urls_per_sec"], 1),
+            "rows_in": dedup["rows_in"],
+            "rows_out": dedup["rows_out"],
+        },
+        "queries": {},
+    }
+    if not headline_only:
+        result["queries"] = bench_queries(sf_dir)
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same job, same input, fresh processes at two parallelism levels."""
+    _fixture_dir(FRONTIER_N)  # warm the cache so both children skip generation
+    runs = {}
+    for cpus in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        last = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        runs[cpus] = json.loads(last)
+    thr_lo = runs[cpus_lo]["urls_per_sec"]
+    thr_hi = runs[cpus_hi]["urls_per_sec"]
+    ratio = cpus_hi / cpus_lo
+    eff = (thr_hi / thr_lo) / ratio if thr_lo > 0 else 0.0
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_dir,
+        "cpus": [cpus_lo, cpus_hi],
+        "urls_per_sec": {str(cpus_lo): thr_lo, str(cpus_hi): thr_hi},
+        "dedup_urls_per_sec": {
+            str(cpus_lo): runs[cpus_lo]["frontier_dedup"]["urls_per_sec"],
+            str(cpus_hi): runs[cpus_hi]["frontier_dedup"]["urls_per_sec"],
+        },
+        "frontier_rows": FRONTIER_N,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", action="store_true", help="headline-only run (internal)")
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.scaling:
+        out = run_scaling(sf_dir)
+    else:
+        out = run_suite(num_cpus, sf_dir, headline_only=args.child)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,421 @@
+"""Driver-contract query suite: one entry per operator family.
+
+Each ``q_*`` builder takes ``sf_dir`` and returns a Ray Dataset /
+pyarrow Table; ``ORACLE_SQL[name]`` is the DuckDB-equivalent statement
+over the same parquet tables (pre-registered views). Column names match
+BETWEEN the Ray result and the SQL — the driver's compare sorts columns
+by name and hashes values.
+
+SQL-expressible operators get an oracle (the exactness gate); crawl /
+LSH / decode pipelines are non-SQL and get rows-only checks — each of
+those is still deterministic (fixed seeds, fixed mutations) so the
+row-count is stable across runs and parallelism levels.
+
+Reference anchors per query are noted inline (SURVEY.md §2 ids).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..ops import dedup as dd
+from ..ops import multimodal as mm
+from ..ops import similarity as sim
+from ..ops import text as tx
+from ..stages.index import assign_stable_ids
+from ..stages.parse import merged_distinct_iocs
+
+KEYWORD_RE = "(spark|vector|window)"  # M7 keyword any-match analog
+EVENT_DAY = "2024-01-02"  # M6 today-filter analog
+STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','by','at','it','this','that','be','from')"
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
+    return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+
+# ------------------------------------------------------------------ SQL-oracled
+
+
+def q_keyword_filter(sf_dir: str):
+    """M7: keep docs whose text matches any keyword (regex alternation)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["text"], KEYWORD_RE)).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_events_day(sf_dir: str):
+    """M6: watermark/day cutoff on the events stream."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    day = pa.scalar(np.datetime64(EVENT_DAY, "D").item(), pa.date32())
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.cast(t["ts"], pa.date32()), day)).select(
+            ["event_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_distinct_event_types(sf_dir: str):
+    """A7: global distinct (partial per-batch unique folded into groupby)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    return (
+        ds.groupby("event_type")
+        .count()
+        .map_batches(lambda t: t.select(["event_type"]), batch_format="pyarrow")
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """A1+A3: global top-k = sort + limit (deterministic tiebreak)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(50)
+
+
+def q_events_by_type(sf_dir: str):
+    """A10: grouped counts."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    return (
+        ds.groupby("event_type")
+        .count()
+        .map_batches(lambda t: _rename(t, {"count()": "n_events"}), batch_format="pyarrow")
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """A2/A4 exact dedup identity: min-id per distinct content."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.exact_dedup(ds).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+HIGH_ORDER_CUTOFF = 300000.0
+
+
+def q_customers_without_orders(sf_dir: str):
+    """J1/J2 anti-join: customers with no high-value orders (the plain
+    no-orders set is empty in TPC-H-ish data — every customer orders)."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    ordered = (
+        orders.map_batches(
+            lambda t: t.filter(
+                pc.greater(t["o_totalprice"], HIGH_ORDER_CUTOFF)
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: _rename(t, {"o_custkey": "c_custkey", "count()": "_n"}),
+            batch_format="pyarrow",
+        )
+    )
+    joined = cust.join(ordered, join_type="left_outer", num_partitions=8, on=("c_custkey",))
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_n"])).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_stable_event_type_ids(sf_dir: str):
+    """A8: distinct values -> sort -> stable id = BASE + position."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    return assign_stable_ids(ds, "event_type", base=7000000)
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting (whitespace + BPE-ish regex)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.token_stats(ds)
+
+
+def q_fingerprints(sf_dir: str):
+    """M15 keying analog: md5 content fingerprint (drop the 64-bit
+    in-pipeline hash — not reproducible in SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.fingerprint(ds).map_batches(
+        lambda t: t.select(["doc_id", "md5"]), batch_format="pyarrow"
+    )
+
+
+def q_quality_counts(sf_dir: str):
+    """Quality scoring — exact-integer feature subset."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.quality_score(ds).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_stopwords"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_lineitem_agg(sf_dir: str):
+    """A6-style partial+final aggregation (TPC-H Q1 skeleton); sums are
+    integer-valued doubles so distributed order cannot change them."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+        ray.data.aggregate.Count(alias_name="n"),
+    )
+    return agg
+
+
+def q_user_event_stats(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    return ds.groupby("user_id").aggregate(
+        ray.data.aggregate.Count(alias_name="n_events"),
+        ray.data.aggregate.Max("value", alias_name="max_value"),
+    )
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors vec_id < 5 (score
+    dropped: rank order is the contract, float repr is not)."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(tbl["vec_id"], 5)
+    qt = tbl.filter(mask)
+    q_ids = np.asarray(qt["vec_id"], dtype=np.int64)
+    Q = np.array(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = sim.knn_brute_force(ds, q_ids, Q, k=10)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id"]), batch_format="pyarrow"
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "keyword_filter": f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{KEYWORD_RE}')",
+    "events_day": f"SELECT event_id FROM events WHERE CAST(ts AS DATE) = DATE '{EVENT_DAY}'",
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "top_orders": "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+    "events_by_type": "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type",
+    "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "customers_without_orders": (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)"
+    ),
+    "stable_event_type_ids": (
+        "SELECT event_type, 7000000 + row_number() OVER (ORDER BY event_type) - 1 AS sid "
+        "FROM (SELECT DISTINCT event_type FROM events)"
+    ),
+    "token_stats": (
+        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+        r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens, "
+        "length(text) AS n_chars_measured FROM documents"
+    ),
+    "fingerprints": "SELECT doc_id, md5(text) AS md5 FROM documents",
+    "quality_counts": (
+        r"SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+        r"len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN "
+        + STOPWORDS_SQL
+        + ")) AS n_stopwords FROM documents"
+    ),
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, "
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "user_event_stats": (
+        "SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value "
+        "FROM events GROUP BY user_id"
+    ),
+    "knn_cosine": (
+        "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "
+        "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+        "       list_cosine_similarity(q.qe, e.embedding) AS score "
+        "      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+        "SELECT query_id, neighbor_id FROM ("
+        "  SELECT query_id, neighbor_id, "
+        "         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn "
+        "  FROM s) WHERE rn <= 10"
+    ),
+}
+
+
+# --------------------------------------------------------------- rows-only
+
+
+def _planted_docs_tbl(sf_dir: str, mutate) -> pa.Table:
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mut = [mutate(s) for s in t["text"].to_pylist()]
+    mt = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(t["doc_id"]) + 1_000_000, pa.int64()),
+            "text": pa.array(mut, pa.string()),
+        }
+    )
+    return pa.concat_tables([t, mt])
+
+
+def q_minhash_dedup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup detection over documents + planted one-word-
+    drop mutations (deterministic). Non-SQL: LSH bucketing."""
+    planted = ray.data.from_arrow(
+        _planted_docs_tbl(
+            sf_dir, lambda s: " ".join(w for i, w in enumerate(s.split()) if i != 3)
+        )
+    )
+    pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
+    return pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram jaccard verification of the minhash candidates."""
+    planted_tbl = _planted_docs_tbl(
+        sf_dir, lambda s: " ".join(w for i, w in enumerate(s.split()) if i != 3)
+    )
+    planted = ray.data.from_arrow(planted_tbl)
+    pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
+    ver = dd.ngram_jaccard_verify(pairs, ray.data.from_arrow(planted_tbl), threshold=0.6)
+    return ver.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs over documents + word-swapped copies."""
+
+    def swap(s):
+        w = s.split()
+        if len(w) >= 2:
+            w[0], w[1] = w[1], w[0]
+        return " ".join(w)
+
+    planted = ray.data.from_arrow(_planted_docs_tbl(sf_dir, swap))
+    return dd.simhash_near_dup_pairs(planted, max_hamming=3).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (planted noisy copies, seed 3)."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(3)
+    E2 = E + rng.standard_normal(E.shape) * 0.01
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+            "embedding": pa.array(np.concatenate([E, E2]).tolist(), pa.list_(pa.float32())),
+        }
+    )
+    pairs = dd.embedding_cosine_pairs(ray.data.from_arrow(tab), threshold=0.98)
+    return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-pruned ANN over the embeddings table (approximate scale path)."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    C = sim.train_centroids(E[: min(len(E), 2000)], nlist=16)
+    q_ids = np.asarray(tbl["vec_id"], dtype=np.int64)[:5]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = sim.knn_ivf(ds, q_ids, E[:5], C, k=10, nprobe=8)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id"]), batch_format="pyarrow"
+    )
+
+
+def q_langid(sf_dir: str):
+    """Marker-word language ID over documents (heuristic, non-SQL)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.detect_language(ds).map_batches(
+        lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def q_ioc_extract(sf_dir: str):
+    """M8/A6: defang-aware IOC extraction + global distinct over the
+    deterministic ASEC-analog fixture pages."""
+    from ..fixtures import synth
+
+    pages = ray.data.from_arrow(synth.make_ioc_pages(60, seed=42))
+    return merged_distinct_iocs(pages)
+
+
+def q_image_features(sf_dir: str):
+    """Image decode + feature extraction over the synthetic page-store."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(synth.make_pagestore(60, seed=42))
+    feats = mm.image_features(ps, concurrency=2, batch_size=32)
+    return feats.map_batches(
+        lambda t: t.select(["image_id", "phash_check", "decode_ok"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_crawl_flagship(sf_dir: str):
+    """The north-rule flagship: multi-wave frontier crawl over the
+    synthetic image+caption page-store (deterministic; non-SQL)."""
+    from ..fixtures import synth
+    from .crawl import CrawlConfig, run_crawl
+
+    out_dir = tempfile.mkdtemp(prefix="crawl_q_", dir="/tmp")
+    ps = synth.make_pagestore(80, seed=42)
+    fr = synth.make_frontier(60, seed=42)
+    robots = synth.make_robots(seed=42)
+    res = run_crawl(
+        fr, ps, robots, out_dir,
+        config=CrawlConfig(max_waves=2, num_seen_shards=2, dedup_partitions=4),
+    )
+    return res.fetched_dataset().select_columns(
+        ["url", "host", "wave", "crawl_rank", "fetch_status", "image_id"]
+    )
+
+
+def build_queries() -> dict:
+    return {
+        "keyword_filter": q_keyword_filter,
+        "events_day": q_events_day,
+        "distinct_event_types": q_distinct_event_types,
+        "top_orders": q_top_orders,
+        "events_by_type": q_events_by_type,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "customers_without_orders": q_customers_without_orders,
+        "stable_event_type_ids": q_stable_event_type_ids,
+        "token_stats": q_token_stats,
+        "fingerprints": q_fingerprints,
+        "quality_counts": q_quality_counts,
+        "lineitem_agg": q_lineitem_agg,
+        "user_event_stats": q_user_event_stats,
+        "knn_cosine": q_knn_cosine,
+        # rows-only (non-SQL-expressible)
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "knn_ivf": q_knn_ivf,
+        "langid": q_langid,
+        "ioc_extract": q_ioc_extract,
+        "image_features": q_image_features,
+        "crawl_flagship": q_crawl_flagship,
+    }

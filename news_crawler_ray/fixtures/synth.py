@@ -44,26 +44,36 @@ def _zipf_cdf(n_hosts: int, zipf_s: float) -> np.ndarray:
     return np.cumsum(p / p.sum())
 
 
-def host_of(idx: int, n_hosts: int = N_HOSTS, zipf_s: float = 1.2, seed: int = 42) -> str:
-    """Deterministic Zipf-skewed host for image index ``idx``.
-
-    MUST stay consistent with :func:`_hosts_for` — outlink expansion maps
-    an image_id back to the exact URL the frontier generator would emit.
-    """
-    cdf = _zipf_cdf(n_hosts, zipf_s)
-    u = np.random.default_rng((seed, int(idx))).random()
-    return f"news{int(np.searchsorted(cdf, u, side='right'))}.example.com"
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based 64-bit mix (splitmix64): vectorized, stateless."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 def _hosts_for(idxs: np.ndarray, n_hosts: int, zipf_s: float, seed: int) -> np.ndarray:
-    """Vectorized host assignment: one RNG draw keyed by (seed, idx)."""
+    """Vectorized Zipf-skewed host assignment keyed by (seed, idx).
+
+    Counter-based hash → uniform → inverse-CDF; fully vectorized so
+    10^6-row fixture generation is hashing-speed, not RNG-construction
+    speed.
+    """
     cdf = _zipf_cdf(n_hosts, zipf_s)
-    # per-index uniform from a counter-based seed → reproducible per idx
-    u = np.array(
-        [np.random.default_rng((seed, int(i))).random() for i in idxs], dtype=np.float64
-    )
+    x = (np.uint64(seed) << np.uint64(32)) ^ np.asarray(idxs, dtype=np.uint64)
+    u = _splitmix64(x).astype(np.float64) / float(1 << 64)
     choice = np.searchsorted(cdf, u, side="right")
     return np.array([f"news{c}.example.com" for c in choice])
+
+
+def host_of(idx: int, n_hosts: int = N_HOSTS, zipf_s: float = 1.2, seed: int = 42) -> str:
+    """Deterministic Zipf-skewed host for image index ``idx``.
+
+    Delegates to :func:`_hosts_for` — outlink expansion maps an
+    image_id back to the exact URL the frontier generator would emit.
+    """
+    return str(_hosts_for(np.array([idx]), n_hosts, zipf_s, seed)[0])
 
 
 def image_id(k: int) -> str:
@@ -80,21 +90,23 @@ def make_pagestore(
     out_degree: int = 3,
     ioc_every: int = 7,
     image_pool: int | None = None,
+    sizes: tuple = SIZES,
 ) -> pa.Table:
     """Build the image+caption page-store (input_hint schema).
 
     ``image_pool``: if set, only that many distinct pixel arrays are
     encoded and rows cycle through them (bytes/w/h/fmt/phash repeat) —
     for large benchmark stores where encoding 10^6 unique images would
-    dominate generation time. Captions/ids stay unique.
+    dominate generation time. Captions/ids stay unique. ``bytes`` is
+    ``large_binary`` so multi-GB stores never overflow int32 offsets.
     """
     rng = np.random.default_rng(seed)
     pool_n = image_pool or n
     pool_px, pool_bytes, pool_w, pool_h, pool_fmt, pool_hash = [], [], [], [], [], []
     for k in range(pool_n):
         r = np.random.default_rng((seed, 1, k))
-        w = int(r.choice(SIZES))
-        h = int(r.choice(SIZES))
+        w = int(r.choice(sizes))
+        h = int(r.choice(sizes))
         fmt = "png" if r.random() < 0.5 else "jpeg"
         px = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         pool_px.append(px)
@@ -104,10 +116,28 @@ def make_pagestore(
         pool_fmt.append(fmt)
         pool_hash.append(codec.phash64(px))
 
+    # vectorized caption assembly: one RNG, batched draws, offsets per row
+    r2 = np.random.default_rng((seed, 2))
+    word_mat = r2.choice(_VOCAB, size=(n, 8)) if n else np.zeros((0, 8), dtype=object)
+    degs = r2.integers(0, out_degree + 1, size=n)
+    offsets = np.concatenate([[0], np.cumsum(degs)])
+    targets = r2.integers(0, n, size=int(degs.sum())) if n else np.zeros(0, np.int64)
+    t_hosts = _hosts_for(targets, N_HOSTS, 1.2, seed)
+    link_toks = [
+        f"link:https://{h}/p/{image_id(int(t))}" for t, h in zip(targets, t_hosts)
+    ]
+    ioc_idx = np.arange(0, n, ioc_every)
+    ioc_oct = r2.integers(0, 256, size=(len(ioc_idx), 4))
+    ioc_oct[:, 0] = np.maximum(ioc_oct[:, 0], 1)
+    ioc_oct[:, 3] = np.maximum(ioc_oct[:, 3], 1)
+    ioc_toks = {
+        int(k): f"{a}[.]{b}[.]{c}[.]{d}"
+        for k, (a, b, c, d) in zip(ioc_idx, ioc_oct)
+    }
+
     ids, captions = [], []
     w_col, h_col, fmt_col, bytes_col, hash_col = [], [], [], [], []
     for k in range(n):
-        r = np.random.default_rng((seed, 2, k))
         j = k % pool_n
         ids.append(image_id(k))
         w_col.append(pool_w[j])
@@ -115,19 +145,16 @@ def make_pagestore(
         fmt_col.append(pool_fmt[j])
         bytes_col.append(pool_bytes[j])
         hash_col.append(pool_hash[j])
-        words = list(r.choice(_VOCAB, size=8))
-        deg = int(r.integers(0, out_degree + 1))
-        targets = r.integers(0, n, size=deg)
-        for t in targets:
-            words.append(f"link:{url_for(int(t), seed=seed)}")
-        if k % ioc_every == 0:
-            words.append(f"{r.integers(1,255)}[.]{r.integers(0,255)}[.]{r.integers(0,255)}[.]{r.integers(1,255)}")
+        words = list(word_mat[k])
+        words.extend(link_toks[offsets[k] : offsets[k + 1]])
+        if k in ioc_toks:
+            words.append(ioc_toks[k])
         captions.append(" ".join(words))
 
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
-            "bytes": pa.array(bytes_col, pa.binary()),
+            "bytes": pa.array(bytes_col, pa.large_binary()),
             "w": pa.array(w_col, pa.int32()),
             "h": pa.array(h_col, pa.int32()),
             "fmt": pa.array(fmt_col, pa.string()),
@@ -252,13 +279,14 @@ def keywords() -> list[str]:
 
 
 def write_fixture_dir(
-    out_dir: str, n_pages: int, seed: int = 42, image_pool: int | None = None
+    out_dir: str, n_pages: int, seed: int = 42, image_pool: int | None = None,
+    sizes: tuple = SIZES,
 ) -> dict[str, str]:
     """Materialize pagestore/frontier/robots parquet under ``out_dir``."""
     os.makedirs(out_dir, exist_ok=True)
     paths = {}
     for name, tbl in (
-        ("pagestore", make_pagestore(n_pages, seed=seed, image_pool=image_pool)),
+        ("pagestore", make_pagestore(n_pages, seed=seed, image_pool=image_pool, sizes=sizes)),
         ("frontier", make_frontier(n_pages, seed=seed)),
         ("robots", make_robots(seed=seed)),
     ):

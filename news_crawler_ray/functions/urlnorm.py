@@ -87,11 +87,29 @@ def shard_of(sha1_bytes: bytes, num_shards: int) -> int:
     return int.from_bytes(sha1_bytes[:4], "big") % num_shards
 
 
-def shard_array(keys: pa.Array | pa.ChunkedArray, num_shards: int) -> np.ndarray:
-    """Vectorized shard ids for a binary(20) key array."""
+def binary20_matrix(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy (n, 20) uint8 view of a binary array of 20-byte keys.
+
+    Reads the Arrow value buffer directly when offsets are contiguous
+    20-byte strides (always true for sha1 columns we build); falls back
+    to a join for ragged input.
+    """
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    buf = np.frombuffer(b"".join(keys.to_pylist()), dtype=np.uint8).reshape(-1, 20)
+    n = len(keys)
+    if n == 0:
+        return np.zeros((0, 20), dtype=np.uint8)
+    offs_buf, data_buf = keys.buffers()[1], keys.buffers()[2]
+    offs = np.frombuffer(offs_buf, dtype=np.int32)[keys.offset : keys.offset + n + 1]
+    if offs[-1] - offs[0] == 20 * n:
+        data = np.frombuffer(data_buf, dtype=np.uint8)
+        return data[offs[0] : offs[-1]].reshape(n, 20)
+    return np.frombuffer(b"".join(keys.to_pylist()), dtype=np.uint8).reshape(n, 20)
+
+
+def shard_array(keys: pa.Array | pa.ChunkedArray, num_shards: int) -> np.ndarray:
+    """Vectorized shard ids for a binary(20) key array."""
+    buf = binary20_matrix(keys)
     head = (
         buf[:, 0].astype(np.uint64) << 24
         | buf[:, 1].astype(np.uint64) << 16

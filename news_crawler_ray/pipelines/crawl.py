@@ -64,6 +64,7 @@ class CrawlConfig:
     seen_capacity_per_shard: int = 1 << 16
     dedup_partitions: int = 8
     fetch_concurrency: int | tuple = (1, 2)  # autoscaling pool: min 1 actor
+    seen_filter_concurrency: int | tuple = (1, 4)
     fetch_batch_size: int = 1024
     default_delay_ms: int = 1000
     outlink_decay: float = 0.5
@@ -154,7 +155,9 @@ def run_crawl(
     seen_dir = os.path.join(out_dir, "seen")
 
     robots_ref = ray.put(robots_table_to_config(robots))
-    store_ref = ray.put(pagestore)
+    from ..stages.fetch import broadcast_pagestore
+
+    store_ref = broadcast_pagestore(pagestore)
 
     seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard)
     manifest = _read_manifest(out_dir) if resume else {"completed_through": -1, "waves": []}
@@ -164,7 +167,7 @@ def run_crawl(
 
     if resume and start_wave > 0:
         seen.restore(seen_dir)  # latest epoch = state after last completed wave
-        cand_path = os.path.join(out_dir, "candidates", f"wave={start_wave}.parquet")
+        cand_path = os.path.join(out_dir, "candidates", f"wave-{start_wave}")
         if not os.path.exists(cand_path):
             return result  # crawl had already drained
         candidates = ray.data.read_parquet(cand_path)
@@ -173,7 +176,7 @@ def run_crawl(
             candidates = ray.data.from_arrow(seeds)
         else:
             candidates = seeds
-        seed_path = os.path.join(out_dir, "candidates", "wave=0.parquet")
+        seed_path = os.path.join(out_dir, "candidates", "wave-0")
         if not os.path.exists(seed_path):
             _write_candidates(candidates, seed_path)
         candidates = ray.data.read_parquet(seed_path)
@@ -191,13 +194,14 @@ def run_crawl(
             fn_constructor_kwargs={"shards": seen.shards},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=1 if cfg.num_seen_shards <= 4 else 2,
+            concurrency=cfg.seen_filter_concurrency,
         )
         scheduled = schedule(
             fresh,
             robots_ref,
             concurrency=cfg.fetch_concurrency,
             default_delay_ms=cfg.default_delay_ms,
+            num_partitions=cfg.dedup_partitions,
         )
         fetched = fetch_broadcast(
             scheduled,
@@ -210,15 +214,22 @@ def run_crawl(
             zero_copy_batch=True,
         )
 
-        wave_dir = os.path.join(out_dir, "fetched", f"wave={wave}")
+        wave_dir = os.path.join(out_dir, "fetched", f"wave-{wave}")
         fetched.write_parquet(wave_dir)
-        fetched_mat = ray.data.read_parquet(wave_dir)
 
-        counts = _wave_counts(fetched_mat)
-        outlinks = extract_outlinks(
-            fetched_mat.filter(expr="fetch_status == 'ok'"), decay=cfg.outlink_decay
+        # re-reads below prune to the columns they need — the wide
+        # ``bytes`` payload column never leaves parquet again
+        counts = _wave_counts(
+            ray.data.read_parquet(wave_dir, columns=["fetch_status"])
         )
-        next_path = os.path.join(out_dir, "candidates", f"wave={wave + 1}.parquet")
+        outlink_cols = ["caption", "priority", "discovered_at", "depth", "fetch_status"]
+        outlinks = extract_outlinks(
+            ray.data.read_parquet(wave_dir, columns=outlink_cols).filter(
+                expr="fetch_status == 'ok'"
+            ),
+            decay=cfg.outlink_decay,
+        )
+        next_path = os.path.join(out_dir, "candidates", f"wave-{wave + 1}")
         n_outlinks = _write_candidates(outlinks, next_path)
 
         seen.checkpoint(seen_dir, epoch=wave + 1)
@@ -249,44 +260,47 @@ def _strip_derived(waves: list[dict]) -> list[dict]:
 
 
 def _wave_counts(fetched: "ray.data.Dataset") -> dict:
-    agg = (
-        fetched.groupby("fetch_status")
-        .count()
-        .to_pandas()
-        .set_index("fetch_status")["count()"]
-        .to_dict()
-    )
+    """Status counts via per-batch partials + driver merge — a groupby
+    here would launch a whole hash-shuffle for a 2-row result."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t["fetch_status"].combine_chunks().value_counts()
+        return pa.table(
+            {
+                "fetch_status": vc.field("values"),
+                "n": vc.field("counts"),
+            }
+        )
+
+    agg: dict[str, int] = {}
+    for row in fetched.map_batches(partial, batch_format="pyarrow").take_all():
+        agg[row["fetch_status"]] = agg.get(row["fetch_status"], 0) + row["n"]
     ok = int(agg.get("ok", 0))
     missing = int(agg.get("missing", 0))
     return {"ok": ok, "missing": missing, "total": ok + missing}
 
 
 def _write_candidates(ds: "ray.data.Dataset", path: str) -> int:
-    """Materialize next-wave candidates to ONE parquet file, return rows.
+    """Write next-wave candidates to a parquet dir (parallel), return rows.
 
-    Candidates per wave are small relative to fetched payloads (urls +
-    floats, no binary) — a single file keeps the resume layout simple;
-    at 10^10 scale this becomes a partitioned dir keyed by url_sha1
-    prefix, same contract.
+    Candidates are narrow rows (urls + floats, no binary); blocks are
+    written by workers, the driver only sees the count. The dir-per-wave
+    layout is the resumable contract — at 10^10 scale the same dirs get
+    partitioned by url_sha1 prefix.
     """
-    # stream blocks to a single file without driver-side concat of rows
-    refs = ds.to_arrow_refs()
-    total = 0
-    writer = None
-    try:
-        for ref in refs:
-            tbl = ray.get(ref)
-            if tbl.num_rows == 0:
-                continue
-            tbl = tbl.select([f.name for f in FRONTIER_SCHEMA]).cast(FRONTIER_SCHEMA)
-            if writer is None:
-                writer = pq.ParquetWriter(path + ".tmp", FRONTIER_SCHEMA)
-            writer.write_table(tbl)
-            total += tbl.num_rows
-    finally:
-        if writer is not None:
-            writer.close()
+    cols = [f.name for f in FRONTIER_SCHEMA]
+    casted = ds.map_batches(
+        lambda t: t.select(cols).cast(FRONTIER_SCHEMA),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mat = casted.materialize()
+    total = mat.count()
+    tmp = path + ".tmp"
     if total == 0:
-        pq.write_table(FRONTIER_SCHEMA.empty_table(), path + ".tmp")
-    os.replace(path + ".tmp", path)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet"))
+    else:
+        mat.write_parquet(tmp)
+    os.replace(tmp, path)  # atomic publish of the wave's candidate dir
     return total

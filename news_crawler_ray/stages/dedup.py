@@ -38,8 +38,9 @@ def keep_best_batch(batch: pa.Table, order=DEFAULT_ORDER, key: str = "url_sha1")
     ]
     idx = pc.sort_indices(batch, sort_keys=sort_keys)
     sorted_tbl = batch.take(idx)
-    keys = sorted_tbl[key].combine_chunks()
-    km = np.frombuffer(b"".join(keys.to_pylist()), dtype=np.uint8).reshape(-1, 20)
+    from ..functions.urlnorm import binary20_matrix
+
+    km = binary20_matrix(sorted_tbl[key])
     first = np.empty(len(km), dtype=bool)
     first[0] = True
     first[1:] = (km[1:] != km[:-1]).any(axis=1)

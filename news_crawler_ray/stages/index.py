@@ -107,6 +107,64 @@ def zip_with_index(ds, order: list[str], descending: list[bool], rank_col: str =
     return with_group_rank(ds, None, order, descending, rank_col=rank_col)
 
 
+def partitioned_group_rank(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    order: list[str],
+    descending: list[bool],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Rank within group WITHOUT a global sort: hash-partition on the
+    group key co-locates every group in exactly one partition, then one
+    vectorized pass per partition sorts and ranks its groups locally.
+
+    Same result as :func:`with_group_rank` (ranks are per-group, so
+    cross-group order is irrelevant) at a fraction of the cost — one
+    key shuffle instead of a range-partition sort + two metadata passes.
+    Skew note: a hot group lands in one partition; for politeness
+    ranking that is bounded by the per-host queue budget, and the rank
+    kernel is O(n log n) vectorized — salt the key upstream if a single
+    group outgrows a block.
+    """
+    if num_partitions is None:
+        # match the session's shuffle sizing (context.configure sets it
+        # to ~2 partitions per CPU) — a fixed 32 floods small sessions
+        # with aggregator actors
+        from ray.data import DataContext
+
+        num_partitions = DataContext.get_current().default_hash_shuffle_parallelism
+    parts = ds.repartition(num_blocks=num_partitions, keys=[group_col])
+
+    def rank_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(rank_col, pa.array([], pa.int64()))
+        sort_keys = [(group_col, "ascending")] + [
+            (c, "descending" if d else "ascending") for c, d in zip(order, descending)
+        ]
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        s = t.take(idx)
+        # run-boundary rank: position within each group's contiguous run
+        keys = s[group_col].combine_chunks()
+        n = len(keys)
+        if n == 1:
+            ranks = np.zeros(1, dtype=np.int64)
+        else:
+            neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            boundaries = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+            run_ids = np.concatenate([[0], np.cumsum(neq)])
+            ranks = np.arange(n, dtype=np.int64) - boundaries[run_ids]
+        return s.append_column(rank_col, pa.array(ranks, pa.int64()))
+
+    return parts.map_batches(
+        rank_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 def assign_stable_ids(
     ds,
     value_col: str,

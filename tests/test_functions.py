@@ -1,0 +1,82 @@
+"""Tests for scalar function modules: dates, formatters."""
+
+import datetime as dt
+
+import pyarrow as pa
+
+from news_crawler_ray.functions import dates, formatters
+
+
+def test_parse_korean_dates():
+    arr = pa.array(
+        [
+            "홍길동 기자 | 2025년 6월 20일 09:30",
+            "2025년 12월 3일",
+            "no date here",
+            None,
+            "| 2024년 1월 1일 00:00",
+        ]
+    )
+    out = dates.parse_korean_dates(arr).to_pylist()
+    assert out == [
+        dt.date(2025, 6, 20),
+        dt.date(2025, 12, 3),
+        None,
+        None,
+        dt.date(2024, 1, 1),
+    ]
+
+
+def test_normalize_rss_dates():
+    arr = pa.array(
+        [
+            "2025-06-20T08:15:00",
+            "published 2025-06-19 somewhere",
+            "garbage",
+            None,
+        ]
+    )
+    out = dates.normalize_rss_dates(arr, default_day="2025-06-21").to_pylist()
+    assert out == [
+        dt.date(2025, 6, 20),
+        dt.date(2025, 6, 19),
+        dt.date(2025, 6, 21),
+        dt.date(2025, 6, 21),
+    ]
+    out2 = dates.normalize_rss_dates(arr).to_pylist()
+    assert out2[2] is None and out2[3] is None
+
+
+def test_validate_ips_and_hashes():
+    ips = formatters.validate_ips(
+        pa.array(["1.2.3.4", " 5[.]6[.]7[.]8 ", "999.1.1.1", "nope", None])
+    ).to_pylist()
+    assert ips == ["1.2.3.4", "5.6.7.8", None, None, None]
+    hs = formatters.normalize_hashes(pa.array(["  ABCdef01 ", "", "ff"])).to_pylist()
+    assert hs == ["abcdef01", None, "ff"]
+
+
+def test_rule_formatters_and_parser():
+    t = pa.table({"value": pa.array(["1.2.3.4", "5.6.7.8"]), "sid": pa.array([7000000, 7000001])})
+    rules = formatters.ip_rule_lines(t)["rule"].to_pylist()
+    assert rules[0] == (
+        'drop ip 1.2.3.4 any <> any any (msg:"SecBot blocked IP"; sid:7000000; rev:1;)'
+    )
+    back = formatters.parse_ip_rule_lines(pa.array(rules + ["# comment"])).to_pylist()
+    assert back == ["1.2.3.4", "5.6.7.8", None]
+
+    u = pa.table(
+        {
+            "value": pa.array(["https[:]//bad[.]example[.]com/x%20y?q=1"]),
+            "sid": pa.array([7100000]),
+        }
+    )
+    rule = formatters.url_rule_lines(u)["rule"].to_pylist()[0]
+    assert 'content:"bad.example.com"' in rule and 'content:"/x y?q=1"' in rule
+    assert "sid:7100000" in rule
+
+
+def test_markdown_renderer():
+    t = pa.table({"title": pa.array(["Hello"]), "link": pa.array(["https://x.com/a"])})
+    md = formatters.to_markdown_bullets(t)["md"].to_pylist()
+    assert md == ["- [Hello](https://x.com/a)"]

@@ -137,22 +137,40 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
+def phash64_batch(px_stack: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`phash64` over a (n, h, w, 3) stack (h, w % 8 == 0).
+
+    Bit-identical to the scalar version for multiple-of-8 sizes.
+    """
+    gray = px_stack.mean(axis=3, dtype=np.float32)
+    n, h, w = gray.shape
+    cells = gray.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+    bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).reshape(n, 64)
+    packed = np.packbits(bits.astype(np.uint8), axis=1)
+    return (
+        np.ascontiguousarray(packed).view(">u8").ravel().astype(np.uint64).view(np.int64)
+    )
+
+
 def phash64(px: np.ndarray) -> int:
     """64-bit average-hash: 8x8 block-mean grayscale vs its mean.
 
     Signed int64 (two's complement) so it fits the ``phash:int64``
     page-store column.
     """
-    gray = px.astype(np.float64).mean(axis=2)
+    gray = px.mean(axis=2, dtype=np.float32)
     h, w = gray.shape
-    ys = (np.arange(9) * h) // 8
-    xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8))
-    for i in range(8):
-        for j in range(8):
-            cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
-    bits = (cells > cells.mean()).astype(np.uint64).ravel()
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(np.int64(val))
+    if h % 8 == 0 and w % 8 == 0:
+        # one reshape-mean instead of 64 slice-means (hot path: all
+        # fixture sizes are multiples of 8)
+        cells = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        cells = np.empty((8, 8))
+        for i in range(8):
+            for j in range(8):
+                cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    bits = (cells > cells.mean()).ravel()
+    val = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+    return int(np.int64(np.uint64(val)))

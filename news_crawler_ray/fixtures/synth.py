@@ -291,6 +291,9 @@ def write_fixture_dir(
         ("robots", make_robots(seed=seed)),
     ):
         p = os.path.join(out_dir, f"{name}.parquet")
-        pq.write_table(tbl, p)
+        # bounded row groups: Ray parallelizes parquet reads by row
+        # group, so one giant group would cap the whole pre-shuffle
+        # pipeline at single-task parallelism
+        pq.write_table(tbl, p, row_group_size=100_000)
         paths[name] = p
     return paths

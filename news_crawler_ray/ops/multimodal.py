@@ -47,6 +47,10 @@ class ImageDecodeStage:
         std_gray = np.zeros(n, dtype=np.float64)
         phash = np.zeros(n, dtype=np.int64)
         ok = np.ones(n, dtype=bool)
+        # decode per row (zlib is C), then vectorize all statistics
+        # across same-shape groups — feature math runs on (k, h, w, 3)
+        # stacks, not image-by-image
+        by_shape: dict[tuple, tuple[list, list]] = {}
         for i, (buf, fmt) in enumerate(zip(data, fmts)):
             if buf is None:
                 ok[i] = False
@@ -56,9 +60,19 @@ class ImageDecodeStage:
             except Exception:
                 ok[i] = False
                 continue
-            mean_rgb[i] = px.reshape(-1, 3).mean(axis=0)
-            std_gray[i] = px.astype(np.float64).mean(axis=2).std()
-            phash[i] = codec.phash64(px)
+            by_shape.setdefault(px.shape, ([], []))[0].append(i)
+            by_shape[px.shape][1].append(px)
+        for shape, (idxs, pxs) in by_shape.items():
+            P = np.stack(pxs)
+            ix = np.asarray(idxs)
+            mean_rgb[ix] = P.reshape(len(ix), -1, 3).mean(axis=1, dtype=np.float32)
+            gray = P.mean(axis=3, dtype=np.float32)
+            std_gray[ix] = gray.reshape(len(ix), -1).std(axis=1)
+            if shape[0] % 8 == 0 and shape[1] % 8 == 0:
+                phash[ix] = codec.phash64_batch(P)
+            else:
+                for j, px in zip(ix, pxs):
+                    phash[j] = codec.phash64(px)
         out = batch.drop_columns([self.bytes_col])
         for j, name in enumerate(("mean_r", "mean_g", "mean_b")):
             out = out.append_column(name, pa.array(mean_rgb[:, j], pa.float64()))

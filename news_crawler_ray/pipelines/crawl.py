@@ -40,7 +40,7 @@ import ray
 import ray.data
 
 from ..stages.canonicalize import canonicalize
-from ..stages.dedup import dedup_frontier
+from ..stages.dedup import dedup_frontier, dedup_frontier_sorted
 from ..stages.fetch import fetch_broadcast
 from ..stages.parse import extract_outlinks
 from ..stages.politeness import robots_table_to_config, schedule
@@ -63,11 +63,32 @@ class CrawlConfig:
     num_seen_shards: int = 4
     seen_capacity_per_shard: int = 1 << 16
     dedup_partitions: int = 8
-    fetch_concurrency: int | tuple = (1, 2)  # autoscaling pool: min 1 actor
-    seen_filter_concurrency: int | tuple = (1, 4)
+    # "sort": range-partition sort + run stitching (task-based, scales
+    # best in-sandbox); "hash": key shuffle (dedup_frontier)
+    dedup_strategy: str = "sort"
+    # Actor-pool sizing. "auto" sizes each pool as a FRACTION of the
+    # session's CPUs with fractional num_cpus per actor — measured to
+    # scale ~3x from 8→32 CPUs where autoscaling (min,max) pools
+    # plateaued at ~4 actors regardless of cluster size. Explicit ints/
+    # tuples are honored as-is.
+    fetch_concurrency: int | tuple | str = "auto"
+    seen_filter_concurrency: int | tuple | str = "auto"
+    robots_concurrency: int | tuple | str = "auto"
+    verify_concurrency: int | tuple | str = "auto"
+    pool_actor_cpus: float = 0.7  # logical CPUs per pool actor in auto mode
     fetch_batch_size: int = 1024
+    # "broadcast": ray.put the store once, keyed lookup per batch (small
+    # stores — a multi-GB ray.put serializes for minutes); "join":
+    # hash-partitioned left-outer join on image_id (the 100 TB path);
+    # "auto": broadcast under broadcast_limit_bytes, else join.
+    fetch_mode: str = "auto"
+    broadcast_limit_bytes: int = 1 << 30
     default_delay_ms: int = 1000
     outlink_decay: float = 0.5
+    # decode every fetched payload, verify its perceptual hash and emit
+    # features instead of raw bytes (the north rule's per-row pixel
+    # invariant as a pipeline stage); CPU-bound actor-pool work
+    verify_payloads: bool = False
     # day-window semantics as config, not accident (reference resets the
     # seen-set daily, scheduler.py:43-44): None = never reset
     seen_epoch_scope: str | None = None
@@ -137,7 +158,7 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 def run_crawl(
     seeds: pa.Table | "ray.data.Dataset",
-    pagestore: pa.Table,
+    pagestore: "pa.Table | ray.data.Dataset | str",
     robots: pa.Table,
     out_dir: str,
     config: CrawlConfig | None = None,
@@ -145,9 +166,10 @@ def run_crawl(
 ) -> CrawlResult:
     """Run (or resume) a multi-wave crawl. See module docstring.
 
-    ``pagestore`` is broadcast via ``ray.put`` once — at real scale this
-    becomes :func:`news_crawler_ray.stages.fetch.fetch_join` against a
-    Lance/parquet page-store Dataset; the wave loop is unchanged.
+    ``pagestore`` may be an in-memory Table (broadcast for small
+    stores), a Dataset, or a parquet/Lance path (both → hash-join fetch,
+    the at-scale path; a Table above ``broadcast_limit_bytes`` is also
+    joined). The wave loop is identical in every mode.
     """
     cfg = config or CrawlConfig()
     os.makedirs(os.path.join(out_dir, "candidates"), exist_ok=True)
@@ -155,9 +177,39 @@ def run_crawl(
     seen_dir = os.path.join(out_dir, "seen")
 
     robots_ref = ray.put(robots_table_to_config(robots))
-    from ..stages.fetch import broadcast_pagestore
+    from ..stages.fetch import broadcast_pagestore, fetch_join, fetch_sharded
 
-    store_ref = broadcast_pagestore(pagestore)
+    shard_dir, num_store_shards = None, 0
+    if isinstance(pagestore, str):
+        if os.path.isdir(os.path.join(pagestore, "shard-0")):
+            # hash-partitioned store (stages.fetch.partition_pagestore):
+            # the preferred at-scale layout — waves shuffle only narrow
+            # frontier rows, payload bytes never move between workers
+            shard_dir = pagestore
+            num_store_shards = len(
+                [d for d in os.listdir(pagestore) if d.startswith("shard-")]
+            )
+        else:
+            from ..sources.pagestore import read_pagestore
+
+            pagestore = read_pagestore(pagestore)
+    use_join = shard_dir is None and not isinstance(pagestore, pa.Table)
+    if cfg.fetch_mode == "join":
+        use_join = True
+        if isinstance(pagestore, pa.Table):
+            pagestore = ray.data.from_arrow(pagestore)
+    elif (
+        cfg.fetch_mode == "auto"
+        and isinstance(pagestore, pa.Table)
+        and pagestore.nbytes > cfg.broadcast_limit_bytes
+    ):
+        use_join = True
+        pagestore = ray.data.from_arrow(pagestore)
+    store_ref = (
+        broadcast_pagestore(pagestore)
+        if (shard_dir is None and not use_join)
+        else None
+    )
 
     seen = SeenSet(cfg.num_seen_shards, cfg.seen_capacity_per_shard)
     manifest = _read_manifest(out_dir) if resume else {"completed_through": -1, "waves": []}
@@ -181,34 +233,76 @@ def run_crawl(
             _write_candidates(candidates, seed_path)
         candidates = ray.data.read_parquet(seed_path)
 
+    pools = _resolve_pools(cfg)
+    trace = os.environ.get("NC_CRAWL_TRACE") == "1"
+
+    def _tr(label, t_start):
+        if trace:
+            print(f"[crawl-trace] {label}: {time.monotonic() - t_start:.1f}s", flush=True)
+        return time.monotonic()
+
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.monotonic()
         n_candidates = candidates.count()
         if n_candidates == 0:
             break
 
+        tp = time.monotonic()
         canon = canonicalize(candidates)
-        deduped = dedup_frontier(canon, num_partitions=cfg.dedup_partitions)
+        if cfg.dedup_strategy == "sort":
+            deduped = dedup_frontier_sorted(canon)
+        else:
+            deduped = dedup_frontier(canon, num_partitions=cfg.dedup_partitions)
+        tp = _tr("dedup(eager)", tp)
         fresh = deduped.map_batches(
             SeenFilterStage,
             fn_constructor_kwargs={"shards": seen.shards},
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=cfg.seen_filter_concurrency,
+            concurrency=pools["seen"]["concurrency"],
+            num_cpus=pools["seen"].get("num_cpus"),
         )
         scheduled = schedule(
             fresh,
             robots_ref,
-            concurrency=cfg.fetch_concurrency,
+            concurrency=pools["robots"]["concurrency"],
+            robots_num_cpus=pools["robots"].get("num_cpus"),
             default_delay_ms=cfg.default_delay_ms,
             num_partitions=cfg.dedup_partitions,
         )
-        fetched = fetch_broadcast(
-            scheduled,
-            store_ref,
-            concurrency=cfg.fetch_concurrency,
-            batch_size=cfg.fetch_batch_size,
-        ).map_batches(
+        tp = _tr("seen+schedule(eager sorts)", tp)
+        if shard_dir is not None:
+            fetched_raw = fetch_sharded(
+                scheduled,
+                shard_dir,
+                num_shards=num_store_shards,
+                concurrency=pools["fetch"]["concurrency"],
+                num_cpus=pools["fetch"].get("num_cpus"),
+            )
+        elif use_join:
+            fetched_raw = fetch_join(
+                scheduled, pagestore, num_partitions=cfg.dedup_partitions
+            )
+        else:
+            fetched_raw = fetch_broadcast(
+                scheduled,
+                store_ref,
+                concurrency=pools["fetch"]["concurrency"],
+                num_cpus=pools["fetch"].get("num_cpus"),
+                batch_size=cfg.fetch_batch_size,
+            )
+        if cfg.verify_payloads:
+            from ..ops.multimodal import ImageDecodeStage
+
+            fetched_raw = fetched_raw.map_batches(
+                ImageDecodeStage,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=1024,
+                concurrency=pools["verify"]["concurrency"],
+                num_cpus=pools["verify"].get("num_cpus"),
+            )
+        fetched = fetched_raw.map_batches(
             lambda t, w=wave: t.append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -216,12 +310,14 @@ def run_crawl(
 
         wave_dir = os.path.join(out_dir, "fetched", f"wave-{wave}")
         fetched.write_parquet(wave_dir)
+        tp = _tr("fetch+write", tp)
 
         # re-reads below prune to the columns they need — the wide
         # ``bytes`` payload column never leaves parquet again
         counts = _wave_counts(
             ray.data.read_parquet(wave_dir, columns=["fetch_status"])
         )
+        tp = _tr("counts", tp)
         outlink_cols = ["caption", "priority", "discovered_at", "depth", "fetch_status"]
         outlinks = extract_outlinks(
             ray.data.read_parquet(wave_dir, columns=outlink_cols).filter(
@@ -231,8 +327,10 @@ def run_crawl(
         )
         next_path = os.path.join(out_dir, "candidates", f"wave-{wave + 1}")
         n_outlinks = _write_candidates(outlinks, next_path)
+        tp = _tr("outlinks+candidates", tp)
 
         seen.checkpoint(seen_dir, epoch=wave + 1)
+        _tr("seen_checkpoint", tp)
         elapsed = time.monotonic() - t0
         wm = WaveMetrics(
             wave=wave,
@@ -253,6 +351,35 @@ def run_crawl(
         candidates = ray.data.read_parquet(next_path)
 
     return result
+
+
+def _resolve_pools(cfg: CrawlConfig) -> dict[str, dict]:
+    """Turn "auto" pool configs into fixed sizes scaled to cluster CPUs.
+
+    Fractions: robots 8%, seen-filter 15%, fetch 15%, payload-verify 50%
+    of session CPUs (min 1 actor each), each actor at
+    ``pool_actor_cpus`` logical CPUs so task operators (reads, sorts)
+    always keep scheduling headroom. Fixed pools start eagerly and keep
+    the whole cluster busy; autoscaling pools were measured to plateau.
+    """
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    fracs = {"robots": 0.08, "seen": 0.15, "fetch": 0.25, "verify": 0.5}
+    out: dict[str, dict] = {}
+    for name, key in (
+        ("robots", "robots_concurrency"),
+        ("seen", "seen_filter_concurrency"),
+        ("fetch", "fetch_concurrency"),
+        ("verify", "verify_concurrency"),
+    ):
+        val = getattr(cfg, key)
+        if val == "auto":
+            out[name] = {
+                "concurrency": max(1, int(ncpu * fracs[name])),
+                "num_cpus": cfg.pool_actor_cpus,
+            }
+        else:
+            out[name] = {"concurrency": val}
+    return out
 
 
 def _strip_derived(waves: list[dict]) -> list[dict]:

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 DEFAULT_ORDER = (
     ("priority", "descending"),
@@ -45,6 +46,61 @@ def keep_best_batch(batch: pa.Table, order=DEFAULT_ORDER, key: str = "url_sha1")
     first[0] = True
     first[1:] = (km[1:] != km[:-1]).any(axis=1)
     return sorted_tbl.filter(pa.array(first))
+
+
+@ray.remote
+def _first_last_key(tbl: pa.Table, key: str):
+    if tbl.num_rows == 0:
+        return (None, None, 0)
+    col = tbl[key]
+    return (col[0].as_py(), col[-1].as_py(), tbl.num_rows)
+
+
+@ray.remote
+def _keep_first_of_run(tbl: pa.Table, key: str, drop_leading_run: bool) -> pa.Table:
+    if tbl.num_rows == 0:
+        return tbl
+    from ..functions.urlnorm import binary20_matrix
+
+    km = binary20_matrix(tbl[key])
+    first = np.empty(len(km), dtype=bool)
+    first[0] = not drop_leading_run
+    first[1:] = (km[1:] != km[:-1]).any(axis=1)
+    if drop_leading_run:
+        # rows belonging to the leading run continue a run whose true
+        # first row lives in an earlier block — drop them all
+        boundary = np.nonzero(first[1:])[0]
+        end = boundary[0] + 1 if boundary.size else len(km)
+        first[:end] = False
+    return tbl.filter(pa.array(first))
+
+
+def dedup_frontier_sorted(ds, order=DEFAULT_ORDER, key: str = "url_sha1"):
+    """Exact keep-best-per-key via a range-partition SORT instead of a
+    hash shuffle: sort by (key, *order) globally, keep the first row of
+    each key run, and stitch runs that straddle block boundaries with a
+    2-value-per-block metadata pass. Equivalent output to
+    :func:`dedup_frontier`; measured to scale better in-sandbox because
+    Ray's sort is task-based while hash-shuffle aggregator pools pay a
+    per-op actor-startup cost.
+    """
+    cols = [key] + [c for c, _ in order]
+    desc = [False] + [d == "descending" for _, d in order]
+    mat = ds.sort(cols, descending=desc).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    metas = ray.get([_first_last_key.remote(r, key) for r in refs])
+    drops, prev_last = [], None
+    for first, last, nrows in metas:
+        drops.append(prev_last is not None and first == prev_last)
+        if nrows:
+            prev_last = last
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [_keep_first_of_run.remote(r, key, d) for r, d in zip(refs, drops)]
+    )
 
 
 def dedup_frontier(ds, num_partitions: int = 32, order=DEFAULT_ORDER, key: str = "url_sha1"):

@@ -29,6 +29,17 @@ _ID_RE = r"/p/(?P<image_id>[^/?#]+)$"
 
 PAYLOAD_COLS = ["bytes", "w", "h", "fmt", "caption", "phash"]
 
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("bytes", pa.large_binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
 
 def broadcast_pagestore(store: pa.Table):
     """``ray.put`` the page-store for :class:`BroadcastFetcher` actors.
@@ -82,6 +93,7 @@ def fetch_broadcast(
     store_ref,
     concurrency: int | tuple = 2,
     batch_size: int = 1024,
+    num_cpus: float | None = None,
 ) -> "ray.data.Dataset":
     return wave_ds.map_batches(
         BroadcastFetcher,
@@ -90,6 +102,158 @@ def fetch_broadcast(
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
+def shard_of_image_id(ids: pa.Array | pa.ChunkedArray, num_shards: int) -> np.ndarray:
+    """Deterministic store shard per image_id (stable across processes).
+
+    Vectorized polars 64-bit hash — the SAME function partitions the
+    store (prep) and routes fetch batches (query), which is the whole
+    contract: one partitioning key, reused across stages.
+    """
+    import polars as pl
+
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    h = pl.from_arrow(ids).hash(seed=7).to_numpy()
+    return (h % np.uint64(num_shards)).astype(np.int64)
+
+
+def partition_pagestore(
+    pagestore_ds: "ray.data.Dataset", out_dir: str, num_shards: int = 32
+) -> str:
+    """One-time prep: hash-partition the page-store by image_id into
+    ``out_dir/shard-{s}/``. At 100 TB the store lives like this on disk
+    permanently; every crawl wave then ships only narrow frontier rows,
+    never payload bytes (contrast: a Dataset.join re-shuffles the whole
+    payload side per wave).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_shard", pa.array(shard_of_image_id(t["image_id"], num_shards), pa.int64())
+        )
+
+    tagged = pagestore_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    parts = tagged.repartition(num_blocks=num_shards, keys=["_shard"])
+
+    def write_block(t: pa.Table) -> pa.Table:
+        for s in np.unique(np.asarray(t["_shard"])):
+            sub = t.filter(pc.equal(t["_shard"], int(s))).drop_columns(["_shard"])
+            d = os.path.join(out_dir, f"shard-{int(s)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, "part.parquet"), row_group_size=100_000)
+        return pa.table({"written": pa.array([t.num_rows], pa.int64())})
+
+    parts.map_batches(write_block, batch_format="pyarrow", batch_size=None).count()
+    return out_dir
+
+
+class ShardLookupFetcher:
+    """Actor-pool stage for the sharded store: each batch arrives
+    hash-co-located by ``_fetch_shard``, so the actor loads (and caches)
+    only the store shards its batches route to — bounded memory, no
+    payload shuffle.
+    """
+
+    def __init__(self, shard_dir: str, max_cached: int = 4):
+        import collections
+
+        self.shard_dir = shard_dir
+        self.cache: "collections.OrderedDict[int, tuple]" = collections.OrderedDict()
+        self.max_cached = max_cached
+
+    def _shard(self, s: int):
+        import os
+
+        import pyarrow.parquet as pq
+
+        hit = self.cache.get(s)
+        if hit is not None:
+            self.cache.move_to_end(s)
+            return hit
+        path = os.path.join(self.shard_dir, f"shard-{s}")
+        tbl = pq.read_table(path).combine_chunks()
+        index = {v: i for i, v in enumerate(tbl["image_id"].to_pylist())}
+        self.cache[s] = (tbl.select(PAYLOAD_COLS), index)
+        if len(self.cache) > self.max_cached:
+            self.cache.popitem(last=False)
+        return self.cache[s]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = dict(zip(batch.column_names, batch.columns))
+            cols.pop("_fetch_shard", None)
+            for f in PAYLOAD_SCHEMA:
+                cols[f.name] = pa.array([], f.type)
+            cols["fetch_status"] = pa.array([], pa.string())
+            return pa.table(cols)
+        shards = np.asarray(batch["_fetch_shard"], dtype=np.int64)
+        ids = batch["image_id"].to_pylist()
+        rows = np.empty(batch.num_rows, dtype=np.int64)
+        stores: dict[int, pa.Table] = {}
+        for s in np.unique(shards):
+            tbl, index = self._shard(int(s))
+            stores[int(s)] = tbl
+            sel = np.nonzero(shards == s)[0]
+            for i in sel:
+                rows[i] = index.get(ids[i], -1)
+        found = rows >= 0
+        # gather per shard, then re-interleave into batch order
+        out_cols = {}
+        order = np.argsort(shards, kind="stable")
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        gathered = []
+        for s in np.unique(shards):
+            sel = order[shards[order] == s]
+            idx = pa.array(np.where(found[sel], rows[sel], 0), pa.int64())
+            gathered.append(stores[int(s)].take(idx))
+        payload = pa.concat_tables(gathered).combine_chunks()
+        payload = payload.take(pa.array(inv, pa.int64()))
+        mask = pa.array(found)
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols.pop("_fetch_shard", None)
+        for name in PAYLOAD_COLS:
+            cols[name] = pc.if_else(
+                mask, payload[name].combine_chunks(), pa.scalar(None, payload.schema.field(name).type)
+            )
+        cols["fetch_status"] = pc.if_else(mask, pa.scalar("ok"), pa.scalar("missing"))
+        return pa.table(cols)
+
+
+def fetch_sharded(
+    wave_ds: "ray.data.Dataset",
+    shard_dir: str,
+    num_shards: int = 32,
+    concurrency: int | tuple = (1, 8),
+    num_cpus: float | None = None,
+) -> "ray.data.Dataset":
+    """Keyed fetch against a hash-partitioned store: shuffle the NARROW
+    wave rows by store shard, then per-shard keyed lookups."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = add_image_id(t)
+        return t.append_column(
+            "_fetch_shard",
+            pa.array(shard_of_image_id(t["image_id"], num_shards), pa.int64()),
+        )
+
+    keyed = wave_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    parts = keyed.repartition(num_blocks=num_shards, keys=["_fetch_shard"])
+    return parts.map_batches(
+        ShardLookupFetcher,
+        fn_constructor_kwargs={"shard_dir": shard_dir},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,  # one batch per co-located partition
+        concurrency=concurrency,
+        num_cpus=num_cpus,
     )
 
 

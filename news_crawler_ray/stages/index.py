@@ -24,19 +24,36 @@ import ray
 import ray.data
 
 
+def _run_boundaries(tbl: pa.Table, group_col: str):
+    """Vectorized run boundaries of a sorted group column.
+
+    Returns (run_start_indices incl. 0, run_values) — O(runs) Python,
+    O(rows) vectorized compare.
+    """
+    import pyarrow.compute as pc
+
+    keys = tbl[group_col].combine_chunks()
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, np.int64), []
+    if n == 1:
+        return np.zeros(1, np.int64), [keys[0].as_py()]
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.nonzero(neq)[0] + 1]).astype(np.int64)
+    values = keys.take(pa.array(starts)).to_pylist()
+    return starts, values
+
+
 @ray.remote
 def _block_group_counts(tbl: pa.Table, group_col: str | None):
     """Run-length counts of the (sorted-within-block) group column."""
     if group_col is None:
         return [(None, tbl.num_rows)]
-    vals = tbl[group_col].to_pylist()
-    out: list[tuple[object, int]] = []
-    for v in vals:
-        if out and out[-1][0] == v:
-            out[-1] = (v, out[-1][1] + 1)
-        else:
-            out.append((v, 1))
-    return out
+    starts, values = _run_boundaries(tbl, group_col)
+    if not len(starts):
+        return []
+    lengths = np.diff(np.concatenate([starts, [tbl.num_rows]]))
+    return list(zip(values, lengths.tolist()))
 
 
 @ray.remote
@@ -44,16 +61,11 @@ def _add_rank(tbl: pa.Table, group_col: str | None, offsets: dict, rank_col: str
     if group_col is None:
         ranks = np.arange(tbl.num_rows, dtype=np.int64) + offsets[None]
     else:
-        vals = tbl[group_col].to_pylist()
-        ranks = np.empty(tbl.num_rows, dtype=np.int64)
-        pos, i = 0, 0
-        while i < tbl.num_rows:
-            j = i
-            while j < tbl.num_rows and vals[j] == vals[i]:
-                j += 1
-            start = offsets.get(vals[i], 0)
-            ranks[i:j] = np.arange(start, start + (j - i))
-            i = j
+        starts, values = _run_boundaries(tbl, group_col)
+        ends = np.concatenate([starts[1:], [tbl.num_rows]])
+        ranks = np.arange(tbl.num_rows, dtype=np.int64)
+        for s, e, v in zip(starts, ends, values):  # O(runs), not O(rows)
+            ranks[s:e] += offsets.get(v, 0) - s
     return tbl.append_column(rank_col, pa.array(ranks, pa.int64()))
 
 

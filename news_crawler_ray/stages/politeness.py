@@ -84,6 +84,7 @@ def schedule(
     default_delay_ms: int = 1000,
     num_partitions: int | None = None,
     rank_strategy: str = "sort",
+    robots_num_cpus: float | None = None,
 ) -> "ray.data.Dataset":
     """Candidates -> politeness-ordered schedule with ``crawl_rank``.
 
@@ -103,6 +104,7 @@ def schedule(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+        num_cpus=robots_num_cpus,
     )
     if rank_strategy == "hash":
         ranked = partitioned_group_rank(

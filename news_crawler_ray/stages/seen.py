@@ -46,6 +46,14 @@ class SeenShard:
         self.shard_id = shard_id
         self.bloom = CountingBloom(capacity, fp_rate)
         self.cuckoo = CuckooFilter(capacity)
+        # Exactness invariant: a prefilter may only say "definitely new"
+        # if it contains EVERY key ever added. A cuckoo filter past
+        # capacity drops inserts (evict-loop failure), so on the first
+        # failed insert it is retired from the conjunction — the
+        # counting bloom (saturating, never under-reports) + exact set
+        # carry on. Retiring also skips the pathological O(MAX_KICKS)
+        # insert loop that a saturated table hits on every key.
+        self.cuckoo_live = True
         self.exact: set[bytes] = set()
         self.prefilter_hits = 0  # candidates short-circuited as definitely-new
         self.exact_checks = 0
@@ -55,7 +63,9 @@ class SeenShard:
         if not keys:
             return np.zeros(0, dtype=bool)
         km = keys_to_matrix(keys)
-        maybe = self.bloom.maybe_contains(km) & self.cuckoo.maybe_contains(km)
+        maybe = self.bloom.maybe_contains(km)
+        if self.cuckoo_live:
+            maybe &= self.cuckoo.maybe_contains(km)
         is_new = np.empty(len(keys), dtype=bool)
         for i, key in enumerate(keys):
             if not maybe[i]:
@@ -67,7 +77,8 @@ class SeenShard:
         new_idx = np.nonzero(is_new)[0]
         if new_idx.size:
             self.bloom.add(km[new_idx])
-            self.cuckoo.insert(km[new_idx])
+            if self.cuckoo_live and self.cuckoo.insert(km[new_idx]) > 0:
+                self.cuckoo_live = False
             self.exact.update(keys[i] for i in new_idx)
         return is_new
 
@@ -75,7 +86,9 @@ class SeenShard:
         if not keys:
             return np.zeros(0, dtype=bool)
         km = keys_to_matrix(keys)
-        maybe = self.bloom.maybe_contains(km) & self.cuckoo.maybe_contains(km)
+        maybe = self.bloom.maybe_contains(km)
+        if self.cuckoo_live:
+            maybe &= self.cuckoo.maybe_contains(km)
         out = np.zeros(len(keys), dtype=bool)
         for i in np.nonzero(maybe)[0]:
             out[i] = keys[i] in self.exact
@@ -86,7 +99,8 @@ class SeenShard:
         if fresh:
             km = keys_to_matrix(fresh)
             self.bloom.add(km)
-            self.cuckoo.insert(km)
+            if self.cuckoo_live and self.cuckoo.insert(km) > 0:
+                self.cuckoo_live = False
             self.exact.update(fresh)
         return len(fresh)
 

@@ -205,6 +205,74 @@ def q_knn_cosine(sf_dir: str):
     )
 
 
+def q_user_day_stats(sf_dir: str):
+    """Tumbling 1-day window per user (the engine's §2.8 window semantics
+    as a groupby over (user, day))."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.cast(t["ts"], pa.date32()),
+                "value": t["value"],
+            }
+        )
+
+    keyed = ds.map_batches(add_day, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby(["user_id", "day"]).aggregate(
+        ray.data.aggregate.Count(alias_name="n_events"),
+        ray.data.aggregate.Max("value", alias_name="max_value"),
+    )
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Two-hop hash join chain: nation ⋈ customer ⋈ orders → counts."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    per_cust = (
+        orders.groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: _rename(t, {"o_custkey": "c_custkey", "count()": "_n"}),
+            batch_format="pyarrow",
+        )
+    )
+    cust_n = cust.join(per_cust, join_type="inner", num_partitions=8, on=("c_custkey",))
+    cust_tag = cust_n.map_batches(
+        lambda t: _rename(t, {"c_nationkey": "n_nationkey"}).select(
+            ["n_nationkey", "_n"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = cust_tag.join(nation, join_type="inner", num_partitions=8, on=("n_nationkey",))
+    agg = joined.groupby("n_name").aggregate(
+        ray.data.aggregate.Sum("_n", alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("n_orders"),
+            "n_orders",
+            pc.cast(t["n_orders"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_props_extract(sf_dir: str):
+    """Regex field extraction from the JSON props column (M8 analog on
+    structured payloads): event_id, k."""
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.coalesce(t["props"], ""), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": t["event_id"], "k": k})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ORACLE_SQL: dict[str, str] = {
     "keyword_filter": f"SELECT doc_id FROM documents WHERE regexp_matches(text, '{KEYWORD_RE}')",
     "events_day": f"SELECT event_id FROM events WHERE CAST(ts AS DATE) = DATE '{EVENT_DAY}'",
@@ -239,6 +307,18 @@ ORACLE_SQL: dict[str, str] = {
     "user_event_stats": (
         "SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value "
         "FROM events GROUP BY user_id"
+    ),
+    "user_day_stats": (
+        "SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events, "
+        "MAX(value) AS max_value FROM events GROUP BY user_id, CAST(ts AS DATE)"
+    ),
+    "orders_per_nation": (
+        "SELECT n_name, COUNT(*) AS n_orders FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+    ),
+    "props_extract": (
+        r"SELECT event_id, CAST(regexp_extract(props, '\"k\": (\d+)', 1) AS BIGINT) AS k FROM events"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5), "
@@ -373,6 +453,40 @@ def q_image_features(sf_dir: str):
     )
 
 
+def q_ip_block_rules(sf_dir: str):
+    """A8+M16 sink path: distinct valid IPs → stable SIDs → rule lines
+    (deterministic; non-SQL because the IOC source is the synth fixture)."""
+    from ..fixtures import synth
+    from ..functions.formatters import ip_rule_lines, validate_ips
+    from ..stages.index import assign_stable_ids
+
+    pages = ray.data.from_arrow(synth.make_ioc_pages(60, seed=42))
+    iocs = merged_distinct_iocs(pages)
+
+    def valid_ips(t: pa.Table) -> pa.Table:
+        ips = t.filter(pc.equal(t["kind"], "ip"))
+        v = validate_ips(ips["value"])
+        return pa.table({"value": v}).filter(pc.is_valid(v))
+
+    ips = iocs.map_batches(valid_ips, batch_format="pyarrow")
+    with_ids = assign_stable_ids(ips, "value", base=7000000)
+    return with_ids.map_batches(
+        lambda t: ip_rule_lines(t, ip_col="value", sid_col="sid"),
+        batch_format="pyarrow",
+    )
+
+
+def q_resize_images(sf_dir: str):
+    """Multimodal resize pipeline over the synthetic page-store."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(synth.make_pagestore(40, seed=42))
+    out = mm.resize_images(ps, 16, 16, concurrency=2, batch_size=16)
+    return out.map_batches(
+        lambda t: t.select(["image_id", "w", "h", "fmt"]), batch_format="pyarrow"
+    )
+
+
 def q_crawl_flagship(sf_dir: str):
     """The north-rule flagship: multi-wave frontier crawl over the
     synthetic image+caption page-store (deterministic; non-SQL)."""
@@ -407,6 +521,9 @@ def build_queries() -> dict:
         "quality_counts": q_quality_counts,
         "lineitem_agg": q_lineitem_agg,
         "user_event_stats": q_user_event_stats,
+        "user_day_stats": q_user_day_stats,
+        "orders_per_nation": q_orders_per_nation,
+        "props_extract": q_props_extract,
         "knn_cosine": q_knn_cosine,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -416,6 +533,8 @@ def build_queries() -> dict:
         "knn_ivf": q_knn_ivf,
         "langid": q_langid,
         "ioc_extract": q_ioc_extract,
+        "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,
+        "resize_images": q_resize_images,
         "crawl_flagship": q_crawl_flagship,
     }

@@ -8,6 +8,12 @@ CORRECTNESS_r{N}.json).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Worker import note: Ray worker processes resolve ``news_crawler_ray`` via
+their own environment (raylet cwd or PYTHONPATH captured at ray.init) —
+the driver's post-init ``sys.path`` edits do NOT propagate. Running with
+cwd=/root/repo (the normal driver setup) or ``PYTHONPATH=/root/repo``
+both work.
 """
 
 from __future__ import annotations

@@ -274,6 +274,37 @@ def make_ioc_pages(n: int = 60, seed: int = 42, today: str = "2025-06-20") -> pa
     )
 
 
+def make_html_listing(n_pages: int = 5, items_per_page: int = 8, seed: int = 42) -> pa.Table:
+    """Synthetic BoanNews-style HTML listing pages (M1/S1 fixture).
+
+    Each page embeds ``items_per_page`` news_list blocks with relative
+    hrefs, keyword-bearing titles (even items) and Korean-format bylines.
+    """
+    rng = np.random.default_rng((seed, 6))
+    urls, htmls = [], []
+    for p in range(n_pages):
+        page_url = f"https://news{p}.example.com/list?page={p}"
+        blocks = []
+        for i in range(items_per_page):
+            k = p * items_per_page + i
+            kw = _KEYWORDS[k % len(_KEYWORDS)] if i % 2 == 0 else "weather"
+            day = 1 + int(rng.integers(0, 27))
+            blocks.append(
+                f'<div class="news_list"><a href="/view?idx={k}">'
+                f'<span class="news_txt">{kw} headline {k}</span>'
+                f'<span class="news_writer">kim 기자 | 2025년 6월 {day}일 09:0{i % 10}</span>'
+                f"</a></div>"
+            )
+        urls.append(page_url)
+        htmls.append("<html><body>" + "\n".join(blocks) + "</body></html>")
+    return pa.table(
+        {
+            "base_url": pa.array(urls, pa.string()),
+            "html": pa.array(htmls, pa.string()),
+        }
+    )
+
+
 def keywords() -> list[str]:
     return list(_KEYWORDS)
 

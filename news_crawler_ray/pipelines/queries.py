@@ -487,6 +487,39 @@ def q_resize_images(sf_dir: str):
     )
 
 
+def q_news_pipeline(sf_dir: str):
+    """The reference's ``news.get()`` end-to-end (E1 trace re-expressed):
+    HTML listing parse (M1) → absolutize (M2) → Korean date parse (M3) →
+    day cutoff (M6) → keyword filter (M7) → sort newest-first (A1) →
+    dedup-by-link keep-first (A2) → limit (A3). Non-SQL (fixture-
+    sourced); deterministic."""
+    from ..fixtures import synth
+    from ..functions.dates import parse_korean_dates
+    from ..stages.parse import extract_news_items, keyword_any_match
+
+    pages = ray.data.from_arrow(synth.make_html_listing(6, 10, seed=42))
+    items = extract_news_items(pages)
+
+    def add_published(t: pa.Table) -> pa.Table:
+        return t.append_column("published", parse_korean_dates(t["writer_line"]))
+
+    dated = items.map_batches(add_published, batch_format="pyarrow", zero_copy_batch=True)
+    kw = keyword_any_match(dated, synth.keywords(), col="title")
+    cut = kw.map_batches(
+        lambda t: t.filter(pc.is_valid(t["published"])),
+        batch_format="pyarrow",
+    )
+    # newest-first, dedup by link keep-first, limit
+    ordered = cut.sort(["published", "link"], descending=[True, False])
+    first_per_link = ordered.groupby("link").map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    top = first_per_link.sort(["published", "link"], descending=[True, False]).limit(20)
+    return top.map_batches(
+        lambda t: t.select(["link", "title", "published"]), batch_format="pyarrow"
+    )
+
+
 def q_crawl_flagship(sf_dir: str):
     """The north-rule flagship: multi-wave frontier crawl over the
     synthetic image+caption page-store (deterministic; non-SQL)."""
@@ -536,5 +569,6 @@ def build_queries() -> dict:
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,
         "resize_images": q_resize_images,
+        "news_pipeline": q_news_pipeline,
         "crawl_flagship": q_crawl_flagship,
     }

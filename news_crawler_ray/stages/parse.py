@@ -76,6 +76,56 @@ def merged_distinct_iocs(ds, text_col: str = "text", id_col: str = "doc_id"):
     return distinct.sort(["kind", "value"])
 
 
+# -- HTML listing extraction (M1/S1) --------------------------------------
+# The reference CSS-selects div.news_list blocks and pulls a[href],
+# span.news_txt (title), span.news_writer (byline|date)
+# (/root/reference/src/secbot/fetchers/news.py:98-122). Without bs4 the
+# engine uses anchored regexes over the same structure — a real HTML
+# parser would slot into the same batch signature.
+_ITEM_RE = re.compile(
+    r'<div\s+class="news_list"\s*>.*?<a\s+href="(?P<href>[^"]+)".*?'
+    r'<span\s+class="news_txt"\s*>(?P<title>.*?)</span>.*?'
+    r'<span\s+class="news_writer"\s*>(?P<writer>.*?)</span>',
+    re.S,
+)
+
+
+def extract_news_items_batch(
+    batch: pa.Table, html_col: str = "html", base_url_col: str = "base_url"
+) -> pa.Table:
+    """HTML listing pages → one row per news item (href absolutized
+    against the page's base URL — M2)."""
+    from urllib.parse import urljoin
+
+    hrefs, titles, writers, pages = [], [], [], []
+    for page_url, html in zip(
+        batch[base_url_col].to_pylist(), batch[html_col].to_pylist()
+    ):
+        if not html:
+            continue
+        for m in _ITEM_RE.finditer(html):
+            hrefs.append(urljoin(page_url or "", m.group("href")))
+            titles.append(m.group("title").strip())
+            writers.append(m.group("writer").strip())
+            pages.append(page_url)
+    return pa.table(
+        {
+            "page_url": pa.array(pages, pa.string()),
+            "link": pa.array(hrefs, pa.string()),
+            "title": pa.array(titles, pa.string()),
+            "writer_line": pa.array(writers, pa.string()),
+        }
+    )
+
+
+def extract_news_items(ds, html_col: str = "html", base_url_col: str = "base_url"):
+    return ds.map_batches(
+        lambda b: extract_news_items_batch(b, html_col, base_url_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # -- outlink expansion ----------------------------------------------------
 def extract_outlinks_batch(batch: pa.Table, decay: float = 0.5) -> pa.Table:
     """Fetched pages -> child frontier candidates.

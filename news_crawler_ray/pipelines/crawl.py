@@ -174,7 +174,13 @@ def run_crawl(
     cfg = config or CrawlConfig()
     os.makedirs(os.path.join(out_dir, "candidates"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "fetched"), exist_ok=True)
-    seen_dir = os.path.join(out_dir, "seen")
+    # seen-set checkpoints are scoped per window: a new window (e.g. a
+    # new day when seen_epoch_scope="2025-06-21") starts from an empty
+    # seen-set, exactly like the reference's day-scoped seen file
+    # (scheduler.py:43-44) — but as explicit config, not wall clock
+    seen_dir = os.path.join(
+        out_dir, "seen", f"window-{cfg.seen_epoch_scope or 'global'}"
+    )
 
     robots_ref = ray.put(robots_table_to_config(robots))
     from ..stages.fetch import broadcast_pagestore, fetch_join, fetch_sharded

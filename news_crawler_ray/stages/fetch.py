@@ -79,6 +79,14 @@ class BroadcastFetcher:
         found = rows >= 0
         payload = self.store.take(pa.array(np.where(found, rows, 0), pa.int64()))
         cols = dict(zip(batch.column_names, batch.columns))
+        if found.all():
+            # common case: every URL resolves — reuse the gathered
+            # payload columns as-is instead of an if_else copy of the
+            # (multi-GB across a wave) binary column
+            for name in PAYLOAD_COLS:
+                cols[name] = payload[name]
+            cols["fetch_status"] = pa.array(["ok"] * batch.num_rows, pa.string())
+            return pa.table(cols)
         mask = pa.array(found)
         for name in PAYLOAD_COLS:
             cols[name] = pc.if_else(
@@ -216,9 +224,15 @@ class ShardLookupFetcher:
             gathered.append(stores[int(s)].take(idx))
         payload = pa.concat_tables(gathered).combine_chunks()
         payload = payload.take(pa.array(inv, pa.int64()))
-        mask = pa.array(found)
         cols = dict(zip(batch.column_names, batch.columns))
         cols.pop("_fetch_shard", None)
+        if found.all():
+            # common case: no if_else copy of the payload bytes
+            for name in PAYLOAD_COLS:
+                cols[name] = payload[name]
+            cols["fetch_status"] = pa.array(["ok"] * batch.num_rows, pa.string())
+            return pa.table(cols)
+        mask = pa.array(found)
         for name in PAYLOAD_COLS:
             cols[name] = pc.if_else(
                 mask, payload[name].combine_chunks(), pa.scalar(None, payload.schema.field(name).type)

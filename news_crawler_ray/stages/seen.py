@@ -189,6 +189,20 @@ class SeenSet:
             ]
         )
 
+    def remove(self, keys: list[bytes]) -> int:
+        """Expire keys (day-window / frontier-eviction path): counting
+        bloom decrements + cuckoo deletes + exact-set removal."""
+        by_shard = self._route(keys)
+        return sum(
+            ray.get(
+                [
+                    self.shards[s].remove.remote([keys[i] for i in idx])
+                    for s, idx in enumerate(by_shard)
+                    if idx
+                ]
+            )
+        )
+
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 

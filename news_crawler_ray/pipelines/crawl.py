@@ -172,15 +172,18 @@ def run_crawl(
     joined). The wave loop is identical in every mode.
     """
     cfg = config or CrawlConfig()
+    # Window scoping covers the WHOLE run layout (candidates, fetched,
+    # manifest, seen): a new window (e.g. a new day when
+    # seen_epoch_scope="2025-06-21") is a fresh sub-run starting from an
+    # empty seen-set — the reference's day-scoped reset
+    # (scheduler.py:43-44) as explicit config, not wall clock. Scoping
+    # only the seen dir would let two windows' candidates/fetched files
+    # interleave in one directory tree.
+    if cfg.seen_epoch_scope:
+        out_dir = os.path.join(out_dir, f"window-{cfg.seen_epoch_scope}")
     os.makedirs(os.path.join(out_dir, "candidates"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "fetched"), exist_ok=True)
-    # seen-set checkpoints are scoped per window: a new window (e.g. a
-    # new day when seen_epoch_scope="2025-06-21") starts from an empty
-    # seen-set, exactly like the reference's day-scoped seen file
-    # (scheduler.py:43-44) — but as explicit config, not wall clock
-    seen_dir = os.path.join(
-        out_dir, "seen", f"window-{cfg.seen_epoch_scope or 'global'}"
-    )
+    seen_dir = os.path.join(out_dir, "seen")
 
     robots_ref = ray.put(robots_table_to_config(robots))
     from ..stages.fetch import broadcast_pagestore, fetch_join, fetch_sharded
@@ -224,7 +227,18 @@ def run_crawl(
     result.waves = [WaveMetrics(**w) for w in _strip_derived(manifest["waves"])]
 
     if resume and start_wave > 0:
-        seen.restore(seen_dir)  # latest epoch = state after last completed wave
+        # latest epoch = state after last completed wave; a silent empty
+        # restore would re-crawl every seen URL, so fail loudly when the
+        # manifest says keys must exist but none were found (layout /
+        # window mismatch)
+        restored = seen.restore(seen_dir)
+        prior_scheduled = sum(w.get("scheduled", 0) for w in manifest["waves"])
+        if restored == 0 and prior_scheduled > 0:
+            raise RuntimeError(
+                f"resume: no seen-set checkpoint under {seen_dir} but the "
+                f"manifest records {prior_scheduled} scheduled URLs — "
+                "check seen_epoch_scope / checkpoint layout"
+            )
         cand_path = os.path.join(out_dir, "candidates", f"wave-{start_wave}")
         if not os.path.exists(cand_path):
             return result  # crawl had already drained

@@ -56,6 +56,31 @@ def add_image_id(batch: pa.Table) -> pa.Table:
     return batch.append_column("image_id", ids)
 
 
+def _assemble_payload(
+    cols: dict, payload: pa.Table, found: np.ndarray, num_rows: int
+) -> pa.Table:
+    """Attach gathered payload columns + fetch_status to ``cols``.
+
+    Common case (every row found): reuse the payload columns zero-copy.
+    Otherwise mask missing rows to null via if_else (the copy is paid
+    only on batches that actually have misses).
+    """
+    if found.all():
+        for name in PAYLOAD_COLS:
+            cols[name] = payload[name]
+        cols["fetch_status"] = pa.array(["ok"] * num_rows, pa.string())
+        return pa.table(cols)
+    mask = pa.array(found)
+    for name in PAYLOAD_COLS:
+        cols[name] = pc.if_else(
+            mask,
+            payload[name].combine_chunks(),
+            pa.scalar(None, payload.schema.field(name).type),
+        )
+    cols["fetch_status"] = pc.if_else(mask, pa.scalar("ok"), pa.scalar("missing"))
+    return pa.table(cols)
+
+
 class BroadcastFetcher:
     """Actor-pool stage holding the broadcast page-store index."""
 
@@ -79,21 +104,7 @@ class BroadcastFetcher:
         found = rows >= 0
         payload = self.store.take(pa.array(np.where(found, rows, 0), pa.int64()))
         cols = dict(zip(batch.column_names, batch.columns))
-        if found.all():
-            # common case: every URL resolves — reuse the gathered
-            # payload columns as-is instead of an if_else copy of the
-            # (multi-GB across a wave) binary column
-            for name in PAYLOAD_COLS:
-                cols[name] = payload[name]
-            cols["fetch_status"] = pa.array(["ok"] * batch.num_rows, pa.string())
-            return pa.table(cols)
-        mask = pa.array(found)
-        for name in PAYLOAD_COLS:
-            cols[name] = pc.if_else(
-                mask, payload[name].combine_chunks(), pa.scalar(None, payload.schema.field(name).type)
-            )
-        cols["fetch_status"] = pc.if_else(mask, pa.scalar("ok"), pa.scalar("missing"))
-        return pa.table(cols)
+        return _assemble_payload(cols, payload, found, batch.num_rows)
 
 
 def fetch_broadcast(
@@ -213,7 +224,6 @@ class ShardLookupFetcher:
                 rows[i] = index.get(ids[i], -1)
         found = rows >= 0
         # gather per shard, then re-interleave into batch order
-        out_cols = {}
         order = np.argsort(shards, kind="stable")
         inv = np.empty_like(order)
         inv[order] = np.arange(len(order))
@@ -226,19 +236,7 @@ class ShardLookupFetcher:
         payload = payload.take(pa.array(inv, pa.int64()))
         cols = dict(zip(batch.column_names, batch.columns))
         cols.pop("_fetch_shard", None)
-        if found.all():
-            # common case: no if_else copy of the payload bytes
-            for name in PAYLOAD_COLS:
-                cols[name] = payload[name]
-            cols["fetch_status"] = pa.array(["ok"] * batch.num_rows, pa.string())
-            return pa.table(cols)
-        mask = pa.array(found)
-        for name in PAYLOAD_COLS:
-            cols[name] = pc.if_else(
-                mask, payload[name].combine_chunks(), pa.scalar(None, payload.schema.field(name).type)
-            )
-        cols["fetch_status"] = pc.if_else(mask, pa.scalar("ok"), pa.scalar("missing"))
-        return pa.table(cols)
+        return _assemble_payload(cols, payload, found, batch.num_rows)
 
 
 def fetch_sharded(

@@ -105,8 +105,14 @@ class SeenShard:
         return len(fresh)
 
     def remove(self, keys: list[bytes]) -> int:
-        """Counting-bloom/cuckoo deletes (day-window expiry path)."""
-        present = [k for k in keys if k in self.exact]
+        """Counting-bloom/cuckoo deletes (day-window expiry path).
+
+        Keys are deduped first: a duplicated key would double-decrement
+        bloom counters / double-delete a cuckoo fingerprint and could
+        evict ANOTHER live key's entry, breaking the never-under-report
+        prefilter invariant.
+        """
+        present = [k for k in dict.fromkeys(keys) if k in self.exact]
         if present:
             km = keys_to_matrix(present)
             self.bloom.remove(km)

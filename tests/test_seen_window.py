@@ -21,9 +21,16 @@ def test_seen_remove_expiry(ray_session):
     assert back.all()  # expired keys are crawlable again
     still = seen.check_and_add(keys[100:])
     assert not still.any()  # unexpired keys remain seen
+    # duplicated keys in one remove batch are deduped (a double-delete
+    # could evict another live key's prefilter entry)
+    assert seen.remove([keys[150], keys[150], keys[150]]) == 1
 
 
 def test_crawl_window_scoping(ray_session, tmp_path):
+    """Same out_dir: a window scopes the WHOLE run layout. Re-running the
+    same window resumes (no re-crawl); a new window re-crawls fresh."""
+    import os
+
     import news_crawler_ray.pipelines.crawl as cp
 
     ps = synth.make_pagestore(60, seed=42)
@@ -37,25 +44,43 @@ def test_crawl_window_scoping(ray_session, tmp_path):
     r1 = cp.run_crawl(fr, ps, robots, out, config=day1)
     n1 = r1.waves[0].scheduled
     assert n1 > 0
+    assert r1.out_dir == os.path.join(out, "window-2025-06-20")
 
-    # same window, resumed: everything already seen → nothing scheduled
-    r1b = cp.run_crawl(fr, ps, robots, str(tmp_path / "w1b"), config=day1)
-    seen1b = cp.SeenSet(2)
-    assert seen1b.restore(str(tmp_path / "w" / "seen" / "window-2025-06-20")) == len(
-        r1.seen.all_keys()
-    )
+    # same window, same out_dir, resume: the completed manifest stops the
+    # run — nothing is re-fetched, metrics replayed from the manifest
+    r1b = cp.run_crawl(fr, ps, robots, out, config=day1, resume=True)
+    assert [w.wave for w in r1b.waves] == [0]
+    assert r1b.waves[0].scheduled == n1
+    assert not os.path.exists(os.path.join(r1b.out_dir, "fetched", "wave-1"))
 
-    # NEW window in a fresh out-dir seeded from day-1 checkpoints: the
-    # window dir differs, so restore finds nothing and the same URLs are
-    # crawlable again (tumbling window semantics)
-    import shutil
-
-    out2 = str(tmp_path / "w2")
-    shutil.copytree(out, out2)
+    # NEW window, same out_dir: a sibling window dir, empty seen-set —
+    # the same URLs are crawlable again (tumbling-window semantics)
     day2 = cp.CrawlConfig(
         max_waves=1, num_seen_shards=2, dedup_partitions=4, seen_epoch_scope="2025-06-21"
     )
-    # resume=True reads manifest (completed) → would stop; fresh run in
-    # a new dir with the day-2 window re-crawls everything
-    r2 = cp.run_crawl(fr, ps, robots, str(tmp_path / "w3"), config=day2)
+    r2 = cp.run_crawl(fr, ps, robots, out, config=day2)
+    assert r2.out_dir == os.path.join(out, "window-2025-06-21")
     assert r2.waves[0].scheduled == n1
+    assert os.path.isdir(os.path.join(out, "window-2025-06-20"))  # day 1 intact
+
+
+def test_resume_raises_on_missing_seen_checkpoint(ray_session, tmp_path):
+    import shutil
+
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps = synth.make_pagestore(60, seed=42)
+    fr = synth.make_frontier(40, seed=42)
+    robots = synth.make_robots(seed=42)
+    out = str(tmp_path / "x")
+    cfg = cp.CrawlConfig(max_waves=2, num_seen_shards=2, dedup_partitions=4)
+    cp.run_crawl(fr, ps, robots, out, config=cfg)
+    # simulate a layout mismatch: checkpoints vanish but the manifest
+    # survives — resume must fail loudly, not re-crawl with empty state
+    shutil.rmtree(str(tmp_path / "x" / "seen"))
+    with pytest.raises(RuntimeError, match="no seen-set checkpoint"):
+        cp.run_crawl(
+            fr, ps, robots, out,
+            config=cp.CrawlConfig(max_waves=3, num_seen_shards=2, dedup_partitions=4),
+            resume=True,
+        )

@@ -282,3 +282,22 @@ def test_audio_video_stubs(ray_session):
     frames = VideoFrameSampleStage(every_n=30, fake=True)(video)
     assert frames.num_rows >= 3
     assert frames.column_names == ["video_id", "frame_idx", "frame_feature"]
+
+
+def test_dedup_keep_min_id(ray_session, docs_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import dedup_keep_min_id, minhash_lsh_pairs
+
+    planted = rd.from_arrow(
+        _planted_docs(docs_tbl, lambda s: " ".join(w for i, w in enumerate(s.split()) if i != 3))
+    )
+    pairs = minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
+    ids = planted.select_columns(["doc_id"])
+    kept = {r["doc_id"] for r in dedup_keep_min_id(pairs, ids).take_all()}
+    # every pair's id_b is dropped; id_a side (min id) survives unless it
+    # is itself some other pair's id_b
+    dropped = {r["id_b"] for r in pairs.take_all()}
+    all_ids = {r["doc_id"] for r in ids.take_all()}
+    assert kept == all_ids - dropped
+    assert kept and dropped

@@ -26,7 +26,7 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from news_crawler_ray.context import configure  # noqa: E402
-from news_crawler_ray.pipelines.queries import ORACLE_SQL, build_queries  # noqa: E402
+from news_crawler_ray.pipelines.queries import build_oracle_sql, build_queries  # noqa: E402
 
 
 def entry() -> Any:
@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracles for the SQL-expressible subset; LSH/crawl/decode
-    pipelines are rows-only by design (deterministic seeds)."""
-    return dict(ORACLE_SQL)
+    """DuckDB oracles for every query: real SQL over the sf views where
+    the operator is SQL-expressible; for LSH / crawl / decode pipelines,
+    an INDEPENDENT sequential Python oracle (pipelines/expected.py —
+    brute-force buckets, pure-Python crawl loop) rendered as inline
+    VALUES so the driver still gets a rows+schema+hash comparison."""
+    return build_oracle_sql("/root/testdata/sf0.01")

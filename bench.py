@@ -100,6 +100,11 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
         # the north-rule pixel invariant as a stage: decode + phash-check
         # every payload, ship features (not bytes) to the output
         verify_payloads=True,
+        # crawl ORDER is fully determined by (fetch_at_us, priority, url)
+        # in the output; materializing the global rank is a conformance
+        # mode (one extra global sort + materialize per wave), not part
+        # of the throughput path
+        compute_crawl_rank=False,
     )
     t0 = time.monotonic()
     try:

@@ -274,33 +274,130 @@ def make_ioc_pages(n: int = 60, seed: int = 42, today: str = "2025-06-20") -> pa
     )
 
 
+def _listing_items(n_pages: int, items_per_page: int, seed: int) -> list[dict]:
+    """Item-level ground truth behind the HTML listing fixture.
+
+    Every 5th item on a page re-links the article of item ``i-2`` (same
+    page) under a different title and date — a genuine duplicate-link
+    case so dedup-by-link keep-newest is actually exercised (the
+    reference's news.get dedup, news.py:154-162). Both rows of a dup
+    pair carry keyword titles so they survive the keyword filter.
+    """
+    rng = np.random.default_rng((seed, 6))
+    items = []
+    for p in range(n_pages):
+        page_url = f"https://news{p}.example.com/list?page={p}"
+        for i in range(items_per_page):
+            k = p * items_per_page + i
+            idx = k - 2 if (i % 5 == 4 and i >= 2) else k
+            kw = _KEYWORDS[k % len(_KEYWORDS)] if i % 2 == 0 else "weather"
+            day = 1 + int(rng.integers(0, 27))
+            items.append(
+                {
+                    "page_url": page_url,
+                    "href": f"/view?idx={idx}",
+                    "link": f"https://news{p}.example.com/view?idx={idx}",
+                    "title": f"{kw} headline {k}",
+                    "day": day,
+                    "minute": i % 10,
+                }
+            )
+    return items
+
+
 def make_html_listing(n_pages: int = 5, items_per_page: int = 8, seed: int = 42) -> pa.Table:
     """Synthetic BoanNews-style HTML listing pages (M1/S1 fixture).
 
     Each page embeds ``items_per_page`` news_list blocks with relative
     hrefs, keyword-bearing titles (even items) and Korean-format bylines.
+    Rendered from :func:`_listing_items`, whose item table doubles as
+    the ground-truth oracle for the news pipeline.
     """
-    rng = np.random.default_rng((seed, 6))
+    items = _listing_items(n_pages, items_per_page, seed)
     urls, htmls = [], []
-    for p in range(n_pages):
-        page_url = f"https://news{p}.example.com/list?page={p}"
-        blocks = []
-        for i in range(items_per_page):
-            k = p * items_per_page + i
-            kw = _KEYWORDS[k % len(_KEYWORDS)] if i % 2 == 0 else "weather"
-            day = 1 + int(rng.integers(0, 27))
-            blocks.append(
-                f'<div class="news_list"><a href="/view?idx={k}">'
-                f'<span class="news_txt">{kw} headline {k}</span>'
-                f'<span class="news_writer">kim 기자 | 2025년 6월 {day}일 09:0{i % 10}</span>'
-                f"</a></div>"
-            )
+    by_page: dict[str, list[str]] = {}
+    for it in items:
+        by_page.setdefault(it["page_url"], []).append(
+            f'<div class="news_list"><a href="{it["href"]}">'
+            f'<span class="news_txt">{it["title"]}</span>'
+            f'<span class="news_writer">kim 기자 | 2025년 6월 {it["day"]}일 09:0{it["minute"]}</span>'
+            f"</a></div>"
+        )
+    for page_url, blocks in by_page.items():
         urls.append(page_url)
         htmls.append("<html><body>" + "\n".join(blocks) + "</body></html>")
     return pa.table(
         {
             "base_url": pa.array(urls, pa.string()),
             "html": pa.array(htmls, pa.string()),
+        }
+    )
+
+
+def make_html_listing_truth(
+    n_pages: int = 5, items_per_page: int = 8, seed: int = 42
+) -> pa.Table:
+    """Ground-truth item table for :func:`make_html_listing`: what a
+    correct parse must recover (absolutized link, title, published)."""
+    import datetime as _dt
+
+    items = _listing_items(n_pages, items_per_page, seed)
+    return pa.table(
+        {
+            "link": pa.array([it["link"] for it in items], pa.string()),
+            "title": pa.array([it["title"] for it in items], pa.string()),
+            "published": pa.array(
+                [_dt.date(2025, 6, it["day"]) for it in items], pa.date32()
+            ),
+        }
+    )
+
+
+def make_rss_feed(n: int = 40, seed: int = 42, today: str = "2025-06-20") -> pa.Table:
+    """Synthetic KISA-style feed entries (S2/M4/M5 fixture).
+
+    Four published-date shapes cycle through the entries, exercising
+    every branch of the reference's date handling (advisory.py:81-95):
+    same-day UTC timestamps; previous-day LATE-UTC timestamps that cross
+    into ``today`` only after the +9 h Seoul shift; bare ``YYYY-MM-DD``
+    regex-fallback strings (half yesterday's date → dropped by the today
+    filter); and junk that falls through to the default day. Titles and
+    links carry edge whitespace; every 3rd summary is null so the
+    description fallback fires.
+    """
+    rng = np.random.default_rng((seed, 7))
+    ids, seqs, titles, links, published, summaries, descriptions = (
+        [], [], [], [], [], [], []
+    )
+    for k in range(n):
+        kind = k % 4
+        if kind == 0:
+            hour = int(rng.integers(0, 15))  # +9h stays on the same day
+            pub = f"{today}T{hour:02d}:{int(rng.integers(0, 60)):02d}:00"
+        elif kind == 1:
+            hour = int(rng.integers(15, 24))  # +9h crosses into `today`
+            pub = f"2025-06-19T{hour:02d}:{int(rng.integers(0, 60)):02d}:00"
+        elif kind == 2:
+            d = today if k % 8 == 2 else "2025-06-19"
+            pub = f"posted on {d} KST"
+        else:
+            pub = "yesterday-ish"
+        ids.append(f"adv{k:04d}")
+        seqs.append(k)
+        titles.append(f"  {_KEYWORDS[k % len(_KEYWORDS)]} advisory {k} ")
+        links.append(f" https://kisa.example.org/adv/{k} ")
+        published.append(pub)
+        summaries.append(None if k % 3 == 0 else f"summary body {k}")
+        descriptions.append(f"description body {k}")
+    return pa.table(
+        {
+            "entry_id": pa.array(ids, pa.string()),
+            "seq": pa.array(seqs, pa.int32()),
+            "title": pa.array(titles, pa.string()),
+            "link": pa.array(links, pa.string()),
+            "published": pa.array(published, pa.string()),
+            "summary": pa.array(summaries, pa.string()),
+            "description": pa.array(descriptions, pa.string()),
         }
     )
 

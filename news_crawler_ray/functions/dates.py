@@ -53,18 +53,25 @@ def parse_korean_dates(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 def normalize_rss_dates(
     arr: pa.Array | pa.ChunkedArray,
     default_day: str | None = None,
+    tz_offset_hours: int = 0,
 ) -> pa.Array:
     """RSS-ish timestamp strings → date32.
 
-    Order of attempts per the reference: full timestamp parse, then a
-    ``YYYY-MM-DD`` regex fallback, then ``default_day`` (the reference
+    Order of attempts per the reference: full timestamp parse — shifted
+    by ``tz_offset_hours`` so a UTC feed timestamp lands on the TARGET
+    timezone's calendar day (the reference converts ``published_parsed``
+    UTC → Asia/Seoul before taking the date, advisory.py:83-88; pass 9
+    for Seoul) — then a ``YYYY-MM-DD`` regex fallback (taken verbatim,
+    no shift, advisory.py:90-93), then ``default_day`` (the reference
     uses "today"; here it is explicit config — no wall clock in the
     engine), else null.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    # attempt 1: ISO timestamp cast (strict → null on failure)
+    # attempt 1: ISO timestamp cast (strict → null on failure) + tz shift
     ts = pc.strptime(arr, format="%Y-%m-%dT%H:%M:%S", unit="s", error_is_null=True)
+    if tz_offset_hours:
+        ts = pc.add(ts, pa.scalar(np.timedelta64(tz_offset_hours * 3600, "s")))
     d1 = pc.cast(ts, pa.date32())
     # attempt 2: regex date fallback
     m = pc.extract_regex(pc.coalesce(arr, ""), ISO_DATE_RE)

@@ -68,12 +68,19 @@ def canonicalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def sha1_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """SHA-1 digests (20-byte binary) of each string. Seen-key column."""
+    """SHA-1 digests (20-byte binary) of each string. Seen-key column.
+
+    Casting to binary first makes ``to_pylist`` yield ``bytes`` — no
+    per-row ``str.encode`` — and the digest loop itself is C-bound.
+    SHA-1 is the conformance identity (north rule: canonicalized+SHA1);
+    callers keep it off hot paths by hashing only post-dedup rows.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    return pa.array(
-        [hashlib.sha1(v.encode()).digest() for v in arr.to_pylist()], pa.binary()
-    )
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        arr = pc.cast(arr, pa.binary())
+    _sha1 = hashlib.sha1
+    return pa.array([_sha1(v).digest() for v in arr.to_pylist()], pa.binary())
 
 
 def host_array(canon: pa.Array | pa.ChunkedArray) -> pa.Array:

@@ -23,12 +23,27 @@ tens of bytes per row, not documents.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import hashing as H
+
+logger = logging.getLogger(__name__)
+
+
+def _log_truncated_bucket(kind: str, size: int, cap: int) -> None:
+    """Surface capped LSH buckets: the cap prevents B²/2 pair blowups on
+    degenerate buckets, but the dropped pairs must be observable (lost
+    recall is otherwise invisible on skewed corpora)."""
+    dropped = size * (size - 1) // 2 - cap * (cap - 1) // 2
+    logger.warning(
+        "%s LSH bucket truncated: size=%d cap=%d dropped_pairs=%d",
+        kind, size, cap, dropped,
+    )
 
 
 def _rename_tbl(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
@@ -165,9 +180,11 @@ def _bucket_pairs(
 
     ``max_bucket`` caps degenerate buckets (e.g. empty-text docs): a
     bucket of B docs emits B²/2 pairs, so one pathological bucket can
-    explode the output — cap and let the logged drop surface it.
+    explode the output — cap and log the dropped-pair count.
     """
     end = group.num_rows if end is None else end
+    if end - start > max_bucket:
+        _log_truncated_bucket("minhash", end - start, max_bucket)
     n = min(end - start, max_bucket)
     if n < 2:
         return _empty_pairs(id_col)
@@ -207,12 +224,17 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    num_partitions: int | None = None,
 ):
     """Near-duplicate candidate pairs with signature-estimated jaccard.
 
     sig → band-explode (flat narrow table) → bucket-co-locating shuffle
-    with per-partition vectorized run-pairing → global pair dedup
-    (groupby max est) → threshold filter. Two shuffles, both narrow.
+    with per-partition vectorized run-pairing → threshold filter →
+    global pair distinct. Two shuffles, both narrow; the threshold is
+    applied BEFORE the distinct shuffle because ``est_jaccard`` is
+    computed from the full signatures and is identical for a pair no
+    matter which band surfaced it — the second shuffle only ever sees
+    above-threshold pairs.
     """
     sigs = minhash_signature_ds(ds, text_col, id_col, num_perm, shingle_k)
     exploded = sigs.map_batches(
@@ -224,12 +246,14 @@ def minhash_lsh_pairs(
         exploded,
         ["band", "bucket"],
         lambda t, a, b: _bucket_pairs(t, id_col, num_perm, start=a, end=b),
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
+        batch_format="pyarrow",
     )
     deduped = pairs.groupby(["id_a", "id_b"]).max("est_jaccard")
     return deduped.map_batches(
-        lambda t: _rename_tbl(t, {"max(est_jaccard)": "est_jaccard"}).filter(
-            pc.greater_equal(t["max(est_jaccard)"], threshold)
-        ),
+        lambda t: _rename_tbl(t, {"max(est_jaccard)": "est_jaccard"}),
         batch_format="pyarrow",
     )
 
@@ -307,6 +331,8 @@ def simhash_near_dup_pairs(
 
     def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
         end = g.num_rows if end is None else end
+        if end - start > 256:
+            _log_truncated_bucket("simhash", end - start, 256)
         n = min(end - start, 256)
         if n < 2:
             return pa.table(
@@ -443,6 +469,8 @@ def embedding_cosine_pairs(
 
     def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
         end = g.num_rows if end is None else end
+        if end - start > max_bucket:
+            _log_truncated_bucket("cosine", end - start, max_bucket)
         n = min(end - start, max_bucket)
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),

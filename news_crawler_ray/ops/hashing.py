@@ -102,8 +102,11 @@ def minhash_signatures(
     Empty docs get all-MAX signatures (match nothing).
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
+    # a, b < 2^32 so every product in _modmul_add fits uint64 exactly
+    # (a*hi < 2^63, a*lo < 2^62) — a genuine (a*x+b) mod 2^61-1 family,
+    # verified against big-int arithmetic in tests/test_ops.py
+    a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
     n_docs = len(offsets) - 1
     sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(shingles) == 0:
@@ -125,14 +128,19 @@ def minhash_signatures(
 
 
 def _modmul_add(x: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod 2^61-1 without 128-bit ints: split x into hi/lo 31/30."""
+    """Exact (a*x + b) mod 2^61-1 in uint64, requiring a, b < 2^32.
+
+    x < 2^61 splits into hi (< 2^31) and lo (< 2^30), so a*hi < 2^63 and
+    a*lo < 2^62 never wrap. The remaining shift (t1 << 30, up to 2^91)
+    reduces via 2^61 ≡ 1 (mod M): y*2^30 = (y>>31)*2^61 + (y&(2^31-1))*2^30
+    ≡ (y>>31) + (y&(2^31-1))<<30, every term < 2^61.
+    """
     M = MERSENNE61
     x = x[:, None]
     lo = x & np.uint64((1 << 30) - 1)
     hi = x >> np.uint64(30)
-    # a*x = (a*hi << 30) + a*lo ; reduce each term mod M
     t1 = (a * hi) % M
-    t1 = (t1 << np.uint64(30)) % M
+    t1 = ((t1 >> np.uint64(31)) + ((t1 & np.uint64((1 << 31) - 1)) << np.uint64(30))) % M
     t2 = (a * lo) % M
     return (t1 + t2 + b) % M
 

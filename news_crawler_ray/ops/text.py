@@ -35,10 +35,10 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def token_stats_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """(id, n_tokens, n_bpe_tokens, n_chars_measured) — exact-integer stats."""
     text = pc.coalesce(batch[text_col], "")
-    ws_tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
-    # count only non-empty whitespace tokens: split("") -> [""]
-    empties = pc.cast(pc.equal(pc.utf8_trim_whitespace(text), ""), pa.int64())
-    n_tokens = pc.subtract(pc.cast(ws_tokens, pa.int64()), empties)
+    # count \S+ runs directly: split-based counting overcounts edge
+    # whitespace ("a " splits to ["a", ""]) — this matches the DuckDB
+    # oracle regexp_extract_all(text, '\S+') exactly
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
     n_bpe = pc.cast(pc.count_substring_regex(text, BPE_TOKEN_RE), pa.int64())
     n_chars = pc.cast(pc.utf8_length(text), pa.int64())
     return pa.table(

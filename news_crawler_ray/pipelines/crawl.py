@@ -63,8 +63,22 @@ class CrawlConfig:
     num_seen_shards: int = 4
     seen_capacity_per_shard: int = 1 << 16
     dedup_partitions: int = 8
+    # "fused": ONE host-key shuffle + a fused per-partition kernel
+    # (dedup + seen + robots + host rank in one actor stage — no global
+    # sorts, no materialize; stages/politeness.WaveScheduleStage);
+    # "sorted": the round-1 chain of per-step global sorts (kept for
+    # A/B measurement and as the reference implementation of the order
+    # contract).
+    schedule_strategy: str = "fused"
+    # global crawl_rank = zip-with-index over (fetch_at_us, priority
+    # desc, url) — one extra global sort + materialize per wave. The
+    # crawl ORDER is already fully determined by those columns in the
+    # output; the materialized rank is a conformance/display concern,
+    # so benches turn it off.
+    compute_crawl_rank: bool = True
     # "sort": range-partition sort + run stitching (task-based, scales
-    # best in-sandbox); "hash": key shuffle (dedup_frontier)
+    # best in-sandbox); "hash": key shuffle (dedup_frontier). Only used
+    # by schedule_strategy="sorted" (fused dedups inside its kernel).
     dedup_strategy: str = "sort"
     # Actor-pool sizing. "auto" sizes each pool as a FRACTION of the
     # session's CPUs with fractional num_cpus per actor — measured to
@@ -75,6 +89,7 @@ class CrawlConfig:
     seen_filter_concurrency: int | tuple | str = "auto"
     robots_concurrency: int | tuple | str = "auto"
     verify_concurrency: int | tuple | str = "auto"
+    schedule_concurrency: int | tuple | str = "auto"
     pool_actor_cpus: float = 0.7  # logical CPUs per pool actor in auto mode
     fetch_batch_size: int = 1024
     # "broadcast": ray.put the store once, keyed lookup per batch (small
@@ -195,9 +210,9 @@ def run_crawl(
             # the preferred at-scale layout — waves shuffle only narrow
             # frontier rows, payload bytes never move between workers
             shard_dir = pagestore
-            num_store_shards = len(
-                [d for d in os.listdir(pagestore) if d.startswith("shard-")]
-            )
+            from ..stages.fetch import read_store_manifest
+
+            num_store_shards = read_store_manifest(pagestore)
         else:
             from ..sources.pagestore import read_pagestore
 
@@ -268,29 +283,52 @@ def run_crawl(
             break
 
         tp = time.monotonic()
-        canon = canonicalize(candidates)
-        if cfg.dedup_strategy == "sort":
-            deduped = dedup_frontier_sorted(canon)
+        if cfg.schedule_strategy == "fused":
+            from ..stages.index import zip_with_index
+            from ..stages.politeness import schedule_fused
+
+            canon = canonicalize(candidates, with_sha1=False)
+            scheduled = schedule_fused(
+                canon,
+                robots_ref,
+                seen.shards,
+                concurrency=pools["schedule"]["concurrency"],
+                num_cpus=pools["schedule"].get("num_cpus"),
+                default_delay_ms=cfg.default_delay_ms,
+                num_partitions=cfg.dedup_partitions,
+            )
+            if cfg.compute_crawl_rank:
+                scheduled = zip_with_index(
+                    scheduled,
+                    ["fetch_at_us", "priority", "url"],
+                    [False, True, False],
+                    rank_col="crawl_rank",
+                )
+            tp = _tr("fused schedule", tp)
         else:
-            deduped = dedup_frontier(canon, num_partitions=cfg.dedup_partitions)
-        tp = _tr("dedup(eager)", tp)
-        fresh = deduped.map_batches(
-            SeenFilterStage,
-            fn_constructor_kwargs={"shards": seen.shards},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=pools["seen"]["concurrency"],
-            num_cpus=pools["seen"].get("num_cpus"),
-        )
-        scheduled = schedule(
-            fresh,
-            robots_ref,
-            concurrency=pools["robots"]["concurrency"],
-            robots_num_cpus=pools["robots"].get("num_cpus"),
-            default_delay_ms=cfg.default_delay_ms,
-            num_partitions=cfg.dedup_partitions,
-        )
-        tp = _tr("seen+schedule(eager sorts)", tp)
+            canon = canonicalize(candidates)
+            if cfg.dedup_strategy == "sort":
+                deduped = dedup_frontier_sorted(canon)
+            else:
+                deduped = dedup_frontier(canon, num_partitions=cfg.dedup_partitions)
+            tp = _tr("dedup(eager)", tp)
+            fresh = deduped.map_batches(
+                SeenFilterStage,
+                fn_constructor_kwargs={"shards": seen.shards},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                concurrency=pools["seen"]["concurrency"],
+                num_cpus=pools["seen"].get("num_cpus"),
+            )
+            scheduled = schedule(
+                fresh,
+                robots_ref,
+                concurrency=pools["robots"]["concurrency"],
+                robots_num_cpus=pools["robots"].get("num_cpus"),
+                default_delay_ms=cfg.default_delay_ms,
+                num_partitions=cfg.dedup_partitions,
+            )
+            tp = _tr("seen+schedule(eager sorts)", tp)
         if shard_dir is not None:
             fetched_raw = fetch_sharded(
                 scheduled,
@@ -383,13 +421,15 @@ def _resolve_pools(cfg: CrawlConfig) -> dict[str, dict]:
     the whole cluster busy; autoscaling pools were measured to plateau.
     """
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    fracs = {"robots": 0.08, "seen": 0.15, "fetch": 0.25, "verify": 0.5}
+    fracs = {"robots": 0.08, "seen": 0.15, "fetch": 0.25, "verify": 0.5,
+             "schedule": 0.35}
     out: dict[str, dict] = {}
     for name, key in (
         ("robots", "robots_concurrency"),
         ("seen", "seen_filter_concurrency"),
         ("fetch", "fetch_concurrency"),
         ("verify", "verify_concurrency"),
+        ("schedule", "schedule_concurrency"),
     ):
         val = getattr(cfg, key)
         if val == "auto":

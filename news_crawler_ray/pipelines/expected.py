@@ -1,0 +1,448 @@
+"""Independent sequential oracles for the non-SQL-expressible queries.
+
+Each function recomputes a query's expected result with plain Python
+loops / dict buckets / numpy over the SAME deterministic inputs — no Ray,
+no Arrow shuffles, no shared pipeline machinery (hash/codec primitives
+are shared pure functions; everything distributed is re-derived
+sequentially, the way the reference's single-process loops would,
+/root/reference/src/secbot/scheduler.py:39-89). The results are rendered
+as inline ``VALUES`` SQL (:func:`values_sql`) so DuckDB can verify the
+Ray pipelines row-for-row without reading any temp files.
+
+Caps note: the engine truncates LSH buckets at 256/512 rows; these
+oracles REFUSE (raise) if a fixture bucket ever exceeds the cap, so an
+oracle can never silently agree with a truncated result.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..fixtures import synth
+from ..ops import hashing as H
+from ..testing.oracle import crawl_oracle
+
+_SQL_TYPE = {
+    pa.int64(): "BIGINT",
+    pa.int32(): "INTEGER",
+    pa.string(): "VARCHAR",
+    pa.bool_(): "BOOLEAN",
+    pa.date32(): "DATE",
+    pa.float64(): "DOUBLE",
+}
+
+
+def _sql_literal(v, typ: pa.DataType) -> str:
+    if v is None:
+        return "NULL"
+    if pa.types.is_string(typ):
+        return "'" + str(v).replace("'", "''") + "'"
+    if pa.types.is_boolean(typ):
+        return "TRUE" if v else "FALSE"
+    if pa.types.is_date(typ):
+        return f"DATE '{v.isoformat()}'"
+    return repr(v)
+
+
+def values_sql(tbl: pa.Table) -> str:
+    """Render a small Arrow table as a typed DuckDB VALUES subquery."""
+    cols = tbl.column_names
+    types = [tbl.schema.field(c).type for c in cols]
+    rows = []
+    pylists = [tbl[c].to_pylist() for c in cols]
+    for i in range(tbl.num_rows):
+        rows.append(
+            "(" + ", ".join(_sql_literal(pylists[j][i], types[j]) for j in range(len(cols))) + ")"
+        )
+    casts = ", ".join(
+        f"CAST(c{j} AS {_SQL_TYPE[t]}) AS {c}" for j, (c, t) in enumerate(zip(cols, types))
+    )
+    names = ", ".join(f"c{j}" for j in range(len(cols)))
+    return (
+        f"SELECT {casts} FROM (VALUES " + ", ".join(rows) + f") AS _v({names})"
+    )
+
+
+def _pairs_table(pairs: set[tuple[int, int]]) -> pa.Table:
+    rows = sorted(pairs)
+    return pa.table(
+        {
+            "id_a": pa.array([a for a, _ in rows], pa.int64()),
+            "id_b": pa.array([b for _, b in rows], pa.int64()),
+        }
+    )
+
+
+def _check_cap(size: int, cap: int, what: str) -> None:
+    if size > cap:
+        raise RuntimeError(
+            f"{what} oracle fixture produced a bucket of {size} > engine cap "
+            f"{cap}: the oracle would not match the capped engine output"
+        )
+
+
+# ------------------------------------------------------------------ IOC
+
+
+def expected_iocs() -> pa.Table:
+    """Sequential re-extraction over the IOC fixture pages (M8/A6/A7):
+    per-page findall → refang/validate → global distinct+sort. Shares
+    only the compiled patterns with the engine (the regex IS the
+    operator's spec, ref src/secbot/parsers/ioc.py:34-53); the distinct/
+    merge machinery under test is re-derived with a plain set."""
+    from ..stages.parse import HASH_RE, IP_RE, URL_RE, _refang, _valid_ip
+
+    pages = synth.make_ioc_pages(60, seed=42)
+    seen: set[tuple[str, str]] = set()
+    for text in pages["text"].to_pylist():
+        for m in IP_RE.findall(text):
+            v = _refang(m)
+            if _valid_ip(v):
+                seen.add(("ip", v))
+        for m in HASH_RE.findall(text):
+            seen.add(("hash", m.lower()))
+        for m in URL_RE.findall(text):
+            seen.add(("url", _refang(m)))
+    rows = sorted(seen)
+    return pa.table(
+        {
+            "kind": pa.array([k for k, _ in rows], pa.string()),
+            "value": pa.array([v for _, v in rows], pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------------------ LSH pairs
+
+
+def _planted(sf_dir: str, mutate) -> pa.Table:
+    from .queries import _planted_docs_tbl
+
+    return _planted_docs_tbl(sf_dir, mutate)
+
+
+def expected_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Brute-force MinHash-LSH pairs: dict-of-buckets + nested loops."""
+    from .queries import _drop_word3
+
+    tbl = _planted(sf_dir, _drop_word3)
+    th, off = H.tokenize_batch(tbl["text"])
+    sh, soff = H.shingle_hashes(th, off, 5)
+    sig = H.minhash_signatures(sh, soff, 64)
+    bh = H.band_hashes(sig, 16)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    n, bands = bh.shape
+    for i in range(n):
+        for b in range(bands):
+            buckets[(b, int(bh[i, b]))].append(i)
+    pairs: set[tuple[int, int]] = set()
+    for rows in buckets.values():
+        _check_cap(len(rows), 256, "minhash")
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                i, j = rows[x], rows[y]
+                key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                if key in pairs:
+                    continue
+                est = float((sig[i] == sig[j]).mean())
+                if est >= threshold:
+                    pairs.add(key)
+    return _pairs_table(pairs)
+
+
+def expected_ngram_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Exact shingle-jaccard filter over the expected minhash pairs."""
+    from .queries import _drop_word3
+
+    tbl = _planted(sf_dir, _drop_word3)
+    th, off = H.tokenize_batch(tbl["text"])
+    sh, soff = H.shingle_hashes(th, off, 5)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    shingle_sets = [
+        set(sh[soff[i] : soff[i + 1]].tolist()) for i in range(len(soff) - 1)
+    ]
+    cand = expected_minhash_pairs(sf_dir)
+    keep: set[tuple[int, int]] = set()
+    for a, b in zip(cand["id_a"].to_pylist(), cand["id_b"].to_pylist()):
+        A, B = shingle_sets[pos[a]], shingle_sets[pos[b]]
+        u = len(A | B)
+        j = (len(A & B) / u) if u else 1.0
+        if j >= threshold:
+            keep.add((a, b))
+    return _pairs_table(keep)
+
+
+def expected_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    from .queries import _swap01
+
+    tbl = _planted(sf_dir, _swap01)
+    th, off = H.tokenize_batch(tbl["text"])
+    h = H.simhash64(th, off)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in range(len(h)):
+        for b in range(4):
+            buckets[(b, int((h[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF)))].append(i)
+    pairs: set[tuple[int, int]] = set()
+    for rows in buckets.values():
+        _check_cap(len(rows), 256, "simhash")
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                i, j = rows[x], rows[y]
+                key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                if key in pairs:
+                    continue
+                if int(H.hamming_distance64(h[i : i + 1], h[j : j + 1])[0]) <= max_hamming:
+                    pairs.add(key)
+    return _pairs_table(pairs)
+
+
+def expected_embedding_pairs(sf_dir: str, threshold: float = 0.98) -> pa.Table:
+    """Sequential hyperplane-LSH cosine pairs. V is taken from the SAME
+    float32 Arrow table the query feeds the pipeline (identical
+    rounding)."""
+    from .queries import _planted_embeddings_tbl
+
+    tbl = _planted_embeddings_tbl(sf_dir)
+    n = tbl.num_rows
+    V = np.asarray(tbl["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    rng = np.random.default_rng(11)
+    proj = rng.standard_normal((4, 12, 64))
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    weights = 1 << np.arange(12, dtype=np.int64)
+    for t in range(4):
+        codes = ((V @ proj[t].T) > 0) @ weights
+        for i in range(n):
+            buckets[(t, int(codes[i]))].append(i)
+    pairs: set[tuple[int, int]] = set()
+    for rows in buckets.values():
+        _check_cap(len(rows), 512, "cosine")
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                i, j = rows[x], rows[y]
+                key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                if key in pairs:
+                    continue
+                if float(V[i] @ V[j]) >= threshold:
+                    pairs.add(key)
+    return _pairs_table(pairs)
+
+
+# ------------------------------------------------------------------ kNN
+
+
+def expected_knn_ivf(sf_dir: str) -> pa.Table:
+    """Sequential IVF scan: same centroids, same probe pruning (union of
+    all queries' nprobe lists), exact per-query top-10 with
+    (score desc, neighbor_id asc) ties."""
+    from ..ops.similarity import train_centroids
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    C = train_centroids(E[: min(len(E), 2000)], nlist=16)
+
+    def norm(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    En, Cn, Qn = norm(E), norm(C), norm(E[:5])
+    q_ids = ids[:5]
+    assign = np.argmax(En @ Cn.T, axis=1)
+    probe = np.argsort(-(Qn @ Cn.T), axis=1)[:, :8]
+    wanted = set(np.unique(probe.ravel()).tolist())
+    cand = np.array([i for i in range(len(E)) if assign[i] in wanted])
+    out_q, out_n = [], []
+    for qi, qid in enumerate(q_ids):
+        scores = En[cand] @ Qn[qi]
+        order = sorted(
+            range(len(cand)),
+            key=lambda r: (-scores[r], ids[cand[r]]),
+        )
+        picked = [r for r in order if ids[cand[r]] != qid][:10]
+        for r in picked:
+            out_q.append(int(qid))
+            out_n.append(int(ids[cand[r]]))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+# ----------------------------------------------------------- multimodal
+
+
+def expected_image_features() -> pa.Table:
+    """Sequential decode + phash of every fixture image (the distributed
+    actor-pool stage must agree row-for-row). The stored ``phash`` is
+    NOT used: lossy jpeg round-trips legitimately flip 1-2 phash bits,
+    so the oracle derives phash_check from an actual decode, exactly as
+    the reference would process pages one at a time."""
+    from ..fixtures import codec
+
+    ps = synth.make_pagestore(60, seed=42)
+    checks = [
+        int(codec.phash64(codec.decode(buf, fmt)))
+        for buf, fmt in zip(ps["bytes"].to_pylist(), ps["fmt"].to_pylist())
+    ]
+    return pa.table(
+        {
+            "image_id": ps["image_id"],
+            "phash_check": pa.array(checks, pa.int64()),
+            "decode_ok": pa.array([True] * ps.num_rows, pa.bool_()),
+        }
+    )
+
+
+def expected_resize() -> pa.Table:
+    ps = synth.make_pagestore(40, seed=42)
+    return pa.table(
+        {
+            "image_id": ps["image_id"],
+            "w": pa.array([16] * ps.num_rows, pa.int32()),
+            "h": pa.array([16] * ps.num_rows, pa.int32()),
+            "fmt": ps["fmt"],
+        }
+    )
+
+
+# ---------------------------------------------------------------- crawl
+
+
+def expected_crawl_flagship() -> pa.Table:
+    """Pure-Python sequential crawl (testing/oracle.py) over the flagship
+    fixtures, projected to the query's output columns."""
+    import re
+
+    ps = synth.make_pagestore(80, seed=42)
+    fr = synth.make_frontier(60, seed=42)
+    robots = synth.make_robots(seed=42)
+    res = crawl_oracle(
+        fr.to_pylist(), ps.to_pylist(), robots.to_pylist(), max_waves=2
+    )
+    id_re = re.compile(r"/p/([^/?#]+)$")
+    urls, hosts, waves, ranks, statuses, iids = [], [], [], [], [], []
+    it = iter(res.fetched)
+    for w, wave_urls in enumerate(res.crawl_order):
+        for rank in range(len(wave_urls)):
+            r = next(it)
+            urls.append(r["url"])
+            hosts.append(r["host"])
+            waves.append(w)
+            ranks.append(rank)
+            statuses.append(r["fetch_status"])
+            m = id_re.search(r["url"])
+            iids.append(m.group(1) if m else None)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "wave": pa.array(waves, pa.int32()),
+            "crawl_rank": pa.array(ranks, pa.int64()),
+            "fetch_status": pa.array(statuses, pa.string()),
+            "image_id": pa.array(iids, pa.string()),
+        }
+    )
+
+
+# ------------------------------------------------------------- assembly
+
+
+@lru_cache(maxsize=4)
+def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """DuckDB oracle statements for the formerly rows-only queries.
+
+    Expected-table queries inline their VALUES; langid / news_pipeline /
+    ip_block_rules additionally express the operator's logic in real SQL
+    on top of raw inputs.
+    """
+    from ..ops.text import LANG_MARKERS
+
+    sql: dict[str, str] = {}
+    sql["ioc_extract"] = values_sql(expected_iocs())
+    sql["minhash_dedup_pairs"] = values_sql(expected_minhash_pairs(sf_dir))
+    sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
+    sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
+    sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
+    sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
+    sql["image_features"] = values_sql(expected_image_features())
+    sql["resize_images"] = values_sql(expected_resize())
+    sql["crawl_flagship"] = values_sql(expected_crawl_flagship())
+
+    # ip_block_rules: distinct IPs from the expected IOC table, then the
+    # SID + rule-line logic in real SQL (ref suricata.py:60,182-189)
+    ioc_values = values_sql(expected_iocs())
+    sql["ip_block_rules"] = (
+        "WITH ioc AS (" + ioc_values + "), "
+        "ips AS (SELECT DISTINCT value FROM ioc WHERE kind = 'ip'), "
+        "ranked AS (SELECT value, 7000000 + row_number() OVER (ORDER BY value) - 1 AS sid FROM ips) "
+        "SELECT value, sid, 'drop ip ' || value || "
+        "' any <> any any (msg:\"SecBot blocked IP\"; sid:' || sid || '; rev:1;)' AS rule "
+        "FROM ranked"
+    )
+
+    # news_pipeline: ground-truth items + the whole filter/dedup/sort/
+    # limit logic in real SQL (ref news.py:141-162)
+    truth = values_sql(synth.make_html_listing_truth(6, 10, seed=42))
+    kw_re = "|".join(synth.keywords())
+    sql["news_pipeline"] = (
+        "WITH items AS (" + truth + "), "
+        f"kw AS (SELECT * FROM items WHERE regexp_matches(lower(title), '{kw_re}')), "
+        "dedup AS (SELECT link, title, published FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY link ORDER BY published DESC, title) AS rn FROM kw"
+        ") WHERE rn = 1) "
+        "SELECT link, title, published FROM dedup ORDER BY published DESC, link LIMIT 20"
+    )
+
+    # rss_advisories: raw feed entries inlined, then the WHOLE operator
+    # (head-limit, strip, summary coalesce, UTC→Seoul date shift, regex
+    # + default-day fallbacks, today filter) in real SQL
+    # (ref advisory.py:61-109)
+    raw = values_sql(synth.make_rss_feed(40, seed=42, today="2025-06-20"))
+    sql["rss_advisories"] = (
+        "WITH raw AS (" + raw + "), "
+        "lim AS (SELECT * FROM raw WHERE seq < 30), "
+        "parsed AS (SELECT entry_id, trim(title) AS title, trim(link) AS link, "
+        "COALESCE("
+        "CAST(try_strptime(published, '%Y-%m-%dT%H:%M:%S') + INTERVAL 9 HOUR AS DATE), "
+        r"CAST(try_strptime(NULLIF(regexp_extract(published, '\d{4}-\d{2}-\d{2}'), ''), '%Y-%m-%d') AS DATE), "
+        "DATE '2025-06-20') AS published, "
+        "COALESCE(summary, description, '') AS summary FROM lim) "
+        "SELECT entry_id, title, link, published, summary FROM parsed "
+        "WHERE published = DATE '2025-06-20'"
+    )
+
+    # langid: the marker-vote heuristic in real SQL over documents
+    def marker_count(lang: str) -> str:
+        ms = LANG_MARKERS[lang]
+        if lang == "zh":
+            pat = "|".join(ms)
+        else:
+            pat = r"\b(" + "|".join(ms) + r")\b"
+        return rf"len(regexp_extract_all(lower(text), '{pat}')) AS {lang}"
+
+    langs = list(LANG_MARKERS)
+    counts = ", ".join(marker_count(lang) for lang in langs)
+    g = "greatest(" + ", ".join(langs) + ")"
+    n_at_max = " + ".join(f"CAST({lang} = g AS INTEGER)" for lang in langs)
+    pick = " ".join(f"WHEN {lang} = g THEN '{lang}'" for lang in langs)
+    sql["langid"] = (
+        f"WITH c AS (SELECT doc_id, {counts} FROM documents), "
+        f"m AS (SELECT *, {g} AS g FROM c) "
+        f"SELECT doc_id, CASE WHEN g = 0 OR ({n_at_max}) > 1 THEN 'und' "
+        f"{pick} END AS lang_pred FROM m"
+    )
+    return sql

@@ -336,6 +336,39 @@ ORACLE_SQL: dict[str, str] = {
 # --------------------------------------------------------------- rows-only
 
 
+def _drop_word3(s: str) -> str:
+    """Near-dup mutation: drop the 4th word (minhash/ngram fixtures)."""
+    return " ".join(w for i, w in enumerate(s.split()) if i != 3)
+
+
+def _swap01(s: str) -> str:
+    """Near-dup mutation: swap the first two words (simhash fixture)."""
+    w = s.split()
+    if len(w) >= 2:
+        w[0], w[1] = w[1], w[0]
+    return " ".join(w)
+
+
+def _planted_embeddings_tbl(sf_dir: str) -> pa.Table:
+    """Embeddings + planted noisy copies (seed 3) — shared by the query
+    and its expected-pairs oracle so both see identical input."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(3)
+    E2 = E + rng.standard_normal(E.shape) * 0.01
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
+            "embedding": pa.array(
+                np.concatenate([E, E2]).tolist(), pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
 def _planted_docs_tbl(sf_dir: str, mutate) -> pa.Table:
     t = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -353,11 +386,7 @@ def _planted_docs_tbl(sf_dir: str, mutate) -> pa.Table:
 def q_minhash_dedup_pairs(sf_dir: str):
     """MinHash+LSH near-dup detection over documents + planted one-word-
     drop mutations (deterministic). Non-SQL: LSH bucketing."""
-    planted = ray.data.from_arrow(
-        _planted_docs_tbl(
-            sf_dir, lambda s: " ".join(w for i, w in enumerate(s.split()) if i != 3)
-        )
-    )
+    planted = ray.data.from_arrow(_planted_docs_tbl(sf_dir, _drop_word3))
     pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
     return pairs.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
@@ -366,9 +395,7 @@ def q_minhash_dedup_pairs(sf_dir: str):
 
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact n-gram jaccard verification of the minhash candidates."""
-    planted_tbl = _planted_docs_tbl(
-        sf_dir, lambda s: " ".join(w for i, w in enumerate(s.split()) if i != 3)
-    )
+    planted_tbl = _planted_docs_tbl(sf_dir, _drop_word3)
     planted = ray.data.from_arrow(planted_tbl)
     pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
     ver = dd.ngram_jaccard_verify(pairs, ray.data.from_arrow(planted_tbl), threshold=0.6)
@@ -377,14 +404,7 @@ def q_ngram_jaccard_pairs(sf_dir: str):
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs over documents + word-swapped copies."""
-
-    def swap(s):
-        w = s.split()
-        if len(w) >= 2:
-            w[0], w[1] = w[1], w[0]
-        return " ".join(w)
-
-    planted = ray.data.from_arrow(_planted_docs_tbl(sf_dir, swap))
+    planted = ray.data.from_arrow(_planted_docs_tbl(sf_dir, _swap01))
     return dd.simhash_near_dup_pairs(planted, max_hamming=3).map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
@@ -392,19 +412,7 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (planted noisy copies, seed 3)."""
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    rng = np.random.default_rng(3)
-    E2 = E + rng.standard_normal(E.shape) * 0.01
-    ids = np.asarray(t["vec_id"], dtype=np.int64)
-    tab = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000]), pa.int64()),
-            "embedding": pa.array(np.concatenate([E, E2]).tolist(), pa.list_(pa.float32())),
-        }
-    )
+    tab = _planted_embeddings_tbl(sf_dir)
     pairs = dd.embedding_cosine_pairs(ray.data.from_arrow(tab), threshold=0.98)
     return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
@@ -509,14 +517,41 @@ def q_news_pipeline(sf_dir: str):
         lambda t: t.filter(pc.is_valid(t["published"])),
         batch_format="pyarrow",
     )
-    # newest-first, dedup by link keep-first, limit
-    ordered = cut.sort(["published", "link"], descending=[True, False])
-    first_per_link = ordered.groupby("link").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # dedup by link keep-NEWEST (rank inside each link group by
+    # published desc, title asc — order is computed per group, never
+    # inherited across a shuffle), then newest-first sort + limit.
+    # partitioned_group_rank replaces groupby().map_groups (~1 ms/group
+    # overhead with one group per link) with one key shuffle + a
+    # vectorized per-partition rank kernel.
+    from ..stages.index import partitioned_group_rank
+
+    ranked = partitioned_group_rank(
+        cut, "link", ["published", "title"], [True, False], rank_col="_r"
+    )
+    first_per_link = ranked.map_batches(
+        lambda t: t.filter(pc.equal(t["_r"], 0)).drop_columns(["_r"]),
+        batch_format="pyarrow",
     )
     top = first_per_link.sort(["published", "link"], descending=[True, False]).limit(20)
     return top.map_batches(
         lambda t: t.select(["link", "title", "published"]), batch_format="pyarrow"
+    )
+
+
+RSS_TODAY = "2025-06-20"
+
+
+def q_rss_advisories(sf_dir: str):
+    """S2+M4+M5: feed entries → head-limit (seq < 30) → projection with
+    UTC→Seoul(+9h) date normalization + regex/default fallbacks →
+    today-filter. Deterministic fixture; real-SQL oracle re-derives the
+    tz arithmetic in DuckDB (expected.py)."""
+    from ..fixtures import synth
+    from ..stages.rss import parse_rss_entries
+
+    feed = ray.data.from_arrow(synth.make_rss_feed(40, seed=42, today=RSS_TODAY))
+    return parse_rss_entries(
+        feed, tz_offset_hours=9, default_day=RSS_TODAY, limit=30, day_filter=RSS_TODAY
     )
 
 
@@ -537,6 +572,18 @@ def q_crawl_flagship(sf_dir: str):
     return res.fetched_dataset().select_columns(
         ["url", "host", "wave", "crawl_rank", "fetch_status", "image_id"]
     )
+
+
+def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Full oracle dict: static SQL over the sf views + the independent
+    sequential-oracle statements (pipelines/expected.py) for the
+    formerly rows-only queries. ``sf_dir`` must be the scale the driver
+    runs correctness at (sf0.01 per the contract)."""
+    from .expected import expected_oracle_sql
+
+    out = dict(ORACLE_SQL)
+    out.update(expected_oracle_sql(sf_dir))
+    return out
 
 
 def build_queries() -> dict:
@@ -570,5 +617,6 @@ def build_queries() -> dict:
         "image_features": q_image_features,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
+        "rss_advisories": q_rss_advisories,
         "crawl_flagship": q_crawl_flagship,
     }

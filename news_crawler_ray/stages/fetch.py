@@ -95,12 +95,12 @@ class BroadcastFetcher:
         if store["bytes"].num_chunks > 1:
             store = store.combine_chunks()
         self.store = store.select(PAYLOAD_COLS)
-        self.index = {v: i for i, v in enumerate(store["image_id"].to_pylist())}
+        self.ids = store["image_id"].combine_chunks()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = add_image_id(batch)
-        ids = batch["image_id"].to_pylist()
-        rows = np.array([self.index.get(v, -1) for v in ids], dtype=np.int64)
+        pos = pc.index_in(batch["image_id"].combine_chunks(), value_set=self.ids)
+        rows = np.asarray(pc.fill_null(pos, -1), dtype=np.int64)
         found = rows >= 0
         payload = self.store.take(pa.array(np.where(found, rows, 0), pa.int64()))
         cols = dict(zip(batch.column_names, batch.columns))
@@ -140,6 +140,27 @@ def shard_of_image_id(ids: pa.Array | pa.ChunkedArray, num_shards: int) -> np.nd
     return (h % np.uint64(num_shards)).astype(np.int64)
 
 
+STORE_MANIFEST = "store_manifest.json"
+
+STORE_SCHEMA = pa.schema([("image_id", pa.string())] + list(PAYLOAD_SCHEMA))
+
+
+def read_store_manifest(shard_dir: str) -> int:
+    """Shard modulus of a partitioned store. The manifest is the source
+    of truth (counting ``shard-*`` dirs breaks when a shard hashed empty:
+    the inferred modulus would differ from partition time and every
+    lookup would route wrong). Legacy dirs without a manifest fall back
+    to the dir count."""
+    import json
+    import os
+
+    p = os.path.join(shard_dir, STORE_MANIFEST)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(json.load(f)["num_shards"])
+    return len([d for d in os.listdir(shard_dir) if d.startswith("shard-")])
+
+
 def partition_pagestore(
     pagestore_ds: "ray.data.Dataset", out_dir: str, num_shards: int = 32
 ) -> str:
@@ -148,7 +169,12 @@ def partition_pagestore(
     permanently; every crawl wave then ships only narrow frontier rows,
     never payload bytes (contrast: a Dataset.join re-shuffles the whole
     payload side per wave).
+
+    Every shard dir is created (empty shards get an empty parquet) and
+    ``num_shards`` is persisted in ``store_manifest.json`` so readers
+    never have to infer the modulus from the directory listing.
     """
+    import json
     import os
 
     import pyarrow.parquet as pq
@@ -170,6 +196,15 @@ def partition_pagestore(
         return pa.table({"written": pa.array([t.num_rows], pa.int64())})
 
     parts.map_batches(write_block, batch_format="pyarrow", batch_size=None).count()
+    for s in range(num_shards):
+        d = os.path.join(out_dir, f"shard-{s}")
+        if not os.path.isdir(d):
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(STORE_SCHEMA.empty_table(), os.path.join(d, "part.parquet"))
+    tmp = os.path.join(out_dir, STORE_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"num_shards": num_shards}, f)
+    os.replace(tmp, os.path.join(out_dir, STORE_MANIFEST))
     return out_dir
 
 
@@ -180,25 +215,40 @@ class ShardLookupFetcher:
     payload shuffle.
     """
 
-    def __init__(self, shard_dir: str, max_cached: int = 4):
+    def __init__(self, shard_dir: str, max_cached: int = 4, read_attempts: int = 3):
         import collections
+
+        import pyarrow.parquet as pq
+
+        from ..functions.retry import with_retry
 
         self.shard_dir = shard_dir
         self.cache: "collections.OrderedDict[int, tuple]" = collections.OrderedDict()
         self.max_cached = max_cached
+        # T5: transient shard-read failures are retried in-actor with
+        # backoff (ref utils/retry.py:29-77 semantics) instead of
+        # failing the batch; a persistent failure still raises.
+        self._read = with_retry(
+            pq.read_table, attempts=read_attempts, initial_delay_s=0.05
+        )
 
     def _shard(self, s: int):
         import os
-
-        import pyarrow.parquet as pq
 
         hit = self.cache.get(s)
         if hit is not None:
             self.cache.move_to_end(s)
             return hit
         path = os.path.join(self.shard_dir, f"shard-{s}")
-        tbl = pq.read_table(path).combine_chunks()
-        index = {v: i for i, v in enumerate(tbl["image_id"].to_pylist())}
+        if not os.path.isdir(path):
+            # never-written shard (legacy layout without empty-shard
+            # files): treat as empty so lookups yield "missing" rows
+            # instead of crashing the actor
+            tbl = STORE_SCHEMA.empty_table()
+        else:
+            tbl = self._read(path).combine_chunks()
+        ids = tbl["image_id"].combine_chunks() if tbl.num_rows else tbl["image_id"]
+        index = (ids, tbl.num_rows)
         self.cache[s] = (tbl.select(PAYLOAD_COLS), index)
         if len(self.cache) > self.max_cached:
             self.cache.popitem(last=False)
@@ -213,15 +263,17 @@ class ShardLookupFetcher:
             cols["fetch_status"] = pa.array([], pa.string())
             return pa.table(cols)
         shards = np.asarray(batch["_fetch_shard"], dtype=np.int64)
-        ids = batch["image_id"].to_pylist()
+        batch_ids = batch["image_id"].combine_chunks()
         rows = np.empty(batch.num_rows, dtype=np.int64)
         stores: dict[int, pa.Table] = {}
         for s in np.unique(shards):
-            tbl, index = self._shard(int(s))
+            tbl, (shard_ids, n_rows) = self._shard(int(s))
             stores[int(s)] = tbl
             sel = np.nonzero(shards == s)[0]
-            for i in sel:
-                rows[i] = index.get(ids[i], -1)
+            # vectorized probe: position of each batch id in the shard's
+            # id column (null → not present → -1)
+            pos = pc.index_in(batch_ids.take(pa.array(sel)), value_set=shard_ids)
+            rows[sel] = np.asarray(pc.fill_null(pos, -1), dtype=np.int64)
         found = rows >= 0
         # gather per shard, then re-interleave into batch order
         order = np.argsort(shards, kind="stable")
@@ -230,8 +282,18 @@ class ShardLookupFetcher:
         gathered = []
         for s in np.unique(shards):
             sel = order[shards[order] == s]
+            tbl = stores[int(s)]
+            if tbl.num_rows == 0:
+                # legitimately-empty shard: all-null payload rows (the
+                # placeholder index-0 trick needs ≥1 row to gather)
+                gathered.append(
+                    pa.table(
+                        {f.name: pa.nulls(len(sel), f.type) for f in PAYLOAD_SCHEMA}
+                    )
+                )
+                continue
             idx = pa.array(np.where(found[sel], rows[sel], 0), pa.int64())
-            gathered.append(stores[int(s)].take(idx))
+            gathered.append(tbl.take(idx))
         payload = pa.concat_tables(gathered).combine_chunks()
         payload = payload.take(pa.array(inv, pa.int64()))
         cols = dict(zip(batch.column_names, batch.columns))

@@ -32,6 +32,185 @@ from .index import partitioned_group_rank, with_group_rank, zip_with_index
 _PATH_RE = r"^[a-z]+://[^/]+(?P<path>/.*)$"
 
 
+def _host_runs(hosts: pa.Array):
+    """(starts, values) of host runs in a host-sorted column."""
+    n = len(hosts)
+    if n == 0:
+        return np.zeros(0, np.int64), []
+    if n == 1:
+        return np.zeros(1, np.int64), [hosts[0].as_py()]
+    neq = pc.not_equal(hosts.slice(1), hosts.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.concatenate([[0], np.nonzero(neq)[0] + 1]).astype(np.int64)
+    values = hosts.take(pa.array(starts)).to_pylist()
+    return starts, values
+
+
+def robots_rank_block(
+    t: pa.Table, cfg: dict, default_delay_ms: int
+) -> pa.Table:
+    """Robots filter + per-host politeness rank for ONE host-complete block.
+
+    The block must contain every surviving row of each host it contains
+    (hash-partition by host upstream). One local sort by
+    (host, priority desc, url), then per-HOST-RUN work: delay lookup and
+    disallow-prefix checks are done once per host with vectorized
+    ``pc.starts_with`` over the run's paths (no per-row Python), ranks
+    are arange-minus-boundary per run. Appends delay_ms, host_rank,
+    fetch_at_us.
+    """
+    if t.num_rows == 0:
+        out = t.append_column("delay_ms", pa.array([], pa.int32()))
+        out = out.append_column("host_rank", pa.array([], pa.int64()))
+        return out.append_column("fetch_at_us", pa.array([], pa.int64()))
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("host", "ascending"), ("priority", "descending"), ("url", "ascending")],
+    )
+    s = t.take(idx)
+    n = s.num_rows
+    hosts = s["host"].combine_chunks()
+    paths = pc.struct_field(pc.extract_regex(s["url"], _PATH_RE), "path")
+    starts, values = _host_runs(hosts)
+    ends = np.concatenate([starts[1:], [n]])
+    keep = np.ones(n, dtype=bool)
+    delays = np.full(n, default_delay_ms, dtype=np.int32)
+    for st, en, host in zip(starts, ends, values):
+        host_cfg = cfg.get(host)
+        if host_cfg is None:
+            continue
+        prefixes, delay = host_cfg
+        delays[st:en] = delay
+        for pre in prefixes:
+            hit = pc.starts_with(paths.slice(st, en - st), pattern=pre)
+            keep[st:en] &= ~pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+    s = s.append_column("delay_ms", pa.array(delays, pa.int32()))
+    if not keep.all():
+        s = s.filter(pa.array(keep))
+    # rank within surviving host runs (order preserved by filter)
+    kept_hosts = s["host"].combine_chunks()
+    m = s.num_rows
+    if m == 0:
+        out = s.append_column("host_rank", pa.array([], pa.int64()))
+        return out.append_column("fetch_at_us", pa.array([], pa.int64()))
+    if m == 1:
+        ranks = np.zeros(1, dtype=np.int64)
+    else:
+        neq = pc.not_equal(kept_hosts.slice(1), kept_hosts.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        boundaries = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+        run_ids = np.concatenate([[0], np.cumsum(neq)])
+        ranks = np.arange(m, dtype=np.int64) - boundaries[run_ids]
+    fetch_at = ranks * np.asarray(s["delay_ms"], dtype=np.int64) * 1000
+    s = s.append_column("host_rank", pa.array(ranks, pa.int64()))
+    return s.append_column("fetch_at_us", pa.array(fetch_at, pa.int64()))
+
+
+class WaveScheduleStage:
+    """Fused per-partition wave kernel: dedup → seen-key → seen-filter →
+    robots → host_rank → fetch_at_us, in ONE actor-pool ``map_batches``
+    over host-hash-partitioned blocks.
+
+    This replaces the round-1 chain of three global range-partition
+    sorts + ``materialize()`` + driver metadata passes (dedup sort, host
+    rank sort, crawl-rank sort) — the measured scale killer (BASELINE.md
+    round-1 scaling analysis) — with a single host-key shuffle and local
+    vectorized kernels. Correctness relies only on host co-location:
+    duplicate canonical URLs share a host, so within-block keep-best
+    dedup is exact, and per-host politeness ranks see every surviving
+    row of the host. A hot host lands in one partition — its queue is
+    politeness-bounded anyway (fetch_at grows linearly with queue
+    position), and the kernel is O(n log n) vectorized; salt upstream if
+    one host ever outgrows a block.
+
+    SHA-1 seen-keys are computed HERE, after dedup, so the per-row
+    digest loop runs on survivors only — not on the (much larger)
+    candidate stream.
+    """
+
+    def __init__(self, shards: list, robots_ref, default_delay_ms: int = 1000):
+        from ..functions import urlnorm
+        from .seen import SeenFilterStage
+
+        self._urlnorm = urlnorm
+        self.seen = SeenFilterStage(shards) if shards else None
+        self.cfg = ray.get(robots_ref)
+        self.default_delay_ms = default_delay_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            out = batch
+            if "url_sha1" not in out.column_names:
+                out = out.append_column("url_sha1", pa.array([], pa.binary()))
+            return robots_rank_block(out, self.cfg, self.default_delay_ms)
+        # 1. keep-best dedup by canonical url (priority desc, discovered
+        #    asc, url asc — DEFAULT_ORDER semantics, dedup.py)
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[
+                ("url", "ascending"),
+                ("priority", "descending"),
+                ("discovered_at", "ascending"),
+            ],
+        )
+        s = batch.take(idx)
+        urls = s["url"].combine_chunks()
+        n = s.num_rows
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        if n > 1:
+            first[1:] = pc.not_equal(urls.slice(1), urls.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        s = s.filter(pa.array(first))
+        # 2. seen-key + seen-filter (check_and_add marks survivors seen
+        #    BEFORE robots, matching the oracle: robots-blocked URLs stay
+        #    seen — testing/oracle.py seen-then-robots order)
+        if "url_sha1" not in s.column_names:
+            s = s.append_column("url_sha1", self._urlnorm.sha1_array(s["url"]))
+        if self.seen is not None:
+            s = self.seen(s)
+        # 3. robots + politeness rank
+        return robots_rank_block(s, self.cfg, self.default_delay_ms)
+
+
+def schedule_fused(
+    ds: "ray.data.Dataset",
+    robots_ref,
+    seen_shards: list | None,
+    concurrency: int | tuple = 2,
+    num_cpus: float | None = None,
+    default_delay_ms: int = 1000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Candidates (canonicalized, host column set) → politeness schedule
+    in one host-key shuffle + one fused actor stage. Output columns:
+    input + url_sha1, delay_ms, host_rank, fetch_at_us (no global
+    crawl_rank — derive it with :func:`stages.index.zip_with_index` on
+    (fetch_at_us, priority desc, url) when conformance needs it).
+    """
+    if num_partitions is None:
+        from ray.data import DataContext
+
+        num_partitions = DataContext.get_current().default_hash_shuffle_parallelism
+    parts = ds.repartition(num_blocks=num_partitions, keys=["host"])
+    return parts.map_batches(
+        WaveScheduleStage,
+        fn_constructor_kwargs={
+            "shards": seen_shards,
+            "robots_ref": robots_ref,
+            "default_delay_ms": default_delay_ms,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,  # one batch per host-partition: hosts stay whole
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
 def robots_table_to_config(robots: pa.Table) -> dict:
     """robots table -> {host: (tuple(disallow_prefixes), delay_ms)}."""
     return {

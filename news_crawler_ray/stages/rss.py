@@ -1,0 +1,71 @@
+"""RSS/feed-entry source operator (SURVEY.md §2.1 S2, §2.2 M4/M5).
+
+Re-expresses the reference's advisory feed path
+(/root/reference/src/secbot/fetchers/advisory.py:61-109): take the first
+``limit`` feed entries, project each to (title.strip, link.strip,
+published, summary-or-description), normalize the published date with a
+UTC → target-timezone shift (advisory.py:83-88 converts to Asia/Seoul
+before taking the calendar date) plus the regex / default-day fallbacks,
+and optionally keep only "today" (advisory.py:96-99).
+
+Feed entries arrive as rows (entry_id, seq, title, link, published,
+summary, description) — ``seq`` is the entry's position in the feed, so
+the head-limit (A3, ``feed.entries[:limit]``) is a deterministic
+``seq < limit`` filter at any parallelism. All vectorized
+``map_batches``; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.dates import normalize_rss_dates
+
+
+def project_rss_entries_batch(
+    batch: pa.Table,
+    tz_offset_hours: int = 9,
+    default_day: str | None = None,
+    limit: int | None = None,
+) -> pa.Table:
+    if limit is not None:
+        batch = batch.filter(pc.less(batch["seq"], limit))
+    published = normalize_rss_dates(
+        batch["published"], default_day=default_day, tz_offset_hours=tz_offset_hours
+    )
+    summary = pc.coalesce(batch["summary"], batch["description"], "")
+    return pa.table(
+        {
+            "entry_id": batch["entry_id"],
+            "title": pc.utf8_trim_whitespace(pc.coalesce(batch["title"], "")),
+            "link": pc.utf8_trim_whitespace(pc.coalesce(batch["link"], "")),
+            "published": published,
+            "summary": summary,
+        }
+    )
+
+
+def parse_rss_entries(
+    ds,
+    tz_offset_hours: int = 9,
+    default_day: str | None = None,
+    limit: int | None = None,
+    day_filter: str | None = None,
+):
+    """Feed-entry Dataset → projected advisories, optionally day-cut."""
+    out = ds.map_batches(
+        lambda b: project_rss_entries_batch(b, tz_offset_hours, default_day, limit),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if day_filter is not None:
+        import numpy as np
+
+        day = pa.scalar(np.datetime64(day_filter, "D").item(), pa.date32())
+        out = out.map_batches(
+            lambda t: t.filter(pc.equal(t["published"], day)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out

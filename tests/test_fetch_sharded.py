@@ -85,3 +85,33 @@ def test_crawl_verify_payloads(ray_session, sharded_store, tmp_path):
         assert r["decode_ok"]
         dist = bin(r["phash_check"] ^ stored[r["image_id"]]).count("1")
         assert dist == 0 if fmts[r["image_id"]] == "png" else dist <= 4
+
+
+def test_empty_shards_routed_correctly(ray_session, tmp_path):
+    """A store whose rows hash into only SOME shards must still fetch
+    correctly: the modulus comes from the manifest (not the dir count),
+    empty shards exist on disk, and lookups into them yield 'missing'."""
+    import ray.data as rd
+
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.fetch import (
+        fetch_sharded,
+        partition_pagestore,
+        read_store_manifest,
+    )
+
+    ps = synth.make_pagestore(3, seed=42)  # 3 rows over 16 shards → most empty
+    d = str(tmp_path / "tiny-store")
+    partition_pagestore(rd.from_arrow(ps), d, num_shards=16)
+    assert read_store_manifest(d) == 16
+    import os
+
+    assert len([x for x in os.listdir(d) if x.startswith("shard-")]) == 16
+
+    wave = canonicalize(rd.from_arrow(synth.make_frontier(40, seed=42)))
+    got = {r["url"]: r["fetch_status"] for r in
+           fetch_sharded(wave, d, num_shards=16, concurrency=1).take_all()}
+    present = set(ps["image_id"].to_pylist())
+    for url, status in got.items():
+        iid = url.rsplit("/p/", 1)[-1]
+        assert status == ("ok" if iid in present else "missing"), url

@@ -80,3 +80,49 @@ def test_markdown_renderer():
     t = pa.table({"title": pa.array(["Hello"]), "link": pa.array(["https://x.com/a"])})
     md = formatters.to_markdown_bullets(t)["md"].to_pylist()
     assert md == ["- [Hello](https://x.com/a)"]
+
+
+def test_rss_tz_normalization():
+    import pyarrow as pa
+
+    from news_crawler_ray.functions.dates import normalize_rss_dates
+
+    arr = pa.array(
+        [
+            "2025-06-19T23:30:00",  # UTC late evening → Seoul next day
+            "2025-06-19T05:00:00",  # stays on the 19th
+            "posted on 2025-06-18 KST",  # regex fallback, NO shift
+            "garbage",  # default day
+            None,
+        ]
+    )
+    out = normalize_rss_dates(arr, default_day="2025-06-20", tz_offset_hours=9)
+    import datetime as dt
+
+    assert out.to_pylist() == [
+        dt.date(2025, 6, 20),
+        dt.date(2025, 6, 19),
+        dt.date(2025, 6, 18),
+        dt.date(2025, 6, 20),
+        dt.date(2025, 6, 20),
+    ]
+
+
+def test_rss_projection(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.stages.rss import parse_rss_entries
+
+    feed = synth.make_rss_feed(40, seed=42, today="2025-06-20")
+    out = parse_rss_entries(
+        rd.from_arrow(feed), tz_offset_hours=9, default_day="2025-06-20",
+        limit=30, day_filter="2025-06-20",
+    ).take_all()
+    assert out, "today-filter must keep the shifted + default rows"
+    for r in out:
+        assert r["title"] == r["title"].strip() and r["link"] == r["link"].strip()
+        assert r["summary"]  # coalesce never leaves null/empty for this fixture
+        assert str(r["published"]) == "2025-06-20"
+    # entries past the head-limit never appear
+    assert all(int(r["entry_id"][3:]) < 30 for r in out)

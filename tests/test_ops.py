@@ -301,3 +301,51 @@ def test_dedup_keep_min_id(ray_session, docs_tbl):
     all_ids = {r["doc_id"] for r in ids.take_all()}
     assert kept == all_ids - dropped
     assert kept and dropped
+
+
+def test_modmul_add_matches_bigint():
+    """_modmul_add must be the exact (a*x+b) mod 2^61-1 family it claims."""
+    from news_crawler_ray.ops import hashing as H
+
+    rng = np.random.default_rng(123)
+    x = rng.integers(0, (1 << 61) - 1, size=64, dtype=np.uint64)
+    x = np.concatenate([x, np.array([0, 1, (1 << 61) - 2], dtype=np.uint64)])
+    a = rng.integers(1, 1 << 32, size=8, dtype=np.uint64)
+    b = rng.integers(0, 1 << 32, size=8, dtype=np.uint64)
+    got = H._modmul_add(x, a, b)
+    M = (1 << 61) - 1
+    for i, xi in enumerate(x.tolist()):
+        for j, (aj, bj) in enumerate(zip(a.tolist(), b.tolist())):
+            assert got[i, j] == (aj * xi + bj) % M
+
+
+def test_lsh_bucket_cap_is_logged(caplog):
+    """A capped bucket must surface its dropped-pair count (not silent)."""
+    import logging
+
+    from news_crawler_ray.ops.dedup import _bucket_pairs
+
+    n = 300
+    sig = pa.FixedSizeListArray.from_arrays(
+        pa.array(np.zeros(n * 4, np.int64)), 4
+    )
+    g = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()), "sig": sig})
+    with caplog.at_level(logging.WARNING, logger="news_crawler_ray.ops.dedup"):
+        out = _bucket_pairs(g, "doc_id", 4, max_bucket=256)
+    assert out.num_rows == 256 * 255 // 2
+    assert any("truncated" in r.message and "dropped_pairs" in r.message for r in caplog.records)
+
+
+def test_token_stats_edge_whitespace(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import token_stats
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["a ", "  a  b ", "   ", "", None], pa.string()),
+        }
+    )
+    out = {r["doc_id"]: r["n_tokens"] for r in token_stats(rd.from_arrow(tbl)).take_all()}
+    assert out == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0}

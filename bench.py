@@ -124,15 +124,18 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
 
 
 def bench_frontier_dedup(fix_dir: str) -> dict:
-    """Canonicalize + exact frontier dedup shuffle alone (dedup rate)."""
+    """Canonicalize + exact frontier dedup alone (dedup rate), using the
+    crawl default: URL-keyed range-partition sort + run stitching."""
     import ray.data
 
     from news_crawler_ray.stages.canonicalize import canonicalize
-    from news_crawler_ray.stages.dedup import dedup_frontier
+    from news_crawler_ray.stages.dedup import dedup_frontier_sorted
 
     frontier = ray.data.read_parquet(os.path.join(fix_dir, "frontier.parquet"))
     t0 = time.monotonic()
-    n_out = dedup_frontier(canonicalize(frontier), num_partitions=32).count()
+    n_out = dedup_frontier_sorted(
+        canonicalize(frontier, with_sha1=False), key="url"
+    ).count()
     dt = time.monotonic() - t0
     n_in = frontier.count()
     return {

@@ -173,7 +173,7 @@ def _explode_bands(batch: pa.Table, bands: int, num_perm: int, id_col: str) -> p
 
 def _bucket_pairs(
     group: pa.Table, id_col: str, num_perm: int, max_bucket: int = 256,
-    start: int = 0, end: int | None = None,
+    start: int = 0, end: int | None = None, bands: int | None = None,
 ) -> pa.Table:
     """All (a<b) pairs within one LSH bucket (rows [start:end)) + their
     signature-estimated jaccard.
@@ -181,6 +181,11 @@ def _bucket_pairs(
     ``max_bucket`` caps degenerate buckets (e.g. empty-text docs): a
     bucket of B docs emits B²/2 pairs, so one pathological bucket can
     explode the output — cap and log the dropped-pair count.
+
+    Owner-band rule (when ``bands`` is given): a pair is emitted ONLY by
+    the first band in which its two signatures collide — recomputable
+    locally from the full signatures — so the global output is already
+    distinct and the cross-band dedup shuffle disappears entirely.
     """
     end = group.num_rows if end is None else end
     if end - start > max_bucket:
@@ -197,6 +202,12 @@ def _bucket_pairs(
     a = np.minimum(ids[iu], ids[ju])
     b = np.maximum(ids[iu], ids[ju])
     keep = a != b
+    if bands is not None and start < end:
+        this_band = int(group["band"][start].as_py())
+        if this_band > 0:
+            bh = H.band_hashes(sig.astype(np.uint64), bands)
+            earlier = (bh[iu, :this_band] == bh[ju, :this_band]).any(axis=1)
+            keep &= ~earlier
     return pa.table(
         {
             "id_a": pa.array(a[keep], pa.int64()),
@@ -228,13 +239,12 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate candidate pairs with signature-estimated jaccard.
 
-    sig → band-explode (flat narrow table) → bucket-co-locating shuffle
-    with per-partition vectorized run-pairing → threshold filter →
-    global pair distinct. Two shuffles, both narrow; the threshold is
-    applied BEFORE the distinct shuffle because ``est_jaccard`` is
-    computed from the full signatures and is identical for a pair no
-    matter which band surfaced it — the second shuffle only ever sees
-    above-threshold pairs.
+    sig → band-explode (flat narrow table) → ONE bucket-co-locating
+    shuffle with per-partition vectorized run-pairing → threshold
+    filter. The output is already globally distinct via the owner-band
+    rule (each pair is emitted only by the first band where it
+    collides, recomputed locally from the signatures), so the cross-
+    band dedup shuffle of the naive plan does not exist at all.
     """
     sigs = minhash_signature_ds(ds, text_col, id_col, num_perm, shingle_k)
     exploded = sigs.map_batches(
@@ -242,18 +252,15 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = _bucketed_pairs(
+    return _bucketed_pairs(
         exploded,
         ["band", "bucket"],
-        lambda t, a, b: _bucket_pairs(t, id_col, num_perm, start=a, end=b),
+        lambda t, a, b: _bucket_pairs(
+            t, id_col, num_perm, start=a, end=b, bands=bands
+        ),
         num_partitions=num_partitions,
     ).map_batches(
         lambda t: t.filter(pc.greater_equal(t["est_jaccard"], threshold)),
-        batch_format="pyarrow",
-    )
-    deduped = pairs.groupby(["id_a", "id_b"]).max("est_jaccard")
-    return deduped.map_batches(
-        lambda t: _rename_tbl(t, {"max(est_jaccard)": "est_jaccard"}),
         batch_format="pyarrow",
     )
 
@@ -346,6 +353,16 @@ def simhash_near_dup_pairs(
         a = np.minimum(ids[iu], ids[ju])
         b_ = np.maximum(ids[iu], ids[ju])
         keep = (dist <= max_hamming) & (a != b_)
+        # owner-band rule: emit only in the first band whose 16-bit
+        # slice matches — output distinct without a dedup shuffle
+        this_band = int(g["band"][start].as_py())
+        if this_band > 0:
+            width = np.uint64(64 // bands)
+            mask = np.uint64((1 << int(width)) - 1)
+            for bb in range(this_band):
+                pa_ = (h[iu] >> (width * np.uint64(bb))) & mask
+                pb_ = (h[ju] >> (width * np.uint64(bb))) & mask
+                keep &= pa_ != pb_
         return pa.table(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
@@ -355,11 +372,7 @@ def simhash_near_dup_pairs(
         )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = _bucketed_pairs(exploded, ["band", "bucket"], bucket_pairs)
-    deduped = pairs.groupby(["id_a", "id_b"]).min("hamming")
-    return deduped.map_batches(
-        lambda t: _rename_tbl(t, {"min(hamming)": "hamming"}), batch_format="pyarrow"
-    )
+    return _bucketed_pairs(exploded, ["band", "bucket"], bucket_pairs)
 
 
 # ------------------------------------------------- n-gram jaccard verify
@@ -454,18 +467,32 @@ def embedding_cosine_pairs(
     n_bits: int = 12,
     max_bucket: int = 512,
     concurrency: int | tuple = 2,
+    seed: int = 11,
 ):
-    """Pairs with cosine ≥ threshold via hyperplane-LSH bucketing."""
+    """Pairs with cosine ≥ threshold via hyperplane-LSH bucketing.
+
+    Output is globally distinct via the owner-table rule (a pair is
+    emitted only by the first table whose codes collide, recomputed
+    locally from the vectors) — one shuffle total.
+    """
     exploded = ds.map_batches(
         CosineLSHStage,
         fn_constructor_kwargs={
             "vec_col": vec_col, "id_col": id_col, "dim": dim,
-            "n_tables": n_tables, "n_bits": n_bits,
+            "n_tables": n_tables, "n_bits": n_bits, "seed": seed,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+    proj_cache: dict[int, np.ndarray] = {}
+
+    def _proj() -> np.ndarray:
+        if 0 not in proj_cache:
+            proj_cache[0] = np.random.default_rng(seed).standard_normal(
+                (n_tables, n_bits, dim)
+            )
+        return proj_cache[0]
 
     def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
         end = g.num_rows if end is None else end
@@ -489,6 +516,13 @@ def embedding_cosine_pairs(
         a = np.minimum(ids[iu], ids[ju])
         b_ = np.maximum(ids[iu], ids[ju])
         keep = (cos >= threshold) & (a != b_)
+        this_table = int(g["table"][start].as_py())
+        if this_table > 0:
+            proj = _proj()
+            weights = 1 << np.arange(n_bits, dtype=np.int64)
+            for tt in range(this_table):
+                codes = ((V @ proj[tt].T) > 0) @ weights
+                keep &= codes[iu] != codes[ju]
         return pa.table(
             {
                 "id_a": pa.array(a[keep], pa.int64()),
@@ -497,8 +531,4 @@ def embedding_cosine_pairs(
             }
         )
 
-    pairs = _bucketed_pairs(exploded, ["table", "bucket"], bucket_pairs)
-    deduped = pairs.groupby(["id_a", "id_b"]).max("cosine")
-    return deduped.map_batches(
-        lambda t: _rename_tbl(t, {"max(cosine)": "cosine"}), batch_format="pyarrow"
-    )
+    return _bucketed_pairs(exploded, ["table", "bucket"], bucket_pairs)

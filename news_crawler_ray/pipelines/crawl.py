@@ -63,13 +63,20 @@ class CrawlConfig:
     num_seen_shards: int = 4
     seen_capacity_per_shard: int = 1 << 16
     dedup_partitions: int = 8
-    # "fused": ONE host-key shuffle + a fused per-partition kernel
-    # (dedup + seen + robots + host rank in one actor stage — no global
-    # sorts, no materialize; stages/politeness.WaveScheduleStage);
-    # "sorted": the round-1 chain of per-step global sorts (kept for
-    # A/B measurement and as the reference implementation of the order
-    # contract).
-    schedule_strategy: str = "fused"
+    # "sorted" (default): two task-based range-partition sorts per wave
+    # (URL-keyed dedup sort, host-rank sort) — measured ~10x cheaper per
+    # op than a hash shuffle in-sandbox (BASELINE.md round-2 notes).
+    # "fused": ONE host-key hash shuffle + a fused per-partition kernel
+    # (dedup + seen + robots + host rank in one actor stage;
+    # stages/politeness.WaveScheduleStage) — fewer barriers, but Ray's
+    # hash-shuffle aggregator pool pays a large fixed per-op startup on
+    # this box; prefer it where that cost amortizes (long waves, real
+    # multi-node clusters).
+    schedule_strategy: str = "sorted"
+    # host-shuffle width for the fused strategy; None = the session's
+    # default_hash_shuffle_parallelism (≈2/CPU). dedup_partitions is NOT
+    # reused here — a 32-wide aggregator pool on an 8-CPU session stalls
+    schedule_partitions: int | None = None
     # global crawl_rank = zip-with-index over (fetch_at_us, priority
     # desc, url) — one extra global sort + materialize per wave. The
     # crawl ORDER is already fully determined by those columns in the
@@ -295,7 +302,7 @@ def run_crawl(
                 concurrency=pools["schedule"]["concurrency"],
                 num_cpus=pools["schedule"].get("num_cpus"),
                 default_delay_ms=cfg.default_delay_ms,
-                num_partitions=cfg.dedup_partitions,
+                num_partitions=cfg.schedule_partitions,
             )
             if cfg.compute_crawl_rank:
                 scheduled = zip_with_index(
@@ -306,13 +313,26 @@ def run_crawl(
                 )
             tp = _tr("fused schedule", tp)
         else:
-            canon = canonicalize(candidates)
+            # sorted strategy: dedup keys on the canonical URL string
+            # directly, so the per-row SHA-1 seen-key loop runs only on
+            # dedup SURVIVORS (the candidate stream is several times
+            # larger); seen-filter + politeness rank follow as before.
+            canon = canonicalize(candidates, with_sha1=False)
             if cfg.dedup_strategy == "sort":
-                deduped = dedup_frontier_sorted(canon)
+                deduped = dedup_frontier_sorted(canon, key="url")
             else:
-                deduped = dedup_frontier(canon, num_partitions=cfg.dedup_partitions)
+                deduped = dedup_frontier(canon, num_partitions=cfg.dedup_partitions, key="url")
             tp = _tr("dedup(eager)", tp)
-            fresh = deduped.map_batches(
+
+            def add_sha1(t: pa.Table) -> pa.Table:
+                from ..functions.urlnorm import sha1_array
+
+                return t.append_column("url_sha1", sha1_array(t["url"]))
+
+            keyed = deduped.map_batches(
+                add_sha1, batch_format="pyarrow", zero_copy_batch=True
+            )
+            fresh = keyed.map_batches(
                 SeenFilterStage,
                 fn_constructor_kwargs={"shards": seen.shards},
                 batch_format="pyarrow",
@@ -327,6 +347,7 @@ def run_crawl(
                 robots_num_cpus=pools["robots"].get("num_cpus"),
                 default_delay_ms=cfg.default_delay_ms,
                 num_partitions=cfg.dedup_partitions,
+                with_crawl_rank=cfg.compute_crawl_rank,
             )
             tp = _tr("seen+schedule(eager sorts)", tp)
         if shard_dir is not None:
@@ -370,17 +391,15 @@ def run_crawl(
         fetched.write_parquet(wave_dir)
         tp = _tr("fetch+write", tp)
 
-        # re-reads below prune to the columns they need — the wide
-        # ``bytes`` payload column never leaves parquet again
-        counts = _wave_counts(
-            ray.data.read_parquet(wave_dir, columns=["fetch_status"])
-        )
-        tp = _tr("counts", tp)
+        # ONE pruned re-read feeds both status counts and outlink
+        # expansion (materialized: narrow columns only — the wide
+        # ``bytes`` payload column never leaves parquet again)
         outlink_cols = ["caption", "priority", "discovered_at", "depth", "fetch_status"]
+        narrow = ray.data.read_parquet(wave_dir, columns=outlink_cols).materialize()
+        counts = _wave_counts(narrow)
+        tp = _tr("counts", tp)
         outlinks = extract_outlinks(
-            ray.data.read_parquet(wave_dir, columns=outlink_cols).filter(
-                expr="fetch_status == 'ok'"
-            ),
+            narrow.filter(expr="fetch_status == 'ok'"),
             decay=cfg.outlink_decay,
         )
         next_path = os.path.join(out_dir, "candidates", f"wave-{wave + 1}")

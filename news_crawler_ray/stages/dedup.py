@@ -30,22 +30,43 @@ DEFAULT_ORDER = (
 )
 
 
+def _run_first_mask(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """True at the first row of each equal-value run (sorted column).
+
+    binary(20) sha1 keys go through the zero-copy matrix compare; any
+    other type uses the vectorized Arrow inequality.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    first = np.empty(n, dtype=bool)
+    if n == 0:
+        return first
+    first[0] = True
+    if n == 1:
+        return first
+    if pa.types.is_binary(col.type):
+        from ..functions.urlnorm import binary20_matrix
+
+        km = binary20_matrix(col)
+        first[1:] = (km[1:] != km[:-1]).any(axis=1)
+    else:
+        first[1:] = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    return first
+
+
 def keep_best_batch(batch: pa.Table, order=DEFAULT_ORDER, key: str = "url_sha1") -> pa.Table:
     """Vectorized: sort by (key, *order), keep first row of each key run."""
     if batch.num_rows <= 1:
         return batch
     sort_keys = [(key, "ascending")] + [
-        (c, d) for c, d in order if c in batch.column_names
+        (c, d) for c, d in order if c != key and c in batch.column_names
     ]
     idx = pc.sort_indices(batch, sort_keys=sort_keys)
     sorted_tbl = batch.take(idx)
-    from ..functions.urlnorm import binary20_matrix
-
-    km = binary20_matrix(sorted_tbl[key])
-    first = np.empty(len(km), dtype=bool)
-    first[0] = True
-    first[1:] = (km[1:] != km[:-1]).any(axis=1)
-    return sorted_tbl.filter(pa.array(first))
+    return sorted_tbl.filter(pa.array(_run_first_mask(sorted_tbl[key])))
 
 
 @ray.remote
@@ -60,17 +81,13 @@ def _first_last_key(tbl: pa.Table, key: str):
 def _keep_first_of_run(tbl: pa.Table, key: str, drop_leading_run: bool) -> pa.Table:
     if tbl.num_rows == 0:
         return tbl
-    from ..functions.urlnorm import binary20_matrix
-
-    km = binary20_matrix(tbl[key])
-    first = np.empty(len(km), dtype=bool)
-    first[0] = not drop_leading_run
-    first[1:] = (km[1:] != km[:-1]).any(axis=1)
+    first = _run_first_mask(tbl[key])
     if drop_leading_run:
         # rows belonging to the leading run continue a run whose true
         # first row lives in an earlier block — drop them all
+        first[0] = False
         boundary = np.nonzero(first[1:])[0]
-        end = boundary[0] + 1 if boundary.size else len(km)
+        end = boundary[0] + 1 if boundary.size else len(first)
         first[:end] = False
     return tbl.filter(pa.array(first))
 
@@ -84,8 +101,8 @@ def dedup_frontier_sorted(ds, order=DEFAULT_ORDER, key: str = "url_sha1"):
     Ray's sort is task-based while hash-shuffle aggregator pools pay a
     per-op actor-startup cost.
     """
-    cols = [key] + [c for c, _ in order]
-    desc = [False] + [d == "descending" for _, d in order]
+    cols = [key] + [c for c, _ in order if c != key]
+    desc = [False] + [d == "descending" for c, d in order if c != key]
     mat = ds.sort(cols, descending=desc).materialize()
     refs = mat.to_arrow_refs()
     if not refs:

@@ -308,8 +308,16 @@ def fetch_sharded(
     concurrency: int | tuple = (1, 8),
     num_cpus: float | None = None,
 ) -> "ray.data.Dataset":
-    """Keyed fetch against a hash-partitioned store: shuffle the NARROW
-    wave rows by store shard, then per-shard keyed lookups."""
+    """Keyed fetch against a hash-partitioned store: co-locate the
+    NARROW wave rows by store shard, then per-shard keyed lookups.
+
+    Co-location uses a range-partition SORT on ``_fetch_shard`` rather
+    than a key shuffle — the lookup only needs rows of the same shard
+    mostly-adjacent (each actor's shard LRU absorbs boundary blocks
+    that straddle two shard values), and Ray's sort is task-based while
+    a hash-shuffle op pays a large fixed aggregator-pool startup
+    (BASELINE.md round-2 measurements: ~7 s/op vs ~0.7 s at 132 k rows).
+    """
 
     def tag(t: pa.Table) -> pa.Table:
         t = add_image_id(t)
@@ -319,13 +327,13 @@ def fetch_sharded(
         )
 
     keyed = wave_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    parts = keyed.repartition(num_blocks=num_shards, keys=["_fetch_shard"])
+    parts = keyed.sort("_fetch_shard")
     return parts.map_batches(
         ShardLookupFetcher,
         fn_constructor_kwargs={"shard_dir": shard_dir},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=None,  # one batch per co-located partition
+        batch_size=None,  # one batch per sorted block: few shards per batch
         concurrency=concurrency,
         num_cpus=num_cpus,
     )

@@ -264,6 +264,7 @@ def schedule(
     num_partitions: int | None = None,
     rank_strategy: str = "sort",
     robots_num_cpus: float | None = None,
+    with_crawl_rank: bool = True,
 ) -> "ray.data.Dataset":
     """Candidates -> politeness-ordered schedule with ``crawl_rank``.
 
@@ -300,6 +301,11 @@ def schedule(
         return t.append_column("fetch_at_us", pa.array(fetch_at, pa.int64()))
 
     timed = ranked.map_batches(add_fetch_at, batch_format="pyarrow", zero_copy_batch=True)
+    if not with_crawl_rank:
+        # crawl order stays fully determined by (fetch_at_us, priority,
+        # url); materializing the global index costs one extra global
+        # sort + materialize — conformance/display mode only
+        return timed
     return zip_with_index(
         timed,
         ["fetch_at_us", "priority", "url"],

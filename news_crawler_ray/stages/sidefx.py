@@ -132,6 +132,44 @@ def write_rules_file(
     return len(existing_ips) + len(fresh)
 
 
+def write_hash_list_file(
+    hashes: Iterable[str],
+    list_path: str,
+    rules_path: str,
+    base_sid: int = 7200000,
+    reload_hook=None,
+) -> int:
+    """K6 (ref suricata_hash.py:49-89): overwrite the hash-list file
+    with the distinct sorted lowercase hashes, append the single
+    ``filemd5`` rule iff not already present, fire the reload hook.
+    Returns the hash count.
+    """
+    uniq = sorted({str(h).strip().lower() for h in hashes if str(h).strip()})
+    tmp = list_path + ".tmp"
+    with open(tmp, "w") as f:
+        for h in uniq:
+            f.write(h + "\n")
+    os.replace(tmp, list_path)
+
+    rule_line = (
+        'drop http any any -> any any (msg:"SecBot malicious file download"; '
+        f"flow:established; filemd5:{os.path.basename(list_path)}; "
+        f"sid:{base_sid}; rev:1;)"
+    )
+    existing = ""
+    if os.path.exists(rules_path):
+        with open(rules_path) as f:
+            existing = f.read()
+    if rule_line not in existing:
+        rtmp = rules_path + ".tmp"
+        with open(rtmp, "w") as f:
+            f.write(existing + rule_line + "\n")
+        os.replace(rtmp, rules_path)
+    if reload_hook is not None:
+        reload_hook()
+    return len(uniq)
+
+
 def render_digest_sections(
     news_rows: list[dict],
     advisory_rows: list[dict],

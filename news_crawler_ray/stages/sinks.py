@@ -45,9 +45,16 @@ def merge_stable_output(
         prior = ray.data.read_parquet(cur_path)
         next_sid = int(prior.max("sid")) + 1
         # rules tables are small by construction (distinct blocked
-        # values); broadcast the key set for the anti-join. At a scale
-        # where this no longer holds, swap in the hash-partitioned
+        # values); broadcast the key set for the anti-join. The bound is
+        # ENFORCED, not assumed — past it, swap in the hash-partitioned
         # anti-join used by queries.q_customers_without_orders.
+        n_prior = prior.count()
+        if n_prior > 5_000_000:
+            raise ValueError(
+                f"merge_stable_output: prior table has {n_prior} rows — too "
+                "large for the broadcast anti-join path; use a hash-"
+                "partitioned anti-join (see q_customers_without_orders)"
+            )
         prior_vals = pa.array(
             [r[value_col] for r in prior.select_columns([value_col]).take_all()]
         )

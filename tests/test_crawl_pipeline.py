@@ -71,3 +71,22 @@ def test_crawl_caption_byte_exact(ray_session, tmp_path, fixture_tables):
     assert rows
     for r in rows:
         assert r["caption"] == cap_by_id[r["image_id"]]
+
+
+def test_crawl_fused_strategy_matches_oracle(ray_session, tmp_path, fixture_tables):
+    """The one-shuffle fused schedule (non-default; the amortized path
+    for long waves / real clusters) must produce the identical crawl
+    order and seen-set."""
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps, fr, robots = fixture_tables
+    cfg = cp.CrawlConfig(
+        max_waves=3, num_seen_shards=2, dedup_partitions=4,
+        schedule_strategy="fused", schedule_partitions=4,
+    )
+    result = cp.run_crawl(fr, ps, robots, str(tmp_path / "fused"), config=cfg)
+    oracle = crawl_oracle(
+        fr.to_pylist(), ps.to_pylist(), robots.to_pylist(), max_waves=3
+    )
+    assert _engine_order(result) == oracle.flat_order
+    assert result.seen.all_keys() == oracle.seen_keys

@@ -132,3 +132,21 @@ def test_digest_renderers():
     # K2 naver variant body shape (naverMail.py:68)
     naver = render_digest_sections(news, adv, iocs, "2025-06-20", style="naver")
     assert naver[0]["body"] == "- t1: l1"
+
+
+def test_hash_list_file(tmp_path):
+    from news_crawler_ray.stages.sidefx import write_hash_list_file
+
+    lp, rp = str(tmp_path / "hashes.txt"), str(tmp_path / "hash.rules")
+    reloads = []
+    n = write_hash_list_file(["ABCD ", "abcd", "ffff"], lp, rp,
+                             reload_hook=lambda: reloads.append(1))
+    assert n == 2
+    assert open(lp).read() == "abcd\nffff\n"  # overwrite, sorted lowercase distinct
+    rule = open(rp).read()
+    assert rule.count("filemd5:hashes.txt") == 1 and "sid:7200000" in rule
+    # second call: list overwritten, rule NOT duplicated
+    write_hash_list_file(["abcd"], lp, rp, reload_hook=lambda: reloads.append(1))
+    assert open(lp).read() == "abcd\n"
+    assert open(rp).read().count("filemd5") == 1
+    assert reloads == [1, 1]

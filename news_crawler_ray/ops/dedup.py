@@ -75,28 +75,109 @@ def _multi_runs(t: pa.Table, key_cols: list[str]):
             yield int(starts[i]), int(starts[i + 1])
 
 
-def _bucketed_pairs(ds, key_cols: list[str], pair_fn, num_partitions: int | None = None):
-    """Hash-co-locate rows by bucket keys, sort within partitions, and
-    emit pairs per multi-row run via ``pair_fn(table, start, end)``."""
-    from ray.data import DataContext
+def _bucketed_pairs(
+    ds, key_cols: list[str], pair_fn, num_partitions: int | None = None,
+    strategy: str = "sort",
+):
+    """Co-locate rows by bucket keys and emit pairs per multi-row run via
+    ``pair_fn(table, start, end)``.
 
-    if num_partitions is None:
-        num_partitions = DataContext.get_current().default_hash_shuffle_parallelism
-    parts = ds.repartition(num_blocks=num_partitions, keys=key_cols)
+    ``strategy="sort"`` (default): a task-based range-partition sort
+    brings equal keys into contiguous runs; pairs for runs fully inside
+    a block are emitted per block, and the (few) runs that straddle
+    block boundaries are re-assembled from their boundary rows and
+    paired in follow-up tasks — exact output, no hash-shuffle op
+    (measured ~10x cheaper per op in-sandbox; BASELINE.md round-2).
+    ``strategy="hash"``: one key shuffle, one batch per partition —
+    the classic plan, kept for clusters where aggregator pools persist.
+    """
+    if strategy == "hash":
+        from ray.data import DataContext
 
-    def per_partition(t: pa.Table) -> pa.Table:
+        if num_partitions is None:
+            num_partitions = DataContext.get_current().default_hash_shuffle_parallelism
+        parts = ds.repartition(num_blocks=num_partitions, keys=key_cols)
+
+        def per_partition(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pair_fn(t, 0, 0)
+            idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in key_cols])
+            s = t.take(idx)
+            outs = [pair_fn(s, a, b) for a, b in _multi_runs(s, key_cols)]
+            if not outs:
+                return pair_fn(s, 0, 0)
+            return pa.concat_tables(outs)
+
+        return parts.map_batches(
+            per_partition, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+    return _sorted_pairs(ds, key_cols, pair_fn)
+
+
+def _sorted_pairs(ds, key_cols: list[str], pair_fn):
+    import ray
+
+    import ray.data as rd
+
+    mat = ds.sort(key_cols).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat.map_batches(
+            lambda t: pair_fn(t, 0, 0), batch_format="pyarrow", batch_size=None
+        )
+
+    @ray.remote
+    def _bounds(t: pa.Table):
         if t.num_rows == 0:
-            return pair_fn(t, 0, 0)
-        idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in key_cols])
-        s = t.take(idx)
-        outs = [pair_fn(s, a, b) for a, b in _multi_runs(s, key_cols)]
-        if not outs:
-            return pair_fn(s, 0, 0)
-        return pa.concat_tables(outs)
+            return None
+        return (
+            tuple(t[c][0].as_py() for c in key_cols),
+            tuple(t[c][-1].as_py() for c in key_cols),
+        )
 
-    return parts.map_batches(
-        per_partition, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    )
+    bounds = ray.get([_bounds.remote(r) for r in refs])
+    nonempty = [i for i, b in enumerate(bounds) if b]
+    boundary_keys: set[tuple] = set()
+    for i, j in zip(nonempty, nonempty[1:]):
+        if bounds[i][1] == bounds[j][0]:
+            boundary_keys.add(bounds[i][1])
+
+    @ray.remote(num_returns=2)
+    def _block(t: pa.Table, bkeys: list[tuple]):
+        if t.num_rows == 0:
+            return pair_fn(t, 0, 0), []
+        is_b = np.zeros(t.num_rows, dtype=bool)
+        side: list[tuple[tuple, pa.Table]] = []
+        for kt in bkeys:
+            m = np.ones(t.num_rows, dtype=bool)
+            for c, v in zip(key_cols, kt):
+                m &= pc.equal(t[c], v).to_numpy(zero_copy_only=False)
+            if m.any():
+                side.append((kt, t.filter(pa.array(m))))
+                is_b |= m
+        interior = t.filter(pa.array(~is_b)) if is_b.any() else t
+        outs = list(
+            pair_fn(interior, a, b) for a, b in _multi_runs(interior, key_cols)
+        )
+        pairs = pa.concat_tables(outs) if outs else pair_fn(t, 0, 0)
+        return pairs, side
+
+    bkeys = sorted(boundary_keys)
+    outs = [_block.remote(r, bkeys) for r in refs]
+    pair_refs = [p for p, _ in outs]
+    sides = ray.get([s for _, s in outs])
+    by_key: dict[tuple, list[pa.Table]] = {}
+    for side in sides:  # block order preserved → stable row order per run
+        for kt, tbl in side:
+            by_key.setdefault(kt, []).append(tbl)
+
+    @ray.remote
+    def _run_pairs(tbls: list[pa.Table]):
+        t = pa.concat_tables(tbls).combine_chunks()
+        return pair_fn(t, 0, t.num_rows)
+
+    extra = [_run_pairs.remote(tbls) for tbls in by_key.values()]
+    return rd.from_arrow_refs(pair_refs + extra)
 
 
 # ---------------------------------------------------------------- exact

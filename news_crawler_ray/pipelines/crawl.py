@@ -109,8 +109,13 @@ class CrawlConfig:
     outlink_decay: float = 0.5
     # decode every fetched payload, verify its perceptual hash and emit
     # features instead of raw bytes (the north rule's per-row pixel
-    # invariant as a pipeline stage); CPU-bound actor-pool work
+    # invariant as a pipeline stage); CPU-bound
     verify_payloads: bool = False
+    # "tasks" (default): stateless decode as elastic tasks — uses every
+    # free CPU; "actors": fixed pool (for codecs with real load state)
+    verify_mode: str = "tasks"
+    # opt-in plasma staging of the sharded store (see run_crawl note)
+    stage_store_to_plasma: bool = False
     # day-window semantics as config, not accident (reference resets the
     # seen-set daily, scheduler.py:43-44): None = never reset
     seen_epoch_scope: str | None = None
@@ -208,7 +213,12 @@ def run_crawl(
     seen_dir = os.path.join(out_dir, "seen")
 
     robots_ref = ray.put(robots_table_to_config(robots))
-    from ..stages.fetch import broadcast_pagestore, fetch_join, fetch_sharded
+    from ..stages.fetch import (
+        broadcast_pagestore,
+        fetch_join,
+        fetch_sharded,
+        stage_shards,
+    )
 
     shard_dir, num_store_shards = None, 0
     if isinstance(pagestore, str):
@@ -276,6 +286,7 @@ def run_crawl(
         candidates = ray.data.read_parquet(seed_path)
 
     pools = _resolve_pools(cfg)
+    store_shard_refs: list | None = None
     trace = os.environ.get("NC_CRAWL_TRACE") == "1"
 
     def _tr(label, t_start):
@@ -351,12 +362,19 @@ def run_crawl(
             )
             tp = _tr("seen+schedule(eager sorts)", tp)
         if shard_dir is not None:
+            if cfg.stage_store_to_plasma and store_shard_refs is None:
+                # opt-in: shards → shared object store (plasma as page
+                # cache). Only worth it when shards + in-flight payload
+                # fit the object store comfortably — oversubscribing it
+                # triggers spilling and loses more than reloads cost.
+                store_shard_refs = stage_shards(shard_dir, num_store_shards)
             fetched_raw = fetch_sharded(
                 scheduled,
                 shard_dir,
                 num_shards=num_store_shards,
                 concurrency=pools["fetch"]["concurrency"],
                 num_cpus=pools["fetch"].get("num_cpus"),
+                shard_refs=store_shard_refs,
             )
         elif use_join:
             fetched_raw = fetch_join(
@@ -371,16 +389,30 @@ def run_crawl(
                 batch_size=cfg.fetch_batch_size,
             )
         if cfg.verify_payloads:
-            from ..ops.multimodal import ImageDecodeStage
+            if cfg.verify_mode == "tasks":
+                # the codec is stateless (zlib+numpy) — task-based map
+                # lets the dominant stage soak up every idle CPU instead
+                # of a fixed actor reservation (a real model-loading
+                # decoder would use the actor form below)
+                from ..ops.multimodal import decode_features_batch
 
-            fetched_raw = fetched_raw.map_batches(
-                ImageDecodeStage,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=1024,
-                concurrency=pools["verify"]["concurrency"],
-                num_cpus=pools["verify"].get("num_cpus"),
-            )
+                fetched_raw = fetched_raw.map_batches(
+                    decode_features_batch,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=1024,
+                )
+            else:
+                from ..ops.multimodal import ImageDecodeStage
+
+                fetched_raw = fetched_raw.map_batches(
+                    ImageDecodeStage,
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=1024,
+                    concurrency=pools["verify"]["concurrency"],
+                    num_cpus=pools["verify"].get("num_cpus"),
+                )
         fetched = fetched_raw.map_batches(
             lambda t, w=wave: t.append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
             batch_format="pyarrow",
@@ -390,6 +422,8 @@ def run_crawl(
         wave_dir = os.path.join(out_dir, "fetched", f"wave-{wave}")
         fetched.write_parquet(wave_dir)
         tp = _tr("fetch+write", tp)
+        if trace and os.environ.get("NC_CRAWL_STATS") == "1":
+            print(f"[crawl-stats] wave {wave}:\n{fetched.stats()}", flush=True)
 
         # ONE pruned re-read feeds both status counts and outlink
         # expansion (materialized: narrow columns only — the wide

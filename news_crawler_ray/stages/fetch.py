@@ -192,7 +192,18 @@ def partition_pagestore(
             sub = t.filter(pc.equal(t["_shard"], int(s))).drop_columns(["_shard"])
             d = os.path.join(out_dir, f"shard-{int(s)}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, "part.parquet"), row_group_size=100_000)
+            # plain-encoded, uncompressed: payload bytes are already
+            # codec-compressed, and dictionary/zstd would make every
+            # shard (re)load pay a full decode+expansion — measured as
+            # the wave's dominant CPU. Uncompressed, a shard read is a
+            # near-memcpy from the page cache.
+            pq.write_table(
+                sub,
+                os.path.join(d, "part.parquet"),
+                row_group_size=100_000,
+                compression="NONE",
+                use_dictionary=False,
+            )
         return pa.table({"written": pa.array([t.num_rows], pa.int64())})
 
     parts.map_batches(write_block, batch_format="pyarrow", batch_size=None).count()
@@ -208,14 +219,48 @@ def partition_pagestore(
     return out_dir
 
 
+@ray.remote
+def _load_shard(shard_dir: str, s: int) -> pa.Table:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..functions.retry import with_retry
+
+    path = os.path.join(shard_dir, f"shard-{s}")
+    if not os.path.isdir(path):
+        return STORE_SCHEMA.empty_table()
+    read = with_retry(pq.read_table, attempts=3, initial_delay_s=0.05)
+    return read(path).combine_chunks()
+
+
+def stage_shards(shard_dir: str, num_shards: int) -> list:
+    """Load every store shard into the shared object store ONCE (parallel
+    remote reads, no driver serialization). Fetch actors then ``ray.get``
+    shard tables zero-copy from plasma instead of each actor re-reading
+    and re-materializing parquet — measured to be THE wave bottleneck
+    (shard reloads cost ~30x the decode stage's CPU when pool actors see
+    blocks from all over the key range). On a multi-node cluster the
+    equivalent is per-node shard locality/page cache; here plasma IS the
+    shared page cache.
+    """
+    return [_load_shard.remote(shard_dir, s) for s in range(num_shards)]
+
+
 class ShardLookupFetcher:
-    """Actor-pool stage for the sharded store: each batch arrives
-    hash-co-located by ``_fetch_shard``, so the actor loads (and caches)
-    only the store shards its batches route to — bounded memory, no
-    payload shuffle.
+    """Actor-pool stage for the sharded store: batches arrive co-located
+    by ``_fetch_shard``; shard payloads come zero-copy from the object
+    store (``shard_refs``, see :func:`stage_shards`) or, in the legacy
+    disk mode, are read + LRU-cached per actor.
     """
 
-    def __init__(self, shard_dir: str, max_cached: int = 4, read_attempts: int = 3):
+    def __init__(
+        self,
+        shard_dir: str | None = None,
+        shard_refs: list | None = None,
+        max_cached: int = 4,
+        read_attempts: int = 3,
+    ):
         import collections
 
         import pyarrow.parquet as pq
@@ -223,8 +268,11 @@ class ShardLookupFetcher:
         from ..functions.retry import with_retry
 
         self.shard_dir = shard_dir
+        self.shard_refs = shard_refs
         self.cache: "collections.OrderedDict[int, tuple]" = collections.OrderedDict()
-        self.max_cached = max_cached
+        # plasma-backed tables are shared memory: caching their (small)
+        # column views costs nothing, so keep every shard's views
+        self.max_cached = len(shard_refs) if shard_refs else max_cached
         # T5: transient shard-read failures are retried in-actor with
         # backoff (ref utils/retry.py:29-77 semantics) instead of
         # failing the batch; a persistent failure still raises.
@@ -239,14 +287,17 @@ class ShardLookupFetcher:
         if hit is not None:
             self.cache.move_to_end(s)
             return hit
-        path = os.path.join(self.shard_dir, f"shard-{s}")
-        if not os.path.isdir(path):
-            # never-written shard (legacy layout without empty-shard
-            # files): treat as empty so lookups yield "missing" rows
-            # instead of crashing the actor
-            tbl = STORE_SCHEMA.empty_table()
+        if self.shard_refs is not None:
+            tbl = ray.get(self.shard_refs[s])  # zero-copy plasma view
         else:
-            tbl = self._read(path).combine_chunks()
+            path = os.path.join(self.shard_dir, f"shard-{s}")
+            if not os.path.isdir(path):
+                # never-written shard (legacy layout without empty-shard
+                # files): treat as empty so lookups yield "missing" rows
+                # instead of crashing the actor
+                tbl = STORE_SCHEMA.empty_table()
+            else:
+                tbl = self._read(path).combine_chunks()
         ids = tbl["image_id"].combine_chunks() if tbl.num_rows else tbl["image_id"]
         index = (ids, tbl.num_rows)
         self.cache[s] = (tbl.select(PAYLOAD_COLS), index)
@@ -307,16 +358,20 @@ def fetch_sharded(
     num_shards: int = 32,
     concurrency: int | tuple = (1, 8),
     num_cpus: float | None = None,
+    shard_refs: list | None = None,
 ) -> "ray.data.Dataset":
     """Keyed fetch against a hash-partitioned store: co-locate the
     NARROW wave rows by store shard, then per-shard keyed lookups.
 
-    Co-location uses a range-partition SORT on ``_fetch_shard`` rather
-    than a key shuffle — the lookup only needs rows of the same shard
-    mostly-adjacent (each actor's shard LRU absorbs boundary blocks
-    that straddle two shard values), and Ray's sort is task-based while
-    a hash-shuffle op pays a large fixed aggregator-pool startup
-    (BASELINE.md round-2 measurements: ~7 s/op vs ~0.7 s at 132 k rows).
+    Co-location is a task-based range-partition SORT on
+    ``_fetch_shard``: rows of a shard land mostly-adjacent, and because
+    shards are written plain/uncompressed (see
+    :func:`partition_pagestore`) an occasional extra shard (re)load is
+    a near-memcpy, not a decompress+dictionary-expansion. Measured
+    alternatives at 4 M rows: hash key-shuffle = exact one-read-per-
+    shard alignment but a ~7 s fixed aggregator startup; compressed
+    shards + sort = cache-thrash reloads at ~30x decode's CPU;
+    plasma-staged shards = object-store spill.
     """
 
     def tag(t: pa.Table) -> pa.Table:
@@ -330,10 +385,10 @@ def fetch_sharded(
     parts = keyed.sort("_fetch_shard")
     return parts.map_batches(
         ShardLookupFetcher,
-        fn_constructor_kwargs={"shard_dir": shard_dir},
+        fn_constructor_kwargs={"shard_dir": shard_dir, "shard_refs": shard_refs},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=None,  # one batch per sorted block: few shards per batch
+        batch_size=None,  # one batch per co-located partition
         concurrency=concurrency,
         num_cpus=num_cpus,
     )

@@ -28,6 +28,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", "120000"))
+# 2M rows ≈ the sweet spot in-sandbox: long enough to amortize most
+# per-run fixed costs (~27 s, fitted as T(p) = F + W/p), short enough
+# that a run fits inside one of the host's quiet windows — the
+# sandbox's CPU-steal comes in multi-minute waves (direct memcpy
+# probes swing 0.05-4.0 GB/s per proc between adjacent 30 s windows),
+# so longer runs mostly increase exposure to stolen windows
 SCALING_FRONTIER_N = int(os.environ.get("BENCH_SCALING_N", "2000000"))
 PAGE_POOL = 64  # distinct encoded images (payloads repeat, ids unique)
 

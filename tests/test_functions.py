@@ -126,3 +126,26 @@ def test_rss_projection(ray_session):
         assert str(r["published"]) == "2025-06-20"
     # entries past the head-limit never appear
     assert all(int(r["entry_id"][3:]) < 30 for r in out)
+
+
+def test_values_sql_roundtrip():
+    """values_sql must render types/quotes/nulls DuckDB-exactly."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+
+    from news_crawler_ray.pipelines.expected import values_sql
+
+    tbl = pa.table(
+        {
+            "s": pa.array(["plain", "it's quoted", None], pa.string()),
+            "i": pa.array([1, -2, None], pa.int64()),
+            "w": pa.array([3, None, 5], pa.int32()),
+            "b": pa.array([True, False, None], pa.bool_()),
+            "d": pa.array([dt.date(2025, 6, 20), None, dt.date(1999, 1, 2)], pa.date32()),
+        }
+    )
+    out = duckdb.sql(values_sql(tbl)).arrow()
+    assert out.schema.equals(tbl.schema), (out.schema, tbl.schema)
+    assert out.to_pylist() == tbl.to_pylist()

@@ -534,13 +534,11 @@ def _write_candidates(ds: "ray.data.Dataset", path: str) -> int:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    mat = casted.materialize()
-    total = mat.count()
     tmp = path + ".tmp"
-    if total == 0:
+    casted.write_parquet(tmp)  # single pass; workers write their blocks
+    if not os.path.isdir(tmp) or not os.listdir(tmp):
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet"))
-    else:
-        mat.write_parquet(tmp)
     os.replace(tmp, path)  # atomic publish of the wave's candidate dir
-    return total
+    # row count from parquet footers only — no second pass over the data
+    return ray.data.read_parquet(path).count()

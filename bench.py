@@ -112,6 +112,11 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
         # mode (one extra global sort + materialize per wave), not part
         # of the throughput path
         compute_crawl_rank=False,
+        # shards → plasma once per run (parallel remote loads overlapping
+        # the schedule phases); safe here because the fused fetch+decode
+        # emits features only — no multi-GB block stream competes for the
+        # object store
+        stage_store_to_plasma=FRONTIER_N > 500_000,
     )
     t0 = time.monotonic()
     try:

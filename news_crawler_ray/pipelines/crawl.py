@@ -111,6 +111,11 @@ class CrawlConfig:
     # features instead of raw bytes (the north rule's per-row pixel
     # invariant as a pipeline stage); CPU-bound
     verify_payloads: bool = False
+    # sharded store + verify_payloads: run lookup+decode as ONE fused
+    # task-form kernel (stages/fetch.fetch_decode_batch) — payload bytes
+    # never enter the inter-operator block stream (measured ~6 GB and
+    # ~87 CPU-s of gather per 2 M-row wave when the stages were split)
+    fuse_fetch_decode: bool = True
     # "tasks" (default): stateless decode as elastic tasks — uses every
     # free CPU; "actors": fixed pool (for codecs with real load state)
     verify_mode: str = "tasks"
@@ -215,6 +220,7 @@ def run_crawl(
     robots_ref = ray.put(robots_table_to_config(robots))
     from ..stages.fetch import (
         broadcast_pagestore,
+        fetch_decode_sharded,
         fetch_join,
         fetch_sharded,
         stage_shards,
@@ -287,6 +293,11 @@ def run_crawl(
 
     pools = _resolve_pools(cfg)
     store_shard_refs: list | None = None
+    if cfg.stage_store_to_plasma and shard_dir is not None:
+        # launch the (parallel, remote) shard loads NOW so they overlap
+        # the first wave's dedup/schedule phases — refs resolve lazily in
+        # the fetch workers' first ray.get
+        store_shard_refs = stage_shards(shard_dir, num_store_shards)
     trace = os.environ.get("NC_CRAWL_TRACE") == "1"
 
     def _tr(label, t_start):
@@ -361,13 +372,17 @@ def run_crawl(
                 with_crawl_rank=cfg.compute_crawl_rank,
             )
             tp = _tr("seen+schedule(eager sorts)", tp)
-        if shard_dir is not None:
-            if cfg.stage_store_to_plasma and store_shard_refs is None:
-                # opt-in: shards → shared object store (plasma as page
-                # cache). Only worth it when shards + in-flight payload
-                # fit the object store comfortably — oversubscribing it
-                # triggers spilling and loses more than reloads cost.
-                store_shard_refs = stage_shards(shard_dir, num_store_shards)
+        fused_decode = (
+            shard_dir is not None and cfg.verify_payloads and cfg.fuse_fetch_decode
+        )
+        if fused_decode:
+            fetched_raw = fetch_decode_sharded(
+                scheduled,
+                shard_dir,
+                num_shards=num_store_shards,
+                shard_refs=store_shard_refs,
+            )
+        elif shard_dir is not None:
             fetched_raw = fetch_sharded(
                 scheduled,
                 shard_dir,
@@ -388,7 +403,7 @@ def run_crawl(
                 num_cpus=pools["fetch"].get("num_cpus"),
                 batch_size=cfg.fetch_batch_size,
             )
-        if cfg.verify_payloads:
+        if cfg.verify_payloads and not fused_decode:
             if cfg.verify_mode == "tasks":
                 # the codec is stateless (zlib+numpy) — task-based map
                 # lets the dominant stage soak up every idle CPU instead

@@ -394,6 +394,211 @@ def fetch_sharded(
     )
 
 
+SMALL_PAYLOAD_COLS = ["w", "h", "fmt", "caption", "phash"]
+
+# Per-WORKER-PROCESS shard-view cache for the fused task-form fetch+decode:
+# Ray reuses worker processes, so views persist across tasks. Plasma-backed
+# views are zero-copy (ray.get of a staged shard); disk views are LRU-capped.
+_worker_shard_cache = None
+
+
+def _fused_shard_view(token, s, shard_refs, shard_dir, max_cached: int):
+    global _worker_shard_cache
+    import collections
+    import os
+
+    import pyarrow.parquet as pq
+
+    if _worker_shard_cache is None:
+        _worker_shard_cache = collections.OrderedDict()
+    cache = _worker_shard_cache
+    key = (token, int(s))
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+    if shard_refs is not None:
+        tbl = ray.get(shard_refs[int(s)])  # zero-copy plasma view
+    else:
+        path = os.path.join(shard_dir, f"shard-{int(s)}")
+        if not os.path.isdir(path):
+            tbl = STORE_SCHEMA.empty_table()
+        else:
+            from ..functions.retry import with_retry
+
+            tbl = with_retry(pq.read_table, attempts=3, initial_delay_s=0.05)(
+                path
+            ).combine_chunks()
+    ids = tbl["image_id"].combine_chunks() if tbl.num_rows else tbl["image_id"]
+    cache[key] = (tbl, ids)
+    cap = len(shard_refs) if shard_refs is not None else max_cached
+    while len(cache) > cap:
+        cache.popitem(last=False)
+    return cache[key]
+
+
+def fetch_decode_batch(
+    batch: pa.Table,
+    shard_dir: str | None = None,
+    shard_refs: list | None = None,
+    num_shards: int = 32,
+    token: str = "store",
+    max_cached: int = 8,
+) -> pa.Table:
+    """Fused fetch+decode kernel (task form): keyed lookup into the
+    sharded store AND payload decode/verify in ONE UDF.
+
+    The round-1 plan ran these as separate operators, which materialized
+    every payload into the inter-operator block stream (~6 GB per 2 M-row
+    wave through the object store) plus two full gather/reorder copies —
+    measured at ~87 CPU-s against decode's 291 CPU-s (BASELINE.md round-2
+    notes). Here payload ``bytes`` never enter the block stream: rows are
+    probed per shard (vectorized ``pc.index_in``), bytes are taken
+    shard-group-wise straight out of the (plasma-staged or page-cached)
+    shard table, decoded, and only fixed-width features are emitted.
+    Output is identical to ``fetch_sharded`` → ``decode_features_batch``.
+    """
+    from ..ops.multimodal import append_feature_columns, decode_feature_arrays
+
+    if batch.num_rows == 0:
+        base = batch.drop_columns(
+            [c for c in ("_fetch_shard",) if c in batch.column_names]
+        )
+        cols = dict(zip(base.column_names, base.columns))
+        if "image_id" not in cols:
+            cols["image_id"] = pa.array([], pa.string())
+        for f in PAYLOAD_SCHEMA:
+            if f.name != "bytes":
+                cols[f.name] = pa.array([], f.type)
+        cols["fetch_status"] = pa.array([], pa.string())
+        return append_feature_columns(
+            pa.table(cols),
+            np.zeros((0, 3)), np.zeros(0), np.zeros(0, np.int64), np.zeros(0, bool),
+        )
+    if "image_id" not in batch.column_names:
+        batch = add_image_id(batch)
+    if "_fetch_shard" in batch.column_names:
+        shards = np.asarray(batch["_fetch_shard"], dtype=np.int64)
+        batch = batch.drop_columns(["_fetch_shard"])
+    else:
+        shards = shard_of_image_id(batch["image_id"], num_shards)
+    n = batch.num_rows
+    batch_ids = batch["image_id"].combine_chunks()
+    rows = np.empty(n, dtype=np.int64)
+    mean_rgb = np.zeros((n, 3), dtype=np.float64)
+    std_gray = np.zeros(n, dtype=np.float64)
+    phash_chk = np.zeros(n, dtype=np.int64)
+    ok = np.ones(n, dtype=bool)
+    small_parts: list[pa.Table] = []
+    order_parts: list[np.ndarray] = []
+    for s in np.unique(shards):
+        tbl, ids = _fused_shard_view(token, s, shard_refs, shard_dir, max_cached)
+        sel = np.nonzero(shards == s)[0]
+        if tbl.num_rows == 0:
+            rows[sel] = -1
+        else:
+            pos = pc.index_in(batch_ids.take(pa.array(sel)), value_set=ids)
+            rows[sel] = np.asarray(pc.fill_null(pos, -1), dtype=np.int64)
+        fsel = sel[rows[sel] >= 0]
+        if fsel.size:
+            idx = pa.array(rows[fsel], pa.int64())
+            # decode straight from the shard table's buffers; features are
+            # scattered to absolute batch positions (no reorder pass)
+            decode_feature_arrays(
+                tbl["bytes"].take(idx).to_pylist(),
+                tbl["fmt"].take(idx).to_pylist(),
+                out=(mean_rgb, std_gray, phash_chk, ok),
+                positions=fsel,
+                n=n,
+            )
+        miss = sel[rows[sel] < 0]
+        ok[miss] = False
+        if tbl.num_rows == 0:
+            small_parts.append(
+                pa.table(
+                    {c: pa.nulls(sel.size, PAYLOAD_SCHEMA.field(c).type)
+                     for c in SMALL_PAYLOAD_COLS}
+                )
+            )
+        else:
+            small_parts.append(
+                tbl.select(SMALL_PAYLOAD_COLS).take(
+                    pa.array(np.where(rows[sel] >= 0, rows[sel], 0), pa.int64())
+                )
+            )
+        order_parts.append(sel)
+    order = np.concatenate(order_parts)
+    small = pa.concat_tables(small_parts)
+    if len(order_parts) > 1 or not np.array_equal(order, np.arange(n)):
+        small = small.take(pa.array(np.argsort(order), pa.int64()))
+    found = rows >= 0
+    cols = dict(zip(batch.column_names, batch.columns))
+    if found.all():
+        for name in SMALL_PAYLOAD_COLS:
+            cols[name] = small[name]
+        cols["fetch_status"] = pa.array(["ok"] * n, pa.string())
+    else:
+        mask = pa.array(found)
+        for name in SMALL_PAYLOAD_COLS:
+            cols[name] = pc.if_else(
+                mask,
+                small[name].combine_chunks(),
+                pa.scalar(None, PAYLOAD_SCHEMA.field(name).type),
+            )
+        cols["fetch_status"] = pc.if_else(mask, pa.scalar("ok"), pa.scalar("missing"))
+    return append_feature_columns(pa.table(cols), mean_rgb, std_gray, phash_chk, ok)
+
+
+def fetch_decode_sharded(
+    wave_ds: "ray.data.Dataset",
+    shard_dir: str,
+    num_shards: int = 32,
+    shard_refs: list | None = None,
+    batch_size: int | None = None,
+    colocate: bool | None = None,
+) -> "ray.data.Dataset":
+    """Fused fetch+decode over the hash-partitioned store.
+
+    TASK-based (the per-worker shard-view cache is the only state): the
+    streaming executor soaks up every idle CPU elastically instead of a
+    fixed actor reservation, and the decode-dominant stage scales at the
+    box's CPU ceiling.
+
+    ``colocate`` (default: only when reading shards from disk) inserts a
+    range-partition sort on ``_fetch_shard`` so each task touches ~1
+    shard — needed when a shard view costs a parquet read. With
+    plasma-staged ``shard_refs`` every worker sees every shard
+    zero-copy, probing all shards per block-sized batch costs ~7 µs/row
+    (measured), and skipping the sort removes both a barrier and the
+    skew of range-partitioning a 32-value key (task times measured
+    8-18 s across sorted partitions vs uniform block sizes without).
+    """
+    if colocate is None:
+        colocate = shard_refs is None
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = add_image_id(t)
+        return t.append_column(
+            "_fetch_shard",
+            pa.array(shard_of_image_id(t["image_id"], num_shards), pa.int64()),
+        )
+
+    keyed = wave_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    parts = keyed.sort("_fetch_shard") if colocate else keyed
+    return parts.map_batches(
+        fetch_decode_batch,
+        fn_kwargs=dict(
+            shard_dir=shard_dir,
+            shard_refs=shard_refs,
+            num_shards=num_shards,
+            token=shard_dir or "plasma",
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def fetch_join(
     wave_ds: "ray.data.Dataset",
     pagestore_ds: "ray.data.Dataset",

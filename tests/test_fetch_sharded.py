@@ -87,6 +87,50 @@ def test_crawl_verify_payloads(ray_session, sharded_store, tmp_path):
         assert dist == 0 if fmts[r["image_id"]] == "png" else dist <= 4
 
 
+def test_fused_fetch_decode_matches_split_chain(ray_session, sharded_store):
+    """fetch_decode_sharded ≡ fetch_sharded → decode_features_batch, row
+    for row (same columns, same values, missing rows included)."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.multimodal import decode_features_batch
+    from news_crawler_ray.stages.canonicalize import canonicalize
+    from news_crawler_ray.stages.fetch import fetch_decode_sharded, fetch_sharded
+
+    ps, d = sharded_store
+    wave = canonicalize(rd.from_arrow(synth.make_frontier(120, seed=7)))
+    split = (
+        fetch_sharded(wave, d, num_shards=4, concurrency=1)
+        .map_batches(decode_features_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    fused = fetch_decode_sharded(wave, d, num_shards=4, batch_size=32).take_all()
+    assert split and len(split) == len(fused)
+    assert set(split[0].keys()) == set(fused[0].keys())
+    key = lambda r: (r["url"], r["priority"], r["discovered_at"])
+    assert sorted(split, key=key) == sorted(fused, key=key)
+
+
+def test_crawl_fused_decode_matches_unfused(ray_session, sharded_store, tmp_path):
+    """Whole-pipeline equivalence: run_crawl with fuse_fetch_decode on/off
+    over the sharded store produces identical fetched tables."""
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps, d = sharded_store
+    fr = synth.make_frontier(80, seed=42)
+    robots = synth.make_robots(seed=42)
+    outs = []
+    for fused in (True, False):
+        cfg = cp.CrawlConfig(
+            max_waves=2, num_seen_shards=2, dedup_partitions=4,
+            verify_payloads=True, fuse_fetch_decode=fused,
+        )
+        res = cp.run_crawl(fr, d, robots, str(tmp_path / f"f{fused}"), config=cfg)
+        rows = res.fetched_dataset().take_all()
+        rows.sort(key=lambda r: (r["wave"], r["crawl_rank"]))
+        outs.append(rows)
+    assert outs[0] == outs[1] and outs[0]
+
+
 def test_empty_shards_routed_correctly(ray_session, tmp_path):
     """A store whose rows hash into only SOME shards must still fetch
     correctly: the modulus comes from the manifest (not the dir count),

@@ -169,6 +169,26 @@ class CrawlResult:
         return ray.data.read_parquet(os.path.join(self.out_dir, "fetched"))
 
 
+def _read_candidates(path: str, rows_per_block: int = 32768) -> "ray.data.Dataset":
+    """Read a candidate dir split into ~``rows_per_block``-row blocks.
+
+    Block count propagates through the whole wave: Ray's range-partition
+    sort emits as many partitions as input blocks. Sort exchange cost
+    grows with input_blocks × partitions (O(B²) small objects), so
+    blocks stay COARSE here (~32 k rows) and the LAST exchange's output
+    is sliced finer for CPU-bound downstream tasks instead
+    (``schedule(rank_split=...)`` → ``index._add_rank_split``) — fine
+    task granularity without a fine sort. The first read is
+    metadata-only (row count from parquet footers).
+    """
+    n = ray.data.read_parquet(path).count()
+    if n == 0:
+        return ray.data.read_parquet(path)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    blocks = int(min(512, max(2 * ncpu, n // rows_per_block)))
+    return ray.data.read_parquet(path, override_num_blocks=blocks)
+
+
 def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest.json")
 
@@ -280,7 +300,7 @@ def run_crawl(
         cand_path = os.path.join(out_dir, "candidates", f"wave-{start_wave}")
         if not os.path.exists(cand_path):
             return result  # crawl had already drained
-        candidates = ray.data.read_parquet(cand_path)
+        candidates = _read_candidates(cand_path)
     else:
         if isinstance(seeds, pa.Table):
             candidates = ray.data.from_arrow(seeds)
@@ -289,7 +309,7 @@ def run_crawl(
         seed_path = os.path.join(out_dir, "candidates", "wave-0")
         if not os.path.exists(seed_path):
             _write_candidates(candidates, seed_path)
-        candidates = ray.data.read_parquet(seed_path)
+        candidates = _read_candidates(seed_path)
 
     pools = _resolve_pools(cfg)
     store_shard_refs: list | None = None
@@ -359,6 +379,8 @@ def run_crawl(
                 fn_constructor_kwargs={"shards": seen.shards},
                 batch_format="pyarrow",
                 zero_copy_batch=True,
+                batch_size=None,  # block-sized batches: ~16 shard RPCs per
+                # BLOCK, not per 1024-row default batch (32k RPCs/wave)
                 concurrency=pools["seen"]["concurrency"],
                 num_cpus=pools["seen"].get("num_cpus"),
             )
@@ -370,6 +392,10 @@ def run_crawl(
                 default_delay_ms=cfg.default_delay_ms,
                 num_partitions=cfg.dedup_partitions,
                 with_crawl_rank=cfg.compute_crawl_rank,
+                # ~32 k-row sort blocks → ~8 k-row downstream tasks: the
+                # fused fetch+decode (~160 µs/row) packs every pool
+                # without a single wide straggler setting the wave wall
+                rank_split=4,
             )
             tp = _tr("seen+schedule(eager sorts)", tp)
         fused_decode = (
@@ -474,7 +500,7 @@ def run_crawl(
 
         if n_outlinks == 0:
             break
-        candidates = ray.data.read_parquet(next_path)
+        candidates = _read_candidates(next_path)
 
     return result
 

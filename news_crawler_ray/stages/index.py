@@ -56,8 +56,7 @@ def _block_group_counts(tbl: pa.Table, group_col: str | None):
     return list(zip(values, lengths.tolist()))
 
 
-@ray.remote
-def _add_rank(tbl: pa.Table, group_col: str | None, offsets: dict, rank_col: str):
+def _add_rank_impl(tbl: pa.Table, group_col: str | None, offsets: dict, rank_col: str):
     if group_col is None:
         ranks = np.arange(tbl.num_rows, dtype=np.int64) + offsets[None]
     else:
@@ -69,16 +68,43 @@ def _add_rank(tbl: pa.Table, group_col: str | None, offsets: dict, rank_col: str
     return tbl.append_column(rank_col, pa.array(ranks, pa.int64()))
 
 
+@ray.remote
+def _add_rank(tbl: pa.Table, group_col: str | None, offsets: dict, rank_col: str):
+    return _add_rank_impl(tbl, group_col, offsets, rank_col)
+
+
+@ray.remote
+def _add_rank_split(tbl: pa.Table, group_col, offsets: dict, rank_col: str, k: int):
+    """Rank one sorted block, then return it as ``k`` zero-copy slices.
+
+    Downstream task granularity = block granularity, but SORT cost grows
+    with exchange-object count (O(input_blocks × partitions) tiny
+    objects) — so sorts run coarse and blocks are split HERE, after the
+    last exchange, for fine-grained CPU-bound stages (the fused
+    fetch+decode). Splitting at rank-add time costs no extra task
+    launches: the same remote call just has ``num_returns=k``.
+    """
+    out = _add_rank_impl(tbl, group_col, offsets, rank_col)
+    step = -(-out.num_rows // k) if out.num_rows else 1
+    parts = tuple(out.slice(i * step, step) for i in range(k))
+    return parts if k > 1 else parts[0]
+
+
 def with_group_rank(
     ds: "ray.data.Dataset",
     group_col: str | None,
     order: list[str],
     descending: list[bool],
     rank_col: str = "rank",
+    split_output: int = 1,
 ) -> "ray.data.Dataset":
     """Sort by (group, *order) and add a 0-based rank within each group.
 
     ``group_col=None`` gives a global zip-with-index over the sort order.
+    ``split_output=k`` returns each ranked block as ``k`` zero-copy
+    slices (see :func:`_add_rank_split`): the sort runs coarse (exchange
+    cost grows with block count × partitions) while downstream CPU-bound
+    stages get fine-grained tasks.
     """
     if group_col is not None:
         sort_cols = [group_col] + list(order)
@@ -108,10 +134,19 @@ def with_group_rank(
         for g, n in counts:
             running[g] = running.get(g, 0) + n
         per_block_offsets.append(off)
-    new_refs = [
-        _add_rank.remote(r, group_col, off, rank_col)
-        for r, off in zip(refs, per_block_offsets)
-    ]
+    if split_output > 1:
+        new_refs = []
+        for r, off in zip(refs, per_block_offsets):
+            new_refs.extend(
+                _add_rank_split.options(num_returns=split_output).remote(
+                    r, group_col, off, rank_col, split_output
+                )
+            )
+    else:
+        new_refs = [
+            _add_rank.remote(r, group_col, off, rank_col)
+            for r, off in zip(refs, per_block_offsets)
+        ]
     return ray.data.from_arrow_refs(new_refs)
 
 

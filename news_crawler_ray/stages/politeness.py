@@ -238,21 +238,40 @@ class RobotsFilter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("delay_ms", pa.array([], pa.int32()))
-        hosts = batch["host"].to_pylist()
-        paths = pc.struct_field(
-            pc.extract_regex(batch["url"], _PATH_RE), "path"
-        ).to_pylist()
-        keep = np.ones(batch.num_rows, dtype=bool)
-        delays = np.full(batch.num_rows, self.default, dtype=np.int32)
-        for i, (h, p) in enumerate(zip(hosts, paths)):
+        n = batch.num_rows
+        # dictionary-encode hosts: config lookups run once per UNIQUE
+        # host, delays map back with one vectorized gather, and the
+        # per-path prefix checks touch only rows of restricted hosts
+        # (the old per-row Python loop was the schedule phase's floor)
+        hosts = batch["host"].combine_chunks()
+        enc = hosts.dictionary_encode()
+        codes = np.asarray(enc.indices)
+        uniq = enc.dictionary.to_pylist()
+        delay_by_code = np.full(len(uniq), self.default, dtype=np.int32)
+        restricted: list[tuple[int, tuple]] = []
+        for u, h in enumerate(uniq):
             cfg = self.cfg.get(h)
             if cfg is None:
                 continue
             prefixes, delay = cfg
-            delays[i] = delay
-            if p is not None and any(p.startswith(pre) for pre in prefixes):
-                keep[i] = False
+            delay_by_code[u] = delay
+            if prefixes:
+                restricted.append((u, prefixes))
+        delays = delay_by_code[codes]
+        keep = np.ones(n, dtype=bool)
+        if restricted:
+            paths = pc.struct_field(pc.extract_regex(batch["url"], _PATH_RE), "path")
+            for u, prefixes in restricted:
+                sel = np.flatnonzero(codes == u)
+                sub = paths.take(pa.array(sel))
+                bad = np.zeros(sel.size, dtype=bool)
+                for pre in prefixes:
+                    hit = pc.starts_with(sub, pattern=pre)
+                    bad |= pc.fill_null(hit, False).to_numpy(zero_copy_only=False)
+                keep[sel[bad]] = False
         out = batch.append_column("delay_ms", pa.array(delays, pa.int32()))
+        if keep.all():
+            return out
         return out.filter(pa.array(keep))
 
 
@@ -265,6 +284,7 @@ def schedule(
     rank_strategy: str = "sort",
     robots_num_cpus: float | None = None,
     with_crawl_rank: bool = True,
+    rank_split: int = 1,
 ) -> "ray.data.Dataset":
     """Candidates -> politeness-ordered schedule with ``crawl_rank``.
 
@@ -283,6 +303,7 @@ def schedule(
         fn_constructor_kwargs={"robots_ref": robots_ref, "default_delay_ms": default_delay_ms},
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,  # one dictionary-encode per block, not per 1024 rows
         concurrency=concurrency,
         num_cpus=robots_num_cpus,
     )
@@ -293,7 +314,15 @@ def schedule(
         )
     else:
         ranked = with_group_rank(
-            filtered, "host", ["priority", "url"], [True, False], rank_col="host_rank"
+            filtered,
+            "host",
+            ["priority", "url"],
+            [True, False],
+            rank_col="host_rank",
+            # the host-rank sort is the wave's LAST exchange: slicing its
+            # ranked blocks here hands the downstream fused fetch+decode
+            # fine-grained tasks without paying a finer (costlier) sort
+            split_output=rank_split,
         )
 
     def add_fetch_at(t: pa.Table) -> pa.Table:

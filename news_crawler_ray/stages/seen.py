@@ -62,24 +62,37 @@ class SeenShard:
         """For each key: True if NEW (not seen); marks all keys seen."""
         if not keys:
             return np.zeros(0, dtype=bool)
-        km = keys_to_matrix(keys)
+        return self._check_and_add_matrix(keys_to_matrix(keys))
+
+    def check_and_add_packed(self, blob: bytes) -> np.ndarray:
+        """Packed form of :meth:`check_and_add`: ``blob`` is n
+        concatenated 20-byte keys. One buffer crosses the RPC instead of
+        a pickled list of n ``bytes`` objects — the list form measured
+        as the seen stage's dominant cost at 2 M keys/wave."""
+        km = np.frombuffer(blob, dtype=np.uint8).reshape(-1, 20)
+        return self._check_and_add_matrix(km)
+
+    def _check_and_add_matrix(self, km: np.ndarray) -> np.ndarray:
         maybe = self.bloom.maybe_contains(km)
         if self.cuckoo_live:
             maybe &= self.cuckoo.maybe_contains(km)
-        is_new = np.empty(len(keys), dtype=bool)
-        for i, key in enumerate(keys):
-            if not maybe[i]:
-                is_new[i] = True
-                self.prefilter_hits += 1
-            else:
-                self.exact_checks += 1
-                is_new[i] = key not in self.exact
+        is_new = ~maybe
+        # only prefilter "maybe seen" rows fall through to the exact set
+        unsure = np.flatnonzero(maybe)
+        self.prefilter_hits += len(km) - unsure.size
+        self.exact_checks += unsure.size
+        for i in unsure:
+            is_new[i] = km[i].tobytes() not in self.exact
         new_idx = np.nonzero(is_new)[0]
         if new_idx.size:
-            self.bloom.add(km[new_idx])
-            if self.cuckoo_live and self.cuckoo.insert(km[new_idx]) > 0:
+            newm = np.ascontiguousarray(km[new_idx])
+            self.bloom.add(newm)
+            if self.cuckoo_live and self.cuckoo.insert(newm) > 0:
                 self.cuckoo_live = False
-            self.exact.update(keys[i] for i in new_idx)
+            flat = newm.tobytes()  # one C copy, then cheap slicing
+            self.exact.update(
+                flat[j * 20 : (j + 1) * 20] for j in range(new_idx.size)
+            )
         return is_new
 
     def contains(self, keys: list[bytes]) -> np.ndarray:
@@ -250,15 +263,18 @@ class SeenFilterStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch
-        keys = batch["url_sha1"].to_pylist()
+        km = urlnorm.binary20_matrix(batch["url_sha1"])
         shard_ids = urlnorm.shard_array(batch["url_sha1"], self.num_shards)
         futs, idxs = [], []
         for s in range(self.num_shards):
             idx = np.nonzero(shard_ids == s)[0]
             if idx.size:
-                futs.append(self.shards[s].check_and_add.remote([keys[i] for i in idx]))
+                # one packed buffer per shard RPC (vs a pickled list of
+                # bytes objects — measured dominant at 2 M keys/wave)
+                blob = np.ascontiguousarray(km[idx]).tobytes()
+                futs.append(self.shards[s].check_and_add_packed.remote(blob))
                 idxs.append(idx)
         keep = np.zeros(batch.num_rows, dtype=bool)
-        for fut, idx in zip(futs, idxs):
-            keep[idx] = ray.get(fut)
+        for res, idx in zip(ray.get(futs), idxs):  # all shards in parallel
+            keep[idx] = res
         return batch.filter(pa.array(keep))

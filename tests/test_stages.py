@@ -118,6 +118,14 @@ def test_with_group_rank_and_zip(ray_session):
     want = [r["u"] for r in sorted(rows, key=lambda r: (r["v"], r["u"]))]
     for r in idx:
         assert want[r["pos"]] == r["u"]
+    # split_output slices ranked blocks (fine downstream tasks) without
+    # changing any rank
+    split = with_group_rank(
+        ds, "g", ["v", "u"], [True, False], rank_col="rk", split_output=3
+    ).take_all()
+    assert sorted((r["g"], r["rk"], r["u"]) for r in split) == sorted(
+        (r["g"], r["rk"], r["u"]) for r in ranked
+    )
 
 
 def test_assign_stable_ids(ray_session):

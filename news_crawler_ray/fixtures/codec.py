@@ -137,12 +137,16 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10.0 * np.log10(255.0**2 / mse))
 
 
-def phash64_batch(px_stack: np.ndarray) -> np.ndarray:
+def phash64_batch(px_stack: np.ndarray, gray: "np.ndarray | None" = None) -> np.ndarray:
     """Vectorized :func:`phash64` over a (n, h, w, 3) stack (h, w % 8 == 0).
 
-    Bit-identical to the scalar version for multiple-of-8 sizes.
+    Bit-identical to the scalar version for multiple-of-8 sizes. Pass a
+    precomputed ``gray`` = ``px_stack.mean(axis=3, dtype=np.float32)``
+    to skip the stack's largest reduction when the caller already has it
+    (the feature kernel computes it for std_gray anyway).
     """
-    gray = px_stack.mean(axis=3, dtype=np.float32)
+    if gray is None:
+        gray = px_stack.mean(axis=3, dtype=np.float32)
     n, h, w = gray.shape
     cells = gray.reshape(n, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
     bits = (cells > cells.mean(axis=(1, 2), keepdims=True)).reshape(n, 64)

@@ -18,6 +18,9 @@ the full Ray-side plumbing (schema, actor signature, batching) and raise
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -26,6 +29,74 @@ from ..fixtures import codec
 IMG_FEATURE_COLS = [
     "mean_r", "mean_g", "mean_b", "std_gray", "phash_check",
 ]
+
+
+def _parse_dims(buf: bytes, fmt: str):
+    """(w, h) from a payload header without decoding; None = unknown
+    layout (caller falls back to the per-row codec)."""
+    try:
+        if fmt == "jpeg" and buf[:4] == b"QIM1":
+            return struct.unpack(">II", buf[4:12])
+        if fmt == "png" and buf[:8] == codec._PNG_SIG and buf[12:16] == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", buf[16:26])
+            if depth == 8 and ctype == 2:
+                return w, h
+    except Exception:
+        return None
+    return None
+
+
+def _decode_group_stack(bufs: list, fmt: str, w: int, h: int):
+    """Decode same-(fmt,w,h) payloads straight into ONE (k, h, w, 3)
+    uint8 stack.
+
+    The irreducible C work (zlib) stays per row; everything else —
+    dequantize, filter strip, stacking — runs once over the whole stack
+    instead of allocating per-image temporaries (the per-row path spends
+    ~half its time in small-array numpy overhead at 32 px). Returns
+    (stack, ok) where ok flags rows that decoded; failed rows are left
+    zeroed. Rows needing PNG filter reconstruction (never produced by
+    the fixture encoder, filter 0 only) decode via the scalar codec.
+    """
+    k = len(bufs)
+    ok = np.ones(k, dtype=bool)
+    stack = np.zeros((k, h, w * 3), np.uint8)
+    if fmt == "jpeg":
+        flat = stack.reshape(k, -1)
+        for j, buf in enumerate(bufs):
+            try:
+                q = np.frombuffer(zlib.decompress(buf[12:]), np.uint8)
+                if q.size != h * w * 3:
+                    raise ValueError("size mismatch")
+                flat[j] = q
+            except Exception:
+                ok[j] = False
+        # 6-bit dequantize, vectorized over the stack (q<=63 so q<<2
+        # cannot overflow uint8; matches codec.decode_lossy bit-exactly)
+        np.bitwise_or(stack << 2, stack >> 4, out=stack)
+        return stack.reshape(k, h, w, 3), ok
+    stride = w * 3 + 1
+    for j, buf in enumerate(bufs):
+        try:
+            pos, idat = 8, bytearray()
+            while pos < len(buf):
+                (length,) = struct.unpack(">I", buf[pos : pos + 4])
+                tag = buf[pos + 4 : pos + 8]
+                if tag == b"IDAT":
+                    idat += buf[pos + 8 : pos + 8 + length]
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            rows = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8).reshape(
+                h, stride
+            )
+            if rows[:, 0].any():  # filtered scanlines: rare, scalar path
+                stack[j] = codec.decode_png(buf).reshape(h, w * 3)
+            else:
+                stack[j] = rows[:, 1:]
+        except Exception:
+            ok[j] = False
+    return stack.reshape(k, h, w, 3), ok
 
 
 def decode_feature_arrays(
@@ -37,12 +108,16 @@ def decode_feature_arrays(
     arrays. ``positions`` scatters results into preallocated ``out``
     arrays (the fused fetch+decode stage decodes shard-grouped rows and
     writes features at their batch positions — no payload reorder pass).
-    Decode is per row (zlib is C); statistics are vectorized across
-    same-shape (k, h, w, 3) stacks, FLUSHED every ``flush_at`` images:
-    unbounded stacks of a 31 k-row block allocate ~0.5 GB of float
-    temporaries per task and thrash memory bandwidth — measured 9x
-    slower than 2 k-image chunks when 8 tasks decode concurrently.
+    With the default codec, same-(fmt,w,h) payloads decode straight into
+    one uint8 stack (:func:`_decode_group_stack`: only zlib stays per
+    row) and statistics run once per stack; a custom ``decode`` or an
+    unrecognized header falls back to the per-row codec. Stacks are
+    FLUSHED every ``flush_at`` images: unbounded stacks of a 31 k-row
+    block allocate ~0.5 GB of float temporaries per task and thrash
+    memory bandwidth — measured 9x slower than 2 k-image chunks when 8
+    tasks decode concurrently.
     """
+    batched = decode is None or decode is codec.decode
     if decode is None:
         decode = codec.decode
     if n is None:
@@ -58,23 +133,45 @@ def decode_feature_arrays(
     if positions is None:
         positions = np.arange(len(data))
 
-    def flush(shape, idxs, pxs):
-        P = np.stack(pxs)
-        ix = np.asarray(idxs)
+    def stack_features(P: np.ndarray, ix: np.ndarray):
         mean_rgb[ix] = P.reshape(len(ix), -1, 3).mean(axis=1, dtype=np.float32)
-        gray = P.mean(axis=3, dtype=np.float32)
+        # one float32 convert + slice adds ≡ P.mean(axis=3, dtype=f32)
+        # bit-for-bit ((a+b)+c then /3 — the same order numpy's len-3
+        # axis reduce uses) but SIMD-wide instead of a 3-elem inner loop;
+        # gray then feeds BOTH std and phash (recomputing it was the
+        # kernel's single largest reduction)
+        F = P.astype(np.float32)
+        gray = F[..., 0] + F[..., 1]
+        gray += F[..., 2]
+        gray /= np.float32(3.0)
         std_gray[ix] = gray.reshape(len(ix), -1).std(axis=1)
-        if shape[0] % 8 == 0 and shape[1] % 8 == 0:
-            phash[ix] = codec.phash64_batch(P)
+        if P.shape[1] % 8 == 0 and P.shape[2] % 8 == 0:
+            phash[ix] = codec.phash64_batch(P, gray=gray)
         else:
-            for j, px in zip(ix, pxs):
-                phash[j] = codec.phash64(px)
+            for j in range(len(ix)):
+                phash[ix[j]] = codec.phash64(P[j])
+
+    def flush(shape, idxs, pxs):
+        stack_features(np.stack(pxs), np.asarray(idxs))
 
     by_shape: dict[tuple, tuple[list, list]] = {}
+    groups: dict[tuple, tuple[list, list]] = {}
     for i, buf, fmt in zip(positions, data, fmts):
         if buf is None:
             ok[i] = False
             continue
+        if batched:
+            dims = _parse_dims(buf, fmt)
+            if dims is not None:
+                idxs, bufs = groups.setdefault((fmt, *dims), ([], []))
+                idxs.append(i)
+                bufs.append(buf)
+                if len(idxs) >= flush_at:
+                    groups.pop((fmt, *dims))
+                    _decode_flush(
+                        bufs, fmt, dims, np.asarray(idxs), stack_features, ok
+                    )
+                continue
         try:
             px = decode(buf, fmt)
         except Exception:
@@ -88,7 +185,19 @@ def decode_feature_arrays(
             by_shape.pop(px.shape)
     for shape, (idxs, pxs) in by_shape.items():
         flush(shape, idxs, pxs)
+    for (fmt, w, h), (idxs, bufs) in groups.items():
+        _decode_flush(bufs, fmt, (w, h), np.asarray(idxs), stack_features, ok)
     return mean_rgb, std_gray, phash, ok
+
+
+def _decode_flush(bufs, fmt, dims, ix, stack_features, ok):
+    stack, gok = _decode_group_stack(bufs, fmt, *dims)
+    if gok.all():
+        stack_features(stack, ix)
+    else:
+        ok[ix[~gok]] = False
+        if gok.any():
+            stack_features(np.ascontiguousarray(stack[gok]), ix[gok])
 
 
 def append_feature_columns(

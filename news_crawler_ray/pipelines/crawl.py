@@ -169,8 +169,11 @@ class CrawlResult:
         return ray.data.read_parquet(os.path.join(self.out_dir, "fetched"))
 
 
-def _read_candidates(path: str, rows_per_block: int = 32768) -> "ray.data.Dataset":
-    """Read a candidate dir split into ~``rows_per_block``-row blocks.
+def _read_candidates(
+    path: str, rows_per_block: int = 32768, n: int | None = None
+) -> "tuple[ray.data.Dataset, int]":
+    """Read a candidate dir split into ~``rows_per_block``-row blocks;
+    returns ``(dataset, row_count)``.
 
     Block count propagates through the whole wave: Ray's range-partition
     sort emits as many partitions as input blocks. Sort exchange cost
@@ -178,15 +181,17 @@ def _read_candidates(path: str, rows_per_block: int = 32768) -> "ray.data.Datase
     blocks stay COARSE here (~32 k rows) and the LAST exchange's output
     is sliced finer for CPU-bound downstream tasks instead
     (``schedule(rank_split=...)`` → ``index._add_rank_split``) — fine
-    task granularity without a fine sort. The first read is
-    metadata-only (row count from parquet footers).
+    task granularity without a fine sort. Pass ``n`` when the caller
+    already knows the row count (e.g. it just wrote the dir); otherwise
+    one metadata-only pass reads it from the parquet footers.
     """
-    n = ray.data.read_parquet(path).count()
+    if n is None:
+        n = ray.data.read_parquet(path).count()
     if n == 0:
-        return ray.data.read_parquet(path)
+        return ray.data.read_parquet(path), 0
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     blocks = int(min(512, max(2 * ncpu, n // rows_per_block)))
-    return ray.data.read_parquet(path, override_num_blocks=blocks)
+    return ray.data.read_parquet(path, override_num_blocks=blocks), n
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -300,7 +305,7 @@ def run_crawl(
         cand_path = os.path.join(out_dir, "candidates", f"wave-{start_wave}")
         if not os.path.exists(cand_path):
             return result  # crawl had already drained
-        candidates = _read_candidates(cand_path)
+        candidates, cand_n = _read_candidates(cand_path)
     else:
         if isinstance(seeds, pa.Table):
             candidates = ray.data.from_arrow(seeds)
@@ -309,7 +314,7 @@ def run_crawl(
         seed_path = os.path.join(out_dir, "candidates", "wave-0")
         if not os.path.exists(seed_path):
             _write_candidates(candidates, seed_path)
-        candidates = _read_candidates(seed_path)
+        candidates, cand_n = _read_candidates(seed_path)
 
     pools = _resolve_pools(cfg)
     store_shard_refs: list | None = None
@@ -327,7 +332,7 @@ def run_crawl(
 
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.monotonic()
-        n_candidates = candidates.count()
+        n_candidates = cand_n
         if n_candidates == 0:
             break
 
@@ -500,7 +505,7 @@ def run_crawl(
 
         if n_outlinks == 0:
             break
-        candidates = _read_candidates(next_path)
+        candidates, cand_n = _read_candidates(next_path, n=n_outlinks)
 
     return result
 

@@ -108,12 +108,14 @@ def q_top_orders(sf_dir: str):
 
 
 def q_events_by_type(sf_dir: str):
-    """A10: grouped counts."""
+    """A10: grouped counts. Event types are a small fixed domain, so the
+    combiner path (per-block partial + driver merge) replaces the hash
+    shuffle."""
+    from ..ops.agg import partial_group_agg
+
     ds = _read(sf_dir, "events", ["event_type"])
-    return (
-        ds.groupby("event_type")
-        .count()
-        .map_batches(lambda t: _rename(t, {"count()": "n_events"}), batch_format="pyarrow")
+    return partial_group_agg(
+        ds, ["event_type"], [("n_events", "count_all", None)]
     )
 
 
@@ -187,13 +189,19 @@ def q_quality_counts(sf_dir: str):
 
 def q_lineitem_agg(sf_dir: str):
     """A6-style partial+final aggregation (TPC-H Q1 skeleton); sums are
-    integer-valued doubles so distributed order cannot change them."""
+    integer-valued doubles so distributed order cannot change them.
+
+    ~6 groups (flag × status) — the combiner path (`ops.agg`: one
+    vectorized per-block partial, tiny driver merge) instead of paying a
+    full hash shuffle to compute six cells."""
+    from ..ops.agg import partial_group_agg
+
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
-        ray.data.aggregate.Count(alias_name="n"),
+    return partial_group_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [("sum_qty", "sum", "l_quantity"), ("n", "count_all", None)],
     )
-    return agg
 
 
 def q_user_event_stats(sf_dir: str):

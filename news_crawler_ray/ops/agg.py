@@ -139,24 +139,43 @@ def _first_last_tuple(tbl: pa.Table, keys):
     return (first, last, tbl.num_rows)
 
 
-def _key_mask(tbl: pa.Table, keys, key_tuples):
-    """Boolean mask of rows whose key tuple is in ``key_tuples`` (tiny:
-    O(num_blocks) tuples — a few vectorized compares per tuple)."""
+def _tuple_mask(tbl: pa.Table, keys, kt):
+    """Boolean mask of rows equal to ONE key tuple (vectorized)."""
     import numpy as np
     import pyarrow.compute as pc
 
+    m = None
+    for k, v in zip(keys, kt):
+        if v is None:
+            e = pc.is_null(tbl[k]).to_numpy(zero_copy_only=False)
+        else:
+            e = pc.fill_null(
+                pc.equal(tbl[k], pa.scalar(v, tbl.schema.field(k).type)), False
+            ).to_numpy(zero_copy_only=False)
+        m = e if m is None else (m & e)
+    return m if m is not None else np.zeros(tbl.num_rows, dtype=bool)
+
+
+def _key_mask(tbl: pa.Table, keys, key_tuples):
+    """Boolean mask of rows whose key tuple is in ``key_tuples``.
+
+    The blocks here come from a range-partition sort, so the only key
+    tuples of ``key_tuples`` (= boundary-straddling keys) that can
+    appear in a block are the block's FIRST and LAST runs — every other
+    key is fully interior to one block. That caps the work at ≤2
+    vectorized compares per block, independent of how many blocks (and
+    hence straddle keys) the dataset has."""
+    import numpy as np
+
+    if tbl.num_rows == 0 or not key_tuples:
+        return np.zeros(tbl.num_rows, dtype=bool)
+    wanted = set(key_tuples) if not isinstance(key_tuples, set) else key_tuples
+    first = tuple(tbl[k][0].as_py() for k in keys)
+    last = tuple(tbl[k][-1].as_py() for k in keys)
     mask = np.zeros(tbl.num_rows, dtype=bool)
-    for kt in key_tuples:
-        m = None
-        for k, v in zip(keys, kt):
-            if v is None:
-                e = pc.is_null(tbl[k]).to_numpy(zero_copy_only=False)
-            else:
-                e = pc.fill_null(
-                    pc.equal(tbl[k], pa.scalar(v, tbl.schema.field(k).type)), False
-                ).to_numpy(zero_copy_only=False)
-            m = e if m is None else (m & e)
-        mask |= m
+    for kt in {first, last}:
+        if kt in wanted:
+            mask |= _tuple_mask(tbl, keys, kt)
     return mask
 
 

@@ -154,6 +154,21 @@ def q_customers_without_orders(sf_dir: str):
     return sort_merge_anti_join(cust, high, "c_custkey")
 
 
+def q_parts_with_lineitems(sf_dir: str):
+    """Semi join at data scale on both sides: parts that appear in any
+    lineitem (ops/join.sort_merge_semi_join — one task-based sort
+    exchange, boundary keys decided by a distributed bit-reduce)."""
+    from ..ops.join import sort_merge_semi_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    li = _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+        lambda t: _rename(t, {"l_partkey": "p_partkey"}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return sort_merge_semi_join(part, li, "p_partkey")
+
+
 def q_stable_event_type_ids(sf_dir: str):
     """A8: distinct values -> sort -> stable id = BASE + position."""
     ds = _read(sf_dir, "events", ["event_type"])
@@ -370,6 +385,10 @@ ORACLE_SQL: dict[str, str] = {
     "customers_without_orders": (
         "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
         "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)"
+    ),
+    "parts_with_lineitems": (
+        "SELECT p_partkey, p_name FROM part WHERE p_partkey IN "
+        "(SELECT l_partkey FROM lineitem)"
     ),
     "stable_event_type_ids": (
         "SELECT event_type, 7000000 + row_number() OVER (ORDER BY event_type) - 1 AS sid "
@@ -682,6 +701,7 @@ def build_queries() -> dict:
         "events_by_type": q_events_by_type,
         "exact_dedup_docs": q_exact_dedup_docs,
         "customers_without_orders": q_customers_without_orders,
+        "parts_with_lineitems": q_parts_with_lineitems,
         "stable_event_type_ids": q_stable_event_type_ids,
         "token_stats": q_token_stats,
         "fingerprints": q_fingerprints,

@@ -179,18 +179,25 @@ def partition_pagestore(
 
     import pyarrow.parquet as pq
 
-    def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "_shard", pa.array(shard_of_image_id(t["image_id"], num_shards), pa.int64())
-        )
+    def scatter_block(t: pa.Table) -> pa.Table:
+        # shuffle-free scatter: every input block writes its own rows
+        # straight into per-shard part files (unique name per task), so
+        # the multi-GB payload column never rides an all-to-all exchange
+        # — readers pq.read_table the whole shard DIRECTORY, and keyed
+        # lookup is order-independent, so multi-file shards are free
+        import uuid
 
-    tagged = pagestore_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    parts = tagged.repartition(num_blocks=num_shards, keys=["_shard"])
-
-    def write_block(t: pa.Table) -> pa.Table:
-        for s in np.unique(np.asarray(t["_shard"])):
-            sub = t.filter(pc.equal(t["_shard"], int(s))).drop_columns(["_shard"])
-            d = os.path.join(out_dir, f"shard-{int(s)}")
+        shards = np.asarray(shard_of_image_id(t["image_id"], num_shards))
+        order = np.argsort(shards, kind="stable")
+        st = t.take(pa.array(order))
+        ss = shards[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(ss))[0] + 1, [len(ss)]]
+        ).astype(np.int64)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        for i in range(len(starts) - 1):
+            s = int(ss[starts[i]])
+            d = os.path.join(out_dir, f"shard-{s}")
             os.makedirs(d, exist_ok=True)
             # plain-encoded, uncompressed: payload bytes are already
             # codec-compressed, and dictionary/zstd would make every
@@ -198,15 +205,17 @@ def partition_pagestore(
             # the wave's dominant CPU. Uncompressed, a shard read is a
             # near-memcpy from the page cache.
             pq.write_table(
-                sub,
-                os.path.join(d, "part.parquet"),
+                st.slice(starts[i], starts[i + 1] - starts[i]),
+                os.path.join(d, fname),
                 row_group_size=100_000,
                 compression="NONE",
                 use_dictionary=False,
             )
         return pa.table({"written": pa.array([t.num_rows], pa.int64())})
 
-    parts.map_batches(write_block, batch_format="pyarrow", batch_size=None).count()
+    pagestore_ds.map_batches(
+        scatter_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).count()
     for s in range(num_shards):
         d = os.path.join(out_dir, f"shard-{s}")
         if not os.path.isdir(d):

@@ -25,7 +25,7 @@ def test_partition_covers_all_rows(ray_session, sharded_store):
 
     ps, d = sharded_store
     got = []
-    for path in glob.glob(d + "/shard-*/part.parquet"):
+    for path in glob.glob(d + "/shard-*/*.parquet"):
         got.extend(pq.read_table(path)["image_id"].to_pylist())
     assert sorted(got) == sorted(ps["image_id"].to_pylist())
 

@@ -107,6 +107,15 @@ def _empty_partial(t, keys, specs):
 # --------------------------------------------------------------------------
 
 
+def sorted_distinct(ds, keys: list[str]):
+    """DATA-SCALE-safe distinct over ``keys``: sorted_group_agg with no
+    aggregates (per-block exact distinct after the range-partition sort,
+    boundary-straddling keys deduped driver-side). Use
+    :func:`partial_group_agg` with empty specs for LOW-cardinality keys
+    (no exchange at all)."""
+    return sorted_group_agg(ds, keys, [])
+
+
 def _spec_aggs(specs):
     aggs = [((c if c is not None else []), k) for _, k, c in specs]
     part_names = [(f"{c}_{k}" if c is not None else k) for _, k, c in specs]

@@ -192,21 +192,22 @@ def content_hash_batch(batch: pa.Table, text_col: str, out_col: str = "content_h
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per distinct text content.
 
-    Partial: per-batch hash (no shuffle of text bytes). Final: groupby
-    the 64-bit hash, min(id). Returns Dataset[id_col, content_hash].
-    Collision probability at 10^10 docs over 64 bits is ~0.003 — pair a
-    second independent seed column if that matters for the corpus.
+    Partial: per-batch hash (no shuffle of text bytes). Final: min-id
+    per 64-bit hash over the task-based sort exchange
+    (ops/agg.sorted_group_agg) — same data movement as the hash shuffle
+    without its aggregator-pool startup. Returns
+    Dataset[content_hash, id_col]. Collision probability at 10^10 docs
+    over 64 bits is ~0.003 — pair a second independent seed column if
+    that matters for the corpus.
     """
+    from .agg import sorted_group_agg
+
     hashed = ds.map_batches(
         lambda b: content_hash_batch(b, text_col).select([id_col, "content_hash"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    kept = hashed.groupby("content_hash").min(id_col)
-    return kept.map_batches(
-        lambda t: _rename_tbl(t, {f"min({id_col})": id_col}),
-        batch_format="pyarrow",
-    )
+    return sorted_group_agg(hashed, ["content_hash"], [(id_col, "min", id_col)])
 
 
 # ---------------------------------------------------------- minhash-LSH

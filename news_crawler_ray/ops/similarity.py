@@ -3,9 +3,9 @@
 * :func:`knn_brute_force` — exact cosine top-k: the query matrix is
   broadcast ONCE via ``ray.put``; each ``map_batches`` actor computes a
   (batch × queries) matmul and emits only its local top-k rows (partial
-  top-k), and a final per-query ``map_groups`` merge keeps the global
-  top-k. Shuffled volume is O(num_queries × k × num_blocks), never the
-  corpus.
+  top-k); the global top-k comes from one vectorized combiner merge of
+  the O(num_queries × k × num_blocks)-bounded partials — no shuffle
+  touches the corpus.
 * :func:`knn_ivf` — the scale path: k-means-style coarse quantizer
   (trained on a sample, broadcast) assigns each vector to a centroid
   list; queries probe only the ``nprobe`` nearest lists. At 100 TB this
@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
+import ray.data
 
 
 def _as_matrix(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
@@ -73,15 +75,6 @@ def _pairs_schema_table() -> pa.Table:
     )
 
 
-def _final_topk(group: pa.Table, k: int) -> pa.Table:
-    # order: score desc, then neighbor_id asc for deterministic ties
-    idx = np.lexsort(
-        (np.asarray(group["neighbor_id"], dtype=np.int64),
-         -np.asarray(group["score"], dtype=np.float64))
-    )
-    return group.take(pa.array(idx[:k], pa.int64()))
-
-
 def knn_brute_force(
     ds,
     query_ids: np.ndarray,
@@ -108,9 +101,39 @@ def knn_brute_force(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
-    return partial.groupby("query_id").map_groups(
-        lambda g: _final_topk(g, k), batch_format="pyarrow"
+    return _merge_partial_topk(partial, k)
+
+
+def _merge_partial_topk(partial, k: int):
+    """Final top-k merge of per-block partials WITHOUT a shuffle.
+
+    Partials are bounded at O(num_blocks × Q × k) rows by construction
+    (each block emits at most k rows per query), so this is a combiner
+    merge, not a dataset materialization: concat the partial blocks,
+    one vectorized sort by (query_id, score desc, neighbor_id), take
+    the first k of each query run. Deterministic at any parallelism."""
+    tbls = [t for t in ray.get(partial.materialize().to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return partial.limit(0)
+    tbl = pa.concat_tables(tbls)
+    if tbl.num_rows > 5_000_000:
+        raise ValueError(
+            f"knn merge: {tbl.num_rows} partial rows — blocks*Q*k exceeds "
+            "the combiner budget; reduce Q per call or raise the bound"
+        )
+    s = tbl.sort_by(
+        [("query_id", "ascending"), ("score", "descending"), ("neighbor_id", "ascending")]
     )
+    qids = s["query_id"].combine_chunks()
+    n = len(qids)
+    neq = pc.not_equal(qids.slice(1), qids.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    starts = np.concatenate([[0], np.nonzero(neq)[0] + 1])
+    run_ids = np.concatenate([[0], np.cumsum(neq)])
+    rank_in_run = np.arange(n, dtype=np.int64) - starts[run_ids]
+    out = s.filter(pa.array(rank_in_run < k))
+    return ray.data.from_arrow(out)
 
 
 # --------------------------------------------------------------- IVF

@@ -92,13 +92,12 @@ def q_events_day(sf_dir: str):
 
 
 def q_distinct_event_types(sf_dir: str):
-    """A7: global distinct (partial per-batch unique folded into groupby)."""
+    """A7: global distinct. Event types are a small fixed domain, so the
+    combiner path (per-block distinct + driver merge) needs no exchange."""
+    from ..ops.agg import partial_group_agg
+
     ds = _read(sf_dir, "events", ["event_type"])
-    return (
-        ds.groupby("event_type")
-        .count()
-        .map_batches(lambda t: t.select(["event_type"]), batch_format="pyarrow")
-    )
+    return partial_group_agg(ds, ["event_type"], [])
 
 
 def q_top_orders(sf_dir: str):

@@ -219,7 +219,9 @@ def assign_stable_ids(
     id_col: str = "sid",
 ):
     """Distinct values -> sort asc -> id = base + position (A8 SID rule)."""
-    distinct = ds.groupby(value_col).count().drop_columns(["count()"])
+    from ..ops.agg import sorted_distinct
+
+    distinct = sorted_distinct(ds, [value_col])
     ranked = zip_with_index(distinct, [value_col], [False], rank_col="_pos")
     return ranked.map_batches(
         lambda t: t.append_column(

@@ -69,11 +69,13 @@ def extract_iocs(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def merged_distinct_iocs(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Global distinct+sorted IOC table (A6/A7 partial+final distinct)."""
+    from ..ops.agg import sorted_distinct
+
     long = extract_iocs(ds, text_col, id_col).drop_columns([id_col])
-    # per-batch extraction already dedups per doc (partial); the groupby is
-    # the final distinct shuffle, then a small sort.
-    distinct = long.groupby(["kind", "value"]).count().drop_columns(["count()"])
-    return distinct.sort(["kind", "value"])
+    # per-batch extraction already dedups per doc (partial); the final
+    # distinct rides the task-based sort exchange, then a small sort
+    # for the display order.
+    return sorted_distinct(long, ["kind", "value"]).sort(["kind", "value"])
 
 
 # -- HTML listing extraction (M1/S1) --------------------------------------

@@ -64,7 +64,9 @@ def merge_stable_output(
         next_sid = base_sid
         prior_ref = None
 
-    distinct_new = new_values_ds.groupby(value_col).count().select_columns([value_col])
+    from ..ops.agg import sorted_distinct
+
+    distinct_new = sorted_distinct(new_values_ds, [value_col])
     if have_prior:
 
         def drop_seen(t: pa.Table, ref=prior_ref) -> pa.Table:

@@ -352,20 +352,16 @@ def dedup_keep_min_id(pairs_ds, ids_ds, id_col: str = "doc_id"):
 
     One-pass transitive approximation (b of any pair is dropped; chains
     collapse to their min id when pairs are complete within buckets).
+    Rides the sort-merge anti join (ops/join.py) — duplicate id_b rows
+    need no pre-aggregation there, so the groupby+hash-join pair this
+    replaced collapses into one task-based sort exchange.
     """
-    drop = (
-        pairs_ds.map_batches(
-            lambda t: pa.table({id_col: t["id_b"]}), batch_format="pyarrow"
-        )
-        .groupby(id_col)
-        .count()
-        .rename_columns({"count()": "_dup_n"})
+    from .join import sort_merge_anti_join
+
+    drop = pairs_ds.map_batches(
+        lambda t: pa.table({id_col: t["id_b"]}), batch_format="pyarrow"
     )
-    joined = ids_ds.join(drop, join_type="left_outer", num_partitions=8, on=(id_col,))
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["_dup_n"])).select([id_col]),
-        batch_format="pyarrow",
-    )
+    return sort_merge_anti_join(ids_ds, drop, id_col)
 
 
 # ------------------------------------------------------------- simhash

@@ -97,6 +97,27 @@ def test_sorted_group_agg_multi_key_and_single_hot_key():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sorted_distinct_matches_set_reference():
+    from news_crawler_ray.ops.agg import sorted_distinct
+
+    rng = np.random.default_rng(23)
+    ks = rng.integers(0, 60, 4000)
+    vs = rng.integers(0, 3, 4000)
+    tbl = pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.int32())})
+    got = {(r["k"], r["v"]) for r in sorted_distinct(_ds(tbl, 10), ["k", "v"]).take_all()}
+    assert got == set(zip(ks.tolist(), vs.tolist()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_group_agg_empty_specs_is_distinct():
+    from news_crawler_ray.ops.agg import partial_group_agg
+
+    tbl = pa.table({"t": pa.array(["b", "a", "b", "c", "a"] * 50)})
+    out = partial_group_agg(_ds(tbl, 4), ["t"], [])
+    assert out["t"].to_pylist() == ["a", "b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_sorted_group_agg_empty_input():
     tbl = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())})
     out = sorted_group_agg(_ds(tbl, 1), ["k"], [("n", "count_all", None)])

@@ -29,6 +29,7 @@ final seen-set and crawl order (test: tests/test_crawl_pipeline.py).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -63,12 +64,15 @@ class CrawlConfig:
     num_seen_shards: int = 4
     seen_capacity_per_shard: int = 1 << 16
     dedup_partitions: int = 8
-    # "sorted" (default): two task-based range-partition sorts per wave
-    # (URL-keyed dedup sort, host-rank sort) — measured ~10x cheaper per
-    # op than a hash shuffle in-sandbox (BASELINE.md round-2 notes).
-    # "fused": ONE host-key hash shuffle + a fused per-partition kernel
-    # (dedup + seen + robots + host rank in one actor stage;
-    # stages/politeness.WaveScheduleStage) — fewer barriers, but Ray's
+    # "sorted" (default): ONE task-based range-partition sort on host +
+    # boundary-run donation (host-complete blocks) + the fused wave
+    # kernel (dedup → seen → robots → rank) as plain tasks
+    # (stages/politeness.schedule_sorted_fused) — a single exchange, no
+    # per-wave actor-pool startups.
+    # "two_sort": the round-2 chain — URL-keyed dedup sort, then
+    # seen-filter + robots actor pools, then the host-rank sort.
+    # "fused": ONE host-key hash shuffle + the same fused kernel as an
+    # actor stage (stages/politeness.WaveScheduleStage) — Ray's
     # hash-shuffle aggregator pool pays a large fixed per-op startup on
     # this box; prefer it where that cost amortizes (long waves, real
     # multi-node clusters).
@@ -359,8 +363,33 @@ def run_crawl(
                     rank_col="crawl_rank",
                 )
             tp = _tr("fused schedule", tp)
+        elif cfg.schedule_strategy == "sorted":
+            # default: ONE host sort + donation stitch + fused kernel as
+            # tasks — single exchange, no per-wave pool startups
+            from ..stages.index import zip_with_index
+            from ..stages.politeness import schedule_sorted_fused
+
+            canon = canonicalize(candidates, with_sha1=False)
+            scheduled = schedule_sorted_fused(
+                canon,
+                robots_ref,
+                seen.shards,
+                default_delay_ms=cfg.default_delay_ms,
+                # ~32 k-row sort blocks → ~8 k-row downstream tasks: the
+                # fused fetch+decode (~160 µs/row) packs every pool
+                # without a single wide straggler setting the wave wall
+                rank_split=4,
+            )
+            if cfg.compute_crawl_rank:
+                scheduled = zip_with_index(
+                    scheduled,
+                    ["fetch_at_us", "priority", "url"],
+                    [False, True, False],
+                    rank_col="crawl_rank",
+                )
+            tp = _tr("sorted-fused schedule", tp)
         else:
-            # sorted strategy: dedup keys on the canonical URL string
+            # two_sort strategy: dedup keys on the canonical URL string
             # directly, so the per-row SHA-1 seen-key loop runs only on
             # dedup SURVIVORS (the candidate stream is several times
             # larger); seen-filter + politeness rank follow as before.
@@ -466,24 +495,36 @@ def run_crawl(
         )
 
         wave_dir = os.path.join(out_dir, "fetched", f"wave-{wave}")
-        fetched.write_parquet(wave_dir)
+        # hive-partitioned by fetch_status: status counts become a
+        # parquet-footer metadata read (no data pass at all) and the
+        # outlink expansion reads ONLY the ok partition with pruned
+        # columns — replaces a full narrow-column materialize + two
+        # passes per wave
+        fetched.write_parquet(wave_dir, partition_cols=["fetch_status"])
         tp = _tr("fetch+write", tp)
         if trace and os.environ.get("NC_CRAWL_STATS") == "1":
             print(f"[crawl-stats] wave {wave}:\n{fetched.stats()}", flush=True)
 
-        # ONE pruned re-read feeds both status counts and outlink
-        # expansion (materialized: narrow columns only — the wide
-        # ``bytes`` payload column never leaves parquet again)
-        outlink_cols = ["caption", "priority", "discovered_at", "depth", "fetch_status"]
-        narrow = ray.data.read_parquet(wave_dir, columns=outlink_cols).materialize()
-        counts = _wave_counts(narrow)
+        counts = {"ok": 0, "missing": 0}
+        for status_dir in glob.glob(os.path.join(wave_dir, "fetch_status=*")):
+            status = os.path.basename(status_dir).split("=", 1)[1]
+            counts[status] = ray.data.read_parquet(status_dir).count()
+        counts["total"] = sum(v for k, v in counts.items())
         tp = _tr("counts", tp)
-        outlinks = extract_outlinks(
-            narrow.filter(expr="fetch_status == 'ok'"),
-            decay=cfg.outlink_decay,
-        )
         next_path = os.path.join(out_dir, "candidates", f"wave-{wave + 1}")
-        n_outlinks = _write_candidates(outlinks, next_path)
+        outlink_cols = ["caption", "priority", "discovered_at", "depth"]
+        if counts["ok"]:
+            outlinks = extract_outlinks(
+                ray.data.read_parquet(
+                    os.path.join(wave_dir, "fetch_status=ok"), columns=outlink_cols
+                ),
+                decay=cfg.outlink_decay,
+            )
+            n_outlinks = _write_candidates(outlinks, next_path)
+        else:
+            n_outlinks = _write_candidates(
+                ray.data.from_arrow(FRONTIER_SCHEMA.empty_table()), next_path
+            )
         tp = _tr("outlinks+candidates", tp)
 
         seen.checkpoint(seen_dir, epoch=wave + 1)
@@ -543,27 +584,6 @@ def _resolve_pools(cfg: CrawlConfig) -> dict[str, dict]:
 
 def _strip_derived(waves: list[dict]) -> list[dict]:
     return [{k: v for k, v in w.items() if k != "urls_per_sec"} for w in waves]
-
-
-def _wave_counts(fetched: "ray.data.Dataset") -> dict:
-    """Status counts via per-batch partials + driver merge — a groupby
-    here would launch a whole hash-shuffle for a 2-row result."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        vc = t["fetch_status"].combine_chunks().value_counts()
-        return pa.table(
-            {
-                "fetch_status": vc.field("values"),
-                "n": vc.field("counts"),
-            }
-        )
-
-    agg: dict[str, int] = {}
-    for row in fetched.map_batches(partial, batch_format="pyarrow").take_all():
-        agg[row["fetch_status"]] = agg.get(row["fetch_status"], 0) + row["n"]
-    ok = int(agg.get("ok", 0))
-    missing = int(agg.get("missing", 0))
-    return {"ok": ok, "missing": missing, "total": ok + missing}
 
 
 def _write_candidates(ds: "ray.data.Dataset", path: str) -> int:

@@ -108,72 +108,76 @@ def robots_rank_block(
     return s.append_column("fetch_at_us", pa.array(fetch_at, pa.int64()))
 
 
-class WaveScheduleStage:
-    """Fused per-partition wave kernel: dedup → seen-key → seen-filter →
-    robots → host_rank → fetch_at_us, in ONE actor-pool ``map_batches``
-    over host-hash-partitioned blocks.
+def wave_schedule_block(
+    batch: pa.Table, cfg: dict, shards: list | None, default_delay_ms: int
+) -> pa.Table:
+    """Fused per-block wave kernel: dedup → seen-key → seen-filter →
+    robots → host_rank → fetch_at_us, over ONE host-complete block.
 
-    This replaces the round-1 chain of three global range-partition
-    sorts + ``materialize()`` + driver metadata passes (dedup sort, host
-    rank sort, crawl-rank sort) — the measured scale killer (BASELINE.md
-    round-1 scaling analysis) — with a single host-key shuffle and local
-    vectorized kernels. Correctness relies only on host co-location:
-    duplicate canonical URLs share a host, so within-block keep-best
-    dedup is exact, and per-host politeness ranks see every surviving
-    row of the host. A hot host lands in one partition — its queue is
-    politeness-bounded anyway (fetch_at grows linearly with queue
-    position), and the kernel is O(n log n) vectorized; salt upstream if
-    one host ever outgrows a block.
+    Correctness relies only on host co-location: duplicate canonical
+    URLs share a host, so within-block keep-best dedup is exact, and
+    per-host politeness ranks see every surviving row of the host. A hot
+    host lands in one block — its queue is politeness-bounded anyway
+    (fetch_at grows linearly with queue position), and the kernel is
+    O(n log n) vectorized; salt upstream if one host ever outgrows a
+    block.
 
     SHA-1 seen-keys are computed HERE, after dedup, so the per-row
     digest loop runs on survivors only — not on the (much larger)
     candidate stream.
     """
+    from ..functions import urlnorm
+    from .seen import SeenFilterStage
+
+    if batch.num_rows == 0:
+        out = batch
+        if "url_sha1" not in out.column_names:
+            out = out.append_column("url_sha1", pa.array([], pa.binary()))
+        return robots_rank_block(out, cfg, default_delay_ms)
+    # 1. keep-best dedup by canonical url (priority desc, discovered
+    #    asc, url asc — DEFAULT_ORDER semantics, dedup.py)
+    idx = pc.sort_indices(
+        batch,
+        sort_keys=[
+            ("url", "ascending"),
+            ("priority", "descending"),
+            ("discovered_at", "ascending"),
+        ],
+    )
+    s = batch.take(idx)
+    urls = s["url"].combine_chunks()
+    n = s.num_rows
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    if n > 1:
+        first[1:] = pc.not_equal(urls.slice(1), urls.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    s = s.filter(pa.array(first))
+    # 2. seen-key + seen-filter (check_and_add marks survivors seen
+    #    BEFORE robots, matching the oracle: robots-blocked URLs stay
+    #    seen — testing/oracle.py seen-then-robots order)
+    if "url_sha1" not in s.column_names:
+        s = s.append_column("url_sha1", urlnorm.sha1_array(s["url"]))
+    if shards:
+        s = SeenFilterStage(shards)(s)
+    # 3. robots + politeness rank
+    return robots_rank_block(s, cfg, default_delay_ms)
+
+
+class WaveScheduleStage:
+    """Actor-pool form of :func:`wave_schedule_block` for the hash-shuffle
+    ("fused") schedule strategy: one host-key shuffle co-locates hosts,
+    then the fused kernel runs per partition. Robots config is fetched
+    once per actor (T1 robots cache)."""
 
     def __init__(self, shards: list, robots_ref, default_delay_ms: int = 1000):
-        from ..functions import urlnorm
-        from .seen import SeenFilterStage
-
-        self._urlnorm = urlnorm
-        self.seen = SeenFilterStage(shards) if shards else None
+        self.shards = shards
         self.cfg = ray.get(robots_ref)
         self.default_delay_ms = default_delay_ms
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            out = batch
-            if "url_sha1" not in out.column_names:
-                out = out.append_column("url_sha1", pa.array([], pa.binary()))
-            return robots_rank_block(out, self.cfg, self.default_delay_ms)
-        # 1. keep-best dedup by canonical url (priority desc, discovered
-        #    asc, url asc — DEFAULT_ORDER semantics, dedup.py)
-        idx = pc.sort_indices(
-            batch,
-            sort_keys=[
-                ("url", "ascending"),
-                ("priority", "descending"),
-                ("discovered_at", "ascending"),
-            ],
-        )
-        s = batch.take(idx)
-        urls = s["url"].combine_chunks()
-        n = s.num_rows
-        first = np.empty(n, dtype=bool)
-        first[0] = True
-        if n > 1:
-            first[1:] = pc.not_equal(urls.slice(1), urls.slice(0, n - 1)).to_numpy(
-                zero_copy_only=False
-            )
-        s = s.filter(pa.array(first))
-        # 2. seen-key + seen-filter (check_and_add marks survivors seen
-        #    BEFORE robots, matching the oracle: robots-blocked URLs stay
-        #    seen — testing/oracle.py seen-then-robots order)
-        if "url_sha1" not in s.column_names:
-            s = s.append_column("url_sha1", self._urlnorm.sha1_array(s["url"]))
-        if self.seen is not None:
-            s = self.seen(s)
-        # 3. robots + politeness rank
-        return robots_rank_block(s, self.cfg, self.default_delay_ms)
+        return wave_schedule_block(batch, self.cfg, self.shards, self.default_delay_ms)
 
 
 def schedule_fused(
@@ -209,6 +213,121 @@ def schedule_fused(
         concurrency=concurrency,
         num_cpus=num_cpus,
     )
+
+
+@ray.remote(num_returns=2)
+def _split_leading_run(tbl: pa.Table, key: str):
+    """(leading_run, rest) of a key-sorted block — zero-copy slices."""
+    col = tbl[key].combine_chunks()
+    n = len(col)
+    neq = pc.not_equal(col, col[0]).to_numpy(zero_copy_only=False)
+    hits = np.flatnonzero(neq)
+    end = int(hits[0]) if hits.size else n
+    return tbl.slice(0, end), tbl.slice(end)
+
+
+@ray.remote
+def _fused_block_task(cfg: dict, shards: list | None, delay_ms: int, k: int, *parts):
+    """Assemble one host-complete block from its owner rows + donated
+    boundary runs, run the fused wave kernel, return ``k`` zero-copy
+    slices (downstream task granularity without a finer sort —
+    see stages/index._add_rank_split)."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    out = wave_schedule_block(tbl, cfg, shards, delay_ms)
+    if k <= 1:
+        return out
+    step = -(-out.num_rows // k) if out.num_rows else 1
+    return tuple(out.slice(i * step, step) for i in range(k))
+
+
+def _donation_plan(metas: list[tuple]) -> tuple[list[bool], list[bool], dict]:
+    """Boundary-run ownership over host-sorted blocks.
+
+    ``metas[i] = (first_host, last_host, num_rows)``. A host RUN belongs
+    to the block where it starts; blocks whose leading run continues the
+    previous block's last host donate that run (or their whole content,
+    if single-host) to the owner. Returns ``(strip_leading,
+    whole_donated, donations)`` with ``donations[owner] = [donor
+    indices, in order]``. O(blocks) driver work — no row data touches
+    the driver.
+    """
+    strip = [False] * len(metas)
+    whole = [False] * len(metas)
+    donations: dict[int, list[int]] = {}
+    chain_owner: int | None = None
+    prev_last = None
+    for i, (first, last, n) in enumerate(metas):
+        if not n:
+            continue
+        if prev_last is not None and first == prev_last:
+            donations.setdefault(chain_owner, []).append(i)
+            if first == last:
+                whole[i] = True  # entire block continues the run
+                continue
+            strip[i] = True
+        # this block's LAST host starts a run here
+        chain_owner = i
+        prev_last = last
+    return strip, whole, donations
+
+
+def schedule_sorted_fused(
+    ds: "ray.data.Dataset",
+    robots_ref,
+    seen_shards: list | None,
+    default_delay_ms: int = 1000,
+    rank_split: int = 1,
+) -> "ray.data.Dataset":
+    """Candidates (canonicalized) → politeness schedule in ONE global
+    exchange: a task-based range-partition sort on ``host`` (the cheap
+    single-column key), a 3-values-per-block metadata pass, boundary-run
+    donation so every host is complete in exactly one task, then the
+    fused wave kernel (dedup → seen → robots → rank) as plain TASKS.
+
+    vs the two-sort chain this removes: the URL-keyed dedup sort +
+    materialize, the separate SHA-1 pass, and the seen-filter + robots
+    actor pools (per-wave pool startup). vs ``schedule_fused`` it
+    replaces the hash shuffle (fixed aggregator-pool startup per op,
+    measured ~6.5-7 s in-sandbox regardless of width) with the task sort.
+    Output = input + url_sha1, delay_ms, host_rank, fetch_at_us; derive
+    the global ``crawl_rank`` with :func:`stages.index.zip_with_index`
+    when conformance needs it.
+
+    Skew: a host spanning many sort blocks is assembled into its owner
+    task (same co-location a hash shuffle would force); politeness
+    bounds its queue, and the kernel is O(n log n) vectorized.
+    """
+    from .dedup import _first_last_key
+
+    mat = ds.sort("host").materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+    metas = ray.get([_first_last_key.remote(r, "host") for r in refs])
+    if all(n == 0 for _, _, n in metas):
+        return mat  # caller breaks on empty waves before scheduling
+    strip, whole, donations = _donation_plan(metas)
+    lead: dict[int, "ray.ObjectRef"] = {}
+    rest: dict[int, "ray.ObjectRef"] = {}
+    for i, ref in enumerate(refs):
+        if strip[i]:
+            lead[i], rest[i] = _split_leading_run.remote(ref, "host")
+    out_refs = []
+    for i, (first, last, n) in enumerate(metas):
+        if not n or whole[i]:
+            continue  # empty, or fully donated to its owner
+        parts = [rest[i] if strip[i] else refs[i]]
+        for j in donations.get(i, ()):
+            parts.append(refs[j] if whole[j] else lead[j])
+        task = _fused_block_task.options(
+            num_returns=rank_split if rank_split > 1 else 1
+        ).remote(robots_ref, seen_shards, default_delay_ms, rank_split, *parts)
+        if rank_split > 1:
+            out_refs.extend(task)
+        else:
+            out_refs.append(task)
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def robots_table_to_config(robots: pa.Table) -> dict:

@@ -4,6 +4,7 @@ North-rule checks: identical crawl order (as data: wave + crawl_rank),
 identical final URL-seen set, kill-and-resume reproduces both exactly.
 """
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -71,6 +72,67 @@ def test_crawl_caption_byte_exact(ray_session, tmp_path, fixture_tables):
     assert rows
     for r in rows:
         assert r["caption"] == cap_by_id[r["image_id"]]
+
+
+def test_crawl_two_sort_strategy_matches_oracle(ray_session, tmp_path, fixture_tables):
+    """The two-sort chain (URL-keyed dedup sort → seen/robots pools →
+    host-rank sort) must produce the identical crawl order and seen-set."""
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps, fr, robots = fixture_tables
+    cfg = cp.CrawlConfig(
+        max_waves=3, num_seen_shards=2, dedup_partitions=4,
+        schedule_strategy="two_sort",
+    )
+    result = cp.run_crawl(fr, ps, robots, str(tmp_path / "two_sort"), config=cfg)
+    oracle = crawl_oracle(
+        fr.to_pylist(), ps.to_pylist(), robots.to_pylist(), max_waves=3
+    )
+    assert _engine_order(result) == oracle.flat_order
+    assert result.seen.all_keys() == oracle.seen_keys
+
+
+def test_donation_plan_boundary_runs():
+    """Host runs straddling sorted-block boundaries are donated to the
+    block where the run starts — including whole-block donation chains."""
+    from news_crawler_ray.stages.politeness import _donation_plan
+
+    #         b0: A..B   b1: all B   b2: B..C   b3: empty   b4: C..D
+    metas = [("a", "b", 5), ("b", "b", 3), ("b", "c", 4), (None, None, 0), ("c", "d", 2)]
+    strip, whole, donations = _donation_plan(metas)
+    assert whole == [False, True, False, False, False]
+    assert strip == [False, False, True, False, True]
+    assert donations == {0: [1, 2], 2: [4]}
+
+
+def test_schedule_sorted_fused_host_complete(ray_session):
+    """Every host's rows land in exactly one kernel task: host_rank is
+    dense 0..n-1 per host even when the sort splits a host across
+    blocks."""
+    import ray.data
+
+    from news_crawler_ray.stages.politeness import schedule_sorted_fused
+
+    n = 300
+    tbl = pa.table(
+        {
+            "url": [f"http://h{i % 3}.test/p{i}" for i in range(n)],
+            "host": [f"h{i % 3}.test" for i in range(n)],
+            "priority": [float(i % 7) for i in range(n)],
+            "discovered_at": pa.array([0] * n, pa.timestamp("us")),
+            "depth": pa.array([0] * n, pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)  # force multi-block sort
+    ref = __import__("ray").put({})
+    out = schedule_sorted_fused(ds, ref, None, default_delay_ms=10, rank_split=2)
+    rows = out.take_all()
+    assert len(rows) == n
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["host_rank"])
+    for host, ranks in by_host.items():
+        assert sorted(ranks) == list(range(100)), host
 
 
 def test_crawl_fused_strategy_matches_oracle(ray_session, tmp_path, fixture_tables):

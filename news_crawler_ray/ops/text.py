@@ -185,3 +185,58 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# PII redaction: RE2 patterns shared (dialect-identical) with DuckDB's
+# regexp_replace, applied in a fixed order so overlapping matches
+# resolve identically everywhere.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    patterns=PII_PATTERNS, out_col: str = "text_redacted",
+) -> pa.Table:
+    """Replace e-mail / phone / IP literals with typed placeholders —
+    one vectorized RE2 pass per pattern, no per-row Python."""
+    out = pc.coalesce(batch[text_col], "")
+    for pat, repl in patterns:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+    return pa.table({id_col: batch[id_col], out_col: out})
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id", patterns=PII_PATTERNS):
+    return ds.map_batches(
+        lambda b: redact_pii_batch(b, text_col, id_col, patterns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def flag_contaminated_batch(
+    batch: pa.Table, needles: list[str], text_col: str = "text",
+    id_col: str = "doc_id", flag_col: str = "contaminated",
+) -> pa.Table:
+    """Benchmark-decontamination check: flag docs whose text contains any
+    needle (a benchmark n-gram), one vectorized substring scan per
+    needle. Right for the usual SMALL benchmark set (needles broadcast
+    once, scans are C). If the needle set itself reaches data scale,
+    switch to the shingle form: explode both sides into n-gram hashes
+    and ``ops.join.sort_merge_semi_join`` them."""
+    text = pc.coalesce(batch[text_col], "")
+    hit = np.zeros(batch.num_rows, dtype=bool)
+    for needle in needles:
+        hit |= pc.match_substring(text, needle).to_numpy(zero_copy_only=False)
+    return pa.table({id_col: batch[id_col], flag_col: pa.array(hit)})
+
+
+def flag_contaminated(ds, needles: list[str], text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: flag_contaminated_batch(b, list(needles), text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -27,6 +27,7 @@ import ray.data
 
 from ..ops import dedup as dd
 from ..ops import multimodal as mm
+from ..ops import sampling as sp
 from ..ops import similarity as sim
 from ..ops import text as tx
 from ..stages.index import assign_stable_ids
@@ -437,6 +438,44 @@ ORACLE_SQL: dict[str, str] = {
     ),
 }
 
+# --- stratified hash sampling: thresholds shared with the op, so the
+# query and its oracle cannot drift (ops/sampling.fraction_threshold_hex)
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 1.0}
+SAMPLE_DEFAULT = 0.1
+
+
+def _pii_replace_sql(expr: str) -> str:
+    """Nested DuckDB regexp_replace over the SAME ordered pattern list
+    the Ray op applies (ops/text.PII_PATTERNS) — single source of truth."""
+    for pat, repl in tx.PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+_PII_PLANT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com tel 555-0142 ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)"
+)
+
+ORACLE_SQL.update(
+    {
+        "sample_docs": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + sp.sample_case_sql("doc_id", "lang", SAMPLE_FRACTIONS, SAMPLE_DEFAULT)
+        ),
+        "decontaminate_docs": (
+            "SELECT d.doc_id, EXISTS("
+            "  SELECT 1 FROM documents b WHERE b.doc_id % 50 = 0 AND "
+            "  contains(d.text, array_to_string(list_slice(string_split(b.text, ' '), 1, 8), ' '))"
+            ") AS contaminated FROM documents d"
+        ),
+        "pii_redact": (
+            f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
+            "FROM documents"
+        ),
+    }
+)
+
 
 # --------------------------------------------------------------- rows-only
 
@@ -660,6 +699,60 @@ def q_rss_advisories(sf_dir: str):
     )
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic stratified sampling: content-stable Bernoulli by
+    md5(doc_id) with per-language fractions (downsample dominant
+    languages, keep rare ones whole). One streaming filter, no shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sp.hash_sample(
+        ds, "doc_id", strata_col="lang",
+        fractions=SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT,
+    )
+
+
+def _benchmark_needles(sf_dir: str) -> list[str]:
+    """Deterministic 8-gram 'benchmark' needles: the opening 8 words of
+    every 50th document — tiny by construction (real decontamination
+    needle sets are small external benchmark files)."""
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    mask = (np.asarray(t["doc_id"]) % 50) == 0
+    return [
+        " ".join((t["text"][int(i)].as_py() or "").split(" ")[:8])
+        for i in np.flatnonzero(mask)
+    ]
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: flag docs containing any benchmark
+    8-gram (broadcast needle scan; shingle-hash semi-join at needle
+    scale — see ops/text.flag_contaminated_batch)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.flag_contaminated(ds, _benchmark_needles(sf_dir))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction: plant deterministic e-mail/phone/IP literals per
+    doc, then strip them with the ordered RE2 pass (ops/text.redact_pii).
+    Planting happens identically in the oracle SQL so both sides see the
+    same input."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        dmod = pc.cast(pa.array(np.asarray(t["doc_id"]) % 255), pa.string())
+        planted = pc.binary_join_element_wise(
+            pc.coalesce(t["text"], ""),
+            " reach user", did,
+            "@mail.example.com tel 555-0142 ip 10.0.0.", dmod,
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    return tx.redact_pii(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 def q_crawl_flagship(sf_dir: str):
     """The north-rule flagship: multi-wave frontier crawl over the
     synthetic image+caption page-store (deterministic; non-SQL)."""
@@ -711,6 +804,9 @@ def build_queries() -> dict:
         "orders_per_nation": q_orders_per_nation,
         "props_extract": q_props_extract,
         "knn_cosine": q_knn_cosine,
+        "sample_docs": q_sample_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        "pii_redact": q_pii_redact,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

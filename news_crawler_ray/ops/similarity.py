@@ -136,6 +136,112 @@ def _merge_partial_topk(partial, k: int):
     return ray.data.from_arrow(out)
 
 
+# ----------------------------------------------------------- k-means
+
+
+def _kmeans_partial(V: np.ndarray, C: np.ndarray):
+    """Per-block Lloyd partial: (counts, per-cluster coordinate sums).
+
+    Pure and shared with the sequential conformance oracle
+    (pipelines/expected.expected_kmeans): both sides run THIS kernel over
+    the same block plan and reduce in block order, so the distributed
+    result is bit-identical to the sequential one (float summation order
+    is part of the contract).
+    """
+    assign = np.argmax(V @ C.T, axis=1)
+    k, d = C.shape
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    sums = np.zeros((k, d), dtype=np.float64)
+    np.add.at(sums, assign, V)  # unbuffered: accumulates in row order
+    return assign, counts, sums
+
+
+def _kmeans_step(C: np.ndarray, counts: np.ndarray, sums: np.ndarray) -> np.ndarray:
+    """New normalized centroids; empty clusters keep their old centroid."""
+    C2 = C.copy()
+    nz = counts > 0
+    C2[nz] = sums[nz] / counts[nz, None]
+    return _normalize(C2)
+
+
+def kmeans_fit(
+    ds,
+    init: np.ndarray,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd): each iteration is ONE
+    streaming ``map_batches`` pass emitting a k×(d+1) partial per block
+    (counts + coordinate sums), reduced on the driver (k·d floats — not
+    data-scale), and the refreshed centroids are re-broadcast. The
+    corpus never moves: no shuffle, driver traffic is O(k·d·blocks) per
+    iteration. ``init`` is the caller's deterministic seed matrix (e.g.
+    the corpus's first k vectors).
+
+    At 10^10 rows the per-iteration cost is exactly one pass over the
+    corpus; iterate on a hash-sampled subset (ops/sampling.hash_sample)
+    when full-pass training is not worth it — assignment afterwards is
+    :func:`kmeans_assign` on everything.
+    """
+    C = _normalize(np.asarray(init, dtype=np.float64))
+    k, d = C.shape
+
+    def partial(batch: pa.Table, C_now: np.ndarray) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int32()),
+                    "count": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        V = _normalize(_as_matrix(batch[vec_col], n))
+        _, counts, sums = _kmeans_partial(V, C_now)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int32)),
+                "count": pa.array(counts, pa.int64()),
+                "psum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    for _ in range(iters):
+        C_now = C
+        rows = ds.map_batches(
+            lambda b, C_now=C_now: partial(b, C_now),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,  # one partial per block — reduce order = block order
+        ).take_all()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        for r in rows:  # block order, then cluster order — mirrored by the oracle
+            c = r["cluster"]
+            counts[c] += r["count"]
+            sums[c] += np.asarray(r["psum"], dtype=np.float64)
+        C = _kmeans_step(C, counts, sums)
+    return C
+
+
+def kmeans_assign(
+    ds, centroids: np.ndarray, vec_col: str = "embedding", cluster_col: str = "cluster"
+):
+    """Append each row's nearest-centroid id (broadcast C, one pass)."""
+    c_ref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column(cluster_col, pa.array([], pa.int32()))
+        C = ray.get(c_ref)
+        V = _normalize(_as_matrix(batch[vec_col], n))
+        a = np.argmax(V @ C.T, axis=1).astype(np.int32)
+        return batch.append_column(cluster_col, pa.array(a, pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------- IVF
 
 

@@ -362,6 +362,37 @@ def expected_crawl_flagship() -> pa.Table:
 
 
 @lru_cache(maxsize=4)
+def expected_kmeans(sf_dir: str) -> pa.Table:
+    """Sequential re-derivation of q_kmeans_clusters: the same pure
+    per-block kernel (ops/similarity._kmeans_partial) over the same
+    block plan, reduced in block order — so the distributed result must
+    match bit-for-bit (float summation order is part of the contract)."""
+    from ..ops import similarity as sim
+    from .queries import KMEANS_BLOCKS, KMEANS_ITERS, KMEANS_K
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    n = t.num_rows
+    V = sim._normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    step = max(256, -(-n // KMEANS_BLOCKS))  # _ds_from_table's slice plan
+    # init = the corpus's first k raw vectors, normalized (as kmeans_fit does)
+    C = sim._normalize(np.array(t["embedding"].to_pylist()[:KMEANS_K], dtype=np.float64))
+    k, d = C.shape
+    for _ in range(KMEANS_ITERS):
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        for s in range(0, n, step):
+            _, c, sm = sim._kmeans_partial(V[s : s + step], C)
+            counts += c
+            sums += sm
+        C = sim._kmeans_step(C, counts, sums)
+    assign = np.argmax(V @ C.T, axis=1).astype(np.int32)
+    return pa.table(
+        {"vec_id": t["vec_id"], "cluster": pa.array(assign, pa.int32())}
+    )
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -378,6 +409,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
+    sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))
     sql["image_features"] = values_sql(expected_image_features())
     sql["resize_images"] = values_sql(expected_resize())
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())

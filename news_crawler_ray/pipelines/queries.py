@@ -443,6 +443,10 @@ ORACLE_SQL: dict[str, str] = {
 SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "de": 1.0}
 SAMPLE_DEFAULT = 0.1
 
+# --- distributed k-means: block plan shared with the sequential oracle
+# (pipelines/expected.expected_kmeans) so float summation order matches
+KMEANS_K, KMEANS_ITERS, KMEANS_BLOCKS = 8, 4, 16
+
 
 def _pii_replace_sql(expr: str) -> str:
     """Nested DuckDB regexp_replace over the SAME ordered pattern list
@@ -699,6 +703,23 @@ def q_rss_advisories(sf_dir: str):
     )
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed spherical k-means over the embeddings table: per-block
+    partial sums + driver reduce per iteration (one streaming pass, no
+    shuffle), then a broadcast-centroid assignment pass. Deterministic
+    at any parallelism — verified bit-for-bit against the sequential
+    oracle (expected.expected_kmeans)."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ds = _ds_from_table(tbl, target_blocks=KMEANS_BLOCKS)
+    init = np.array(tbl["embedding"].to_pylist()[:KMEANS_K], dtype=np.float64)
+    C = sim.kmeans_fit(ds, init=init, iters=KMEANS_ITERS)
+    return sim.kmeans_assign(ds, C).map_batches(
+        lambda t: t.select(["vec_id", "cluster"]), batch_format="pyarrow"
+    )
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic stratified sampling: content-stable Bernoulli by
     md5(doc_id) with per-language fractions (downsample dominant
@@ -805,6 +826,7 @@ def build_queries() -> dict:
         "props_extract": q_props_extract,
         "knn_cosine": q_knn_cosine,
         "sample_docs": q_sample_docs,
+        "kmeans_clusters": q_kmeans_clusters,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         # rows-only (non-SQL-expressible)

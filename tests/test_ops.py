@@ -452,3 +452,18 @@ def test_redact_pii_batch():
     )
     out = redact_pii_batch(t)["text_redacted"][0].as_py()
     assert out == "mail [EMAIL] tel [PHONE] or [PHONE] host [IP] end"
+
+
+def test_kmeans_distributed_matches_sequential(ray_session):
+    """The distributed Lloyd pass (per-block partials, block-order
+    reduce) must be bit-identical to the sequential oracle over the same
+    block plan, and should separate the fixture's planted label space."""
+    from news_crawler_ray.pipelines.expected import expected_kmeans
+    from news_crawler_ray.pipelines.queries import q_kmeans_clusters
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r["cluster"] for r in q_kmeans_clusters(sf).take_all()}
+    want_tbl = expected_kmeans(sf)
+    want = dict(zip(want_tbl["vec_id"].to_pylist(), want_tbl["cluster"].to_pylist()))
+    assert got == want
+    assert len(set(got.values())) > 1  # not a degenerate single cluster

@@ -567,11 +567,19 @@ def q_embedding_dup_pairs(sf_dir: str):
 
 def q_knn_ivf(sf_dir: str):
     """IVF-pruned ANN over the embeddings table (approximate scale path)."""
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+    # training sample + query vectors: stream only the first ~2000 rows
+    # off disk (training is a sample-scale concern; assignment is the
+    # distributed part) — never a full-table driver read
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches, need = [], 2000
+    for b in pf.iter_batches(batch_size=2048, columns=["vec_id", "embedding"]):
+        batches.append(b)
+        need -= b.num_rows
+        if need <= 0:
+            break
+    tbl = pa.Table.from_batches(batches).slice(0, 2000)
     E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
-    C = sim.train_centroids(E[: min(len(E), 2000)], nlist=16)
+    C = sim.train_centroids(E, nlist=16)
     q_ids = np.asarray(tbl["vec_id"], dtype=np.int64)[:5]
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = sim.knn_ivf(ds, q_ids, E[:5], C, k=10, nprobe=8)

@@ -294,11 +294,13 @@ def run_crawl(
     result.waves = [WaveMetrics(**w) for w in _strip_derived(manifest["waves"])]
 
     if resume and start_wave > 0:
-        # latest epoch = state after last completed wave; a silent empty
-        # restore would re-crawl every seen URL, so fail loudly when the
-        # manifest says keys must exist but none were found (layout /
-        # window mismatch)
-        restored = seen.restore(seen_dir)
+        # replay deltas through epoch start_wave = state after the last
+        # MANIFEST-completed wave — an orphan checkpoint from a crash
+        # mid-wave is deliberately skipped (its wave re-runs). A silent
+        # empty restore would re-crawl every seen URL, so fail loudly
+        # when the manifest says keys must exist but none were found
+        # (layout / window mismatch)
+        restored = seen.restore(seen_dir, max_epoch=start_wave)
         prior_scheduled = sum(w.get("scheduled", 0) for w in manifest["waves"])
         if restored == 0 and prior_scheduled > 0:
             raise RuntimeError(

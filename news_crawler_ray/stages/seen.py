@@ -57,6 +57,25 @@ class SeenShard:
         self.exact: set[bytes] = set()
         self.prefilter_hits = 0  # candidates short-circuited as definitely-new
         self.exact_checks = 0
+        # net mutations since the last checkpoint: key -> "a" (added) or
+        # "r" (removed), relative to the state AT the last checkpoint —
+        # an add+remove of the same key inside one epoch cancels out.
+        # Checkpoints write only this DELTA (O(epoch churn), not O(total
+        # keys)) — at 10^10 keys a full rewrite per wave is the scale
+        # killer; restore replays epoch deltas in order.
+        self._net: dict[bytes, str] = {}
+
+    def _note_add(self, k: bytes) -> None:
+        if self._net.get(k) == "r":
+            del self._net[k]  # present at last ckpt, removed, re-added: no-op
+        else:
+            self._net[k] = "a"
+
+    def _note_remove(self, k: bytes) -> None:
+        if self._net.get(k) == "a":
+            del self._net[k]  # added this epoch, now gone: no-op
+        else:
+            self._net[k] = "r"
 
     def check_and_add(self, keys: list[bytes]) -> np.ndarray:
         """For each key: True if NEW (not seen); marks all keys seen."""
@@ -90,9 +109,10 @@ class SeenShard:
             if self.cuckoo_live and self.cuckoo.insert(newm) > 0:
                 self.cuckoo_live = False
             flat = newm.tobytes()  # one C copy, then cheap slicing
-            self.exact.update(
-                flat[j * 20 : (j + 1) * 20] for j in range(new_idx.size)
-            )
+            for j in range(new_idx.size):
+                k = flat[j * 20 : (j + 1) * 20]
+                self.exact.add(k)
+                self._note_add(k)
         return is_new
 
     def contains(self, keys: list[bytes]) -> np.ndarray:
@@ -115,6 +135,8 @@ class SeenShard:
             if self.cuckoo_live and self.cuckoo.insert(km) > 0:
                 self.cuckoo_live = False
             self.exact.update(fresh)
+            for k in fresh:
+                self._note_add(k)
         return len(fresh)
 
     def remove(self, keys: list[bytes]) -> int:
@@ -131,6 +153,8 @@ class SeenShard:
             self.bloom.remove(km)
             self.cuckoo.delete(km)
             self.exact.difference_update(present)
+            for k in present:
+                self._note_remove(k)
         return len(present)
 
     def size(self) -> int:
@@ -145,22 +169,58 @@ class SeenShard:
         }
 
     def checkpoint(self, seen_dir: str, epoch: int) -> str:
+        """Write the DELTA since the last checkpoint (adds + removes),
+        sorted for determinism. O(epoch churn), not O(total keys) — the
+        only design that survives 10^10 cumulative keys with a
+        checkpoint per wave. Idempotent per epoch (atomic overwrite)."""
         d = os.path.join(seen_dir, f"part={self.shard_id}")
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"epoch-{epoch}.parquet")
+        path = os.path.join(d, f"epoch-{epoch:08d}.parquet")
         tmp = path + ".tmp"
-        tbl = pa.table({"url_sha1": pa.array(sorted(self.exact), pa.binary())})
+        items = sorted(self._net.items())
+        tbl = pa.table(
+            {
+                "url_sha1": pa.array([k for k, _ in items], pa.binary()),
+                "op": pa.array([o for _, o in items], pa.string()),
+            }
+        )
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)  # atomic publish
+        self._net = {}
         return path
 
-    def restore(self, seen_dir: str) -> int:
-        """Load the latest epoch checkpoint for this shard, if any."""
-        paths = sorted(glob.glob(os.path.join(seen_dir, f"part={self.shard_id}", "epoch-*.parquet")))
-        if not paths:
-            return 0
-        keys = pq.read_table(paths[-1])["url_sha1"].to_pylist()
-        return self.add(keys)
+    def restore(self, seen_dir: str, max_epoch: int | None = None) -> int:
+        """Replay epoch deltas in order (up to ``max_epoch`` inclusive).
+
+        Bounding by epoch matters for crash recovery: a run killed
+        between the wave-w checkpoint (epoch w+1) and its manifest write
+        leaves an orphan delta; replaying it would mark the about-to-be-
+        re-run wave's URLs as seen and silently fetch nothing. The
+        caller passes the manifest's completed epoch.
+        """
+        paths = sorted(
+            glob.glob(os.path.join(seen_dir, f"part={self.shard_id}", "epoch-*.parquet"))
+        )
+        applied = 0
+        for p in paths:
+            epoch = int(os.path.basename(p)[len("epoch-") : -len(".parquet")])
+            if max_epoch is not None and epoch > max_epoch:
+                continue
+            t = pq.read_table(p)
+            ops = t["op"].to_pylist()
+            keys = t["url_sha1"].to_pylist()
+            adds = [k for k, o in zip(keys, ops) if o == "a"]
+            rms = [k for k, o in zip(keys, ops) if o == "r"]
+            applied += self.add(adds)
+            if rms:
+                self.remove(rms)
+        # replayed state matches the checkpoint exactly; nothing pending
+        self._net = {}
+        return applied
+
+    def keys(self) -> list[bytes]:
+        """Full exact key list — test/conformance helper, small runs only."""
+        return sorted(self.exact)
 
 
 class SeenSet:
@@ -229,18 +289,16 @@ class SeenSet:
         """Test/conformance helper — materializes every shard. Small runs only."""
         keys: set[bytes] = set()
         for s in self.shards:
-            keys.update(
-                pq.read_table(ray.get(s.checkpoint.remote("/tmp/_seen_dump", 0)))[
-                    "url_sha1"
-                ].to_pylist()
-            )
+            keys.update(ray.get(s.keys.remote()))
         return keys
 
     def checkpoint(self, seen_dir: str, epoch: int) -> list[str]:
         return ray.get([s.checkpoint.remote(seen_dir, epoch) for s in self.shards])
 
-    def restore(self, seen_dir: str) -> int:
-        return sum(ray.get([s.restore.remote(seen_dir) for s in self.shards]))
+    def restore(self, seen_dir: str, max_epoch: int | None = None) -> int:
+        return sum(
+            ray.get([s.restore.remote(seen_dir, max_epoch) for s in self.shards])
+        )
 
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])

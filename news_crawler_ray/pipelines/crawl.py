@@ -5,11 +5,14 @@ Wave-loop analog of the reference's scheduled jobs
 src/secbot/fetchers/asec.py:129-148 listing→post expansion): each wave is
 one lazy Ray Data pipeline
 
-    candidates → canonicalize → frontier-dedup (hash shuffle)
-               → seen-filter (sharded actors, exact)
-               → politeness schedule (robots + per-host virtual clock)
-               → fetch (broadcast keyed lookup into the page-store)
-               → write parquet (resumable layout) + metrics
+    candidates → canonicalize
+               → ONE task-based sort on host + boundary-run donation
+               → fused kernel per host-complete block:
+                   dedup → sha1 → seen-filter (sharded actors, exact)
+                         → robots → politeness rank (virtual clock)
+               → fetch (keyed lookup into the page-store)
+               → write parquet, hive-partitioned by fetch_status
+                 (resumable layout; status counts from footers only)
 
 and the parse stage's outlink expansion feeds the next wave. The driver
 only ever loops over *waves* (a handful), never over rows.

@@ -26,8 +26,15 @@ _HEX_SPAN = 16**8  # first 8 hex chars of the digest
 
 def fraction_threshold_hex(fraction: float) -> str:
     """The 8-hex-char cutoff under which a uniform digest falls with
-    probability ``fraction`` — shared by the op and its SQL oracle."""
+    probability ``fraction`` — shared by the op and its SQL oracle.
+
+    ``fraction >= 1.0`` returns ``"g"``: every hex string compares below
+    it (``'f' < 'g'``), so keep-all really keeps ALL rows — a clamped
+    ``"ffffffff"`` under strict ``<`` would silently drop keys whose
+    digest prefix is exactly ffffffff (~2 rows per 10^10)."""
     f = min(max(fraction, 0.0), 1.0)
+    if f >= 1.0:
+        return "g"
     return format(min(int(f * _HEX_SPAN), _HEX_SPAN - 1), "08x")
 
 
@@ -58,14 +65,19 @@ def hash_sample_batch(
     if strata_col is None:
         keep = prefixes < np.array(fraction_threshold_hex(fraction or 0.0), dtype="U8")
     else:
+        import pyarrow.compute as pc
+
         strata = batch[strata_col].combine_chunks()
         enc = strata.dictionary_encode()
-        codes = np.asarray(enc.indices)
+        uniq = enc.dictionary.to_pylist()
+        # null strata get a sentinel code mapped to default_fraction
+        codes = np.asarray(pc.fill_null(enc.indices, len(uniq)), dtype=np.int64)
         th_by_code = np.array(
             [
                 fraction_threshold_hex((fractions or {}).get(s, default_fraction))
-                for s in enc.dictionary.to_pylist()
-            ],
+                for s in uniq
+            ]
+            + [fraction_threshold_hex(default_fraction)],
             dtype="U8",
         )
         keep = prefixes < th_by_code[codes]

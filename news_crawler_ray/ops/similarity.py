@@ -169,6 +169,7 @@ def kmeans_fit(
     init: np.ndarray,
     iters: int = 5,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Distributed spherical k-means (Lloyd): each iteration is ONE
     streaming ``map_batches`` pass emitting a k×(d+1) partial per block
@@ -191,6 +192,7 @@ def kmeans_fit(
         if n == 0:
             return pa.table(
                 {
+                    "block_min": pa.array([], pa.int64()),
                     "cluster": pa.array([], pa.int32()),
                     "count": pa.array([], pa.int64()),
                     "psum": pa.array([], pa.list_(pa.float64())),
@@ -198,8 +200,15 @@ def kmeans_fit(
             )
         V = _normalize(_as_matrix(batch[vec_col], n))
         _, counts, sums = _kmeans_partial(V, C_now)
+        # block identity = the block's minimum row id: blocks partition
+        # the rows, so mins are distinct, and sorting partials by
+        # (block_min, cluster) fixes the reduce order NO MATTER what
+        # completion order the streaming executor returns blocks in
+        # (preserve_order is off in this engine's DataContext)
+        bmin = int(pc.min(batch[id_col]).as_py())
         return pa.table(
             {
+                "block_min": pa.array(np.full(k, bmin), pa.int64()),
                 "cluster": pa.array(np.arange(k, dtype=np.int32)),
                 "count": pa.array(counts, pa.int64()),
                 "psum": pa.array(sums.tolist(), pa.list_(pa.float64())),
@@ -212,11 +221,13 @@ def kmeans_fit(
             lambda b, C_now=C_now: partial(b, C_now),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=None,  # one partial per block — reduce order = block order
+            batch_size=None,  # one partial per block
         ).take_all()
+        rows.sort(key=lambda r: (r["block_min"], r["cluster"]))
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, d), dtype=np.float64)
-        for r in rows:  # block order, then cluster order — mirrored by the oracle
+        for r in rows:  # deterministic (block_min, cluster) order — the
+            # sequential oracle reduces its slices sorted the same way
             c = r["cluster"]
             counts[c] += r["count"]
             sums[c] += np.asarray(r["psum"], dtype=np.float64)

@@ -365,8 +365,9 @@ def expected_crawl_flagship() -> pa.Table:
 def expected_kmeans(sf_dir: str) -> pa.Table:
     """Sequential re-derivation of q_kmeans_clusters: the same pure
     per-block kernel (ops/similarity._kmeans_partial) over the same
-    block plan, reduced in block order — so the distributed result must
-    match bit-for-bit (float summation order is part of the contract)."""
+    block plan, reduced in (block_min_id, cluster) order — so the
+    distributed result must match bit-for-bit (float summation order is
+    part of the contract)."""
     from ..ops import similarity as sim
     from .queries import KMEANS_BLOCKS, KMEANS_ITERS, KMEANS_K
 
@@ -374,15 +375,22 @@ def expected_kmeans(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     n = t.num_rows
-    V = sim._normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    V = sim._normalize(raw)
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
     step = max(256, -(-n // KMEANS_BLOCKS))  # _ds_from_table's slice plan
     # init = the corpus's first k raw vectors, normalized (as kmeans_fit does)
-    C = sim._normalize(np.array(t["embedding"].to_pylist()[:KMEANS_K], dtype=np.float64))
+    C = sim._normalize(raw[:KMEANS_K])
     k, d = C.shape
+    # reduce slices sorted by their minimum id — the same deterministic
+    # order kmeans_fit imposes on its per-block partials (the streaming
+    # executor returns blocks in completion order, so block position is
+    # not a usable key on the distributed side)
+    slices = sorted(range(0, n, step), key=lambda s: ids[s : s + step].min())
     for _ in range(KMEANS_ITERS):
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, d), dtype=np.float64)
-        for s in range(0, n, step):
+        for s in slices:
             _, c, sm = sim._kmeans_partial(V[s : s + step], C)
             counts += c
             sums += sm
@@ -393,6 +401,7 @@ def expected_kmeans(sf_dir: str) -> pa.Table:
     )
 
 
+@lru_cache(maxsize=4)
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 

@@ -571,13 +571,16 @@ def q_knn_ivf(sf_dir: str):
     # off disk (training is a sample-scale concern; assignment is the
     # distributed part) — never a full-table driver read
     pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    head_schema = pa.schema(
+        [pf.schema_arrow.field("vec_id"), pf.schema_arrow.field("embedding")]
+    )
     batches, need = [], 2000
     for b in pf.iter_batches(batch_size=2048, columns=["vec_id", "embedding"]):
         batches.append(b)
         need -= b.num_rows
         if need <= 0:
             break
-    tbl = pa.Table.from_batches(batches).slice(0, 2000)
+    tbl = pa.Table.from_batches(batches, schema=head_schema).slice(0, 2000)
     E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     C = sim.train_centroids(E, nlist=16)
     q_ids = np.asarray(tbl["vec_id"], dtype=np.int64)[:5]

@@ -198,19 +198,28 @@ class SeenShard:
         re-run wave's URLs as seen and silently fetch nothing. The
         caller passes the manifest's completed epoch.
         """
+        def _epoch_of(p: str) -> int:
+            return int(os.path.basename(p)[len("epoch-") : -len(".parquet")])
+
+        # numeric epoch order — lexicographic would misorder a mix of
+        # zero-padded and legacy unpadded names (epoch-10 < epoch-2)
         paths = sorted(
-            glob.glob(os.path.join(seen_dir, f"part={self.shard_id}", "epoch-*.parquet"))
+            glob.glob(os.path.join(seen_dir, f"part={self.shard_id}", "epoch-*.parquet")),
+            key=_epoch_of,
         )
         applied = 0
         for p in paths:
-            epoch = int(os.path.basename(p)[len("epoch-") : -len(".parquet")])
-            if max_epoch is not None and epoch > max_epoch:
+            if max_epoch is not None and _epoch_of(p) > max_epoch:
                 continue
             t = pq.read_table(p)
-            ops = t["op"].to_pylist()
             keys = t["url_sha1"].to_pylist()
-            adds = [k for k, o in zip(keys, ops) if o == "a"]
-            rms = [k for k, o in zip(keys, ops) if o == "r"]
+            if "op" in t.column_names:
+                ops = t["op"].to_pylist()
+                adds = [k for k, o in zip(keys, ops) if o == "a"]
+                rms = [k for k, o in zip(keys, ops) if o == "r"]
+            else:
+                # legacy full-snapshot file (pre-delta format): all adds
+                adds, rms = keys, []
             applied += self.add(adds)
             if rms:
                 self.remove(rms)

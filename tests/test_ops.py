@@ -467,3 +467,25 @@ def test_kmeans_distributed_matches_sequential(ray_session):
     want = dict(zip(want_tbl["vec_id"].to_pylist(), want_tbl["cluster"].to_pylist()))
     assert got == want
     assert len(set(got.values())) > 1  # not a degenerate single cluster
+
+
+def test_hash_sample_null_strata_and_keep_all(ray_session):
+    """Null strata fall back to default_fraction (no crash); a 1.0
+    fraction keeps the WHOLE stratum, including digests at ffffffff."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops import sampling as sp
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "lang": pa.array((["de", None, "en"] * 100)[:300]),
+        }
+    )
+    out = sp.hash_sample(
+        rd.from_arrow(tbl), "doc_id", strata_col="lang",
+        fractions={"de": 1.0, "en": 0.0}, default_fraction=0.0,
+    ).take_all()
+    assert {r["lang"] for r in out} == {"de"}
+    assert sum(1 for r in out) == 100  # de kept whole
+    assert sp.fraction_threshold_hex(1.0) == "g"

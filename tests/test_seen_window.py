@@ -124,3 +124,28 @@ def test_restore_skips_orphan_epochs(ray_session, tmp_path):
     fresh = SeenSet(2, capacity_per_shard=1 << 12)
     assert fresh.restore(d, max_epoch=1) == 20
     assert fresh.all_keys() == set(keys[:20])
+
+
+def test_restore_reads_legacy_full_snapshot(ray_session, tmp_path):
+    """Pre-delta checkpoints (url_sha1 only, no op column, unpadded
+    epoch names) restore as all-adds in numeric epoch order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.stages.seen import SeenSet
+
+    d = tmp_path / "seen" / "part=0"
+    d.mkdir(parents=True)
+    keys = [bytes([i]) * 20 for i in range(30)]
+    pq.write_table(
+        pa.table({"url_sha1": pa.array(keys[:10], pa.binary())}), str(d / "epoch-2.parquet")
+    )
+    pq.write_table(
+        pa.table({"url_sha1": pa.array(keys[10:], pa.binary())}), str(d / "epoch-10.parquet")
+    )
+    seen = SeenSet(1, capacity_per_shard=1 << 12)
+    assert seen.restore(str(tmp_path / "seen")) == 30
+    assert seen.all_keys() == set(keys)
+    # numeric bound: max_epoch=2 skips the later legacy file
+    fresh = SeenSet(1, capacity_per_shard=1 << 12)
+    assert fresh.restore(str(tmp_path / "seen"), max_epoch=2) == 10

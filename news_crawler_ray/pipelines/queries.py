@@ -477,6 +477,23 @@ ORACLE_SQL.update(
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
         ),
+        "sessionize": (
+            "WITH f AS ("
+            "  SELECT user_id, event_id, ts,"
+            "    CASE WHEN lag(ts) OVER w IS NULL"
+            "      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s"
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), s AS ("
+            "  SELECT user_id, ts,"
+            "    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "                     ROWS UNBOUNDED PRECEDING) AS session_num"
+            "  FROM f"
+            ") SELECT user_id, CAST(session_num AS BIGINT) AS session_num,"
+            "   count(*) AS n_events,"
+            "   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,"
+            "   CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us"
+            "  FROM s GROUP BY user_id, session_num"
+        ),
     }
 )
 
@@ -714,6 +731,20 @@ def q_rss_advisories(sf_dir: str):
     )
 
 
+SESSION_GAP_MIN = 30.0
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the events stream (the streaming-
+    window custom operator): per-user sessions split at >30-minute gaps,
+    one row per session with exact bounds. One task-based sort exchange
+    (ops/window.sessionize), no hash shuffle."""
+    from ..ops import window as win
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return win.sessionize(ds, gap_minutes=SESSION_GAP_MIN)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: per-block
     partial sums + driver reduce per iteration (one streaming pass, no
@@ -838,6 +869,7 @@ def build_queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "sample_docs": q_sample_docs,
         "kmeans_clusters": q_kmeans_clusters,
+        "sessionize": q_sessionize,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         # rows-only (non-SQL-expressible)

@@ -212,6 +212,97 @@ def partitioned_group_rank(
     )
 
 
+@ray.remote(num_returns=2)
+def _split_leading_run(tbl: pa.Table, key: str):
+    """(leading_run, rest) of a key-sorted block — zero-copy slices."""
+    import pyarrow.compute as pc
+
+    col = tbl[key].combine_chunks()
+    n = len(col)
+    neq = pc.not_equal(col, col[0]).to_numpy(zero_copy_only=False)
+    hits = np.flatnonzero(neq)
+    end = int(hits[0]) if hits.size else n
+    return tbl.slice(0, end), tbl.slice(end)
+
+
+def _donation_plan(metas: list[tuple]) -> tuple[list[bool], list[bool], dict]:
+    """Boundary-run ownership over key-sorted blocks.
+
+    ``metas[i] = (first_key, last_key, num_rows)``. A key RUN belongs to
+    the block where it starts; blocks whose leading run continues the
+    previous block's last key donate that run (or their whole content,
+    if single-key) to the owner. Returns ``(strip_leading,
+    whole_donated, donations)`` with ``donations[owner] = [donor
+    indices, in order]``. O(blocks) driver work — no row data touches
+    the driver.
+    """
+    strip = [False] * len(metas)
+    whole = [False] * len(metas)
+    donations: dict[int, list[int]] = {}
+    chain_owner: int | None = None
+    prev_last = None
+    for i, (first, last, n) in enumerate(metas):
+        if not n:
+            continue
+        if prev_last is not None and first == prev_last:
+            donations.setdefault(chain_owner, []).append(i)
+            if first == last:
+                whole[i] = True  # entire block continues the run
+                continue
+            strip[i] = True
+        # this block's LAST key starts a run here
+        chain_owner = i
+        prev_last = last
+    return strip, whole, donations
+
+
+def key_complete_parts(
+    ds: "ray.data.Dataset",
+    key: str,
+    order: list[str] | tuple = (),
+    descending: list[bool] | tuple = (),
+) -> list[list]:
+    """Task-based key co-location WITHOUT a hash shuffle: sort by
+    ``(key, *order)``, then donate boundary-straddling key runs so every
+    key's rows land in exactly one group. Returns a list of part-ref
+    lists — concatenating one entry's parts (in order) yields one
+    key-complete, still-sorted table; feed each to a kernel task.
+
+    This is the generic form of the wave scheduler's exchange
+    (stages/politeness.schedule_sorted_fused) — one range-partition sort
+    (task-based; hash-shuffle aggregator pools pay a measured ~7 s fixed
+    startup per op in-sandbox) plus a 3-values-per-block metadata pass.
+    Skew: a key spanning many blocks is assembled into its owner task,
+    the same co-location a hash shuffle would force.
+    """
+    from .dedup import _first_last_key
+
+    cols = [key] + list(order)
+    desc = [False] + list(descending or [False] * len(order))
+    mat = ds.sort(cols, descending=desc).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return []
+    metas = ray.get([_first_last_key.remote(r, key) for r in refs])
+    if all(n == 0 for _, _, n in metas):
+        return []
+    strip, whole, donations = _donation_plan(metas)
+    lead: dict[int, object] = {}
+    rest: dict[int, object] = {}
+    for i, ref in enumerate(refs):
+        if strip[i]:
+            lead[i], rest[i] = _split_leading_run.remote(ref, key)
+    groups: list[list] = []
+    for i, (first, last, n) in enumerate(metas):
+        if not n or whole[i]:
+            continue  # empty, or fully donated to its owner
+        parts = [rest[i] if strip[i] else refs[i]]
+        for j in donations.get(i, ()):
+            parts.append(refs[j] if whole[j] else lead[j])
+        groups.append(parts)
+    return groups
+
+
 def assign_stable_ids(
     ds,
     value_col: str,

@@ -215,17 +215,6 @@ def schedule_fused(
     )
 
 
-@ray.remote(num_returns=2)
-def _split_leading_run(tbl: pa.Table, key: str):
-    """(leading_run, rest) of a key-sorted block — zero-copy slices."""
-    col = tbl[key].combine_chunks()
-    n = len(col)
-    neq = pc.not_equal(col, col[0]).to_numpy(zero_copy_only=False)
-    hits = np.flatnonzero(neq)
-    end = int(hits[0]) if hits.size else n
-    return tbl.slice(0, end), tbl.slice(end)
-
-
 @ray.remote
 def _fused_block_task(cfg: dict, shards: list | None, delay_ms: int, k: int, *parts):
     """Assemble one host-complete block from its owner rows + donated
@@ -239,37 +228,6 @@ def _fused_block_task(cfg: dict, shards: list | None, delay_ms: int, k: int, *pa
         return out
     step = -(-out.num_rows // k) if out.num_rows else 1
     return tuple(out.slice(i * step, step) for i in range(k))
-
-
-def _donation_plan(metas: list[tuple]) -> tuple[list[bool], list[bool], dict]:
-    """Boundary-run ownership over host-sorted blocks.
-
-    ``metas[i] = (first_host, last_host, num_rows)``. A host RUN belongs
-    to the block where it starts; blocks whose leading run continues the
-    previous block's last host donate that run (or their whole content,
-    if single-host) to the owner. Returns ``(strip_leading,
-    whole_donated, donations)`` with ``donations[owner] = [donor
-    indices, in order]``. O(blocks) driver work — no row data touches
-    the driver.
-    """
-    strip = [False] * len(metas)
-    whole = [False] * len(metas)
-    donations: dict[int, list[int]] = {}
-    chain_owner: int | None = None
-    prev_last = None
-    for i, (first, last, n) in enumerate(metas):
-        if not n:
-            continue
-        if prev_last is not None and first == prev_last:
-            donations.setdefault(chain_owner, []).append(i)
-            if first == last:
-                whole[i] = True  # entire block continues the run
-                continue
-            strip[i] = True
-        # this block's LAST host starts a run here
-        chain_owner = i
-        prev_last = last
-    return strip, whole, donations
 
 
 def schedule_sorted_fused(
@@ -298,28 +256,13 @@ def schedule_sorted_fused(
     task (same co-location a hash shuffle would force); politeness
     bounds its queue, and the kernel is O(n log n) vectorized.
     """
-    from .dedup import _first_last_key
+    from .index import key_complete_parts
 
-    mat = ds.sort("host").materialize()
-    refs = mat.to_arrow_refs()
-    if not refs:
-        return mat
-    metas = ray.get([_first_last_key.remote(r, "host") for r in refs])
-    if all(n == 0 for _, _, n in metas):
-        return mat  # caller breaks on empty waves before scheduling
-    strip, whole, donations = _donation_plan(metas)
-    lead: dict[int, "ray.ObjectRef"] = {}
-    rest: dict[int, "ray.ObjectRef"] = {}
-    for i, ref in enumerate(refs):
-        if strip[i]:
-            lead[i], rest[i] = _split_leading_run.remote(ref, "host")
+    groups = key_complete_parts(ds, "host")
+    if not groups:
+        return ds.limit(0)  # caller breaks on empty waves before scheduling
     out_refs = []
-    for i, (first, last, n) in enumerate(metas):
-        if not n or whole[i]:
-            continue  # empty, or fully donated to its owner
-        parts = [rest[i] if strip[i] else refs[i]]
-        for j in donations.get(i, ()):
-            parts.append(refs[j] if whole[j] else lead[j])
+    for parts in groups:
         task = _fused_block_task.options(
             num_returns=rank_split if rank_split > 1 else 1
         ).remote(robots_ref, seen_shards, default_delay_ms, rank_split, *parts)

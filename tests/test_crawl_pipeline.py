@@ -95,7 +95,7 @@ def test_crawl_two_sort_strategy_matches_oracle(ray_session, tmp_path, fixture_t
 def test_donation_plan_boundary_runs():
     """Host runs straddling sorted-block boundaries are donated to the
     block where the run starts — including whole-block donation chains."""
-    from news_crawler_ray.stages.politeness import _donation_plan
+    from news_crawler_ray.stages.index import _donation_plan
 
     #         b0: A..B   b1: all B   b2: B..C   b3: empty   b4: C..D
     metas = [("a", "b", 5), ("b", "b", 3), ("b", "c", 4), (None, None, 0), ("c", "d", 2)]

@@ -489,3 +489,47 @@ def test_hash_sample_null_strata_and_keep_all(ray_session):
     assert {r["lang"] for r in out} == {"de"}
     assert sum(1 for r in out) == 100  # de kept whole
     assert sp.fraction_threshold_hex(1.0) == "g"
+
+
+def test_sessionize_matches_bruteforce(ray_session):
+    """Gap sessions across block boundaries equal a plain-Python
+    per-user scan, including users whose rows straddle sort blocks."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import sessionize
+
+    rng_rows = []
+    t = 0
+    for i in range(600):
+        t += (i * 7919) % 50 * 60_000_000  # deterministic 0..49 min gaps
+        rng_rows.append({"event_id": i, "user_id": i % 7, "ts_us": t})
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rng_rows], pa.int64()),
+            "user_id": pa.array([r["user_id"] for r in rng_rows], pa.int64()),
+            "ts": pa.array([r["ts_us"] for r in rng_rows], pa.timestamp("us")),
+        }
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["session_num"], r["n_events"], r["session_start_us"], r["session_end_us"])
+            for r in sessionize(rd.from_arrow(tbl).repartition(8), gap_minutes=30).take_all()
+        )
+    )
+    # brute force
+    want = []
+    by_user: dict = {}
+    for r in sorted(rng_rows, key=lambda r: (r["user_id"], r["ts_us"], r["event_id"])):
+        u = r["user_id"]
+        s = by_user.get(u)
+        if s is None or r["ts_us"] - s["end"] > 30 * 60_000_000:
+            if s is not None:
+                want.append((u, s["num"], s["n"], s["start"], s["end"]))
+            num = 1 if s is None else s["num"] + 1
+            by_user[u] = {"num": num, "n": 1, "start": r["ts_us"], "end": r["ts_us"]}
+        else:
+            s["n"] += 1
+            s["end"] = r["ts_us"]
+    for u, s in by_user.items():
+        want.append((u, s["num"], s["n"], s["start"], s["end"]))
+    assert got == sorted(want)

@@ -165,6 +165,99 @@ def sort_merge_membership_join(left, right, key: str, anti: bool = True):
     return rd.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _asof_block(key: str, ts_col: str, right_cols: list, *parts: pa.Table) -> pa.Table:
+    """As-of kernel for ONE key-complete block: forward-fill the last
+    right row (<= ts) onto each left row — fully vectorized."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(key, "ascending"), (ts_col, "ascending"), (_SIDE, "ascending")],
+    )
+    s = tbl.take(idx)
+    n = s.num_rows
+    is_right = np.asarray(s[_SIDE]) == 0
+    seed = np.where(is_right, np.arange(n), -1)
+    f = np.maximum.accumulate(seed)  # index of last right row so far
+    _, run_ids = _run_ids(s[key])
+    valid = (f >= 0) & (run_ids[np.maximum(f, 0)] == run_ids)
+    left_pos = np.flatnonzero(~is_right)
+    lf, lvalid = f[left_pos], valid[left_pos]
+    out = s.filter(pa.array(~is_right)).drop_columns([_SIDE] + list(right_cols))
+    gather = pa.array(np.where(lvalid, lf, 0), pa.int64())
+    mask = pa.array(lvalid)
+    for rc in right_cols:
+        vals = s[rc].combine_chunks().take(gather)
+        out = out.append_column(
+            rc, pc.if_else(mask, vals, pa.scalar(None, s.schema.field(rc).type))
+        )
+    return out
+
+
+def sort_merge_asof_join(
+    left,
+    right,
+    key: str,
+    ts_col: str,
+    right_cols: list[str],
+):
+    """As-of join (backward, inclusive): for each left row, attach
+    ``right_cols`` from the LATEST right row of the same ``key`` with
+    ``right.ts <= left.ts`` (null if none) — the operator Ray Data
+    lacks, on the engine's task-based key-complete exchange
+    (stages/index.key_complete_parts): tag sides, ONE range-partition
+    sort by (key, ts, side) with right rows ordered before left at
+    equal ts (inclusive match), donate boundary runs, forward-fill per
+    block. No hash shuffle, no per-op actor pool.
+
+    Determinism: make the right side unique per (key, ts) upstream
+    (e.g. max-id per pair) — among duplicates the survivor is otherwise
+    unspecified, exactly as in SQL ASOF JOIN.
+    """
+    from ..stages.index import key_complete_parts
+
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_schema = right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_names = l_names + [c for c in right_cols]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in l_names}
+        for rc in right_cols:
+            cols[rc] = pa.nulls(t.num_rows, r_types[rc])
+        cols[_SIDE] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in l_names:
+            if n == key or n == ts_col:
+                cols[n] = pc.cast(t[n], l_types[n])
+            else:
+                cols[n] = pa.nulls(t.num_rows, l_types[n])
+        for rc in right_cols:
+            cols[rc] = t[rc]
+        cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    groups = key_complete_parts(tagged, key, order=[ts_col, _SIDE])
+    if not groups:
+        return left.limit(0)
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [_asof_block.remote(key, ts_col, list(right_cols), *parts) for parts in groups]
+    )
+
+
 def sort_merge_anti_join(left, right, key: str):
     """Left rows whose ``key`` has NO match in ``right`` (J2 exclusion
     semantics, ref news.py exclusion filter, at data scale)."""

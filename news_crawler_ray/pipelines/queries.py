@@ -477,6 +477,14 @@ ORACLE_SQL.update(
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
         ),
+        "clicks_prior_view": (
+            "WITH v AS ("
+            "  SELECT user_id, ts, max(event_id) AS prior_view_id FROM events"
+            "  WHERE event_type = 'view' GROUP BY user_id, ts"
+            "), c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')"
+            " SELECT c.event_id, v.prior_view_id"
+            " FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"
+        ),
         "sessionize": (
             "WITH f AS ("
             "  SELECT user_id, event_id, ts,"
@@ -734,6 +742,33 @@ def q_rss_advisories(sf_dir: str):
 SESSION_GAP_MIN = 30.0
 
 
+def q_clicks_prior_view(sf_dir: str):
+    """As-of join (backward, inclusive): each click event gets the
+    user's latest view event at-or-before it. Right side is made unique
+    per (user, ts) first (max event_id) so the survivor is
+    deterministic — mirrored in the DuckDB ASOF JOIN oracle."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda t: t.select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    views = sorted_group_agg(
+        ev.filter(expr="event_type == 'view'"),
+        ["user_id", "ts"],
+        [("prior_view_id", "max", "event_id")],
+    )
+    joined = sort_merge_asof_join(
+        clicks, views, key="user_id", ts_col="ts", right_cols=["prior_view_id"]
+    )
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "prior_view_id"]), batch_format="pyarrow"
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the events stream (the streaming-
     window custom operator): per-user sessions split at >30-minute gaps,
@@ -870,6 +905,7 @@ def build_queries() -> dict:
         "sample_docs": q_sample_docs,
         "kmeans_clusters": q_kmeans_clusters,
         "sessionize": q_sessionize,
+        "clicks_prior_view": q_clicks_prior_view,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         # rows-only (non-SQL-expressible)

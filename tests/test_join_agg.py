@@ -196,3 +196,53 @@ def test_sort_merge_join_hot_key_and_empty_sides():
     # empty left
     empty_l = rd.from_arrow(left.slice(0, 0))
     assert sort_merge_anti_join(empty_l, _ds(right, 2), "c_custkey").take_all() == []
+
+
+def test_sort_merge_asof_join(ray_session):
+    """Backward-inclusive as-of join matches a brute-force scan,
+    including keys straddling sort blocks and no-match lefts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.join import sort_merge_asof_join
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 5, 400)
+    lt = rng.integers(0, 10_000, 400)
+    left = pa.table(
+        {
+            "lid": pa.array(range(400), pa.int64()),
+            "k": pa.array(lk, pa.int64()),
+            "ts": pa.array(lt, pa.int64()),
+        }
+    )
+    rk = rng.integers(0, 5, 150)
+    rt_raw = rng.integers(0, 10_000, 150)
+    # unique (k, ts) on the right for a deterministic survivor
+    seen, rows = set(), []
+    for i, (k, t) in enumerate(zip(rk, rt_raw)):
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rows.append((int(k), int(t), i))
+    right = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "rid": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    out = sort_merge_asof_join(
+        rd.from_arrow(left).repartition(7),
+        rd.from_arrow(right).repartition(3),
+        key="k", ts_col="ts", right_cols=["rid"],
+    ).take_all()
+    got = {r["lid"]: r["rid"] for r in out}
+    assert len(got) == 400
+    by_key: dict = {}
+    for k, t, i in rows:
+        by_key.setdefault(k, []).append((t, i))
+    for lid, (k, t) in enumerate(zip(lk, lt)):
+        cands = [(rt, ri) for rt, ri in by_key.get(int(k), []) if rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, t)

@@ -258,6 +258,126 @@ def sort_merge_asof_join(
     )
 
 
+@ray.remote
+def _range_block(
+    key: str, ts_col: str, low_us: int, high_us: int,
+    left_cols: list, right_cols: list, *parts: pa.Table,
+) -> pa.Table:
+    """Range kernel for ONE key-complete block: emit every (left, right)
+    pair of the same key with right.ts in [left.ts+low, left.ts+high].
+    Vectorized: two searchsorted probes per key run + repeat/gather —
+    output size is window-bounded, never |L|×|R|."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(key, "ascending"), (_SIDE, "ascending"), (ts_col, "ascending")],
+    )
+    s = tbl.take(idx)
+    is_right = np.asarray(s[_SIDE]) == 0
+    ts = np.asarray(s[ts_col].cast(pa.int64()))
+    starts, run_ids = _run_ids(s[key])
+    ends = np.concatenate([starts[1:], [s.num_rows]])
+    l_take: list[np.ndarray] = []
+    r_take: list[np.ndarray] = []
+    for st, en in zip(starts, ends):
+        # within a run: right rows first (side 0), then left rows, each
+        # ts-sorted — searchsorted the right slice per left row
+        seg_right = is_right[st:en]
+        n_r = int(seg_right.sum())
+        if n_r == 0 or n_r == en - st:
+            continue
+        r_ts = ts[st : st + n_r]
+        l_idx = np.arange(st + n_r, en)
+        lo = np.searchsorted(r_ts, ts[l_idx] + low_us, side="left")
+        hi = np.searchsorted(r_ts, ts[l_idx] + high_us, side="right")
+        counts = hi - lo
+        keep = counts > 0
+        if not keep.any():
+            continue
+        l_take.append(np.repeat(l_idx[keep], counts[keep]))
+        # concatenated aranges lo..hi per left row, vectorized
+        ck, lk = counts[keep], lo[keep]
+        offs = np.concatenate([[0], np.cumsum(ck)[:-1]])
+        flat = np.arange(ck.sum()) - np.repeat(offs, ck) + np.repeat(lk, ck)
+        r_take.append(st + flat)
+    if not l_take:
+        empty = {c: pa.array([], s.schema.field(c).type) for c in left_cols}
+        for rc in right_cols:
+            empty[rc] = pa.array([], s.schema.field(rc).type)
+        return pa.table(empty)
+    li = pa.array(np.concatenate(l_take), pa.int64())
+    ri = pa.array(np.concatenate(r_take), pa.int64())
+    cols = {c: s[c].combine_chunks().take(li) for c in left_cols}
+    for rc in right_cols:
+        cols[rc] = s[rc].combine_chunks().take(ri)
+    return pa.table(cols)
+
+
+def sort_merge_range_join(
+    left,
+    right,
+    key: str,
+    ts_col: str,
+    right_cols: list[str],
+    low: int,
+    high: int,
+):
+    """Bounded range join: all (left, right) pairs of the same ``key``
+    with ``right.ts`` in ``[left.ts + low, left.ts + high]`` (units of
+    the ts column, e.g. microseconds; inclusive both ends). Same
+    exchange as the as-of join — one task-based sort, boundary-run
+    donation, per-block searchsorted probes. The window bound is what
+    keeps this scale-safe: output is O(|L| × window density), never a
+    cross product.
+    """
+    from ..stages.index import key_complete_parts
+
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_schema = right.schema()
+    r_types = dict(zip(r_schema.names, r_schema.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in l_names}
+        for rc in right_cols:
+            cols[rc] = pa.nulls(t.num_rows, r_types[rc])
+        cols[_SIDE] = pa.array(np.ones(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in l_names:
+            if n == key or n == ts_col:
+                cols[n] = pc.cast(t[n], l_types[n])
+            else:
+                cols[n] = pa.nulls(t.num_rows, l_types[n])
+        for rc in right_cols:
+            cols[rc] = t[rc]
+        cols[_SIDE] = pa.array(np.zeros(t.num_rows, np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(
+        tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    groups = key_complete_parts(tagged, key, order=[_SIDE, ts_col])
+    if not groups:
+        return left.limit(0)
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [
+            _range_block.remote(
+                key, ts_col, low, high, l_names, list(right_cols), *parts
+            )
+            for parts in groups
+        ]
+    )
+
+
 def sort_merge_anti_join(left, right, key: str):
     """Left rows whose ``key`` has NO match in ``right`` (J2 exclusion
     semantics, ref news.py exclusion filter, at data scale)."""

@@ -485,6 +485,13 @@ ORACLE_SQL.update(
             " SELECT c.event_id, v.prior_view_id"
             " FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"
         ),
+        "views_before_click": (
+            "WITH v AS (SELECT user_id, ts, event_id AS view_id FROM events"
+            "           WHERE event_type = 'view'),"
+            "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')"
+            " SELECT c.event_id, v.view_id FROM c JOIN v ON c.user_id = v.user_id"
+            " AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts"
+        ),
         "sessionize": (
             "WITH f AS ("
             "  SELECT user_id, event_id, ts,"
@@ -780,6 +787,31 @@ def q_sessionize(sf_dir: str):
     return win.sessionize(ds, gap_minutes=SESSION_GAP_MIN)
 
 
+def q_views_before_click(sf_dir: str):
+    """Bounded range join: every (click, view) pair of the same user
+    with the view inside the 30 minutes before the click (inclusive)."""
+    from ..ops.join import sort_merge_range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda t: t.select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    views = ev.filter(expr="event_type == 'view'").map_batches(
+        lambda t: t.select(["ts", "user_id"]).append_column("view_id", t["event_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = sort_merge_range_join(
+        clicks, views, key="user_id", ts_col="ts", right_cols=["view_id"],
+        low=-30 * 60_000_000, high=0,
+    )
+    return joined.map_batches(
+        lambda t: t.select(["event_id", "view_id"]), batch_format="pyarrow"
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: per-block
     partial sums + driver reduce per iteration (one streaming pass, no
@@ -906,6 +938,7 @@ def build_queries() -> dict:
         "kmeans_clusters": q_kmeans_clusters,
         "sessionize": q_sessionize,
         "clicks_prior_view": q_clicks_prior_view,
+        "views_before_click": q_views_before_click,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         # rows-only (non-SQL-expressible)

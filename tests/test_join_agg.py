@@ -246,3 +246,36 @@ def test_sort_merge_asof_join(ray_session):
         cands = [(rt, ri) for rt, ri in by_key.get(int(k), []) if rt <= t]
         want = max(cands)[1] if cands else None
         assert got[lid] == want, (lid, k, t)
+
+
+def test_sort_merge_range_join(ray_session):
+    """Window-bounded range join equals the brute-force pair scan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.join import sort_merge_range_join
+
+    rng = np.random.default_rng(13)
+    lk, lt = rng.integers(0, 4, 200), rng.integers(0, 1000, 200)
+    rk, rt = rng.integers(0, 4, 300), rng.integers(0, 1000, 300)
+    left = pa.table(
+        {"lid": pa.array(range(200), pa.int64()), "k": pa.array(lk, pa.int64()),
+         "ts": pa.array(lt, pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array(rk, pa.int64()), "ts": pa.array(rt, pa.int64()),
+         "rid": pa.array(range(300), pa.int64())}
+    )
+    out = sort_merge_range_join(
+        rd.from_arrow(left).repartition(6), rd.from_arrow(right).repartition(4),
+        key="k", ts_col="ts", right_cols=["rid"], low=-50, high=10,
+    ).take_all()
+    got = sorted((r["lid"], r["rid"]) for r in out)
+    want = sorted(
+        (int(li), int(ri))
+        for li, (k1, t1) in enumerate(zip(lk, lt))
+        for ri, (k2, t2) in enumerate(zip(rk, rt))
+        if k1 == k2 and t1 - 50 <= t2 <= t1 + 10
+    )
+    assert got == want and len(want) > 100

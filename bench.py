@@ -115,8 +115,13 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
         # shards → plasma once per run (parallel remote loads overlapping
         # the schedule phases); safe here because the fused fetch+decode
         # emits features only — no multi-GB block stream competes for the
-        # object store
-        stage_store_to_plasma=FRONTIER_N > 500_000,
+        # object store. BENCH_STAGE_PLASMA=0 reads shards from tmpfs page
+        # cache instead (per-worker views) — A/B lever for the staging-
+        # vs-schedule bandwidth contention.
+        stage_store_to_plasma=(
+            FRONTIER_N > 500_000
+            and os.environ.get("BENCH_STAGE_PLASMA", "1") != "0"
+        ),
     )
     t0 = time.monotonic()
     try:

@@ -228,8 +228,12 @@ def partition_pagestore(
     return out_dir
 
 
-@ray.remote
+@ray.remote(num_cpus=0.25)
 def _load_shard(shard_dir: str, s: int) -> pa.Table:
+    # fractional CPU: N full-CPU loads would occupy every scheduling slot
+    # and starve the schedule sort they are meant to OVERLAP (measured:
+    # 40.9 s vs 7.5 s schedule phase at 32 CPUs with/without staging
+    # contention); the load is IO+memcpy, not compute
     import os
 
     import pyarrow.parquet as pq

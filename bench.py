@@ -271,6 +271,43 @@ def _burn(_):
     return x
 
 
+def _copy_rate(_):
+    import numpy as np
+
+    a = np.ones(64 * 1024 * 1024 // 8)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 2.0:
+        b = a.copy()
+        del b
+        n += 1
+    return n * 0.0625 / (time.monotonic() - t0)
+
+
+def _bandwidth_calibration(cpus_lo: int, cpus_hi: int) -> dict:
+    """Aggregate memory bandwidth of THIS box at both process counts
+    (interleaved best-of-2). The CPU calibration (busy loops) misses the
+    memory bus entirely; a data pipeline is bandwidth-bound, and this
+    box's aggregate bandwidth has been measured to ANTI-scale (e.g.
+    12-22 GB/s total at 8 procs vs 0.6-14 GB/s at 32) — a pure memcpy
+    workload therefore has a raw 8→32 'efficiency' ceiling well below
+    1/4. Reported so the pipeline ratio can be read against the bus the
+    host actually provides at each level.
+    """
+    import multiprocessing as mp
+
+    agg = {cpus_lo: 0.0, cpus_hi: 0.0}
+    for _rep in range(2):
+        for procs in (cpus_lo, cpus_hi):
+            with mp.Pool(procs) as p:
+                agg[procs] = max(agg[procs], sum(p.map(_copy_rate, range(procs))))
+    ratio = cpus_hi / cpus_lo
+    return {
+        "aggregate_gb_s": {str(cpus_lo): round(agg[cpus_lo], 2), str(cpus_hi): round(agg[cpus_hi], 2)},
+        "ceiling": round((agg[cpus_hi] / agg[cpus_lo]) / ratio, 3) if agg[cpus_lo] else 0.0,
+    }
+
+
 def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     """Same job, same input, fresh processes at two parallelism levels.
 
@@ -314,11 +351,13 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     ratio = cpus_hi / cpus_lo
     eff = (thr_hi / thr_lo) / ratio if thr_lo > 0 else 0.0
     calib = _cpu_calibration(cpus_lo, cpus_hi)
+    bw = _bandwidth_calibration(cpus_lo, cpus_hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "cpu_calibration_ceiling": round(calib["ceiling"], 3),
+        "bandwidth_calibration": bw,
         "normalized_efficiency": round(eff / calib["ceiling"], 3) if calib["ceiling"] else None,
         "sf": sf_dir,
         "cpus": [cpus_lo, cpus_hi],

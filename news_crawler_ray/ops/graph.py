@@ -1,0 +1,146 @@
+"""Connected components over an edge list — iterative hash-min.
+
+Resolves near-duplicate PAIRS (minhash/simhash/cosine output) into
+duplicate CLUSTERS: every node gets the minimum node id reachable from
+it (the cluster representative a dedup pipeline keeps). The one-pass
+pair resolution in ops/dedup is a transitive APPROXIMATION; this is the
+exact closure.
+
+Algorithm: hash-min label propagation. labels start as node ids; each
+round every node takes the min of its own label and its neighbors'
+labels; converged when no label changes. Rounds = graph diameter —
+near-dup graphs are star/clique-shaped (diameter ≤ ~3), so 2-4 rounds
+in practice; for long-chain graphs switch to large-star/small-star
+contraction (same exchange shape, fewer rounds).
+
+Each round is TWO task-based sort exchanges (stages/index.
+key_complete_parts + ops/agg.sorted_group_agg) — no hash shuffle, no
+actor pools, no driver row loops. Convergence detection is O(1) driver
+work: labels only ever decrease, so sum(labels) is a fixpoint
+fingerprint (equal sum ⇔ no change).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_SIDE = "_side"  # 0 = label row (sorts first within a node run), 1 = edge row
+
+
+@ray.remote
+def _propagate_block(node_col: str, label_col: str, *parts: pa.Table) -> pa.Table:
+    """For ONE node-complete block: emit (node, label) for the node
+    itself plus (neighbor, label) along every outgoing edge."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    idx = pc.sort_indices(
+        tbl, sort_keys=[(node_col, "ascending"), (_SIDE, "ascending")]
+    )
+    s = tbl.take(idx)
+    n = s.num_rows
+    sides = np.asarray(s[_SIDE])
+    is_label = sides == 0
+    keys = s[node_col].combine_chunks()
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    if n > 1:
+        first[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    run_ids = np.cumsum(first) - 1
+    starts = np.flatnonzero(first)
+    labels = np.asarray(pc.fill_null(s[label_col], -1), dtype=np.int64)
+    node_ids = np.asarray(keys, dtype=np.int64)
+    # per-run label: the side-0 row sorts first in its run; a run with no
+    # label row (shouldn't happen — labels cover all nodes) falls back to
+    # the node id itself
+    run_label = np.where(is_label[starts], labels[starts], node_ids[starts])
+    out_label = run_label[run_ids]
+    dsts = np.asarray(pc.fill_null(s["_dst"], -1), dtype=np.int64)
+    out_node = np.where(is_label, node_ids, dsts)
+    return pa.table(
+        {
+            node_col: pa.array(out_node, pa.int64()),
+            label_col: pa.array(out_label, pa.int64()),
+        }
+    )
+
+
+def connected_components(
+    edges,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    label_col: str = "component",
+    max_iters: int = 25,
+):
+    """Dataset[(src, dst)] → Dataset[(node, component)] with component =
+    min reachable node id. Edges are treated as undirected; node ids
+    must be int64."""
+    from ..ops.agg import sorted_distinct, sorted_group_agg
+    from ..stages.index import key_complete_parts
+
+    def to_und(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[src_col], pa.int64())
+        b = pc.cast(t[dst_col], pa.int64())
+        return pa.table(
+            {
+                node_col: pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "_dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    und = edges.map_batches(to_und, batch_format="pyarrow", zero_copy_batch=True)
+    und = und.materialize()  # reused every round; edges never change
+    labels = sorted_distinct(und, [node_col]).map_batches(
+        lambda t: t.append_column(label_col, pc.cast(t[node_col], pa.int64())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+
+        def tag_edges(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    node_col: t[node_col],
+                    "_dst": t["_dst"],
+                    label_col: pa.nulls(t.num_rows, pa.int64()),
+                    _SIDE: pa.array(np.ones(t.num_rows, np.int8)),
+                }
+            )
+
+        def tag_labels(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    node_col: t[node_col],
+                    "_dst": pa.nulls(t.num_rows, pa.int64()),
+                    label_col: t[label_col],
+                    _SIDE: pa.array(np.zeros(t.num_rows, np.int8)),
+                }
+            )
+
+        tagged = und.map_batches(
+            tag_edges, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            labels.map_batches(tag_labels, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        groups = key_complete_parts(tagged, node_col, order=[_SIDE])
+        if not groups:
+            break
+        messages = ray.data.from_arrow_refs(
+            [_propagate_block.remote(node_col, label_col, *parts) for parts in groups]
+        )
+        labels = sorted_group_agg(
+            messages, [node_col], [(label_col, "min", label_col)]
+        ).materialize()
+        # labels only decrease → equal sum ⇔ fixpoint
+        cur_sum = labels.sum(label_col)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -419,6 +419,19 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))
+    # dup_components: exact transitive closure (recursive CTE) over the
+    # independently-derived minhash pair set
+    sql["dup_components"] = (
+        "WITH RECURSIVE pairs AS ("
+        + values_sql(expected_minhash_pairs(sf_dir))
+        + "), und AS ("
+        "  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs"
+        "), reach(src, node) AS ("
+        "  SELECT a, a FROM und"
+        "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
+        ") SELECT node, CAST(min(src) AS BIGINT) AS component FROM reach GROUP BY node"
+    )
     sql["image_features"] = values_sql(expected_image_features())
     sql["resize_images"] = values_sql(expected_resize())
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())

@@ -812,6 +812,21 @@ def q_views_before_click(sf_dir: str):
     )
 
 
+def q_dup_components(sf_dir: str):
+    """Near-dup CLUSTERS: exact connected components (iterative hash-min
+    label propagation, ops/graph) over the MinHash+LSH candidate pairs —
+    every doc mapped to its cluster's minimum doc_id."""
+    from ..ops.graph import connected_components
+
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _drop_word3))
+    pairs = dd.minhash_lsh_pairs(
+        planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5
+    )
+    return connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: per-block
     partial sums + driver reduce per iteration (one streaming pass, no
@@ -939,6 +954,7 @@ def build_queries() -> dict:
         "sessionize": q_sessionize,
         "clicks_prior_view": q_clicks_prior_view,
         "views_before_click": q_views_before_click,
+        "dup_components": q_dup_components,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         # rows-only (non-SQL-expressible)

@@ -279,3 +279,28 @@ def test_sort_merge_range_join(ray_session):
         if k1 == k2 and t1 - 50 <= t2 <= t1 + 10
     )
     assert got == want and len(want) > 100
+
+
+def test_connected_components(ray_session):
+    """Hash-min label propagation equals the exact closure on a graph
+    with a long chain (multi-round convergence), a clique, and a pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.graph import connected_components
+
+    edges = [(i, i + 1) for i in range(10, 20)]          # chain 10..20
+    edges += [(a, b) for a in (30, 31, 32) for b in (31, 32, 33) if a < b]
+    edges += [(50, 51)]
+    tbl = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    out = connected_components(rd.from_arrow(tbl).repartition(5)).take_all()
+    got = {r["node"]: r["component"] for r in out}
+    want = {n: 10 for n in range(10, 21)}
+    want.update({n: 30 for n in (30, 31, 32, 33)})
+    want.update({50: 50, 51: 50})
+    assert got == want

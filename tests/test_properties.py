@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) over the PURE batch kernels.
+
+These exercise the vectorized kernels directly — no Ray session needed —
+so hypothesis can run many examples cheaply. Each property is an
+invariant the distributed operators rely on.
+"""
+
+from __future__ import annotations
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from news_crawler_ray.functions import urlnorm
+from news_crawler_ray.ops.sampling import fraction_threshold_hex, hash_sample_batch
+from news_crawler_ray.ops.text import token_stats_batch
+from news_crawler_ray.stages.dedup import keep_best_batch
+
+url_text = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), min_size=1, max_size=40
+)
+urls = st.builds(
+    lambda host, path: f"http://{host}.test/{path}",
+    st.text(alphabet="abcdefXYZ", min_size=1, max_size=10),
+    url_text,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(urls, min_size=1, max_size=30))
+def test_canonicalize_idempotent(us):
+    """canonicalize(canonicalize(x)) == canonicalize(x) — the dedup
+    identity must be a fixpoint or seen-keys would drift between waves."""
+    once = urlnorm.canonicalize_array(pa.array(us, pa.string()))
+    twice = urlnorm.canonicalize_array(once)
+    assert once.equals(twice)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=30))
+def test_token_stats_whitespace_exact(texts):
+    """n_tokens == number of ASCII-\\S+ runs — the RE2 semantics shared
+    by pyarrow and the DuckDB oracle (NOT str.split(): Python splits on
+    Unicode whitespace like \\xa0, RE2's \\s is ASCII-only — hypothesis
+    found the divergence)."""
+    import re
+
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    out = token_stats_batch(t)
+    for s, n in zip(texts, out["n_tokens"].to_pylist()):
+        assert n == len(re.findall(r"\S+", s, re.ASCII))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=200),
+    st.floats(min_value=0.0, max_value=1.0),
+)
+def test_hash_sample_monotone_in_fraction(ids, f):
+    """A smaller fraction's sample is a subset of a larger fraction's —
+    the property that makes hash sampling resumable/incremental."""
+    t = pa.table({"doc_id": pa.array(sorted(set(ids)), pa.int64())})
+    small = set(hash_sample_batch(t, "doc_id", fraction=f / 2)["doc_id"].to_pylist())
+    big = set(hash_sample_batch(t, "doc_id", fraction=f)["doc_id"].to_pylist())
+    assert small <= big
+    assert set(hash_sample_batch(t, "doc_id", fraction=1.0)["doc_id"].to_pylist()) == set(
+        t["doc_id"].to_pylist()
+    )
+    assert fraction_threshold_hex(0.0) == "00000000"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2", "u3"]),  # url (the dedup key)
+            st.floats(min_value=0, max_value=5),  # priority
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_keep_best_batch_properties(rows):
+    """keep_best: one row per key, it has the key's max priority, and
+    output rows all come from the input."""
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "priority": pa.array([r[1] for r in rows], pa.float64()),
+            "discovered_at": pa.array([0] * len(rows), pa.timestamp("us")),
+        }
+    )
+    out = keep_best_batch(t, key="url")
+    best: dict = {}
+    for u, p in rows:
+        best[u] = max(best.get(u, -1.0), p)
+    got = dict(zip(out["url"].to_pylist(), out["priority"].to_pylist()))
+    assert got == best

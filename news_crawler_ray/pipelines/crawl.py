@@ -92,7 +92,8 @@ class CrawlConfig:
     compute_crawl_rank: bool = True
     # "sort": range-partition sort + run stitching (task-based, scales
     # best in-sandbox); "hash": key shuffle (dedup_frontier). Only used
-    # by schedule_strategy="sorted" (fused dedups inside its kernel).
+    # by schedule_strategy="two_sort" (sorted/fused dedup inside their
+    # kernels).
     dedup_strategy: str = "sort"
     # Actor-pool sizing. "auto" sizes each pool as a FRACTION of the
     # session's CPUs with fractional num_cpus per actor — measured to

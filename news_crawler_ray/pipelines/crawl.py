@@ -35,6 +35,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
@@ -505,8 +506,15 @@ def run_crawl(
         # parquet-footer metadata read (no data pass at all) and the
         # outlink expansion reads ONLY the ok partition with pruned
         # columns — replaces a full narrow-column materialize + two
-        # passes per wave
-        fetched.write_parquet(wave_dir, partition_cols=["fetch_status"])
+        # passes per wave. Written to a tmp dir and atomically published:
+        # a run killed MID-write leaves part files behind, and a resumed
+        # re-run of the wave would otherwise APPEND to them (duplicate
+        # rows in fetched/)
+        tmp_dir = wave_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        fetched.write_parquet(tmp_dir, partition_cols=["fetch_status"])
+        shutil.rmtree(wave_dir, ignore_errors=True)
+        os.replace(tmp_dir, wave_dir)
         tp = _tr("fetch+write", tp)
         if trace and os.environ.get("NC_CRAWL_STATS") == "1":
             print(f"[crawl-stats] wave {wave}:\n{fetched.stats()}", flush=True)

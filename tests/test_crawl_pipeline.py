@@ -152,3 +152,23 @@ def test_crawl_fused_strategy_matches_oracle(ray_session, tmp_path, fixture_tabl
     )
     assert _engine_order(result) == oracle.flat_order
     assert result.seen.all_keys() == oracle.seen_keys
+
+
+def test_resume_discards_partial_wave_output(ray_session, tmp_path, fixture_tables):
+    """A run killed mid-wave leaves partial part files under
+    fetched/wave-N; the resumed re-run must atomically REPLACE them, not
+    append — otherwise fetched/ grows duplicate rows."""
+    full = _run(tmp_path, fixture_tables, max_waves=3, out="full2")
+    part = _run(tmp_path, fixture_tables, max_waves=1, out="part2")
+    # forge a crashed wave-1 attempt: stale partial output + orphan tmp
+    stale = tmp_path / "part2" / "fetched" / "wave-1" / "fetch_status=ok"
+    stale.mkdir(parents=True)
+    ok0 = tmp_path / "part2" / "fetched" / "wave-0"
+    import glob as g
+    import shutil
+
+    src = g.glob(str(ok0 / "fetch_status=ok" / "*.parquet"))[0]
+    shutil.copy(src, stale / "stale-part.parquet")
+    resumed = _run(tmp_path, fixture_tables, max_waves=3, resume=True, out="part2")
+    assert _engine_order(resumed) == _engine_order(full)
+    assert resumed.fetched_dataset().count() == full.fetched_dataset().count()

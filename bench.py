@@ -172,6 +172,12 @@ QUERY_SUBSET = [
     "minhash_dedup_pairs",
     "simhash_pairs",
     "image_features",
+    # round-2 additions
+    "sessionize",
+    "sample_docs",
+    "dup_components",
+    "clicks_prior_view",
+    "kmeans_clusters",
 ]
 
 

@@ -70,6 +70,45 @@ def _propagate_block(node_col: str, label_col: str, *parts: pa.Table) -> pa.Tabl
     )
 
 
+@ray.remote
+def _union_find_task(node_col: str, label_col: str, *parts: pa.Table) -> pa.Table:
+    """Exact single-task components (path-halving union-find by min id)."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table(
+            {node_col: pa.array([], pa.int64()), label_col: pa.array([], pa.int64())}
+        )
+    tbl = pa.concat_tables(tables)
+    a = np.asarray(tbl[node_col], dtype=np.int64)
+    b = np.asarray(tbl["_dst"], dtype=np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by MIN id so roots are the component representative
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    nodes = np.unique(np.concatenate([a, b]))
+    labels = np.fromiter((find(int(v)) for v in nodes), dtype=np.int64, count=len(nodes))
+    return pa.table(
+        {
+            node_col: pa.array(nodes, pa.int64()),
+            label_col: pa.array(labels, pa.int64()),
+        }
+    )
+
+
 def connected_components(
     edges,
     src_col: str = "id_a",
@@ -77,6 +116,7 @@ def connected_components(
     node_col: str = "node",
     label_col: str = "component",
     max_iters: int = 25,
+    small_input_rows: int = 4_000_000,
 ):
     """Dataset[(src, dst)] → Dataset[(node, component)] with component =
     min reachable node id. Edges are treated as undirected; node ids
@@ -96,6 +136,17 @@ def connected_components(
 
     und = edges.map_batches(to_und, batch_format="pyarrow", zero_copy_batch=True)
     und = und.materialize()  # reused every round; edges never change
+    if und.count() <= small_input_rows:
+        # small-graph fast path: each hash-min round costs two fixed-
+        # overhead exchanges regardless of size — below the threshold a
+        # single union-find task is exact and ~free. Same output.
+        return ray.data.from_arrow_refs(
+            [
+                _union_find_task.remote(
+                    node_col, label_col, *und.to_arrow_refs()
+                )
+            ]
+        )
     labels = sorted_distinct(und, [node_col]).map_batches(
         lambda t: t.append_column(label_col, pc.cast(t[node_col], pa.int64())),
         batch_format="pyarrow",

@@ -298,9 +298,14 @@ def test_connected_components(ray_session):
             "id_b": pa.array([b for _, b in edges], pa.int64()),
         }
     )
-    out = connected_components(rd.from_arrow(tbl).repartition(5)).take_all()
-    got = {r["node"]: r["component"] for r in out}
     want = {n: 10 for n in range(10, 21)}
     want.update({n: 30 for n in (30, 31, 32, 33)})
     want.update({50: 50, 51: 50})
-    assert got == want
+    # iterative hash-min path (small_input_rows=0 disables the fast path)
+    out = connected_components(
+        rd.from_arrow(tbl).repartition(5), small_input_rows=0
+    ).take_all()
+    assert {r["node"]: r["component"] for r in out} == want
+    # single-task union-find fast path (default for small edge lists)
+    fast = connected_components(rd.from_arrow(tbl).repartition(5)).take_all()
+    assert {r["node"]: r["component"] for r in fast} == want

@@ -39,10 +39,11 @@ def test_canonicalize_idempotent(us):
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.text(max_size=60), min_size=1, max_size=30))
 def test_token_stats_whitespace_exact(texts):
-    """n_tokens == number of ASCII-\\S+ runs — the RE2 semantics shared
-    by pyarrow and the DuckDB oracle (NOT str.split(): Python splits on
-    Unicode whitespace like \\xa0, RE2's \\s is ASCII-only — hypothesis
-    found the divergence)."""
+    """n_tokens == number of runs of non-[\\t\\n\\f\\r ] — RE2's exact
+    \\s class, shared by pyarrow and the DuckDB oracle. Neither Python
+    str.split() (splits on unicode spaces like \\xa0) nor re.ASCII \\s
+    (includes \\x0b, which RE2 excludes) is the right reference —
+    hypothesis found both divergences."""
     import re
 
     t = pa.table(
@@ -50,7 +51,7 @@ def test_token_stats_whitespace_exact(texts):
     )
     out = token_stats_batch(t)
     for s, n in zip(texts, out["n_tokens"].to_pylist()):
-        assert n == len(re.findall(r"\S+", s, re.ASCII))
+        assert n == len(re.findall(r"[^\t\n\f\r ]+", s))
 
 
 @settings(max_examples=30, deadline=None)

@@ -384,7 +384,16 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if args.scaling:
-        out = run_scaling(sf_dir)
+        # BENCH_CPUS_LO/HI pick the two levels (default 8 vs 32). The
+        # criterion is N vs 4N; on this sandbox the host often throttles
+        # aggregate memory bandwidth hard above ~16 concurrent procs
+        # (see _bandwidth_calibration), so 4 vs 16 measures the engine
+        # where the host can still feed it.
+        out = run_scaling(
+            sf_dir,
+            cpus_lo=int(os.environ.get("BENCH_CPUS_LO", "8")),
+            cpus_hi=int(os.environ.get("BENCH_CPUS_HI", "32")),
+        )
     else:
         out = run_suite(num_cpus, sf_dir, headline_only=args.child)
     print(json.dumps(out))

@@ -513,6 +513,9 @@ def run_crawl(
         tmp_dir = wave_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         fetched.write_parquet(tmp_dir, partition_cols=["fetch_status"])
+        # a fully-filtered wave (every candidate seen/blocked) writes no
+        # files at all — publish an empty dir so the layout stays uniform
+        os.makedirs(tmp_dir, exist_ok=True)
         shutil.rmtree(wave_dir, ignore_errors=True)
         os.replace(tmp_dir, wave_dir)
         tp = _tr("fetch+write", tp)

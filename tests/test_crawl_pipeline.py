@@ -172,3 +172,32 @@ def test_resume_discards_partial_wave_output(ray_session, tmp_path, fixture_tabl
     resumed = _run(tmp_path, fixture_tables, max_waves=3, resume=True, out="part2")
     assert _engine_order(resumed) == _engine_order(full)
     assert resumed.fetched_dataset().count() == full.fetched_dataset().count()
+
+
+def test_fully_filtered_wave_publishes_empty_dir(ray_session, tmp_path):
+    """A wave whose every candidate is robots-blocked schedules zero
+    rows; the wave output must still publish (empty) and metrics record
+    zeros instead of crashing the atomic rename."""
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps = synth.make_pagestore(20, seed=42)
+    robots = pa.table(
+        {
+            "host": pa.array(["h0.test"], pa.string()),
+            "disallow_prefixes": pa.array([["/"]], pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array([100], pa.int32()),
+        }
+    )
+    seeds = pa.table(
+        {
+            "url": pa.array([f"http://h0.test/p/{i}" for i in range(5)], pa.string()),
+            "host": pa.array(["h0.test"] * 5, pa.string()),
+            "depth": pa.array([0] * 5, pa.int32()),
+            "discovered_at": pa.array([0] * 5, pa.timestamp("us")),
+            "priority": pa.array([1.0] * 5, pa.float64()),
+        }
+    )
+    cfg = cp.CrawlConfig(max_waves=2, num_seen_shards=2, dedup_partitions=2)
+    res = cp.run_crawl(seeds, ps, robots, str(tmp_path / "blocked"), config=cfg)
+    assert res.waves[0].scheduled == 0 and res.waves[0].fetched_ok == 0
+    assert (tmp_path / "blocked" / "fetched" / "wave-0").is_dir()

@@ -416,9 +416,9 @@ def simhash_near_dup_pairs(
 
     def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
         end = g.num_rows if end is None else end
-        if end - start > 256:
-            _log_truncated_bucket("simhash", end - start, 256)
-        n = min(end - start, 256)
+        if end - start > 1024:
+            _log_truncated_bucket("simhash", end - start, 1024)
+        n = min(end - start, 1024)
         if n < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),

@@ -9,9 +9,10 @@ sequentially, the way the reference's single-process loops would,
 as inline ``VALUES`` SQL (:func:`values_sql`) so DuckDB can verify the
 Ray pipelines row-for-row without reading any temp files.
 
-Caps note: the engine truncates LSH buckets at 256/512 rows; these
-oracles REFUSE (raise) if a fixture bucket ever exceeds the cap, so an
-oracle can never silently agree with a truncated result.
+Caps note: the engine truncates LSH buckets (minhash 256, simhash 1024,
+cosine 512 rows); these oracles REFUSE (raise) if a fixture bucket ever
+exceeds the cap, so an oracle can never silently agree with a truncated
+result.
 """
 
 from __future__ import annotations
@@ -193,7 +194,7 @@ def expected_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             buckets[(b, int((h[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF)))].append(i)
     pairs: set[tuple[int, int]] = set()
     for rows in buckets.values():
-        _check_cap(len(rows), 256, "simhash")
+        _check_cap(len(rows), 1024, "simhash")
         for x in range(len(rows)):
             for y in range(x + 1, len(rows)):
                 i, j = rows[x], rows[y]

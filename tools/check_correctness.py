@@ -52,7 +52,12 @@ def main() -> int:
     import __ray_entry__ as e
 
     qs = e.queries()
-    oracles = e.oracle_sql()
+    # rebuild the expected-value (inline-VALUES) oracles for THIS sf dir —
+    # e.oracle_sql() pins them to sf0.01 (the driver's gate), which would
+    # spuriously fail every expected-pairs query at other scales
+    from news_crawler_ray.pipelines.queries import build_oracle_sql
+
+    oracles = build_oracle_sql(sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -1,0 +1,174 @@
+"""``ray job submit``-able CLI entrypoint (north-rule run surface).
+
+On a real cluster the whole pipeline runs as one driver script:
+
+    ray job submit --working-dir . -- python -m news_crawler_ray \
+        crawl --frontier /data/frontier --store /data/pagestore \
+        --robots /data/robots.parquet --out /data/run1 --max-waves 3
+
+In-sandbox the same command runs against ``RAY_ADDRESS=local``. Three
+subcommands:
+
+* ``synth``  — write the deterministic image+caption fixtures (page
+  store, frontier, robots) to parquet, so ``crawl`` has a real on-disk
+  input (no external data; BASELINE.json input_hint schema).
+* ``crawl``  — run (or ``--resume``) the multi-wave frontier crawl;
+  prints one JSON metrics line per wave (lineage row) and a final
+  summary line.
+* ``query``  — run one named ``queries()`` pipeline over an sf dir and
+  print its row count (optionally write the result to parquet).
+
+Only this CLI owns the Ray session (guarded: the driver contract's
+``__ray_entry__`` path never goes through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _ray_init() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+
+
+def _load_table_or_path(path: str) -> "pa.Table | str":
+    """A directory (page-store shard layout) passes through as a path;
+    a single parquet file loads driver-side (small-side broadcast)."""
+    if os.path.isdir(path):
+        return path
+    return pq.read_table(path)
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    from .fixtures import synth
+
+    os.makedirs(args.out, exist_ok=True)
+    store = synth.make_pagestore(
+        args.pages, seed=args.seed,
+        image_pool=min(args.pages, 512) if args.pages > 4096 else None,
+    )
+    frontier = synth.make_frontier(args.frontier, seed=args.seed)
+    robots = synth.make_robots(seed=args.seed)
+    pq.write_table(store, os.path.join(args.out, "pagestore.parquet"))
+    pq.write_table(frontier, os.path.join(args.out, "frontier.parquet"))
+    pq.write_table(robots, os.path.join(args.out, "robots.parquet"))
+    print(json.dumps({
+        "out": args.out, "pages": store.num_rows,
+        "frontier": frontier.num_rows, "robots_hosts": robots.num_rows,
+    }))
+    return 0
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    _ray_init()
+    from .context import configure
+    from .pipelines.crawl import CrawlConfig, run_crawl
+
+    configure()
+    cfg = CrawlConfig(
+        max_waves=args.max_waves,
+        num_seen_shards=args.seen_shards,
+        dedup_partitions=args.dedup_partitions,
+        compute_crawl_rank=not args.no_crawl_rank,
+    )
+    frontier = pq.read_table(args.frontier) if os.path.isfile(args.frontier) else args.frontier
+    if isinstance(frontier, str):
+        import ray.data
+
+        frontier = ray.data.read_parquet(frontier)
+    robots = pq.read_table(args.robots)
+    res = run_crawl(
+        frontier,
+        _load_table_or_path(args.store),
+        robots,
+        args.out,
+        config=cfg,
+        resume=args.resume,
+    )
+    for w in res.waves:
+        print(json.dumps({"wave_metrics": w.to_json()}))
+    print(json.dumps({
+        "out_dir": res.out_dir,
+        "waves": len(res.waves),
+        "total_fetched": res.total_fetched,
+    }))
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    _ray_init()
+    from .context import configure
+    from .pipelines.queries import build_queries
+
+    configure()
+    qs = build_queries()
+    if args.name not in qs:
+        sys.stderr.write(f"unknown query {args.name!r}; known: {sorted(qs)}\n")
+        return 2
+    res = qs[args.name](args.sf_dir)
+    if isinstance(res, pa.Table):
+        tbl = res
+    elif hasattr(res, "to_arrow_refs"):  # ray Dataset, pandas-free
+        import ray
+
+        parts = [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(parts, promote_options="default") if parts else pa.table(
+            {n: pa.array([], t_) for n, t_ in zip(res.schema().names, res.schema().types)}
+        )
+    else:
+        tbl = pa.Table.from_pandas(res)
+    if args.write:
+        pq.write_table(tbl, args.write)
+    print(json.dumps({"query": args.name, "rows": tbl.num_rows,
+                      "columns": tbl.column_names}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="python -m news_crawler_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sy = sub.add_parser("synth", help="write deterministic fixtures to parquet")
+    sy.add_argument("--out", required=True)
+    sy.add_argument("--pages", type=int, default=2000)
+    sy.add_argument("--frontier", type=int, default=1500)
+    sy.add_argument("--seed", type=int, default=42)
+    sy.set_defaults(fn=cmd_synth)
+
+    cr = sub.add_parser("crawl", help="run or resume the multi-wave crawl")
+    cr.add_argument("--frontier", required=True, help="seed frontier parquet file/dir")
+    cr.add_argument("--store", required=True, help="page-store parquet file or shard dir")
+    cr.add_argument("--robots", required=True, help="robots parquet file")
+    cr.add_argument("--out", required=True, help="run output dir (checkpoints live here)")
+    cr.add_argument("--max-waves", type=int, default=3)
+    cr.add_argument("--seen-shards", type=int, default=4)
+    cr.add_argument("--dedup-partitions", type=int, default=8)
+    cr.add_argument("--no-crawl-rank", action="store_true")
+    cr.add_argument("--resume", action="store_true")
+    cr.set_defaults(fn=cmd_crawl)
+
+    qu = sub.add_parser("query", help="run one named pipeline over an sf dir")
+    qu.add_argument("name")
+    qu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qu.add_argument("--write", help="write result parquet here")
+    qu.set_defaults(fn=cmd_query)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,58 @@
+"""The ``python -m news_crawler_ray`` job entrypoint (north-rule
+``ray job submit`` surface): synth → crawl → resume → query, driven
+in-process against the session Ray (``_ray_init`` guards on
+``ray.is_initialized`` so the CLI never double-inits)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from news_crawler_ray.__main__ import main
+
+
+def _json_lines(capsys):
+    return [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+
+
+def test_cli_synth_crawl_query(ray_session, sf_dir, tmp_path, capsys):
+    fix = str(tmp_path / "fix")
+    assert main(["synth", "--out", fix, "--pages", "200", "--frontier", "150"]) == 0
+    (synth_row,) = _json_lines(capsys)
+    # frontier carries ~10% planted dup/noise rows on top of n
+    assert synth_row["pages"] == 200 and synth_row["frontier"] >= 150
+    for f in ("pagestore.parquet", "frontier.parquet", "robots.parquet"):
+        assert os.path.exists(os.path.join(fix, f))
+
+    out = str(tmp_path / "run")
+    args = [
+        "crawl",
+        "--frontier", os.path.join(fix, "frontier.parquet"),
+        "--store", os.path.join(fix, "pagestore.parquet"),
+        "--robots", os.path.join(fix, "robots.parquet"),
+        "--out", out, "--max-waves", "2", "--seen-shards", "2",
+        "--dedup-partitions", "4",
+    ]
+    assert main(args) == 0
+    rows = _json_lines(capsys)
+    waves = [r["wave_metrics"] for r in rows if "wave_metrics" in r]
+    summary = rows[-1]
+    assert len(waves) == 2 and summary["waves"] == 2
+    assert summary["total_fetched"] == sum(w["fetched_ok"] for w in waves) > 0
+    # lineage row carries the full funnel per wave
+    assert {"wave", "candidates", "scheduled", "fetched_ok", "missing",
+            "outlinks", "elapsed_s", "urls_per_sec"} <= set(waves[0])
+    fetched = pq.read_table(os.path.join(out, "fetched"))
+    assert fetched.num_rows == summary["total_fetched"]
+
+    # resume over a finished run is a no-op that still reports the layout
+    assert main(args + ["--resume"]) == 0
+    resumed = _json_lines(capsys)[-1]
+    assert resumed["out_dir"] == out
+
+    assert main(["query", "events_day", "--sf-dir", sf_dir]) == 0
+    q = _json_lines(capsys)[-1]
+    assert q["rows"] > 0 and q["columns"] == ["event_id"]
+
+    assert main(["query", "definitely_not_a_query"]) == 2

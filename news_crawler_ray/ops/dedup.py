@@ -36,13 +36,17 @@ logger = logging.getLogger(__name__)
 
 
 def _log_truncated_bucket(kind: str, size: int, cap: int) -> None:
-    """Surface capped LSH buckets: the cap prevents B²/2 pair blowups on
-    degenerate buckets, but the dropped pairs must be observable (lost
-    recall is otherwise invisible on skewed corpora)."""
-    dropped = size * (size - 1) // 2 - cap * (cap - 1) // 2
+    """Surface over-cap LSH buckets: past the cap a bucket emits a STAR
+    (min-id hub ↔ every other row, B-1 pairs) instead of all B(B-1)/2
+    pairs — bounded output that still CONNECTS the bucket for cluster
+    resolution (ops/graph.connected_components), where plain truncation
+    both lost pairs and, under the owner-band rule, suppressed them in
+    every later band too. The non-hub pair loss must stay observable."""
+    dropped = size * (size - 1) // 2 - (size - 1)
     logger.warning(
-        "%s LSH bucket truncated: size=%d cap=%d dropped_pairs=%d",
-        kind, size, cap, dropped,
+        "%s LSH bucket over cap: size=%d cap=%d star-fallback "
+        "(emitted=%d, dropped_pairs=%d)",
+        kind, size, cap, size - 1, dropped,
     )
 
 
@@ -260,9 +264,15 @@ def _bucket_pairs(
     """All (a<b) pairs within one LSH bucket (rows [start:end)) + their
     signature-estimated jaccard.
 
-    ``max_bucket`` caps degenerate buckets (e.g. empty-text docs): a
-    bucket of B docs emits B²/2 pairs, so one pathological bucket can
-    explode the output — cap and log the dropped-pair count.
+    ``max_bucket`` bounds degenerate buckets (e.g. empty-text docs): a
+    bucket of B docs emits B(B-1)/2 pairs, so one pathological bucket
+    can explode the output. Past the cap the bucket emits a STAR —
+    min-id hub paired with every other row, B-1 pairs — which keeps the
+    bucket connected for cluster resolution while logging the non-hub
+    pairs dropped. (Plain head-truncation interacted badly with the
+    owner-band rule: a pair cut here was also suppressed in every LATER
+    band that saw it, losing it globally; the star keeps every row
+    reachable through the hub.)
 
     Owner-band rule (when ``bands`` is given): a pair is emitted ONLY by
     the first band in which its two signatures collide — recomputable
@@ -270,16 +280,20 @@ def _bucket_pairs(
     distinct and the cross-band dedup shuffle disappears entirely.
     """
     end = group.num_rows if end is None else end
-    if end - start > max_bucket:
-        _log_truncated_bucket("minhash", end - start, max_bucket)
-    n = min(end - start, max_bucket)
+    n = end - start
     if n < 2:
         return _empty_pairs(id_col)
     ids = np.asarray(group[id_col].slice(start, n), dtype=np.int64)
     sig = np.asarray(
         group["sig"].slice(start, n).combine_chunks().flatten(), dtype=np.int64
     ).reshape(n, num_perm)
-    iu, ju = np.triu_indices(n, k=1)
+    if n > max_bucket:
+        _log_truncated_bucket("minhash", n, max_bucket)
+        hub = int(np.argmin(ids))
+        iu = np.full(n - 1, hub, dtype=np.int64)
+        ju = np.delete(np.arange(n, dtype=np.int64), hub)
+    else:
+        iu, ju = np.triu_indices(n, k=1)
     est = (sig[iu] == sig[ju]).mean(axis=1)
     a = np.minimum(ids[iu], ids[ju])
     b = np.maximum(ids[iu], ids[ju])
@@ -416,9 +430,7 @@ def simhash_near_dup_pairs(
 
     def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
         end = g.num_rows if end is None else end
-        if end - start > 1024:
-            _log_truncated_bucket("simhash", end - start, 1024)
-        n = min(end - start, 1024)
+        n = end - start
         if n < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -426,7 +438,15 @@ def simhash_near_dup_pairs(
             )
         ids = np.asarray(g[id_col].slice(start, n), dtype=np.int64)
         h = np.asarray(g["simhash"].slice(start, n), dtype=np.int64).astype(np.uint64)
-        iu, ju = np.triu_indices(n, k=1)
+        if n > 1024:
+            # over-cap bucket → star fallback (see _bucket_pairs): O(B)
+            # hub pairs keep the bucket connected for cluster resolution
+            _log_truncated_bucket("simhash", n, 1024)
+            hub = int(np.argmin(ids))
+            iu = np.full(n - 1, hub, dtype=np.int64)
+            ju = np.delete(np.arange(n, dtype=np.int64), hub)
+        else:
+            iu, ju = np.triu_indices(n, k=1)
         dist = H.hamming_distance64(h[iu], h[ju])
         a = np.minimum(ids[iu], ids[ju])
         b_ = np.maximum(ids[iu], ids[ju])
@@ -574,9 +594,7 @@ def embedding_cosine_pairs(
 
     def bucket_pairs(g: pa.Table, start: int = 0, end: int | None = None) -> pa.Table:
         end = g.num_rows if end is None else end
-        if end - start > max_bucket:
-            _log_truncated_bucket("cosine", end - start, max_bucket)
-        n = min(end - start, max_bucket)
+        n = end - start
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "cosine": pa.array([], pa.float64())}
@@ -588,9 +606,17 @@ def embedding_cosine_pairs(
             g[vec_col].slice(start, n).combine_chunks().flatten(), dtype=np.float64
         ).reshape(n, -1)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
-        S = V @ V.T
-        iu, ju = np.triu_indices(n, k=1)
-        cos = S[iu, ju]
+        if n > max_bucket:
+            # over-cap bucket → star fallback (see _bucket_pairs): O(B)
+            # hub pairs instead of an O(B²) matmul + pair blowup
+            _log_truncated_bucket("cosine", n, max_bucket)
+            hub = int(np.argmin(ids))
+            iu = np.full(n - 1, hub, dtype=np.int64)
+            ju = np.delete(np.arange(n, dtype=np.int64), hub)
+            cos = V[ju] @ V[hub]
+        else:
+            iu, ju = np.triu_indices(n, k=1)
+            cos = (V @ V.T)[iu, ju]
         a = np.minimum(ids[iu], ids[ju])
         b_ = np.maximum(ids[iu], ids[ju])
         keep = (cos >= threshold) & (a != b_)

@@ -153,6 +153,7 @@ def connected_components(
         zero_copy_batch=True,
     ).materialize()
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
 
         def tag_edges(t: pa.Table) -> pa.Table:
@@ -182,6 +183,7 @@ def connected_components(
         )
         groups = key_complete_parts(tagged, node_col, order=[_SIDE])
         if not groups:
+            converged = True  # nothing to propagate — labels are final
             break
         messages = ray.data.from_arrow_refs(
             [_propagate_block.remote(node_col, label_col, *parts) for parts in groups]
@@ -192,6 +194,17 @@ def connected_components(
         # labels only decrease → equal sum ⇔ fixpoint
         cur_sum = labels.sum(label_col)
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # a chain longer than max_iters hops exits here with PARTIAL
+        # labels — surface it instead of returning them as if exact
+        # (raise, not log: downstream dedup would silently keep wrong
+        # cluster representatives)
+        raise RuntimeError(
+            f"connected_components did not converge in max_iters={max_iters} "
+            "rounds (graph diameter exceeds it); raise max_iters or use "
+            "large-star/small-star contraction for long-chain graphs"
+        )
     return labels

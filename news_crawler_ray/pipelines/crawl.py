@@ -618,10 +618,17 @@ def _write_candidates(ds: "ray.data.Dataset", path: str) -> int:
         zero_copy_batch=True,
     )
     tmp = path + ".tmp"
+    # a run killed mid-write leaves part files in tmp (write_parquet
+    # would APPEND beside them → duplicate candidates), and a run killed
+    # between publish and manifest-append leaves the TARGET dir populated
+    # (os.replace onto a non-empty dir raises ENOTEMPTY) — clear both,
+    # same publish discipline as the wave_dir write above
+    shutil.rmtree(tmp, ignore_errors=True)
     casted.write_parquet(tmp)  # single pass; workers write their blocks
     if not os.path.isdir(tmp) or not os.listdir(tmp):
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet"))
+    shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)  # atomic publish of the wave's candidate dir
     # row count from parquet footers only — no second pass over the data
     return ray.data.read_parquet(path).count()

@@ -173,11 +173,22 @@ def partition_pagestore(
     Every shard dir is created (empty shards get an empty parquet) and
     ``num_shards`` is persisted in ``store_manifest.json`` so readers
     never have to infer the modulus from the directory listing.
+
+    Idempotent: scatter tasks write uuid-named part files into a staging
+    root that is wiped first and atomically published last — a re-run
+    into the same ``out_dir`` (or a run killed mid-partition, e.g.
+    before bench's ``_done`` marker lands) replaces the store instead of
+    accumulating duplicate/stale rows beside the old part files.
     """
     import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
+
+    stage_root = out_dir.rstrip("/") + ".staging"
+    shutil.rmtree(stage_root, ignore_errors=True)
+    os.makedirs(stage_root, exist_ok=True)
 
     def scatter_block(t: pa.Table) -> pa.Table:
         # shuffle-free scatter: every input block writes its own rows
@@ -197,7 +208,7 @@ def partition_pagestore(
         fname = f"part-{uuid.uuid4().hex}.parquet"
         for i in range(len(starts) - 1):
             s = int(ss[starts[i]])
-            d = os.path.join(out_dir, f"shard-{s}")
+            d = os.path.join(stage_root, f"shard-{s}")
             os.makedirs(d, exist_ok=True)
             # plain-encoded, uncompressed: payload bytes are already
             # codec-compressed, and dictionary/zstd would make every
@@ -217,14 +228,19 @@ def partition_pagestore(
         scatter_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     ).count()
     for s in range(num_shards):
-        d = os.path.join(out_dir, f"shard-{s}")
+        d = os.path.join(stage_root, f"shard-{s}")
         if not os.path.isdir(d):
             os.makedirs(d, exist_ok=True)
             pq.write_table(STORE_SCHEMA.empty_table(), os.path.join(d, "part.parquet"))
-    tmp = os.path.join(out_dir, STORE_MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump({"num_shards": num_shards}, f)
-    os.replace(tmp, os.path.join(out_dir, STORE_MANIFEST))
+    import uuid
+
+    with open(os.path.join(stage_root, STORE_MANIFEST), "w") as f:
+        # store_id: generation token — long-lived worker processes key
+        # their shard-view caches on it, so rewriting a store at the
+        # same path invalidates every cached view (see _store_token)
+        json.dump({"num_shards": num_shards, "store_id": uuid.uuid4().hex}, f)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(stage_root, out_dir)  # atomic publish of the whole store
     return out_dir
 
 
@@ -413,6 +429,31 @@ SMALL_PAYLOAD_COLS = ["w", "h", "fmt", "caption", "phash"]
 # Ray reuses worker processes, so views persist across tasks. Plasma-backed
 # views are zero-copy (ray.get of a staged shard); disk views are LRU-capped.
 _worker_shard_cache = None
+
+
+def _store_token(shard_dir: str | None, shard_refs: list | None) -> str:
+    """Cache key component identifying the store GENERATION, not just its
+    path: worker processes outlive pipelines, so ``(shard_dir, s)`` alone
+    would serve stale shard views after a store rewrite at the same path,
+    and two plasma-staged stores would collide on a constant token. Disk
+    stores use the manifest's ``store_id`` (fallback: manifest mtime);
+    plasma stores use the first shard ref's hex (unique per staging)."""
+    if shard_refs is not None and len(shard_refs):
+        return "plasma@" + shard_refs[0].hex()
+    if shard_dir is None:
+        return "plasma"
+    import json
+    import os
+
+    p = os.path.join(shard_dir, STORE_MANIFEST)
+    try:
+        with open(p) as f:
+            sid = json.load(f).get("store_id")
+        if sid:
+            return f"{shard_dir}@{sid}"
+        return f"{shard_dir}@{os.stat(p).st_mtime_ns}"
+    except OSError:
+        return shard_dir
 
 
 def _fused_shard_view(token, s, shard_refs, shard_dir, max_cached: int):
@@ -604,7 +645,7 @@ def fetch_decode_sharded(
             shard_dir=shard_dir,
             shard_refs=shard_refs,
             num_shards=num_shards,
-            token=shard_dir or "plasma",
+            token=_store_token(shard_dir, shard_refs),
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

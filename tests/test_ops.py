@@ -319,8 +319,9 @@ def test_modmul_add_matches_bigint():
             assert got[i, j] == (aj * xi + bj) % M
 
 
-def test_lsh_bucket_cap_is_logged(caplog):
-    """A capped bucket must surface its dropped-pair count (not silent)."""
+def test_lsh_bucket_cap_star_fallback(caplog):
+    """An over-cap bucket emits a hub star (B-1 pairs, bucket stays
+    connected for cluster resolution) and logs the dropped-pair count."""
     import logging
 
     from news_crawler_ray.ops.dedup import _bucket_pairs
@@ -332,8 +333,14 @@ def test_lsh_bucket_cap_is_logged(caplog):
     g = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()), "sig": sig})
     with caplog.at_level(logging.WARNING, logger="news_crawler_ray.ops.dedup"):
         out = _bucket_pairs(g, "doc_id", 4, max_bucket=256)
-    assert out.num_rows == 256 * 255 // 2
-    assert any("truncated" in r.message and "dropped_pairs" in r.message for r in caplog.records)
+    # star through the min-id hub: every other row paired with id 0
+    assert out.num_rows == n - 1
+    assert out["id_a"].to_pylist() == [0] * (n - 1)
+    assert sorted(out["id_b"].to_pylist()) == list(range(1, n))
+    assert any(
+        "star-fallback" in r.message and "dropped_pairs" in r.message
+        for r in caplog.records
+    )
 
 
 def test_token_stats_edge_whitespace(ray_session):

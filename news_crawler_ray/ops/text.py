@@ -11,6 +11,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 # BPE-ish token pattern: letter runs, digit runs, single non-space symbol
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -240,3 +241,190 @@ def flag_contaminated(ds, needles: list[str], text_col: str = "text", id_col: st
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus term statistics: heavy hitters, per-doc repetition, term search
+# --------------------------------------------------------------------------
+
+
+def _doc_term_freqs(
+    batch: pa.Table, text_col: str, id_col: str, terms: list[str] | None = None
+) -> pa.Table:
+    """Per-(doc, term) frequencies for one batch — the shared exploded
+    kernel behind :func:`repetition_stats` / :func:`term_search` /
+    :func:`top_terms`. Whitespace tokens, empties dropped (identical to
+    ``token_stats``'s ``\\S+`` semantics and the DuckDB oracles'
+    ``regexp_split_to_array(text, '\\s+')`` + empty filter).
+
+    One ``split_pattern_regex`` + one vectorized ``Table.group_by`` —
+    no per-row Python. ``terms`` prunes the exploded rows to a query
+    set BEFORE the group_by (term search touches only matching tokens).
+    Returns columns (row_idx, term, tf) with row_idx positional into
+    ``batch``.
+    """
+    text = pc.coalesce(batch[text_col], "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = pc.list_flatten(toks)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets))
+    keep = pc.not_equal(flat, "")
+    if terms is not None:
+        keep = pc.and_(keep, pc.is_in(flat, value_set=pa.array(terms, pa.string())))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    pairs = pa.table(
+        {"row_idx": pa.array(row_idx[keep_np]), "term": flat.filter(keep)}
+    )
+    g = pairs.group_by(["row_idx", "term"]).aggregate([("term", "count")])
+    return pa.table(
+        {"row_idx": g["row_idx"], "term": g["term"],
+         "tf": pc.cast(g["term_count"], pa.int64())}
+    )
+
+
+def repetition_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style repetition features, exact-integer per doc:
+    (id, n_tokens, n_unique_tokens, top_token_count). The classic
+    "fraction of tokens in the most common token" filter is
+    top_token_count / n_tokens — emitted as its two integer terms so
+    the driver hash is float-free.
+    """
+    tf = _doc_term_freqs(batch, text_col, id_col)
+    g = tf.group_by(["row_idx"]).aggregate(
+        [("tf", "sum"), ("tf", "max"), ("tf", "count")]
+    )
+    n = batch.num_rows
+    n_tok = np.zeros(n, np.int64)
+    top = np.zeros(n, np.int64)
+    uniq = np.zeros(n, np.int64)
+    idx = np.asarray(g["row_idx"], dtype=np.int64)
+    n_tok[idx] = np.asarray(g["tf_sum"], dtype=np.int64)
+    top[idx] = np.asarray(g["tf_max"], dtype=np.int64)
+    uniq[idx] = np.asarray(g["tf_count"], dtype=np.int64)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_unique_tokens": pa.array(uniq, pa.int64()),
+            "top_token_count": pa.array(top, pa.int64()),
+        }
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: repetition_stats_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def top_terms(ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Corpus heavy hitters: EXACT global top-``k`` (term, n) by count.
+
+    Scale shape (the combiner pattern): (1) one vectorized partial count
+    per block — the only pass over the text, emitting O(vocab-per-block)
+    narrow rows; (2) ``sorted_group_agg`` merges partials with the
+    task-based range-partition exchange (vocabulary is data-scale on a
+    real corpus — no driver-size assumption, no hash-shuffle actor
+    pool); (3) per-block top-k (exact: after the group-agg each term
+    exists in exactly one row globally); (4) driver merge of
+    O(blocks × k) finalists. Ties break (n desc, term asc).
+    """
+    from .agg import sorted_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        tf = _doc_term_freqs(t, text_col, id_col)
+        g = tf.group_by(["term"]).aggregate([("tf", "sum")])
+        return pa.table({"term": g["term"], "n": pc.cast(g["tf_sum"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
+    finalists = pa.concat_tables(
+        ray.get(
+            [
+                _topk_block.remote(r, k)
+                for r in totals.materialize().to_arrow_refs()
+            ]
+        )
+    )
+    return finalists.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, k)
+
+
+@ray.remote
+def _topk_block(t: pa.Table, k: int) -> pa.Table:
+    if t.num_rows == 0 or "term" not in t.column_names:
+        return pa.table({"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    if t.num_rows <= k:
+        return t.select(["term", "n"])
+    return t.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, k).select(["term", "n"])
+
+
+def term_search(
+    ds, terms: list[str], k: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Inverted-index-style search: for each query term, the top-``k``
+    docs by exact term frequency — (term, doc_id, tf), ties (tf desc,
+    doc_id asc).
+
+    Scale shape: the query terms are a broadcast SMALL side (closure
+    capture → plasma once per task); each block prunes its exploded
+    tokens to the query set before counting, then emits only its local
+    per-term top-k (≤ |terms|·k narrow rows per block — exact, since a
+    doc's text lives wholly in one row/block). The driver merges
+    O(blocks · |terms| · k) finalist rows. No exchange at all.
+    """
+
+    def block_search(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        tf = _doc_term_freqs(t, text_col, id_col, terms=terms)
+        if tf.num_rows == 0:
+            return empty
+        out = pa.table(
+            {
+                "term": tf["term"],
+                "doc_id": pc.take(t[id_col], tf["row_idx"]),
+                "tf": tf["tf"],
+            }
+        )
+        return _head_per_term(out, k)
+
+    finalist_rows = ds.map_batches(
+        block_search, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not finalist_rows:
+        return pa.table(
+            {"term": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+    return _head_per_term(pa.Table.from_pylist(finalist_rows), k)
+
+
+def _head_per_term(t: pa.Table, k: int) -> pa.Table:
+    """First ``k`` rows per term of ``t`` under (tf desc, doc_id asc) —
+    vectorized run-boundary slicing, no per-group Python loop."""
+    s = t.sort_by(
+        [("term", "ascending"), ("tf", "descending"), ("doc_id", "ascending")]
+    )
+    terms_np = s.column("term").combine_chunks().to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(
+        np.concatenate([[True], terms_np[1:] != terms_np[:-1]])
+    )
+    bounds = np.concatenate([starts, [len(terms_np)]])
+    rank = np.arange(len(terms_np), dtype=np.int64) - np.repeat(
+        bounds[:-1], np.diff(bounds)
+    )
+    return s.filter(pa.array(rank < k))

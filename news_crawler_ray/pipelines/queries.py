@@ -917,6 +917,104 @@ def q_crawl_flagship(sf_dir: str):
     )
 
 
+# --- corpus term statistics / windows: constants shared between the Ray
+# queries and their DuckDB oracles so the two sides cannot drift
+TOP_TERMS_K = 50
+SEARCH_TERMS = ("spark", "join", "window", "stream", "vector")
+SEARCH_K = 10
+
+# exploded-token relation reused by the term-stat oracles — identical
+# semantics to ops/text._doc_term_freqs (\s+ split, empties dropped)
+_TOK_SQL = (
+    "SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS term "
+    "FROM documents"
+)
+
+
+def q_top_terms(sf_dir: str):
+    """Corpus heavy hitters: exact global top-K terms by count —
+    per-block combiner partials → task-based sort exchange over the
+    (data-scale) vocabulary → per-block top-K → driver merge
+    (ops/text.top_terms)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.top_terms(ds, k=TOP_TERMS_K)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition features (exact integers): token
+    count, distinct-token count, most-common-token count — the
+    "top-token coverage" pretraining filter as its two integer terms."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.repetition_stats(ds)
+
+
+def q_term_search(sf_dir: str):
+    """Inverted-index search: top-K docs per query term by exact term
+    frequency. Broadcast query terms, per-block prune+count+top-K
+    partials, driver merge — no exchange (ops/text.term_search)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.term_search(ds, list(SEARCH_TERMS), k=SEARCH_K)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: hourly event windows × type, counts +
+    exact min/max — the window derive is a vectorized floor_temporal and
+    the aggregate is the zero-exchange combiner (ops/window
+    .tumbling_window_agg; windows are just another group key)."""
+    from ..ops.window import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            ("n_events", "count_all", None),
+            ("min_value", "min", "value"),
+            ("max_value", "max", "value"),
+        ],
+        unit="hour",
+    )
+
+
+ORACLE_SQL.update(
+    {
+        "top_terms": (
+            f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
+            f"GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
+        ),
+        "repetition_stats": (
+            f"WITH tf AS (SELECT doc_id, term, count(*) AS c FROM ({_TOK_SQL}) "
+            "  WHERE term <> '' GROUP BY doc_id, term) "
+            "SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, "
+            "  coalesce(s.n_unique_tokens, 0) AS n_unique_tokens, "
+            "  coalesce(s.top_token_count, 0) AS top_token_count "
+            "FROM documents d LEFT JOIN ("
+            "  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "    count(*) AS n_unique_tokens, max(c) AS top_token_count "
+            "  FROM tf GROUP BY doc_id) s USING (doc_id)"
+        ),
+        "term_search": (
+            "WITH tf AS (SELECT doc_id, term, count(*) AS c FROM ("
+            + _TOK_SQL
+            + ") WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+            + ") GROUP BY doc_id, term) "
+            "SELECT term, doc_id, c AS tf FROM ("
+            "  SELECT term, doc_id, c, row_number() OVER ("
+            "    PARTITION BY term ORDER BY c DESC, doc_id) AS rn FROM tf) "
+            f"WHERE rn <= {SEARCH_K}"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n_events, min(value) AS min_value, "
+            "max(value) AS max_value FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type"
+        ),
+    }
+)
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Full oracle dict: static SQL over the sf views + the independent
     sequential-oracle statements (pipelines/expected.py) for the
@@ -957,6 +1055,10 @@ def build_queries() -> dict:
         "dup_components": q_dup_components,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
+        "top_terms": q_top_terms,
+        "repetition_stats": q_repetition_stats,
+        "term_search": q_term_search,
+        "events_hourly": q_events_hourly,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -540,3 +540,120 @@ def test_sessionize_matches_bruteforce(ray_session):
     for u, s in by_user.items():
         want.append((u, s["num"], s["n"], s["start"], s["end"]))
     assert got == sorted(want)
+
+
+# --------------------------------------------------------------------------
+# Corpus term statistics: top_terms / repetition_stats / term_search /
+# tumbling windows — brute-force Python oracles
+# --------------------------------------------------------------------------
+
+
+def _term_docs():
+    texts = [
+        "a b b c c c",          # top token 'c' ×3
+        "  a   a\tb\n",         # edge whitespace: 3 tokens, a×2
+        "",                     # empty → zeros
+        None,                   # null → zeros
+        "x x x x x",            # single repeated token
+        "a b c d e f",          # all unique
+    ]
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def _brute_counts(tbl):
+    from collections import Counter
+
+    per_doc, corpus = {}, Counter()
+    for r in tbl.to_pylist():
+        toks = (r["text"] or "").split()
+        per_doc[r["doc_id"]] = Counter(toks)
+        corpus.update(toks)
+    return per_doc, corpus
+
+
+def test_repetition_stats_matches_brute(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import repetition_stats
+
+    tbl = _term_docs()
+    per_doc, _ = _brute_counts(tbl)
+    got = {r["doc_id"]: r for r in repetition_stats(rd.from_arrow(tbl).repartition(3)).take_all()}
+    for did, cnt in per_doc.items():
+        assert got[did]["n_tokens"] == sum(cnt.values())
+        assert got[did]["n_unique_tokens"] == len(cnt)
+        assert got[did]["top_token_count"] == (max(cnt.values()) if cnt else 0)
+
+
+def test_top_terms_exact_with_ties(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import top_terms
+
+    tbl = _term_docs()
+    _, corpus = _brute_counts(tbl)
+    want = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    out = top_terms(rd.from_arrow(tbl).repartition(3), k=4)
+    got = [(r["term"], r["n"]) for r in out.to_pylist()]
+    assert got == want
+
+
+def test_term_search_topk_and_ties(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import term_search
+
+    tbl = _term_docs()
+    per_doc, _ = _brute_counts(tbl)
+    terms = ["a", "x", "zzz"]  # zzz absent from the corpus
+    out = term_search(rd.from_arrow(tbl).repartition(3), terms, k=2)
+    got = sorted((r["term"], r["doc_id"], r["tf"]) for r in out.to_pylist())
+    want = []
+    for t in terms:
+        ranked = sorted(
+            ((d, c[t]) for d, c in per_doc.items() if c[t] > 0),
+            key=lambda dc: (-dc[1], dc[0]),
+        )[:2]
+        want += [(t, d, n) for d, n in ranked]
+    assert got == sorted(want)
+
+
+@pytest.mark.parametrize("exchange", ["partial", "sorted"])
+def test_tumbling_window_agg_matches_brute(ray_session, exchange):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import tumbling_window_agg
+
+    rng = np.random.default_rng(11)
+    n = 500
+    ts = np.sort(rng.integers(0, 6 * 3600, n)) * 1_000_000  # 6 hours in us
+    kinds = rng.choice(["a", "b"], n)
+    vals = rng.integers(1, 100, n).astype(np.float64)
+    tbl = pa.table(
+        {"ts": pa.array(ts, pa.timestamp("us")),
+         "event_type": pa.array(kinds.tolist(), pa.string()),
+         "value": pa.array(vals, pa.float64())}
+    )
+    out = tumbling_window_agg(
+        rd.from_arrow(tbl).repartition(7),
+        "ts", ["event_type"],
+        [("n_events", "count_all", None), ("max_value", "max", "value")],
+        unit="hour", exchange=exchange,
+    )
+    rows = out.to_pylist() if isinstance(out, pa.Table) else out.take_all()
+    got = sorted((r["window_start"], r["event_type"], r["n_events"], r["max_value"]) for r in rows)
+    brute = {}
+    for t, k, v in zip(ts, kinds, vals):
+        key = (int(t // 3_600_000_000) * 3_600_000_000, k)
+        cur = brute.get(key, (0, -np.inf))
+        brute[key] = (cur[0] + 1, max(cur[1], v))
+    import datetime
+
+    want = sorted(
+        (datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=w), k, c, m)
+        for (w, k), (c, m) in brute.items()
+    )
+    assert got == want

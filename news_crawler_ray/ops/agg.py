@@ -253,3 +253,91 @@ def sorted_group_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None
             cols[name] = g[f"{name}_{_MERGE[kind]}"]
         out_refs.append(ray.put(pa.table(cols)))
     return rd.from_arrow_refs(out_refs)
+
+
+# --------------------------------------------------------------------------
+# group_quantiles: exact distributed per-group discrete quantiles
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _quantile_pick_block(
+    tbl: pa.Table, key: str, value_col: str, offsets: dict, targets: dict
+) -> pa.Table:
+    """Emit the (key, pct, value) rows of ONE sorted block whose
+    within-key GLOBAL rank is a quantile target. O(runs × percents)
+    Python over run boundaries; values are taken by direct index."""
+    from ..stages.index import _run_boundaries
+
+    out_k, out_p, out_i = [], [], []
+    if tbl.num_rows:
+        starts, values = _run_boundaries(tbl, key)
+        ends = list(starts[1:]) + [tbl.num_rows]
+        for s, e, g in zip(starts, ends, values):
+            off = offsets.get(g, 0)
+            for rank, pct in targets.get(g, ()):
+                j = rank - off
+                if 0 <= j < e - s:
+                    out_k.append(g)
+                    out_p.append(pct)
+                    out_i.append(int(s) + int(j))
+    vals = tbl[value_col].take(pa.array(out_i, pa.int64()))
+    kt = tbl.schema.field(key).type
+    return pa.table(
+        {
+            key: pa.array(out_k, kt),
+            "pct": pa.array(out_p, pa.int64()),
+            value_col: vals,
+        }
+    )
+
+
+def group_quantiles(
+    ds, key: str, value_col: str, percents: tuple[int, ...] = (25, 50, 75)
+):
+    """EXACT per-group discrete quantiles without materializing groups:
+    one range-partition sort by ``(key, value)``, a per-block
+    (key, count) metadata pass (O(runs) per block — driver traffic is
+    tiny for low/moderate key cardinality), then each block emits only
+    the rows whose within-key global rank is a target. No group is ever
+    held in one task — a single group spanning many blocks (the 100 TB
+    skew case) still works because rank selection is offset arithmetic.
+
+    Rank convention matches DuckDB ``quantile_disc``: element at
+    ``max(0, ceil(pct·n/100) − 1)`` of the ascending values — computed
+    in INTEGER arithmetic here, so keep ``percents`` to values exact in
+    float too (25/50/75) when hash-comparing against a SQL oracle.
+    Returns a Dataset with columns ``[key, pct, value_col]``.
+    """
+    import ray.data as rd
+
+    from ..stages.index import _block_group_counts
+
+    mat = ds.sort([key, value_col]).materialize()
+    refs = mat.to_arrow_refs()
+    empty = pa.table(
+        {key: pa.array([], pa.string()), "pct": pa.array([], pa.int64()),
+         value_col: pa.array([], pa.float64())}
+    )
+    if not refs:
+        return rd.from_arrow(empty)
+    metas = ray.get([_block_group_counts.remote(r, key) for r in refs])
+    running: dict = {}
+    per_block_offsets = []
+    for counts in metas:
+        off = {g: running.get(g, 0) for g, _ in counts}
+        for g, n in counts:
+            running[g] = running.get(g, 0) + n
+        per_block_offsets.append(off)
+    targets: dict = {}
+    for g, n in running.items():
+        if n == 0:
+            continue
+        targets[g] = tuple(
+            (max(0, -(-p * n // 100) - 1), p) for p in percents
+        )
+    picks = [
+        _quantile_pick_block.remote(r, key, value_col, off, targets)
+        for r, off in zip(refs, per_block_offsets)
+    ]
+    return rd.from_arrow_refs(picks)

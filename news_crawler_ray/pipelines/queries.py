@@ -977,8 +977,23 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact per-type value quantiles (25/50/75): one sort exchange +
+    per-block rank-target selection — no group ever materializes in one
+    task (ops/agg.group_quantiles; DuckDB quantile_disc convention)."""
+    from ..ops.agg import group_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantiles(ev, "event_type", "value", percents=(25, 50, 75))
+
+
 ORACLE_SQL.update(
     {
+        "value_quantiles": (
+            "SELECT event_type, CAST(unnest([25, 50, 75]) AS BIGINT) AS pct, "
+            "unnest(quantile_disc(value, [0.25, 0.5, 0.75])) AS value "
+            "FROM events GROUP BY event_type"
+        ),
         "top_terms": (
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
@@ -1059,6 +1074,7 @@ def build_queries() -> dict:
         "repetition_stats": q_repetition_stats,
         "term_search": q_term_search,
         "events_hourly": q_events_hourly,
+        "value_quantiles": q_value_quantiles,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -657,3 +657,32 @@ def test_tumbling_window_agg_matches_brute(ray_session, exchange):
         for (w, k), (c, m) in brute.items()
     )
     assert got == want
+
+
+def test_group_quantiles_matches_duckdb_convention(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import group_quantiles
+
+    rng = np.random.default_rng(5)
+    keys = rng.choice(["a", "b", "c"], 400).tolist() + ["solo"]
+    vals = np.concatenate([rng.normal(0, 10, 400), [3.25]])
+    tbl = pa.table(
+        {"k": pa.array(keys, pa.string()), "v": pa.array(vals, pa.float64())}
+    )
+    out = group_quantiles(
+        rd.from_arrow(tbl).repartition(9), "k", "v", percents=(25, 50, 75)
+    ).take_all()
+    got = {(r["k"], r["pct"]): r["v"] for r in out}
+    assert len(out) == 4 * 3
+    by_key: dict = {}
+    for k, v in zip(keys, vals):
+        by_key.setdefault(k, []).append(v)
+    for k, vs in by_key.items():
+        vs = sorted(vs)
+        n = len(vs)
+        for p in (25, 50, 75):
+            want = vs[max(0, math.ceil(p * n / 100) - 1)]
+            assert got[(k, p)] == want, (k, p)

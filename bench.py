@@ -178,6 +178,11 @@ QUERY_SUBSET = [
     "dup_components",
     "clicks_prior_view",
     "kmeans_clusters",
+    # round-2 term-stat / window / quantile additions
+    "top_terms",
+    "term_search",
+    "events_hourly",
+    "value_quantiles",
 ]
 
 

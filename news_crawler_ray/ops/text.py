@@ -428,3 +428,90 @@ def _head_per_term(t: pa.Table, k: int) -> pa.Table:
         bounds[:-1], np.diff(bounds)
     )
     return s.filter(pa.array(rank < k))
+
+
+def top_ngrams(
+    ds, n: int = 2, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Corpus n-gram heavy hitters (LM-style n-gram statistics): exact
+    global top-``k`` space-joined word n-grams by count. Same scale
+    shape as :func:`top_terms` (per-block combiner partial →
+    sort-exchange over the n-gram vocabulary → per-block top-k →
+    driver merge); n-grams never cross documents, and empties are
+    dropped BEFORE adjacency (matching the DuckDB
+    list_filter-then-pair oracle).
+    """
+    from .agg import sorted_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        text = pc.coalesce(t[text_col], "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        f = flat.filter(pa.array(keep))
+        f = f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+        r = row_idx[keep]
+        m = len(f)
+        if m < n:
+            return empty
+        # vectorized adjacency: an n-gram starts at i iff rows i..i+n-1
+        # share one doc — no per-row Python, one element-wise join
+        same = np.ones(m - n + 1, dtype=bool)
+        for j in range(1, n):
+            same &= r[j : m - n + 1 + j] == r[: m - n + 1]
+        parts = [f.slice(j, m - n + 1) for j in range(n)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        grams = joined.filter(pa.array(same))
+        if len(grams) == 0:
+            return empty
+        g = pa.table({"term": grams}).group_by(["term"]).aggregate([("term", "count")])
+        return pa.table(
+            {"term": g["term"], "n": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
+    finalists = pa.concat_tables(
+        ray.get([_topk_block.remote(r, k) for r in totals.materialize().to_arrow_refs()])
+    )
+    return finalists.sort_by([("n", "descending"), ("term", "ascending")]).slice(0, k)
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "text_norm",
+) -> pa.Table:
+    """C4-style text normalization, dialect-identical to the DuckDB
+    oracle (nfc_normalize/lower/regexp_replace/trim): NFC unicode
+    normalization → lowercase → collapse whitespace runs to one space →
+    trim edges. NFC runs through polars (vectorized utf8proc; this
+    pyarrow build's ``utf8_normalize`` does not COMPOSE — verified
+    'e'+U+0301 stays decomposed under form="NFC"); everything else is
+    pyarrow.compute."""
+    import polars as pl
+
+    t = pc.coalesce(batch[text_col], "")
+    t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    t = pl.from_arrow(t).str.normalize("NFC").to_arrow()
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+    t = pc.utf8_trim(t, characters=" ")
+    return pa.table({id_col: batch[id_col], out_col: t})
+
+
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -977,6 +977,21 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_top_bigrams(sf_dir: str):
+    """LM-style n-gram statistics: exact global top-K word bigrams —
+    same combiner→sort-exchange→top-K shape as top_terms; bigrams never
+    cross documents (ops/text.top_ngrams)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.top_ngrams(ds, n=2, k=TOP_TERMS_K)
+
+
+def q_normalize_text(sf_dir: str):
+    """C4-style cleaning: NFC → lowercase → collapse whitespace → trim,
+    dialect-identical pyarrow/DuckDB kernels (ops/text.normalize_text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.normalize_text(ds)
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact per-type value quantiles (25/50/75): one sort exchange +
     per-block rank-target selection — no group ever materializes in one
@@ -997,6 +1012,19 @@ ORACLE_SQL.update(
         "top_terms": (
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
+        ),
+        "top_bigrams": (
+            "WITH l AS (SELECT list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '') AS toks FROM documents), "
+            "b AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM l) "
+            f"SELECT term, count(*) AS n FROM b GROUP BY term "
+            f"ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
+        ),
+        "normalize_text": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+            "coalesce(text, ''))), '\\s+', ' ', 'g'), ' ') AS text_norm "
+            "FROM documents"
         ),
         "repetition_stats": (
             f"WITH tf AS (SELECT doc_id, term, count(*) AS c FROM ({_TOK_SQL}) "
@@ -1075,6 +1103,8 @@ def build_queries() -> dict:
         "term_search": q_term_search,
         "events_hourly": q_events_hourly,
         "value_quantiles": q_value_quantiles,
+        "top_bigrams": q_top_bigrams,
+        "normalize_text": q_normalize_text,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -686,3 +686,34 @@ def test_group_quantiles_matches_duckdb_convention(ray_session):
         for p in (25, 50, 75):
             want = vs[max(0, math.ceil(p * n / 100) - 1)]
             assert got[(k, p)] == want, (k, p)
+
+
+def test_top_ngrams_exact_no_cross_doc(ray_session):
+    from collections import Counter
+
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import top_ngrams
+
+    tbl = _term_docs()
+    corpus = Counter()
+    for r in tbl.to_pylist():
+        toks = (r["text"] or "").split()
+        corpus.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    want = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    out = top_ngrams(rd.from_arrow(tbl).repartition(3), n=2, k=5)
+    got = [(r["term"], r["n"]) for r in out.to_pylist()]
+    assert got == want
+    # doc boundary: 'c c' from doc0 ×2 but never 'c a' across docs 0→1
+    assert "c a" not in corpus and all(t != "c a" for t, _ in got)
+
+
+def test_normalize_text_kernel():
+    from news_crawler_ray.ops.text import normalize_text_batch
+
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["  A\t\nB  c ", None, "étude"], pa.string())}
+    )
+    out = normalize_text_batch(tbl)
+    assert out["text_norm"].to_pylist() == ["a b c", "", "\u00e9tude"]

@@ -183,6 +183,7 @@ QUERY_SUBSET = [
     "term_search",
     "events_hourly",
     "value_quantiles",
+    "dedup_corpus",
 ]
 
 

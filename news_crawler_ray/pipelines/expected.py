@@ -433,6 +433,24 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
         ") SELECT node, CAST(min(src) AS BIGINT) AS component FROM reach GROUP BY node"
     )
+    # dedup_corpus: the planted-id universe MINUS every component member
+    # that is not its cluster's min id (same independent pair set and
+    # closure as dup_components)
+    sql["dedup_corpus"] = (
+        "WITH RECURSIVE pairs AS ("
+        + values_sql(expected_minhash_pairs(sf_dir))
+        + "), und AS ("
+        "  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs"
+        "), reach(src, node) AS ("
+        "  SELECT a, a FROM und"
+        "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
+        "), comp AS (SELECT node, min(src) AS component FROM reach GROUP BY node) "
+        "SELECT doc_id FROM ("
+        "  SELECT doc_id FROM documents "
+        "  UNION ALL SELECT doc_id + 1000000 FROM documents) "
+        "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"
+    )
     sql["image_features"] = values_sql(expected_image_features())
     sql["resize_images"] = values_sql(expected_resize())
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())

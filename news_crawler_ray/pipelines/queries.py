@@ -827,6 +827,36 @@ def q_dup_components(sf_dir: str):
     )
 
 
+def q_dedup_corpus(sf_dir: str):
+    """END-TO-END near-dup removal: MinHash+LSH pairs → exact connected
+    components → keep each cluster's min doc_id → sort-merge ANTI join
+    drops the other members. Output: the surviving corpus ids. The full
+    composition a 100 TB pretraining-dedup run executes, as one
+    streaming plan (pairs/components as in dup_components; the anti
+    join is ops/join.sort_merge_anti_join — task-based, no hash
+    shuffle)."""
+    from ..ops.graph import connected_components
+    from ..ops.join import sort_merge_anti_join
+
+    planted_tbl = _planted_docs_tbl(sf_dir, _drop_word3)
+    planted = _ds_from_table(planted_tbl)
+    pairs = dd.minhash_lsh_pairs(
+        planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    )
+    losers = comp.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ids = _ds_from_table(planted_tbl.select(["doc_id"]))
+    return sort_merge_anti_join(ids, losers, key="doc_id")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: per-block
     partial sums + driver reduce per iteration (one streaming pass, no
@@ -1105,6 +1135,7 @@ def build_queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "top_bigrams": q_top_bigrams,
         "normalize_text": q_normalize_text,
+        "dedup_corpus": q_dedup_corpus,
         # rows-only (non-SQL-expressible)
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -184,6 +184,52 @@ def make_pagestore(
     )
 
 
+def make_neardup_pagestore(
+    n_base: int, seed: int = 42, flip_cells: int = 2
+) -> pa.Table:
+    """Page-store (input_hint schema) with PLANTED image near-dups.
+
+    Each base image is a 64x64 block pattern — every 8x8 phash cell is
+    uniformly 0 or 255, exactly 32 bright — so the average-hash bits ARE
+    the bright-cell mask with margin ~127 (no threshold fragility, lossy
+    encodings included). Row k's near-dup copy (id ``dup{k:08d}``) flips
+    exactly ``flip_cells`` cells, so hamming(phash_k, phash_dup_k) ==
+    flip_cells deterministically; distinct base patterns sit ~32 apart.
+    Stand-in for the reference re-posting the same screenshot with a
+    cropped corner (news.py:152-162 dedups only by link, so the image
+    dup survives there — this is the operator the reference lacks).
+    """
+    px_list, ids = [], []
+    for k in range(n_base):
+        r = np.random.default_rng((seed, 7, k))
+        bright = np.zeros(64, dtype=bool)
+        bright[r.choice(64, 32, replace=False)] = True
+        flips = r.choice(64, flip_cells, replace=False)
+        dup = bright.copy()
+        dup[flips] = ~dup[flips]
+        for mask, prefix in ((bright, "img"), (dup, "dup")):
+            cells = (mask.reshape(8, 8).astype(np.uint8)) * np.uint8(255)
+            px = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)
+            px_list.append(np.repeat(px[:, :, None], 3, axis=2))
+            ids.append(f"{prefix}{k:08d}")
+    r2 = np.random.default_rng((seed, 8))
+    fmts = ["png" if r2.random() < 0.5 else "jpeg" for _ in px_list]
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(
+                [codec.encode(px, f) for px, f in zip(px_list, fmts)],
+                pa.large_binary(),
+            ),
+            "w": pa.array([64] * len(ids), pa.int32()),
+            "h": pa.array([64] * len(ids), pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array([f"block pattern {i}" for i in ids], pa.string()),
+            "phash": pa.array([codec.phash64(px) for px in px_list], pa.int64()),
+        }
+    )
+
+
 def make_frontier(
     n: int, seed: int = 42, dup_frac: float = 0.05, noise_frac: float = 0.05
 ) -> pa.Table:

@@ -409,12 +409,37 @@ def simhash_near_dup_pairs(
     bands (pigeonhole, Manku et al. WWW'07), so bucket per band value,
     pair within buckets, verify the true distance vectorized.
     """
-    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
     sigs = simhash_ds(ds, text_col, id_col)
+    return hash64_near_dup_pairs(
+        sigs, hash_col="simhash", id_col=id_col,
+        max_hamming=max_hamming, bands=bands, kind="simhash",
+    )
+
+
+def hash64_near_dup_pairs(
+    sigs,
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    kind: str = "hash64",
+    max_bucket: int = 1024,
+):
+    """Generic banded near-dup pairing over ANY 64-bit hash column
+    (simhash over text, perceptual hash over images, ...): pairs with
+    hamming ≤ ``max_hamming``, found EXACTLY via the pigeonhole band
+    trick — two hashes within distance ``bands - 1`` must agree on at
+    least one of ``bands`` equal-width slices, so bucketing per band
+    value misses nothing. One narrow-row bucket shuffle; true distance
+    verified vectorized; owner-band rule makes the output distinct
+    without a dedup exchange; over-cap buckets fall back to a hub star
+    (see :func:`_bucket_pairs`)."""
+    assert max_hamming < bands, "pigeonhole needs max_hamming < bands"
+    assert 64 % bands == 0, "bands must divide 64"
 
     def explode(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        h = np.asarray(b["simhash"], dtype=np.int64).astype(np.uint64)
+        h = np.asarray(b[hash_col], dtype=np.int64).astype(np.uint64)
         width = 64 // bands
         mask = np.uint64((1 << width) - 1)
         parts = [(h >> np.uint64(width * i)) & mask for i in range(bands)]
@@ -424,7 +449,7 @@ def simhash_near_dup_pairs(
                 id_col: b[id_col].take(idx),
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
                 "bucket": pa.array(np.stack(parts, axis=1).ravel().astype(np.int64), pa.int64()),
-                "simhash": b["simhash"].take(idx),
+                "_h64": b[hash_col].take(idx),
             }
         )
 
@@ -437,11 +462,11 @@ def simhash_near_dup_pairs(
                  "hamming": pa.array([], pa.int32())}
             )
         ids = np.asarray(g[id_col].slice(start, n), dtype=np.int64)
-        h = np.asarray(g["simhash"].slice(start, n), dtype=np.int64).astype(np.uint64)
-        if n > 1024:
+        h = np.asarray(g["_h64"].slice(start, n), dtype=np.int64).astype(np.uint64)
+        if n > max_bucket:
             # over-cap bucket → star fallback (see _bucket_pairs): O(B)
             # hub pairs keep the bucket connected for cluster resolution
-            _log_truncated_bucket("simhash", n, 1024)
+            _log_truncated_bucket(kind, n, max_bucket)
             hub = int(np.argmin(ids))
             iu = np.full(n - 1, hub, dtype=np.int64)
             ju = np.delete(np.arange(n, dtype=np.int64), hub)
@@ -451,8 +476,8 @@ def simhash_near_dup_pairs(
         a = np.minimum(ids[iu], ids[ju])
         b_ = np.maximum(ids[iu], ids[ju])
         keep = (dist <= max_hamming) & (a != b_)
-        # owner-band rule: emit only in the first band whose 16-bit
-        # slice matches — output distinct without a dedup shuffle
+        # owner-band rule: emit only in the first band whose slice
+        # matches — output distinct without a dedup shuffle
         this_band = int(g["band"][start].as_py())
         if this_band > 0:
             width = np.uint64(64 // bands)

@@ -365,3 +365,55 @@ class VideoFrameSampleStage:
                 "frame_feature": pa.array(feats, pa.float64()),
             }
         )
+
+
+# ------------------------------------------------------- image near-dup
+
+
+def phash_near_dup_pairs(
+    ds,
+    id_col: str = "iid",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 1024,
+):
+    """Image near-dup pairs by perceptual-hash hamming distance.
+
+    The image analog of simhash text near-dup (the operator the
+    reference's link-only dedup, news.py:152-162, cannot express):
+    EXACT pairs with hamming(phash) <= ``max_hamming`` via the same
+    pigeonhole banding — one narrow-row (id, band, bucket, hash)
+    exchange, no all-pairs, over-cap buckets degrade to a logged hub
+    star. ``id_col`` must be int64 (derive one from the string
+    image_id upstream; canonical a<b ordering needs an ordinal key).
+    """
+    from .dedup import hash64_near_dup_pairs
+
+    return hash64_near_dup_pairs(
+        ds,
+        hash_col=phash_col,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        kind="phash",
+        max_bucket=max_bucket,
+    )
+
+
+def image_near_dup_pairs(
+    ds, concurrency=2, batch_size: int = 64, max_hamming: int = 3, id_col: str = "iid"
+):
+    """Full image near-dup pipeline: decode -> recompute phash from
+    PIXELS (never trust the stored metadata column) -> banded hamming
+    pairing. Input needs (``id_col``:int64, bytes, fmt); the decode is
+    the actor-pool stage, the pairing one bucket exchange."""
+    feats = image_features(ds, concurrency=concurrency, batch_size=batch_size)
+    sigs = feats.map_batches(
+        lambda t: t.select([id_col, "phash_check"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return phash_near_dup_pairs(
+        sigs, id_col=id_col, phash_col="phash_check", max_hamming=max_hamming
+    )

@@ -308,6 +308,32 @@ def expected_image_features() -> pa.Table:
     )
 
 
+def expected_phash_pairs(max_hamming: int = 3) -> pa.Table:
+    """Sequential all-pairs hamming over decoded phashes of the planted
+    near-dup page-store — NO banding, so it independently verifies the
+    pigeonhole bucketing finds the exact same pair set."""
+    from ..fixtures import codec
+
+    ps = synth.make_neardup_pagestore(60, seed=42)
+    h = np.array(
+        [
+            np.uint64(np.int64(codec.phash64(codec.decode(buf, fmt))))
+            for buf, fmt in zip(ps["bytes"].to_pylist(), ps["fmt"].to_pylist())
+        ],
+        dtype=np.uint64,
+    )
+    ids = [
+        int(i[3:]) + (1_000_000 if i.startswith("dup") else 0)
+        for i in ps["image_id"].to_pylist()
+    ]
+    pairs: set[tuple[int, int]] = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if int(H.hamming_distance64(h[x : x + 1], h[y : y + 1])[0]) <= max_hamming:
+                pairs.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    return _pairs_table(pairs)
+
+
 def expected_resize() -> pa.Table:
     ps = synth.make_pagestore(40, seed=42)
     return pa.table(
@@ -417,6 +443,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["minhash_dedup_pairs"] = values_sql(expected_minhash_pairs(sf_dir))
     sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
+    sql["phash_near_dup"] = values_sql(expected_phash_pairs())
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

@@ -686,6 +686,37 @@ def q_resize_images(sf_dir: str):
     )
 
 
+def _neardup_iid(t: pa.Table) -> pa.Table:
+    """image_id ('img{k:08d}' | 'dup{k:08d}') → int64 iid (dup = k+10^6);
+    shared by the query and the sequential oracle so both derive the
+    identical ordinal key (canonical a<b pair ordering needs ints)."""
+    k = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 11), pa.int64())
+    isdup = pc.cast(
+        pc.equal(pc.utf8_slice_codeunits(t["image_id"], 0, 3), "dup"), pa.int64()
+    )
+    iid = pc.add(k, pc.multiply(isdup, pa.scalar(1_000_000, pa.int64())))
+    out = t.append_column("iid", iid)
+    return out
+
+
+def q_phash_near_dup(sf_dir: str):
+    """Image near-dup pairs over the planted block-pattern page-store:
+    decode → recomputed pixel phash → banded hamming ≤ 3 pairing (the
+    image-side analog of simhash_pairs; non-SQL, sequential oracle)."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(synth.make_neardup_pagestore(60, seed=42))
+    withid = ps.map_batches(
+        lambda t: _neardup_iid(t).select(["iid", "bytes", "fmt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = mm.image_near_dup_pairs(withid, concurrency=2, batch_size=32)
+    return pairs.map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    )
+
+
 def q_news_pipeline(sf_dir: str):
     """The reference's ``news.get()`` end-to-end (E1 trace re-expressed):
     HTML listing parse (M1) → absolutize (M2) → Korean date parse (M3) →
@@ -1146,6 +1177,7 @@ def build_queries() -> dict:
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,
+        "phash_near_dup": q_phash_near_dup,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -717,3 +717,43 @@ def test_normalize_text_kernel():
     )
     out = normalize_text_batch(tbl)
     assert out["text_norm"].to_pylist() == ["a b c", "", "\u00e9tude"]
+
+
+def test_neardup_pagestore_planted_hamming():
+    from news_crawler_ray.fixtures import codec, synth
+    from news_crawler_ray.ops import hashing as H
+
+    ps = synth.make_neardup_pagestore(12, seed=42, flip_cells=2)
+    ps2 = synth.make_neardup_pagestore(12, seed=42, flip_cells=2)
+    assert ps.equals(ps2)  # deterministic
+    by_id = {
+        i: np.uint64(np.int64(codec.phash64(codec.decode(b, f))))
+        for i, b, f in zip(
+            ps["image_id"].to_pylist(),
+            ps["bytes"].to_pylist(),
+            ps["fmt"].to_pylist(),
+        )
+    }
+    for k in range(12):
+        a = by_id[f"img{k:08d}"]
+        b = by_id[f"dup{k:08d}"]
+        d = int(H.hamming_distance64(np.array([a]), np.array([b]))[0])
+        assert d == 2  # block-pattern plant flips EXACTLY flip_cells bits
+
+
+def test_image_near_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import image_near_dup_pairs
+    from news_crawler_ray.pipelines.queries import _neardup_iid
+
+    ps = synth.make_neardup_pagestore(20, seed=7)
+    withid = rd.from_arrow(_neardup_iid(ps).select(["iid", "bytes", "fmt"]))
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(withid, concurrency=2, batch_size=16).take_all()
+    )
+    assert len(got) >= 20  # every planted (k, k+1e6) pair found
+    planted = {(k, k + 1_000_000) for k in range(20)}
+    assert planted <= set(got)

@@ -172,6 +172,8 @@ QUERY_SUBSET = [
     "minhash_dedup_pairs",
     "simhash_pairs",
     "image_features",
+    "phash_near_dup",
+    "image_dup_clusters",
     # round-2 additions
     "sessionize",
     "sample_docs",

@@ -460,6 +460,19 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
         ") SELECT node, CAST(min(src) AS BIGINT) AS component FROM reach GROUP BY node"
     )
+    # image_dup_clusters: same exact transitive closure, over the
+    # independently-derived (all-pairs, no banding) phash pair set
+    sql["image_dup_clusters"] = (
+        "WITH RECURSIVE pairs AS ("
+        + values_sql(expected_phash_pairs())
+        + "), und AS ("
+        "  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs"
+        "), reach(src, node) AS ("
+        "  SELECT a, a FROM und"
+        "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
+        ") SELECT node, CAST(min(src) AS BIGINT) AS component FROM reach GROUP BY node"
+    )
     # dedup_corpus: the planted-id universe MINUS every component member
     # that is not its cluster's min id (same independent pair set and
     # closure as dup_components)

@@ -717,6 +717,26 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+def q_image_dup_clusters(sf_dir: str):
+    """Image dedup CLUSTERS: decode → pixel phash → banded hamming pairs
+    → exact connected components; every near-dup image mapped to its
+    cluster's minimum iid (the canonical copy a 100 TB image-dedup pass
+    would keep)."""
+    from ..fixtures import synth
+    from ..ops.graph import connected_components
+
+    ps = ray.data.from_arrow(synth.make_neardup_pagestore(60, seed=42))
+    withid = ps.map_batches(
+        lambda t: _neardup_iid(t).select(["iid", "bytes", "fmt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = mm.image_near_dup_pairs(withid, concurrency=2, batch_size=32)
+    return connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    )
+
+
 def q_news_pipeline(sf_dir: str):
     """The reference's ``news.get()`` end-to-end (E1 trace re-expressed):
     HTML listing parse (M1) → absolutize (M2) → Korean date parse (M3) →
@@ -1178,6 +1198,7 @@ def build_queries() -> dict:
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,
         "phash_near_dup": q_phash_near_dup,
+        "image_dup_clusters": q_image_dup_clusters,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -174,6 +174,7 @@ QUERY_SUBSET = [
     "image_features",
     "phash_near_dup",
     "image_dup_clusters",
+    "image_knn",
     # round-2 additions
     "sessionize",
     "sample_docs",

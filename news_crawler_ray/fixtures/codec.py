@@ -129,6 +129,25 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def cell_vector64(px: np.ndarray) -> np.ndarray:
+    """64-dim image embedding: the 8x8 block-mean grayscale grid (the
+    same cells phash thresholds, kept as floats). float32, row-major.
+    Shared by the distributed embed stage and the sequential kNN oracle
+    so both derive bit-identical vectors."""
+    gray = px.mean(axis=2, dtype=np.float32)
+    h, w = gray.shape
+    if h % 8 == 0 and w % 8 == 0:
+        cells = gray.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(9) * w) // 8
+        cells = np.empty((8, 8), dtype=np.float32)
+        for i in range(8):
+            for j in range(8):
+                cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
+    return cells.astype(np.float32).ravel()
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 arrays."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

@@ -417,3 +417,28 @@ def image_near_dup_pairs(
     return phash_near_dup_pairs(
         sigs, id_col=id_col, phash_col="phash_check", max_hamming=max_hamming
     )
+
+
+def image_cell_vectors(ds, id_col: str = "iid", concurrency=2, batch_size: int = 64):
+    """decode -> 64-dim block-mean grayscale embedding per image
+    (codec.cell_vector64), emitted as ``embedding: list<float32>`` —
+    the image-side input to the similarity-search ops (knn_brute_force
+    / knn_ivf take it as-is). Task-form decode like
+    :func:`decode_features_batch`: the codec is pure, no actor state."""
+
+    def embed(batch: pa.Table) -> pa.Table:
+        data = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        vecs = np.stack(
+            [codec.cell_vector64(codec.decode(b, f)) for b, f in zip(data, fmts)]
+        ) if data else np.zeros((0, 64), np.float32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+            }
+        )
+
+    return ds.map_batches(
+        embed, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )

@@ -334,6 +334,38 @@ def expected_phash_pairs(max_hamming: int = 3) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_image_knn(k: int = 5) -> pa.Table:
+    """Sequential exact cosine top-k over the decoded 64-dim cell
+    vectors — same codec.cell_vector64 kernel, same normalize, same
+    (score desc, neighbor_id asc) tie order as the distributed op."""
+    from ..fixtures import codec
+    from ..ops.similarity import _normalize
+
+    ps = synth.make_pagestore(80, seed=42)
+    V = np.stack(
+        [
+            codec.cell_vector64(codec.decode(b, f))
+            for b, f in zip(ps["bytes"].to_pylist(), ps["fmt"].to_pylist())
+        ]
+    ).astype(np.float64)
+    Vn = _normalize(V)
+    out_q, out_n = [], []
+    for q in range(5):
+        scores = Vn @ Vn[q]
+        order = sorted(
+            (i for i in range(len(V)) if i != q),
+            key=lambda i: (-scores[i], i),
+        )[:k]
+        out_q.extend([q] * k)
+        out_n.extend(order)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def expected_resize() -> pa.Table:
     ps = synth.make_pagestore(40, seed=42)
     return pa.table(
@@ -444,6 +476,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
     sql["phash_near_dup"] = values_sql(expected_phash_pairs())
+    sql["image_knn"] = values_sql(expected_image_knn())
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

@@ -737,6 +737,42 @@ def q_image_dup_clusters(sf_dir: str):
     )
 
 
+def q_image_knn(sf_dir: str):
+    """Image similarity search: decode → 64-dim block-mean embedding →
+    exact cosine top-5 (broadcast queries, per-block partial top-k,
+    combiner merge — the image analog of knn_cosine)."""
+    from ..fixtures import codec, synth
+
+    ps_tbl = synth.make_pagestore(80, seed=42)
+    withid = _ds_from_table(ps_tbl, target_blocks=8).map_batches(
+        lambda t: pa.table(
+            {
+                "iid": pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 11), pa.int64()),
+                "bytes": t["bytes"],
+                "fmt": t["fmt"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vecs = mm.image_cell_vectors(withid, id_col="iid", batch_size=32)
+    # query side: the first 5 images, decoded once on the driver (5 rows)
+    qmat = np.stack(
+        [
+            codec.cell_vector64(codec.decode(b, f))
+            for b, f in zip(
+                ps_tbl["bytes"].to_pylist()[:5], ps_tbl["fmt"].to_pylist()[:5]
+            )
+        ]
+    )
+    out = sim.knn_brute_force(
+        vecs, np.arange(5, dtype=np.int64), qmat, k=5, id_col="iid"
+    )
+    return out.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id"]), batch_format="pyarrow"
+    )
+
+
 def q_news_pipeline(sf_dir: str):
     """The reference's ``news.get()`` end-to-end (E1 trace re-expressed):
     HTML listing parse (M1) → absolutize (M2) → Korean date parse (M3) →
@@ -1199,6 +1235,7 @@ def build_queries() -> dict:
         "image_features": q_image_features,
         "phash_near_dup": q_phash_near_dup,
         "image_dup_clusters": q_image_dup_clusters,
+        "image_knn": q_image_knn,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -757,3 +757,24 @@ def test_image_near_dup_pairs(ray_session):
     assert len(got) >= 20  # every planted (k, k+1e6) pair found
     planted = {(k, k + 1_000_000) for k in range(20)}
     assert planted <= set(got)
+
+
+def test_image_cell_vectors_and_knn(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import codec, synth
+    from news_crawler_ray.ops.multimodal import image_cell_vectors
+
+    ps = synth.make_pagestore(24, seed=9)
+    ids = pa.array(np.arange(24, dtype=np.int64))
+    withid = rd.from_arrow(
+        pa.table({"iid": ids, "bytes": ps["bytes"], "fmt": ps["fmt"]})
+    )
+    out = {r["iid"]: r["embedding"] for r in image_cell_vectors(withid).take_all()}
+    assert len(out) == 24 and all(len(v) == 64 for v in out.values())
+    # bit-identical to the sequential kernel on the same decode
+    for k in (0, 7, 23):
+        want = codec.cell_vector64(
+            codec.decode(ps["bytes"][k].as_py(), ps["fmt"][k].as_py())
+        )
+        assert np.array_equal(np.asarray(out[k], dtype=np.float32), want)

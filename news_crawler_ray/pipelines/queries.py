@@ -717,6 +717,15 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+def q_daily_digest(sf_dir: str):
+    """K1 digest assembly: one markdown digest document per day over the
+    events table, items in (ts, event_id) order (ordered string concat
+    on the key-complete exchange; SQL string_agg oracle)."""
+    from ..stages.sinks import daily_digest
+
+    return daily_digest(_read(sf_dir, "events", ["event_id", "event_type", "ts"]))
+
+
 def q_image_dup_clusters(sf_dir: str):
     """Image dedup CLUSTERS: decode → pixel phash → banded hamming pairs
     → exact connected components; every near-dup image mapped to its
@@ -1171,6 +1180,14 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "daily_digest": (
+            "SELECT CAST(ts AS DATE) AS day, "
+            "'# digest ' || strftime(CAST(ts AS DATE), '%Y-%m-%d') || chr(10) || "
+            "string_agg('- ' || strftime(ts, '%H:%M') || ' [' || event_type || "
+            "'] #' || CAST(event_id AS VARCHAR), chr(10) ORDER BY ts, event_id) "
+            "AS digest, count(*) AS n_items "
+            "FROM events GROUP BY CAST(ts AS DATE)"
+        ),
     }
 )
 
@@ -1236,6 +1253,7 @@ def build_queries() -> dict:
         "phash_near_dup": q_phash_near_dup,
         "image_dup_clusters": q_image_dup_clusters,
         "image_knn": q_image_knn,
+        "daily_digest": q_daily_digest,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -73,3 +73,30 @@ def test_extract_news_items(ray_session):
     # M7: keyword filter keeps exactly the keyword-bearing half
     kept = keyword_any_match(items, synth.keywords(), col="title").take_all()
     assert len(kept) == 9
+
+
+def test_daily_digest_ordered(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from news_crawler_ray.stages.sinks import daily_digest
+
+    ts = pa.array(
+        np.array(
+            ["2024-01-01T09:05:00", "2024-01-01T08:00:00", "2024-01-02T10:30:00"],
+            dtype="datetime64[us]",
+        )
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([2, 1, 3], pa.int64()),
+            "event_type": pa.array(["b", "a", "c"], pa.string()),
+            "ts": ts,
+        }
+    )
+    out = {r["day"].isoformat(): r for r in daily_digest(rd.from_arrow(t)).take_all()}
+    assert out["2024-01-01"]["n_items"] == 2
+    assert out["2024-01-01"]["digest"] == (
+        "# digest 2024-01-01\n- 08:00 [a] #1\n- 09:05 [b] #2"
+    )
+    assert out["2024-01-02"]["digest"] == "# digest 2024-01-02\n- 10:30 [c] #3"

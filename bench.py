@@ -140,6 +140,42 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def bench_phash_pairs(n: int = 500_000) -> dict:
+    """On-axis image-dedup rate: banded hamming pairing over ``n``
+    synthetic phashes (5% planted ≤3-bit near-dups). Hash-only — decode
+    cost is measured by the wave's verify_payloads path; this isolates
+    the pairing exchange itself."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from news_crawler_ray.ops.dedup import hash64_near_dup_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 2**63 - 1, size=n, dtype=np.int64)
+    n_dup = n // 20
+    dup = base[:n_dup].view(np.uint64).copy()
+    for k in range(n_dup):  # flip 1-3 bits
+        for bit in rng.integers(0, 64, size=1 + k % 3):
+            dup[k] ^= np.uint64(1) << np.uint64(bit)
+    hashes = np.concatenate([base, dup.view(np.int64)])
+    ids = np.arange(len(hashes), dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids), "phash": pa.array(hashes, pa.int64())})
+    step = -(-tbl.num_rows // 64)
+    ds = ray.data.from_arrow(
+        [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    )
+    t0 = time.monotonic()
+    n_pairs = hash64_near_dup_pairs(ds, hash_col="phash", kind="phash").count()
+    dt = time.monotonic() - t0
+    return {
+        "wall_s": dt,
+        "rows": len(hashes),
+        "pairs": n_pairs,
+        "hashes_per_sec": len(hashes) / dt if dt > 0 else 0.0,
+    }
+
+
 def bench_frontier_dedup(fix_dir: str) -> dict:
     """Canonicalize + exact frontier dedup alone (dedup rate), using the
     crawl default: URL-keyed range-partition sort + run stitching."""
@@ -252,6 +288,13 @@ def run_suite(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "queries": {},
     }
     if not headline_only:
+        ph = bench_phash_pairs()
+        result["phash_pairs"] = {
+            "wall_s": round(ph["wall_s"], 3),
+            "rows": ph["rows"],
+            "pairs": ph["pairs"],
+            "hashes_per_sec": round(ph["hashes_per_sec"], 1),
+        }
         result["queries"] = bench_queries(sf_dir)
     ray.shutdown()
     return result

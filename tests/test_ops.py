@@ -778,3 +778,37 @@ def test_image_cell_vectors_and_knn(ray_session):
             codec.decode(ps["bytes"][k].as_py(), ps["fmt"][k].as_py())
         )
         assert np.array_equal(np.asarray(out[k], dtype=np.float32), want)
+
+
+def test_hash64_banding_exact_vs_bruteforce(ray_session):
+    """Pigeonhole banding must find EXACTLY the brute-force pair set."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops import hashing as H
+    from news_crawler_ray.ops.dedup import hash64_near_dup_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 2**63 - 1, size=120, dtype=np.int64)
+    # plant near copies at controlled distances 0..4 (4 must NOT pair)
+    planted = []
+    for i, d in enumerate([0, 1, 2, 3, 4] * 8):
+        h = np.uint64(base[i])
+        for bit in rng.choice(64, d, replace=False):
+            h ^= np.uint64(1) << np.uint64(bit)
+        planted.append(np.int64(h))
+    hashes = np.concatenate([base, np.array(planted, dtype=np.int64)])
+    ids = np.arange(len(hashes), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "h": pa.array(hashes, pa.int64())})
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in hash64_near_dup_pairs(ds, hash_col="h", max_hamming=3).take_all()
+    }
+    hu = hashes.view(np.uint64)
+    want = set()
+    for x in range(len(ids)):
+        dist = H.hamming_distance64(np.repeat(hu[x], len(ids) - x - 1), hu[x + 1 :])
+        for off in np.nonzero(dist <= 3)[0]:
+            want.add((x, x + 1 + int(off)))
+    assert got == want and len(want) >= 32  # 0..3-bit plants all found

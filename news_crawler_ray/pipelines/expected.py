@@ -524,6 +524,23 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "  UNION ALL SELECT doc_id + 1000000 FROM documents) "
         "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)"
     )
+    # image_dedup_corpus: iid universe of the near-dup store MINUS every
+    # phash-cluster member that is not its cluster's min iid
+    sql["image_dedup_corpus"] = (
+        "WITH RECURSIVE pairs AS ("
+        + values_sql(expected_phash_pairs())
+        + "), und AS ("
+        "  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs"
+        "), reach(src, node) AS ("
+        "  SELECT a, a FROM und"
+        "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
+        "), comp AS (SELECT node, min(src) AS component FROM reach GROUP BY node) "
+        "SELECT CAST(iid AS BIGINT) AS iid FROM ("
+        "  SELECT range AS iid FROM range(0, 60) "
+        "  UNION ALL SELECT range + 1000000 FROM range(0, 60)) "
+        "WHERE iid NOT IN (SELECT node FROM comp WHERE node <> component)"
+    )
     sql["image_features"] = values_sql(expected_image_features())
     sql["resize_images"] = values_sql(expected_resize())
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())

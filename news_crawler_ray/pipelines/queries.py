@@ -717,6 +717,33 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+def q_image_dedup_corpus(sf_dir: str):
+    """END-TO-END image corpus curation (on-axis flagship composition):
+    decode → pixel phash → banded hamming pairs → connected components
+    → keep each cluster's min iid → anti join drops the other copies.
+    Output: the surviving image iids — the 100 TB image-dedup pass as
+    one streaming plan."""
+    from ..fixtures import synth
+    from ..ops.graph import connected_components
+    from ..ops.join import sort_merge_anti_join
+
+    ps_tbl = synth.make_neardup_pagestore(60, seed=42)
+    withid = _ds_from_table(_neardup_iid(ps_tbl).select(["iid", "bytes", "fmt"]), 8)
+    pairs = mm.image_near_dup_pairs(withid, concurrency=2, batch_size=32)
+    comp = connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    )
+    losers = comp.map_batches(
+        lambda t: pa.table(
+            {"iid": t.filter(pc.not_equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ids = _ds_from_table(_neardup_iid(ps_tbl).select(["iid"]), 8)
+    return sort_merge_anti_join(ids, losers, key="iid")
+
+
 def q_daily_digest(sf_dir: str):
     """K1 digest assembly: one markdown digest document per day over the
     events table, items in (ts, event_id) order (ordered string concat
@@ -1254,6 +1281,7 @@ def build_queries() -> dict:
         "image_dup_clusters": q_image_dup_clusters,
         "image_knn": q_image_knn,
         "daily_digest": q_daily_digest,
+        "image_dedup_corpus": q_image_dedup_corpus,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -201,3 +201,43 @@ def test_fully_filtered_wave_publishes_empty_dir(ray_session, tmp_path):
     res = cp.run_crawl(seeds, ps, robots, str(tmp_path / "blocked"), config=cfg)
     assert res.waves[0].scheduled == 0 and res.waves[0].fetched_ok == 0
     assert (tmp_path / "blocked" / "fetched" / "wave-0").is_dir()
+
+
+def test_crawl_skewed_hot_host_matches_oracle(ray_session, tmp_path):
+    """North-rule skew clause: one host owning ~80% of the frontier must
+    still reproduce the sequential oracle's crawl order and seen set
+    (the hot host's run is donated into one owner task on the
+    key-complete exchange — same result, no wrong-shard routing)."""
+    import numpy as np
+
+    import news_crawler_ray.pipelines.crawl as cp
+
+    n = 120
+    ps = synth.make_pagestore(150, seed=5)
+    urls = [
+        f"https://hot.example.com/p/{synth.image_id(k)}"
+        if k % 5 != 0
+        else synth.url_for(k, seed=5)
+        for k in range(n)
+    ]
+    hosts = [u.split("/")[2] for u in urls]
+    seq = np.arange(n, dtype=np.int64)
+    fr = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(np.zeros(n, np.int32)),
+            "discovered_at": pa.array(
+                synth.EPOCH_US + seq * 1_000_000, pa.timestamp("us")
+            ),
+            "priority": pa.array(1.0 - seq / n, pa.float64()),
+        }
+    )
+    robots = synth.make_robots(seed=5)
+    cfg = cp.CrawlConfig(max_waves=2, num_seen_shards=2, dedup_partitions=4)
+    result = cp.run_crawl(fr, ps, robots, str(tmp_path / "skew"), config=cfg)
+    oracle = crawl_oracle(
+        fr.to_pylist(), ps.to_pylist(), robots.to_pylist(), max_waves=2
+    )
+    assert _engine_order(result) == oracle.flat_order
+    assert result.seen.all_keys() == oracle.seen_keys

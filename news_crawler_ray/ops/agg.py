@@ -341,3 +341,82 @@ def group_quantiles(
         for r, off in zip(refs, per_block_offsets)
     ]
     return rd.from_arrow_refs(picks)
+
+
+# ------------------------------------------------ approximate distinct (HLL)
+
+
+def _bit_length64(w: "np.ndarray") -> "np.ndarray":
+    """Exact vectorized bit_length for uint64 (no float log2 — its
+    rounding is off-by-one near powers of two). 4x16-bit table lookups."""
+    import numpy as np
+
+    table = np.zeros(1 << 16, dtype=np.uint8)
+    for b in range(1, 17):
+        table[1 << (b - 1) : 1 << b] = b
+    bl = table[(w & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for k in (16, 32, 48):
+        part = table[((w >> np.uint64(k)) & np.uint64(0xFFFF)).astype(np.int64)]
+        bl = np.where(part > 0, part.astype(np.int64) + k, bl)
+    return bl
+
+
+def hll_registers_batch(col: pa.ChunkedArray | pa.Array, p: int = 12) -> "np.ndarray":
+    """One batch → 2^p HyperLogLog registers (Flajolet et al. 2007).
+
+    Hash = polars xxhash seed 0 (the same shared primitive as
+    exact_dedup's content hash); register index = top ``p`` hash bits,
+    rank = leading-zeros-of-suffix + 1 computed with EXACT integer
+    bit_length. Registers are order-independent (elementwise max), so
+    the partial is deterministic at any parallelism."""
+    import numpy as np
+    import polars as pl
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(col) == 0:
+        return regs
+    h = pl.from_arrow(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    ).hash(seed=0).to_numpy().astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h & np.uint64((1 << (64 - p)) - 1)
+    rho = ((64 - p) - _bit_length64(suffix) + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: "np.ndarray") -> int:
+    """Bias-corrected HLL cardinality estimate from merged registers."""
+    import numpy as np
+
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear-counting small-range correction
+    return int(round(float(e)))
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT col): per-block 2^p-register partials
+    (4 KB each — the ONLY bytes that leave a block), elementwise-max
+    merge, bias-corrected estimate. Relative error ~1.04/sqrt(2^p)
+    (~1.6% at p=12); deterministic (fixed hash seed + exact bit ops),
+    so a sequential oracle reproduces the estimate bit-for-bit. The
+    at-scale distinct counter: no shuffle, no value set held anywhere.
+    Returns a 1-row table (n_distinct_est:int64)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers_batch(t[col], p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    for r in parts:
+        merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
+    return pa.table({"n_distinct_est": pa.array([hll_estimate(merged)], pa.int64())})

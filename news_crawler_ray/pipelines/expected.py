@@ -366,6 +366,35 @@ def expected_image_knn(k: int = 5) -> pa.Table:
     )
 
 
+def expected_hll_users(sf_dir: str, p: int = 12) -> pa.Table:
+    """Sequential HLL register build: pure-python dict-max over
+    int.bit_length ranks (the polars column hash is the shared pure
+    primitive, as with H/codec elsewhere; the register/merge/estimate
+    path — where the distributed complexity lives — is re-derived with
+    plain loops). The estimate formula is the published constant
+    arithmetic (hll_estimate) over the independently built registers."""
+    import polars as pl
+
+    from ..ops.agg import hll_estimate
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    h = pl.from_arrow(t["user_id"].combine_chunks()).hash(seed=0).to_list()
+    m = 1 << p
+    regs: dict[int, int] = {}
+    for hv in h:
+        idx = hv >> (64 - p)
+        suffix = hv & ((1 << (64 - p)) - 1)
+        rho = (64 - p) - suffix.bit_length() + 1
+        if rho > regs.get(idx, 0):
+            regs[idx] = rho
+    arr = np.zeros(m, dtype=np.uint8)
+    for i, r in regs.items():
+        arr[i] = r
+    return pa.table(
+        {"n_distinct_est": pa.array([hll_estimate(arr)], pa.int64())}
+    )
+
+
 def expected_resize() -> pa.Table:
     ps = synth.make_pagestore(40, seed=42)
     return pa.table(
@@ -477,6 +506,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
     sql["phash_near_dup"] = values_sql(expected_phash_pairs())
     sql["image_knn"] = values_sql(expected_image_knn())
+    sql["hll_users"] = values_sql(expected_hll_users(sf_dir))
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

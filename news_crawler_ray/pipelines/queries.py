@@ -744,6 +744,15 @@ def q_image_dedup_corpus(sf_dir: str):
     return sort_merge_anti_join(ids, losers, key="iid")
 
 
+def q_hll_users(sf_dir: str):
+    """Approximate distinct users via HyperLogLog (4 KB register partials
+    per block, max-merge — the at-scale distinct counter). Deterministic;
+    verified against an independent sequential register build."""
+    from ..ops.agg import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "events", ["user_id"]), "user_id", p=12)
+
+
 def q_daily_digest(sf_dir: str):
     """K1 digest assembly: one markdown digest document per day over the
     events table, items in (ts, event_id) order (ordered string concat
@@ -1282,6 +1291,7 @@ def build_queries() -> dict:
         "image_knn": q_image_knn,
         "daily_digest": q_daily_digest,
         "image_dedup_corpus": q_image_dedup_corpus,
+        "hll_users": q_hll_users,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

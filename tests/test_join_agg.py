@@ -309,3 +309,24 @@ def test_connected_components(ray_session):
     # single-task union-find fast path (default for small edge lists)
     fast = connected_components(rd.from_arrow(tbl).repartition(5)).take_all()
     assert {r["node"]: r["component"] for r in fast} == want
+
+
+def test_hll_distinct_error_bound_and_determinism(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import hll_distinct, hll_estimate, hll_registers_batch
+
+    n = 60_000
+    vals = pa.table({"v": pa.array(np.arange(n, dtype=np.int64))})
+    step = -(-n // 16)
+    ds = rd.from_arrow([vals.slice(i, step) for i in range(0, n, step)])
+    est = hll_distinct(ds, "v", p=12)["n_distinct_est"][0].as_py()
+    assert abs(est - n) / n < 0.05  # ~1.6% sigma at p=12
+    # distributed merge == single-batch registers (order independence)
+    single = hll_estimate(hll_registers_batch(vals["v"], p=12))
+    assert est == single
+    # duplicate-heavy input: estimate tracks DISTINCT, not rows
+    dup = pa.table({"v": pa.array(np.arange(n, dtype=np.int64) % 500)})
+    est_dup = hll_distinct(rd.from_arrow(dup), "v", p=12)["n_distinct_est"][0].as_py()
+    assert abs(est_dup - 500) / 500 < 0.05

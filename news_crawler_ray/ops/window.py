@@ -157,3 +157,57 @@ def tumbling_window_agg(
     if exchange == "sorted":
         return sorted_group_agg(derived, group_keys, specs)
     raise ValueError(f"unknown exchange {exchange!r} (use 'partial' or 'sorted')")
+
+
+def hopping_window_agg(
+    ds,
+    ts_col: str,
+    keys: list[str],
+    specs: list[tuple[str, str, str | None]],
+    size_minutes: int = 60,
+    hop_minutes: int = 30,
+    window_col: str = "window_start",
+    exchange: str = "partial",
+):
+    """Hopping (sliding) time windows: every row lands in the
+    ``size/hop`` overlapping windows that contain it, then the same
+    group-aggregate as tumbling. ``size`` must be a multiple of ``hop``
+    (each row is in exactly ``size//hop`` windows — no edge filter).
+
+    The derive is one vectorized replicate: integer-us window starts,
+    ``np.repeat`` row indices × take — rows fan out ``size//hop``-fold
+    INSIDE the map task, and only the (window, keys) partials leave it
+    under ``exchange="partial"``, so the overlap factor never hits an
+    exchange.
+    """
+    import numpy as np
+
+    from .agg import partial_group_agg, sorted_group_agg
+
+    assert size_minutes % hop_minutes == 0, "size must be a multiple of hop"
+    fan = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts_type = t.schema.field(ts_col).type
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(window_col, pa.array([], ts_type))
+        us = np.asarray(t[ts_col].cast(pa.int64()))
+        w0 = (us // hop_us) * hop_us
+        starts = (
+            w0[:, None] - np.arange(fan, dtype=np.int64)[None, :] * hop_us
+        ).ravel()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), fan))
+        out = t.take(idx)
+        return out.append_column(
+            window_col, pa.array(starts, pa.int64()).cast(ts_type)
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    group_keys = [window_col] + list(keys)
+    if exchange == "partial":
+        return partial_group_agg(derived, group_keys, specs)
+    if exchange == "sorted":
+        return sorted_group_agg(derived, group_keys, specs)
+    raise ValueError(f"unknown exchange {exchange!r} (use 'partial' or 'sorted')")

@@ -1118,6 +1118,27 @@ def q_term_search(sf_dir: str):
     return tx.term_search(ds, list(SEARCH_TERMS), k=SEARCH_K)
 
 
+def q_events_sliding(sf_dir: str):
+    """Hopping-window aggregate: 60-min windows every 30 min × type —
+    each event fans out to its 2 containing windows inside the map task;
+    only (window, type) partials leave it (ops/window
+    .hopping_window_agg)."""
+    from ..ops.window import hopping_window_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+    return hopping_window_agg(
+        ev,
+        "ts",
+        ["event_type"],
+        [
+            ("n_events", "count_all", None),
+            ("max_value", "max", "value"),
+        ],
+        size_minutes=60,
+        hop_minutes=30,
+    )
+
+
 def q_events_hourly(sf_dir: str):
     """Tumbling-window aggregate: hourly event windows × type, counts +
     exact min/max — the window derive is a vectorized floor_temporal and
@@ -1216,6 +1237,15 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "events_sliding": (
+            "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events), "
+            "w AS (SELECT event_type, value, "
+            "  (us // 1800000000) * 1800000000 - k.k * 1800000000 AS start_us "
+            "  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) k) "
+            "SELECT make_timestamp(start_us) AS window_start, event_type, "
+            "count(*) AS n_events, max(value) AS max_value "
+            "FROM w GROUP BY start_us, event_type"
+        ),
         "daily_digest": (
             "SELECT CAST(ts AS DATE) AS day, "
             "'# digest ' || strftime(CAST(ts AS DATE), '%Y-%m-%d') || chr(10) || "
@@ -1292,6 +1322,7 @@ def build_queries() -> dict:
         "daily_digest": q_daily_digest,
         "image_dedup_corpus": q_image_dedup_corpus,
         "hll_users": q_hll_users,
+        "events_sliding": q_events_sliding,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -149,3 +149,30 @@ def test_restore_reads_legacy_full_snapshot(ray_session, tmp_path):
     # numeric bound: max_epoch=2 skips the later legacy file
     fresh = SeenSet(1, capacity_per_shard=1 << 12)
     assert fresh.restore(str(tmp_path / "seen"), max_epoch=2) == 10
+
+
+def test_hopping_window_fanout(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import hopping_window_agg
+
+    # one event at 10:45 must land in the 10:00 and 10:30 windows
+    ts = pa.array(
+        np.array(["2024-01-01T10:45:00"], dtype="datetime64[us]")
+    )
+    t = pa.table({"ts": ts, "event_type": pa.array(["a"]), "value": pa.array([7.0])})
+    out = hopping_window_agg(
+        rd.from_arrow(t), "ts", ["event_type"],
+        [("n_events", "count_all", None), ("max_value", "max", "value")],
+        size_minutes=60, hop_minutes=30,
+    )
+    rows = sorted(
+        (r["window_start"].isoformat(), r["n_events"], r["max_value"])
+        for r in out.to_pylist()
+    )
+    assert rows == [
+        ("2024-01-01T10:00:00", 1, 7.0),
+        ("2024-01-01T10:30:00", 1, 7.0),
+    ]

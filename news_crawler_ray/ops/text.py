@@ -515,3 +515,72 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> pa.Table:
+    """Token-window chunking (the pretraining / embedding prep op): each
+    doc → overlapping chunks of ``size`` whitespace tokens every
+    ``stride`` (chunk starts = range(0, n_tokens, stride); the last
+    chunk is the tail). Fully vectorized: one regex split, numpy range
+    stitching, one gather, one binary_join — no per-row Python. Tokens
+    follow the repo-wide \\S+ convention (empties dropped). Docs with 0
+    tokens yield 0 chunks. Output (id, chunk_id, chunk)."""
+    text = pc.coalesce(batch[text_col], "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = pc.list_flatten(toks)
+    raw_off = np.asarray(toks.offsets, dtype=np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    F = flat.filter(pa.array(keep))
+    kept_cum = np.concatenate([[0], np.cumsum(keep)])
+    O = kept_cum[raw_off]  # filtered per-row token offsets
+    n_tok = np.diff(O)
+    n_chunks = (n_tok + stride - 1) // stride  # 0 chunks for 0 tokens
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    row_rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_chunks)
+    cum = np.concatenate([[0], np.cumsum(n_chunks)])
+    local = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], n_chunks)
+    start = local * stride
+    lens = np.minimum(start + size, n_tok[row_rep]) - start
+    abs_start = O[:-1][row_rep] + start
+    coff = np.concatenate([[0], np.cumsum(lens)])
+    idx = (
+        np.arange(int(coff[-1]), dtype=np.int64)
+        - np.repeat(coff[:-1], lens)
+        + np.repeat(abs_start, lens)
+    )
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(coff, pa.int32()), F.take(pa.array(idx))
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col].take(pa.array(row_rep)),
+            "chunk_id": pa.array(local, pa.int64()),
+            "chunk": pc.binary_join(chunk_list, " "),
+        }
+    )
+
+
+def chunk_documents(ds, text_col="text", id_col="doc_id", size=32, stride=24):
+    return ds.map_batches(
+        lambda b: chunk_documents_batch(b, text_col, id_col, size, stride),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1118,6 +1118,15 @@ def q_term_search(sf_dir: str):
     return tx.term_search(ds, list(SEARCH_TERMS), k=SEARCH_K)
 
 
+def q_chunk_docs(sf_dir: str):
+    """Token-window chunking for pretraining/embedding prep: 32-token
+    chunks every 24 over the documents table (ops/text
+    .chunk_documents — vectorized fan-out inside the map task)."""
+    return tx.chunk_documents(
+        _read(sf_dir, "documents", ["doc_id", "text"]), size=32, stride=24
+    )
+
+
 def q_events_sliding(sf_dir: str):
     """Hopping-window aggregate: 60-min windows every 30 min × type —
     each event fans out to its 2 containing windows inside the map task;
@@ -1237,6 +1246,15 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "chunk_docs": (
+            r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            r"coalesce(text, ''), '\s+'), x -> x <> '') AS toks FROM documents), "
+            "x AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start "
+            "  FROM t WHERE len(toks) > 0) "
+            "SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id, "
+            "array_to_string(list_slice(toks, start + 1, least(start + 32, "
+            "len(toks))), ' ') AS chunk FROM x"
+        ),
         "events_sliding": (
             "WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events), "
             "w AS (SELECT event_type, value, "
@@ -1323,6 +1341,7 @@ def build_queries() -> dict:
         "image_dedup_corpus": q_image_dedup_corpus,
         "hll_users": q_hll_users,
         "events_sliding": q_events_sliding,
+        "chunk_docs": q_chunk_docs,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -812,3 +812,30 @@ def test_hash64_banding_exact_vs_bruteforce(ray_session):
         for off in np.nonzero(dist <= 3)[0]:
             want.add((x, x + 1 + int(off)))
     assert got == want and len(want) >= 32  # 0..3-bit plants all found
+
+
+def test_chunk_documents_edges():
+    from news_crawler_ray.ops.text import chunk_documents_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b c d e f g", "", None, " lone "], pa.string()),
+        }
+    )
+    out = chunk_documents_batch(t, size=3, stride=2).to_pylist()
+    # 7 tokens -> starts 0,2,4,6; empty/None -> no chunks; edge ws dropped
+    assert [r["chunk"] for r in out if r["doc_id"] == 1] == [
+        "a b c", "c d e", "e f g", "g"
+    ]
+    assert all(r["doc_id"] not in (2, 3) for r in out)
+    assert [r["chunk"] for r in out if r["doc_id"] == 4] == ["lone"]
+    # reconstruction: stride-24/size-32 chunks cover every token in order
+    txt = " ".join(f"t{i}" for i in range(100))
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()), "text": pa.array([txt])})
+    chunks = chunk_documents_batch(t2, size=32, stride=24).to_pylist()
+    rebuilt = chunks[0]["chunk"].split()
+    for c in chunks[1:]:
+        toks = c["chunk"].split()
+        rebuilt.extend(toks[len(rebuilt) - c["chunk_id"] * 24 :])
+    assert rebuilt == txt.split()

@@ -420,3 +420,36 @@ def hll_distinct(ds, col: str, p: int = 12) -> pa.Table:
     for r in parts:
         merged = np.maximum(merged, np.frombuffer(r["regs"], dtype=np.uint8))
     return pa.table({"n_distinct_est": pa.array([hll_estimate(merged)], pa.int64())})
+
+
+# ----------------------------------------------------------------- histogram
+
+
+def value_histogram(
+    ds, col: str, lo: float, hi: float, nbins: int, clip: bool = True
+) -> pa.Table:
+    """Fixed-width histogram of ``col`` over [lo, hi): one vectorized
+    binning per block + the zero-exchange combiner (bins are a
+    low-cardinality group key by construction). ``clip`` folds
+    out-of-range values into the edge bins; otherwise they are dropped.
+    Returns (bin:int64, bin_lo:float64, n:int64), empty bins omitted."""
+    import numpy as np
+
+    width = (hi - lo) / nbins
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[col], dtype=np.float64)
+        b = np.floor((v - lo) / width)
+        if clip:
+            b = np.clip(b, 0, nbins - 1)
+            keep = ~np.isnan(v)
+        else:
+            keep = (~np.isnan(v)) & (b >= 0) & (b < nbins)
+        return pa.table({"bin": pa.array(b[keep].astype(np.int64), pa.int64())})
+
+    binned = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_group_agg(binned, ["bin"], [("n", "count_all", None)])
+    bins = out["bin"].to_numpy()
+    return out.add_column(
+        1, "bin_lo", pa.array(lo + bins.astype(np.float64) * width, pa.float64())
+    )

@@ -584,3 +584,80 @@ def chunk_documents(ds, text_col="text", id_col="doc_id", size=32, stride=24):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# ------------------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Top-``k`` TF-IDF terms per document, the classic two-pass shape:
+
+    1. document frequency: per-block distinct (doc, term) pairs →
+       zero-exchange combiner count per term (vocabulary-sized, NOT
+       corpus-sized — the only thing that reaches the driver);
+    2. idf = ln(N / df) broadcast once (``ray.put``), then a second
+       streaming pass scores tf·idf per (doc, term) and takes each
+       doc's top-k inside the block (docs are block-local because tf
+       was derived there) — no shuffle anywhere.
+
+    Ties break (score desc, term asc); score floats come from one
+    shared np.log, so a sequential oracle reproduces the order
+    bit-for-bit. Output (id, term, rank)."""
+    import ray
+
+    from .agg import partial_group_agg
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        pairs = _doc_term_freqs(b, text_col, id_col)
+        return pa.table({"term": pairs["term"]})
+
+    df_tbl = partial_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        [("df", "count_all", None)],
+    )
+    n_docs = ds.count()
+    idf = np.log(n_docs / df_tbl["df"].to_numpy().astype(np.float64))
+    idf_ref = ray.put((df_tbl["term"].combine_chunks(), idf))
+
+    def score(b: pa.Table) -> pa.Table:
+        terms_arr, idf_v = ray.get(idf_ref)
+        pairs = _doc_term_freqs(b, text_col, id_col)
+        if pairs.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b.schema.field(id_col).type),
+                    "term": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        pos = pc.index_in(pairs["term"], value_set=terms_arr)
+        s = pairs["tf"].to_numpy().astype(np.float64) * idf_v[
+            np.asarray(pc.fill_null(pos, 0), dtype=np.int64)
+        ]
+        tbl = pairs.append_column("score", pa.array(s, pa.float64()))
+        idx = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("row_idx", "ascending"),
+                ("score", "descending"),
+                ("term", "ascending"),
+            ],
+        )
+        srt = tbl.take(idx)
+        rows = srt["row_idx"].to_numpy()
+        # rank within each row run, keep rank < k
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(rows)) + 1])
+        rank = np.arange(len(rows), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(rows)]]))
+        )
+        keep = rank < k
+        return pa.table(
+            {
+                id_col: b[id_col].take(pa.array(rows[keep])),
+                "term": srt["term"].filter(pa.array(keep)),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -395,6 +395,42 @@ def expected_hll_users(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+def expected_tfidf(sf_dir: str, k: int = 3) -> pa.Table:
+    """Sequential tf-idf: Counter tf, set-based df, top-k by
+    (score desc, term) — np.log is the shared constant arithmetic (as
+    with hll_estimate); everything distributed is re-derived with plain
+    dicts."""
+    from collections import Counter
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = [
+        (did, [w for w in (txt or "").split() if w])
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    ]
+    df: Counter = Counter()
+    for _, toks in docs:
+        df.update(set(toks))
+    n = len(docs)
+    idf = {term: float(np.log(n / float(c))) for term, c in df.items()}
+    out_id, out_term, out_rank = [], [], []
+    for did, toks in docs:
+        tf = Counter(toks)
+        best = sorted(tf.items(), key=lambda kv: (-(kv[1] * idf[kv[0]]), kv[0]))[:k]
+        for r, (term, _) in enumerate(best):
+            out_id.append(did)
+            out_term.append(term)
+            out_rank.append(r)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "term": pa.array(out_term, pa.string()),
+            "rank": pa.array(out_rank, pa.int64()),
+        }
+    )
+
+
 def expected_resize() -> pa.Table:
     ps = synth.make_pagestore(40, seed=42)
     return pa.table(
@@ -507,6 +543,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["phash_near_dup"] = values_sql(expected_phash_pairs())
     sql["image_knn"] = values_sql(expected_image_knn())
     sql["hll_users"] = values_sql(expected_hll_users(sf_dir))
+    sql["tfidf_terms"] = values_sql(expected_tfidf(sf_dir))
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

@@ -1127,6 +1127,24 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document: combiner df pass + broadcast-idf
+    scoring pass, no shuffle (ops/text.tfidf_top_terms)."""
+    return tx.tfidf_top_terms(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3
+    )
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (vectorized binning +
+    zero-exchange combiner; edge bins clip out-of-range)."""
+    from ..ops.agg import value_histogram
+
+    return value_histogram(
+        _read(sf_dir, "events", ["value"]), "value", lo=0.0, hi=500.0, nbins=20
+    )
+
+
 def q_events_sliding(sf_dir: str):
     """Hopping-window aggregate: 60-min windows every 30 min × type —
     each event fans out to its 2 containing windows inside the map task;
@@ -1246,6 +1264,11 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "value_histogram": (
+            "WITH b AS (SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) "
+            "AS BIGINT) AS bin FROM events WHERE value IS NOT NULL) "
+            "SELECT bin, bin * 25.0 AS bin_lo, count(*) AS n FROM b GROUP BY bin"
+        ),
         "chunk_docs": (
             r"WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
             r"coalesce(text, ''), '\s+'), x -> x <> '') AS toks FROM documents), "
@@ -1342,6 +1365,8 @@ def build_queries() -> dict:
         "hll_users": q_hll_users,
         "events_sliding": q_events_sliding,
         "chunk_docs": q_chunk_docs,
+        "value_histogram": q_value_histogram,
+        "tfidf_terms": q_tfidf_terms,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

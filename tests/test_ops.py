@@ -839,3 +839,27 @@ def test_chunk_documents_edges():
         toks = c["chunk"].split()
         rebuilt.extend(toks[len(rebuilt) - c["chunk_id"] * 24 :])
     assert rebuilt == txt.split()
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import tfidf_top_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["rare rare common", "common other", "common unique unique unique"],
+                pa.string(),
+            ),
+        }
+    )
+    out = tfidf_top_terms(rd.from_arrow(t), k=2).take_all()
+    got = {(r["doc_id"], r["rank"]): r["term"] for r in out}
+    # 'common' has df=3 -> idf=ln(1)=0, so it never wins rank 0
+    assert got[(1, 0)] == "rare" and got[(2, 0)] == "other"
+    assert got[(3, 0)] == "unique"
+    assert all(got[(d, 0)] != "common" for d in (1, 2, 3))

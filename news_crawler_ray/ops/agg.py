@@ -28,6 +28,8 @@ keys straddling block boundaries, which are merged driver-side.
 
 from __future__ import annotations
 
+import polars as pl  # module-level: lazy in-UDF imports race in fused
+# parallel map threads (see ops/text.py note)
 import pyarrow as pa
 import ray
 
@@ -370,7 +372,6 @@ def hll_registers_batch(col: pa.ChunkedArray | pa.Array, p: int = 12) -> "np.nda
     bit_length. Registers are order-independent (elementwise max), so
     the partial is deterministic at any parallelism."""
     import numpy as np
-    import polars as pl
 
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)

@@ -9,6 +9,9 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import polars as pl  # module-level on purpose: a lazy in-UDF import races
+# when fused map stages first touch polars from parallel threads of one
+# worker (observed: 'polars._reexport has no attribute Series')
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -168,8 +171,6 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text", id_col: str = "do
     """
     texts = batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
     md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts.to_pylist()]
-    import polars as pl
-
     roll = pl.from_arrow(texts).hash(seed=1).to_numpy().astype(np.uint64)
     return pa.table(
         {
@@ -498,8 +499,6 @@ def normalize_text_batch(
     pyarrow build's ``utf8_normalize`` does not COMPOSE — verified
     'e'+U+0301 stays decomposed under form="NFC"); everything else is
     pyarrow.compute."""
-    import polars as pl
-
     t = pc.coalesce(batch[text_col], "")
     t = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
     t = pl.from_arrow(t).str.normalize("NFC").to_arrow()
@@ -569,11 +568,16 @@ def chunk_documents_batch(
     chunk_list = pa.ListArray.from_arrays(
         pa.array(coff, pa.int32()), F.take(pa.array(idx))
     )
+    # polars-normalized text arrives as large_string; binary_join needs
+    # a separator of the SAME string type as the list values
+    sep = pa.scalar(
+        " ", pa.large_string() if pa.types.is_large_string(F.type) else pa.string()
+    )
     return pa.table(
         {
             id_col: batch[id_col].take(pa.array(row_rep)),
             "chunk_id": pa.array(local, pa.int64()),
-            "chunk": pc.binary_join(chunk_list, " "),
+            "chunk": pc.binary_join(chunk_list, sep).cast(pa.string()),
         }
     )
 

@@ -1127,6 +1127,43 @@ def q_chunk_docs(sf_dir: str):
     )
 
 
+def q_curate_corpus(sf_dir: str):
+    """END-TO-END text corpus curation (the C4-style prep a pretraining
+    run executes): quality filter (exact-int Gopher thresholds) →
+    normalize → exact dedup on normalized text (keep min doc_id, semi
+    join back) → overlapping 32/24 token chunking — one streaming plan
+    stitched from individually-oracled ops; the oracle is the same
+    chain as SQL CTEs."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.dedup import content_hash_batch
+    from ..ops.join import sort_merge_semi_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        q = tx.quality_score_batch(b)
+        keep = pc.and_(
+            pc.greater_equal(q["n_tokens"], 20), pc.greater_equal(q["n_stopwords"], 1)
+        )
+        return b.filter(keep)
+
+    norm = tx.normalize_text(
+        ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    hashed = norm.map_batches(
+        lambda b: content_hash_batch(b, "text_norm").select(
+            ["content_hash", "doc_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    winners = sorted_group_agg(
+        hashed, ["content_hash"], [("doc_id", "min", "doc_id")]
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    survivors = sort_merge_semi_join(norm, winners, key="doc_id")
+    return tx.chunk_documents(survivors, text_col="text_norm", size=32, stride=24)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document: combiner df pass + broadcast-idf
     scoring pass, no shuffle (ops/text.tfidf_top_terms)."""
@@ -1264,6 +1301,25 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "curate_corpus": (
+            r"WITH q AS (SELECT doc_id, text, "
+            r"  len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            r"  len(list_filter(regexp_extract_all(lower(text), '\S+'), x -> x IN "
+            + STOPWORDS_SQL
+            + ")) AS n_stop FROM documents), "
+            "f AS (SELECT doc_id, text FROM q WHERE n_tokens >= 20 AND n_stop >= 1), "
+            r"n AS (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
+            r"coalesce(text, ''))), '\s+', ' ', 'g'), ' ') AS text_norm FROM f), "
+            "w AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY text_norm), "
+            "s AS (SELECT n.doc_id, text_norm FROM n JOIN w USING (doc_id)), "
+            r"t AS (SELECT doc_id, list_filter(regexp_split_to_array(text_norm, "
+            r"'\s+'), x -> x <> '') AS toks FROM s), "
+            "x AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start "
+            "  FROM t WHERE len(toks) > 0) "
+            "SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id, "
+            "array_to_string(list_slice(toks, start + 1, least(start + 32, "
+            "len(toks))), ' ') AS chunk FROM x"
+        ),
         "value_histogram": (
             "WITH b AS (SELECT CAST(least(greatest(floor(value / 25.0), 0), 19) "
             "AS BIGINT) AS bin FROM events WHERE value IS NOT NULL) "
@@ -1367,6 +1423,7 @@ def build_queries() -> dict:
         "chunk_docs": q_chunk_docs,
         "value_histogram": q_value_histogram,
         "tfidf_terms": q_tfidf_terms,
+        "curate_corpus": q_curate_corpus,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

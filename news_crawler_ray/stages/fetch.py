@@ -21,6 +21,8 @@ decoded here.
 from __future__ import annotations
 
 import numpy as np
+import polars as pl  # module-level: lazy in-UDF imports race in fused
+# parallel map threads (see ops/text.py note)
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -132,8 +134,6 @@ def shard_of_image_id(ids: pa.Array | pa.ChunkedArray, num_shards: int) -> np.nd
     store (prep) and routes fetch batches (query), which is the whole
     contract: one partitioning key, reused across stages.
     """
-    import polars as pl
-
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
     h = pl.from_arrow(ids).hash(seed=7).to_numpy()

@@ -222,6 +222,14 @@ QUERY_SUBSET = [
     "term_search",
     "events_hourly",
     "value_quantiles",
+    # round-2 addendum-2/3 additions
+    "daily_digest",
+    "hll_users",
+    "events_sliding",
+    "chunk_docs",
+    "tfidf_terms",
+    "value_histogram",
+    "curate_corpus",
     "dedup_corpus",
 ]
 

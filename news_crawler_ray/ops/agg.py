@@ -454,3 +454,57 @@ def value_histogram(
     return out.add_column(
         1, "bin_lo", pa.array(lo + bins.astype(np.float64) * width, pa.float64())
     )
+
+
+# ------------------------------------------------------------------- rollup
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
+    """SQL ``GROUP BY ROLLUP(keys...)`` as one streaming pass: each row
+    fans out to len(keys)+1 grouping levels INSIDE the map task (level
+    L nulls out keys[L:], exactly DuckDB's rollup frame), then the
+    zero-exchange combiner aggregates (level, *keys). The fan-out
+    factor never crosses an exchange — same shape as hopping windows.
+    Returns a pyarrow Table with NULLs in rolled-up key columns."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    n_levels = len(keys) + 1
+
+    def derive(t: pa.Table) -> pa.Table:
+        # One sub-table per level, rolled-up keys nulled out. Grouping
+        # runs on ONE composed string surrogate key: this pyarrow's
+        # (16.1.0) multi-key hash grouper splits identical NULL
+        # fixed-width keys when any var-width key is present (it hashes
+        # the data buffer behind the validity bitmap), so grouping on
+        # (level, keys...) directly returns garbage; string keys are
+        # unaffected, and the real key values ride along as min()
+        # aggregates (constant within a group by construction).
+        n = t.num_rows
+        outs = []
+        for lvl in range(n_levels):
+            o = t
+            parts = [pa.array([str(lvl)] * n, pa.string())]
+            for j, k in enumerate(keys):
+                if lvl <= j:  # level L keeps keys[:L]
+                    o = o.set_column(
+                        o.column_names.index(k),
+                        k,
+                        pa.nulls(n, o.schema.field(k).type),
+                    )
+                    parts.append(pa.array([""] * n, pa.string()))
+                else:
+                    parts.append(pc.cast(o[k], pa.string()))
+            gk = pc.binary_join_element_wise(
+                *parts, "\x1f", null_handling="replace", null_replacement="\x00"
+            )
+            outs.append(o.append_column("_gkey", gk))
+        return pa.concat_tables(outs)
+
+    fanned = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = partial_group_agg(
+        fanned, ["_gkey"], list(specs) + [(k, "min", k) for k in keys]
+    )
+    names = [s[0] for s in specs]
+    return out.select(list(keys) + names)

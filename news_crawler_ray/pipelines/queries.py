@@ -1172,6 +1172,26 @@ def q_tfidf_terms(sf_dir: str):
     )
 
 
+def q_events_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, day): all three grouping levels in
+    one streaming pass (in-task level fan-out + zero-exchange combiner,
+    ops/agg.rollup_agg). Counts/max only — exact at any merge order."""
+    from ..ops.agg import rollup_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    # day as an ISO string, not date32: a nullable DATE column renders
+    # asymmetrically in the driver's pandas compare (NaT vs None)
+    def with_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    return rollup_agg(
+        ev.map_batches(with_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"],
+        [("n_events", "count_all", None), ("max_value", "max", "value")],
+    )
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width histogram of event values (vectorized binning +
     zero-exchange combiner; edge bins clip out-of-range)."""
@@ -1301,6 +1321,11 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "events_rollup": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, "
+            "max(value) AS max_value FROM events "
+            "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
+        ),
         "curate_corpus": (
             r"WITH q AS (SELECT doc_id, text, "
             r"  len(regexp_extract_all(text, '\S+')) AS n_tokens, "
@@ -1424,6 +1449,7 @@ def build_queries() -> dict:
         "value_histogram": q_value_histogram,
         "tfidf_terms": q_tfidf_terms,
         "curate_corpus": q_curate_corpus,
+        "events_rollup": q_events_rollup,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

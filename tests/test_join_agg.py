@@ -330,3 +330,33 @@ def test_hll_distinct_error_bound_and_determinism(ray_session):
     dup = pa.table({"v": pa.array(np.arange(n, dtype=np.int64) % 500)})
     est_dup = hll_distinct(rd.from_arrow(dup), "v", p=12)["n_distinct_est"][0].as_py()
     assert abs(est_dup - 500) / 500 < 0.05
+
+
+def test_rollup_levels_and_null_grouping(ray_session):
+    """The grouper workaround must merge rolled-up groups exactly: this
+    pyarrow's multi-key hash group_by splits identical NULL fixed-width
+    keys when a var-width key is present (hashes behind the validity
+    bitmap), which rollup_agg dodges with a string surrogate key."""
+    import numpy as np
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import rollup_agg
+
+    n = 3000  # large enough to trigger the row-table grouper path
+    t = pa.table(
+        {
+            "a": pa.array(["x", "y", "z"] * (n // 3)),
+            "b": pa.array(np.arange(n) % 4, pa.int64()),
+            "v": pa.array(np.arange(n, dtype=np.float64)),
+        }
+    )
+    out = rollup_agg(
+        rd.from_arrow([t.slice(i, 500) for i in range(0, n, 500)]),
+        ["a", "b"],
+        [("cnt", "count_all", None), ("mx", "max", "v")],
+    )
+    rows = {(r["a"], r["b"]): (r["cnt"], r["mx"]) for r in out.to_pylist()}
+    assert len(rows) == 1 + 3 + 12  # (), (a), (a,b) — exactly rollup's levels
+    assert rows[(None, None)][0] == n
+    assert rows[("x", None)][0] == n // 3
+    assert rows[("x", 0)] == (n // 12, float(n - 12))

@@ -211,3 +211,72 @@ def hopping_window_agg(
     if exchange == "sorted":
         return sorted_group_agg(derived, group_keys, specs)
     raise ValueError(f"unknown exchange {exchange!r} (use 'partial' or 'sorted')")
+
+
+# --------------------------------------------------------------------------
+# Running (cumulative) per-key aggregates — SUM() OVER (PARTITION BY ... )
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _running_block(
+    key_col: str, ts_col: str, id_col: str, val_col: str, *parts: pa.Table
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+    )
+    s = tbl.take(idx)
+    n = s.num_rows
+    keys = s[key_col].combine_chunks()
+    v = np.asarray(s[val_col], dtype=np.int64)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    total = np.cumsum(v)
+    # per-key running sum = global cumsum minus the prefix before the key
+    run_starts = np.flatnonzero(new_key)
+    base = np.where(run_starts > 0, total[run_starts - 1], 0)
+    running = total - np.repeat(base, np.diff(np.concatenate([run_starts, [n]])))
+    return pa.table(
+        {
+            id_col: s[id_col],
+            "running": pa.array(running, pa.int64()),
+        }
+    )
+
+
+def running_sum(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "v_int",
+) -> "ray.data.Dataset":
+    """Exact cumulative SUM(val) OVER (PARTITION BY key ORDER BY ts, id)
+    — the window-function classic — on the task-based key-complete
+    exchange: one sort, each key's full history lands in its owner task,
+    prefix sums are one vectorized cumsum (no per-row loop, no hash
+    shuffle). ``val_col`` must be int64: integer totals are exact and
+    order-proof (a float cumsum would make the result depend on
+    summation order). Output (id, running:int64)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[ts_col, id_col])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "running": pa.array([], pa.int64())}
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _running_block.remote(key_col, ts_col, id_col, val_col, *parts)
+            for parts in groups
+        ]
+    )

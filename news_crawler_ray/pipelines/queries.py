@@ -1172,6 +1172,27 @@ def q_tfidf_terms(sf_dir: str):
     )
 
 
+def q_running_totals(sf_dir: str):
+    """SUM() OVER (PARTITION BY user ORDER BY ts, id): per-user running
+    value totals in integer cents (exact at any merge order) on the
+    key-complete exchange (ops/window.running_sum)."""
+    from ..ops.window import running_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+        return t.drop_columns(["value"]).append_column(
+            "v_int", pa.array(v, pa.int64())
+        )
+
+    return running_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(
+        lambda t: _rename(t, {"running": "running_cents"}), batch_format="pyarrow"
+    )
+
+
 def q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, day): all three grouping levels in
     one streaming pass (in-task level fan-out + zero-exchange combiner,
@@ -1321,6 +1342,11 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "running_totals": (
+            "SELECT event_id, SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
+            ") AS running_cents FROM events"
+        ),
         "events_rollup": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, "
             "max(value) AS max_value FROM events "
@@ -1450,6 +1476,7 @@ def build_queries() -> dict:
         "tfidf_terms": q_tfidf_terms,
         "curate_corpus": q_curate_corpus,
         "events_rollup": q_events_rollup,
+        "running_totals": q_running_totals,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

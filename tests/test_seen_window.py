@@ -176,3 +176,27 @@ def test_hopping_window_fanout(ray_session):
         ("2024-01-01T10:00:00", 1, 7.0),
         ("2024-01-01T10:30:00", 1, 7.0),
     ]
+
+
+def test_running_sum_per_key(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import running_sum
+
+    n = 900
+    t = pa.table(
+        {
+            "user_id": pa.array(np.arange(n) % 3, pa.int64()),
+            "ts": pa.array(np.arange(n), pa.int64()),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "v_int": pa.array(np.ones(n, np.int64()), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow([t.slice(i, 100) for i in range(0, n, 100)])
+    out = {r["event_id"]: r["running"] for r in running_sum(ds, ts_col="ts").take_all()}
+    assert len(out) == n
+    # event k is the (k//3 + 1)-th event of its user
+    for k in (0, 1, 2, 3, 299, 897, 898, 899):
+        assert out[k] == k // 3 + 1

@@ -31,6 +31,7 @@ from __future__ import annotations
 import polars as pl  # module-level: lazy in-UDF imports race in fused
 # parallel map threads (see ops/text.py note)
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 # merge rule per partial kind: how per-block partials combine
@@ -508,3 +509,59 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
     )
     names = [s[0] for s in specs]
     return out.select(list(keys) + names)
+
+
+def hll_distinct_by(ds, key_col: str, col: str, p: int = 12) -> pa.Table:
+    """Approximate COUNT(DISTINCT col) GROUP BY key_col: the HLL sketch
+    as a group aggregate. Per block, one register set per key (partials
+    are (key, 4 KB bytes) rows — still the only bytes leaving a block);
+    driver merges per key with elementwise max. Key cardinality must be
+    combiner-scale (the registers-per-key table lives on the driver);
+    data cardinality is unbounded. Returns (key_col, n_distinct_est)."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "regs": pa.array([], pa.binary()),
+                }
+            )
+        idx = pc.sort_indices(t, sort_keys=[(key_col, "ascending")])
+        s = t.take(idx)
+        keys = s[key_col].combine_chunks()
+        kn = np.asarray(
+            pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        ) if s.num_rows > 1 else np.zeros(0, bool)
+        starts = np.concatenate([[0], np.flatnonzero(kn) + 1, [s.num_rows]])
+        out_k, out_r = [], []
+        for a, b in zip(starts[:-1], starts[1:]):
+            out_k.append(keys[int(a)].as_py())
+            out_r.append(hll_registers_batch(s[col].slice(int(a), int(b - a)), p).tobytes())
+        return pa.table(
+            {
+                key_col: pa.array(out_k, t.schema.field(key_col).type),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    merged: dict = {}
+    for r in parts:
+        cur = np.frombuffer(r["regs"], dtype=np.uint8)
+        k = r[key_col]
+        merged[k] = np.maximum(merged[k], cur) if k in merged else cur
+    ks = sorted(merged)
+    return pa.table(
+        {
+            key_col: pa.array(ks),
+            "n_distinct_est": pa.array(
+                [hll_estimate(merged[k]) for k in ks], pa.int64()
+            ),
+        }
+    )

@@ -395,6 +395,41 @@ def expected_hll_users(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+def expected_hll_by_type(sf_dir: str, p: int = 12) -> pa.Table:
+    """Sequential per-group HLL registers (dict-of-dict max over exact
+    int bit ops); same shared polars column hash as expected_hll_users."""
+    import polars as pl
+
+    from ..ops.agg import hll_estimate
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    h = pl.from_arrow(t["user_id"].combine_chunks()).hash(seed=0).to_list()
+    types = t["event_type"].to_pylist()
+    m = 1 << p
+    regs: dict[str, dict[int, int]] = {}
+    for et, hv in zip(types, h):
+        idx = hv >> (64 - p)
+        rho = (64 - p) - (hv & ((1 << (64 - p)) - 1)).bit_length() + 1
+        d = regs.setdefault(et, {})
+        if rho > d.get(idx, 0):
+            d[idx] = rho
+    out_k, out_n = [], []
+    for et in sorted(regs):
+        arr = np.zeros(m, dtype=np.uint8)
+        for i, r in regs[et].items():
+            arr[i] = r
+        out_k.append(et)
+        out_n.append(hll_estimate(arr))
+    return pa.table(
+        {
+            "event_type": pa.array(out_k, pa.string()),
+            "n_distinct_est": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
 def expected_tfidf(sf_dir: str, k: int = 3) -> pa.Table:
     """Sequential tf-idf: Counter tf, set-based df, top-k by
     (score desc, term) — np.log is the shared constant arithmetic (as
@@ -544,6 +579,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["image_knn"] = values_sql(expected_image_knn())
     sql["hll_users"] = values_sql(expected_hll_users(sf_dir))
     sql["tfidf_terms"] = values_sql(expected_tfidf(sf_dir))
+    sql["hll_users_by_type"] = values_sql(expected_hll_by_type(sf_dir))
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

@@ -1172,6 +1172,16 @@ def q_tfidf_terms(sf_dir: str):
     )
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """Approximate distinct users per event type: the HLL sketch as a
+    group aggregate (per-key 4 KB register partials, max-merge)."""
+    from ..ops.agg import hll_distinct_by
+
+    return hll_distinct_by(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
 def q_running_totals(sf_dir: str):
     """SUM() OVER (PARTITION BY user ORDER BY ts, id): per-user running
     value totals in integer cents (exact at any merge order) on the
@@ -1477,6 +1487,7 @@ def build_queries() -> dict:
         "curate_corpus": q_curate_corpus,
         "events_rollup": q_events_rollup,
         "running_totals": q_running_totals,
+        "hll_users_by_type": q_hll_users_by_type,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -442,3 +442,44 @@ def image_cell_vectors(ds, id_col: str = "iid", concurrency=2, batch_size: int =
     return ds.map_batches(
         embed, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
+
+
+def corpus_channel_histogram(ds, bins: int = 16, concurrency=2, batch_size: int = 64):
+    """Corpus-wide per-channel pixel histogram: decode each image, one
+    np.bincount per channel per batch (256/bins-wide buckets), emit
+    (channel, bin, n) partials — a few hundred rows per block no matter
+    how many pixels — merged by the zero-exchange combiner. The
+    at-scale dataset-statistics pass (channel balance / normalization
+    constants) over binary image columns. Exact integer counts."""
+    from .agg import partial_group_agg
+
+    width = 256 // bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts = np.zeros((3, bins), dtype=np.int64)
+        for buf, fmt in zip(
+            batch["bytes"].to_pylist(), batch["fmt"].to_pylist()
+        ):
+            px = codec.decode(buf, fmt)
+            for c in range(3):
+                counts[c] += np.bincount(
+                    px[:, :, c].ravel() // width, minlength=bins
+                )[:bins]
+        ch = np.repeat(np.arange(3, dtype=np.int64), bins)
+        bn = np.tile(np.arange(bins, dtype=np.int64), 3)
+        return pa.table(
+            {
+                "channel": pa.array(ch, pa.int64()),
+                "bin": pa.array(bn, pa.int64()),
+                "n": pa.array(counts.ravel(), pa.int64()),
+            }
+        )
+
+    part_ds = ds.map_batches(
+        partial,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return partial_group_agg(part_ds, ["channel", "bin"], [("n", "sum", "n")])

@@ -395,6 +395,28 @@ def expected_hll_users(sf_dir: str, p: int = 12) -> pa.Table:
     )
 
 
+def expected_channel_histogram(bins: int = 16) -> pa.Table:
+    """Sequential decode + per-channel bincount over the page-store."""
+    from ..fixtures import codec
+
+    ps = synth.make_pagestore(60, seed=42)
+    width = 256 // bins
+    counts = np.zeros((3, bins), dtype=np.int64)
+    for buf, fmt in zip(ps["bytes"].to_pylist(), ps["fmt"].to_pylist()):
+        px = codec.decode(buf, fmt)
+        for c in range(3):
+            counts[c] += np.bincount(px[:, :, c].ravel() // width, minlength=bins)[
+                :bins
+            ]
+    return pa.table(
+        {
+            "channel": pa.array(np.repeat(np.arange(3, dtype=np.int64), bins)),
+            "bin": pa.array(np.tile(np.arange(bins, dtype=np.int64), 3)),
+            "n": pa.array(counts.ravel(), pa.int64()),
+        }
+    )
+
+
 def expected_hll_by_type(sf_dir: str, p: int = 12) -> pa.Table:
     """Sequential per-group HLL registers (dict-of-dict max over exact
     int bit ops); same shared polars column hash as expected_hll_users."""
@@ -580,6 +602,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["hll_users"] = values_sql(expected_hll_users(sf_dir))
     sql["tfidf_terms"] = values_sql(expected_tfidf(sf_dir))
     sql["hll_users_by_type"] = values_sql(expected_hll_by_type(sf_dir))
+    sql["channel_histogram"] = values_sql(expected_channel_histogram())
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

@@ -1172,6 +1172,15 @@ def q_tfidf_terms(sf_dir: str):
     )
 
 
+def q_channel_histogram(sf_dir: str):
+    """Corpus-wide per-channel pixel histogram over the synthetic
+    page-store (decode → bincount partials → combiner; exact ints)."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(synth.make_pagestore(60, seed=42))
+    return mm.corpus_channel_histogram(ps, bins=16, concurrency=2, batch_size=32)
+
+
 def q_hll_users_by_type(sf_dir: str):
     """Approximate distinct users per event type: the HLL sketch as a
     group aggregate (per-key 4 KB register partials, max-merge)."""
@@ -1488,6 +1497,7 @@ def build_queries() -> dict:
         "events_rollup": q_events_rollup,
         "running_totals": q_running_totals,
         "hll_users_by_type": q_hll_users_by_type,
+        "channel_histogram": q_channel_histogram,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

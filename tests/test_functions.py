@@ -149,3 +149,40 @@ def test_values_sql_roundtrip():
     out = duckdb.sql(values_sql(tbl)).arrow()
     assert out.schema.equals(tbl.schema), (out.schema, tbl.schema)
     assert out.to_pylist() == tbl.to_pylist()
+
+
+def test_parse_robots_text_groups():
+    from news_crawler_ray.functions.robots import (
+        parse_robots_batch,
+        parse_robots_text,
+    )
+
+    txt = (
+        "User-agent: *\nDisallow: /a\nDisallow:\nCrawl-delay: 1\n\n"
+        "User-agent: SecBot\nUser-agent: other\nDisallow: /b\nCrawl-delay: 0.25\n"
+    )
+    assert parse_robots_text(txt) == (["/a"], 1000)
+    # most-specific agent group wins over *
+    assert parse_robots_text(txt, agent="SecBot/1.0") == (["/b"], 250)
+    # merged multi-agent group matches either agent
+    assert parse_robots_text(txt, agent="other") == (["/b"], 250)
+    # missing/None body or no matching group -> allow all, default delay
+    assert parse_robots_text(None) == ([], 1000)
+    assert parse_robots_text("User-agent: x\nDisallow: /z") == ([], 1000)
+    import pyarrow as pa
+
+    out = parse_robots_batch(
+        pa.table(
+            {
+                "host": pa.array(["h1", "h2"]),
+                "robots_txt": pa.array([txt, None]),
+            }
+        )
+    )
+    assert out["disallow_prefixes"].to_pylist() == [["/a"], []]
+    assert out["crawl_delay_ms"].to_pylist() == [1000, 1000]
+    # batch output feeds straight into the politeness config
+    from news_crawler_ray.stages.politeness import robots_table_to_config
+
+    cfg = robots_table_to_config(out)
+    assert cfg["h1"] == (("/a",), 1000)

@@ -186,3 +186,28 @@ def test_parse_robots_text_groups():
 
     cfg = robots_table_to_config(out)
     assert cfg["h1"] == (("/a",), 1000)
+
+
+def test_robots_text_roundtrip_fixture():
+    """Rendering the fixture robots table as robots.txt bodies and
+    parsing them back must reproduce the politeness config exactly."""
+    import pyarrow as pa
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.functions.robots import parse_robots_batch
+
+    tbl = synth.make_robots(seed=42)
+    texts = []
+    for d, ms in zip(
+        tbl["disallow_prefixes"].to_pylist(), tbl["crawl_delay_ms"].to_pylist()
+    ):
+        lines = ["User-agent: *"]
+        lines += [f"Disallow: {p}" for p in d]
+        lines.append(f"Crawl-delay: {ms / 1000}")
+        texts.append("\n".join(lines))
+    parsed = parse_robots_batch(
+        pa.table({"host": tbl["host"], "robots_txt": pa.array(texts)})
+    )
+    assert parsed["host"].to_pylist() == tbl["host"].to_pylist()
+    assert parsed["disallow_prefixes"].to_pylist() == tbl["disallow_prefixes"].to_pylist()
+    assert parsed["crawl_delay_ms"].to_pylist() == tbl["crawl_delay_ms"].to_pylist()

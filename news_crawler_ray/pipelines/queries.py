@@ -1172,6 +1172,80 @@ def q_tfidf_terms(sf_dir: str):
     )
 
 
+def q_suppliers_per_region(sf_dir: str):
+    """supplier ⋈ nation ⋈ region → counts per region name: the
+    two-hop dim chain composed DRIVER-side (nation⋈region is dim-sized),
+    one broadcast lookup over the fact table, zero exchanges."""
+    from ..ops.agg import partial_group_agg
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rname = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    rk = np.asarray(nat["n_regionkey"], dtype=np.int64)
+    order = np.argsort(nk, kind="stable")
+    dim_ref = ray.put((nk[order], rk[order]))
+
+    def to_regionkey(t: pa.Table) -> pa.Table:
+        nk_s, rk_s = ray.get(dim_ref)
+        sn = np.asarray(t["s_nationkey"], dtype=np.int64)
+        pos = np.minimum(np.searchsorted(nk_s, sn), len(nk_s) - 1)
+        hit = nk_s[pos] == sn
+        return pa.table({"r_regionkey": pa.array(rk_s[pos][hit], pa.int64())})
+
+    sup = _read(sf_dir, "supplier", ["s_nationkey"])
+    counts = partial_group_agg(
+        sup.map_batches(to_regionkey, batch_format="pyarrow", zero_copy_batch=True),
+        ["r_regionkey"],
+        [("n_suppliers", "count_all", None)],
+    )
+    return pa.table(
+        {
+            "r_name": pa.array(
+                [rname[k] for k in counts["r_regionkey"].to_pylist()], pa.string()
+            ),
+            "n_suppliers": counts["n_suppliers"],
+        }
+    )
+
+
+def q_revenue(sf_dir: str):
+    """TPC-H Q6 analog: filtered revenue sum in integer cents (exact at
+    any merge order; both sides compute round(price*discount*100) with
+    the same IEEE ops), zero exchanges."""
+    from ..ops.agg import partial_group_agg
+
+    li = _read(
+        sf_dir, "lineitem", ["l_extendedprice", "l_discount", "l_quantity"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["l_discount"], dtype=np.float64)
+        q = np.asarray(t["l_quantity"], dtype=np.float64)
+        p = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        keep = (d >= 0.05) & (d <= 0.07) & (q < 24)
+        # half-AWAY rounding (floor(x+0.5) for positives) to match
+        # DuckDB's round(); np.rint is half-even and differs on .5 cents
+        rev = np.floor(p[keep] * d[keep] * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "one": pa.array(np.zeros(len(rev), np.int64()), pa.int64()),
+                "rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    out = partial_group_agg(
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"],
+        [("revenue_cents", "sum", "rev"), ("n_lines", "count_all", None)],
+    )
+    return out.drop_columns(["one"])
+
+
 def q_channel_histogram(sf_dir: str):
     """Corpus-wide per-channel pixel histogram over the synthetic
     page-store (decode → bincount partials → combiner; exact ints)."""
@@ -1361,6 +1435,16 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY date_trunc('hour', ts), event_type"
         ),
+        "suppliers_per_region": (
+            "SELECT r_name, count(*) AS n_suppliers FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "revenue": (
+            "SELECT SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) "
+            "AS revenue_cents, count(*) AS n_lines FROM lineitem "
+            "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
         "running_totals": (
             "SELECT event_id, SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
@@ -1498,6 +1582,8 @@ def build_queries() -> dict:
         "running_totals": q_running_totals,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
+        "suppliers_per_region": q_suppliers_per_region,
+        "revenue": q_revenue,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

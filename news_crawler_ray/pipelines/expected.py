@@ -417,6 +417,38 @@ def expected_channel_histogram(bins: int = 16) -> pa.Table:
     )
 
 
+def expected_pagerank(
+    num_nodes: int = 80,
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> pa.Table:
+    """Sequential integer PageRank with plain dicts — identical integer
+    formula, so it matches the distributed run bit-for-bit."""
+    from .queries import _pagestore_edges
+
+    edges_tbl = _pagestore_edges(synth.make_pagestore(80, seed=42))
+    srcs = edges_tbl["src"].to_pylist()
+    dsts = edges_tbl["dst"].to_pylist()
+    deg: dict[int, int] = {}
+    for s in srcs:
+        deg[s] = deg.get(s, 0) + 1
+    base = ((damping_den - damping_num) * (scale // num_nodes)) // damping_den
+    rank = {n: scale // num_nodes for n in range(num_nodes)}
+    for _ in range(iters):
+        sums = {n: 0 for n in range(num_nodes)}
+        for s, d in zip(srcs, dsts):
+            sums[d] += rank[s] // max(deg[s], 1)
+        rank = {n: base + (damping_num * sums[n]) // damping_den for n in range(num_nodes)}
+    return pa.table(
+        {
+            "node": pa.array(sorted(rank), pa.int64()),
+            "rank": pa.array([rank[n] for n in sorted(rank)], pa.int64()),
+        }
+    )
+
+
 def expected_hll_by_type(sf_dir: str, p: int = 12) -> pa.Table:
     """Sequential per-group HLL registers (dict-of-dict max over exact
     int bit ops); same shared polars column hash as expected_hll_users."""
@@ -603,6 +635,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["tfidf_terms"] = values_sql(expected_tfidf(sf_dir))
     sql["hll_users_by_type"] = values_sql(expected_hll_by_type(sf_dir))
     sql["channel_histogram"] = values_sql(expected_channel_histogram())
+    sql["pagerank"] = values_sql(expected_pagerank())
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

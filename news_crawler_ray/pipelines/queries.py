@@ -1246,6 +1246,38 @@ def q_revenue(sf_dir: str):
     return out.drop_columns(["one"])
 
 
+def _pagestore_edges(t: pa.Table) -> pa.Table:
+    """caption link: tokens → int (src, dst) edge rows (shared by the
+    pagerank query and its sequential oracle)."""
+    srcs, dsts = [], []
+    for iid, cap in zip(t["image_id"].to_pylist(), t["caption"].to_pylist()):
+        s = int(iid[3:])
+        for tok in (cap or "").split():
+            if tok.startswith("link:"):
+                srcs.append(s)
+                dsts.append(int(tok[-8:]))
+    return pa.table(
+        {"src": pa.array(srcs, pa.int64()), "dst": pa.array(dsts, pa.int64())}
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """Integer-exact distributed PageRank over the page-store outlink
+    graph (5 power iterations; per iteration one src-rank hash join +
+    one sum-by-dst sort exchange — ranks stay a Dataset throughout)."""
+    from ..fixtures import synth
+    from ..ops.graph import pagerank_int
+
+    ps = ray.data.from_arrow(synth.make_pagestore(80, seed=42))
+    edges = ps.map_batches(
+        _pagestore_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # num_partitions=2: each iteration's hash join pays the fixed
+    # aggregator-pool startup (BASELINE.md round-2 finding); at gate
+    # scale wider pools only add cold-start, at 10^10 nodes raise it
+    return pagerank_int(edges, num_nodes=80, iters=5, num_partitions=2)
+
+
 def q_channel_histogram(sf_dir: str):
     """Corpus-wide per-channel pixel histogram over the synthetic
     page-store (decode → bincount partials → combiner; exact ints)."""
@@ -1584,6 +1616,7 @@ def build_queries() -> dict:
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,
         "revenue": q_revenue,
+        "pagerank": q_pagerank,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

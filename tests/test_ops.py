@@ -863,3 +863,28 @@ def test_tfidf_top_terms(ray_session):
     assert got[(1, 0)] == "rare" and got[(2, 0)] == "other"
     assert got[(3, 0)] == "unique"
     assert all(got[(d, 0)] != "common" for d in (1, 2, 3))
+
+
+def test_image_features_corrupt_bytes(ray_session):
+    """Corrupted payloads must degrade to decode_ok=False rows, not
+    crash the stage (row-level error columns, VERDICT T5 analog)."""
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import image_features
+
+    ps = synth.make_pagestore(12, seed=3)
+    data = ps["bytes"].to_pylist()
+    data[2] = b"not an image"
+    data[7] = data[7][: len(data[7]) // 2]  # truncated payload
+    broken = ps.set_column(
+        ps.schema.get_field_index("bytes"), "bytes",
+        pa.array(data, pa.large_binary()),
+    )
+    out = {r["image_id"]: r for r in image_features(rd.from_arrow(broken)).take_all()}
+    assert len(out) == 12
+    bad = {i for i, r in out.items() if not r["decode_ok"]}
+    assert bad == {synth.image_id(2), synth.image_id(7)}
+    for i, r in out.items():
+        if i not in bad:
+            assert r["phash_check"] is not None

@@ -483,3 +483,62 @@ def corpus_channel_histogram(ds, bins: int = 16, concurrency=2, batch_size: int 
         concurrency=concurrency,
     )
     return partial_group_agg(part_ds, ["channel", "bin"], [("n", "sum", "n")])
+
+
+class ImageTensorStage:
+    """Training-batch tensor prep: decode → center-crop to square →
+    block-mean resize to (out, out) → per-channel normalize to float32
+    in [-1, 1]. The crop/resize stays in INTEGER space (block sums,
+    floor division) so a sequential oracle verifies it exactly; the
+    float normalize is a fixed affine of those ints. Emits the flat
+    tensor (list<float32>, CHW) plus exact per-channel uint8 sums as
+    the verification columns."""
+
+    def __init__(self, out: int = 16, bytes_col: str = "bytes", fmt_col: str = "fmt"):
+        self.out, self.bytes_col, self.fmt_col = out, bytes_col, fmt_col
+
+    def _prep(self, px: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        out = self.out
+        h, w, _ = px.shape
+        s = min(h, w)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        c = px[y0 : y0 + s, x0 : x0 + s, :]
+        b = max(s // out, 1)
+        c = c[: b * out, : b * out, :]
+        sums = c.reshape(out, b, out, b, 3).sum(axis=(1, 3), dtype=np.int64)
+        q = (sums // (b * b)).astype(np.uint8)
+        tensor = (q.astype(np.float32) / 255.0 - 0.5) / 0.5
+        return q, np.moveaxis(tensor, 2, 0).ravel()  # CHW
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qs, tensors = [], []
+        for buf, fmt in zip(
+            batch[self.bytes_col].to_pylist(), batch[self.fmt_col].to_pylist()
+        ):
+            q, t = self._prep(codec.decode(buf, fmt))
+            qs.append(q)
+            tensors.append(t)
+        sums = (
+            np.stack([q.sum(axis=(0, 1)) for q in qs])
+            if qs
+            else np.zeros((0, 3), np.int64)
+        )
+        out = batch.drop_columns([self.bytes_col])
+        out = out.append_column(
+            "tensor",
+            pa.array([t.tolist() for t in tensors], pa.list_(pa.float32())),
+        )
+        for j, name in enumerate(("sum_r", "sum_g", "sum_b")):
+            out = out.append_column(name, pa.array(sums[:, j], pa.int64()))
+        return out
+
+
+def tensor_prep(ds, out: int = 16, concurrency=2, batch_size: int = 32):
+    return ds.map_batches(
+        ImageTensorStage,
+        fn_constructor_kwargs={"out": out},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

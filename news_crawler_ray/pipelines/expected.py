@@ -417,6 +417,47 @@ def expected_channel_histogram(bins: int = 16) -> pa.Table:
     )
 
 
+def expected_tensor_prep(out: int = 16) -> pa.Table:
+    """Independent sequential crop/resize with plain Python loops over
+    8x8-free indexing (no shared reshape kernel): center square crop,
+    block SUM then floor-divide, per-channel uint8 sums."""
+    from ..fixtures import codec
+
+    ps = synth.make_pagestore(60, seed=42)
+    ids, sums_rgb = [], []
+    for iid, buf, fmt in zip(
+        ps["image_id"].to_pylist(),
+        ps["bytes"].to_pylist(),
+        ps["fmt"].to_pylist(),
+    ):
+        px = codec.decode(buf, fmt)
+        h, w, _ = px.shape
+        s = min(h, w)
+        y0, x0 = (h - s) // 2, (w - s) // 2
+        b = max(s // out, 1)
+        totals = [0, 0, 0]
+        for oy in range(out):
+            for ox in range(out):
+                for ch in range(3):
+                    blk = px[
+                        y0 + oy * b : y0 + (oy + 1) * b,
+                        x0 + ox * b : x0 + (ox + 1) * b,
+                        ch,
+                    ]
+                    totals[ch] += int(blk.sum()) // (b * b)
+        ids.append(iid)
+        sums_rgb.append(totals)
+    arr = np.array(sums_rgb, dtype=np.int64)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "sum_r": pa.array(arr[:, 0], pa.int64()),
+            "sum_g": pa.array(arr[:, 1], pa.int64()),
+            "sum_b": pa.array(arr[:, 2], pa.int64()),
+        }
+    )
+
+
 def expected_pagerank(
     num_nodes: int = 80,
     iters: int = 5,
@@ -636,6 +677,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["hll_users_by_type"] = values_sql(expected_hll_by_type(sf_dir))
     sql["channel_histogram"] = values_sql(expected_channel_histogram())
     sql["pagerank"] = values_sql(expected_pagerank())
+    sql["tensor_prep"] = values_sql(expected_tensor_prep())
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))

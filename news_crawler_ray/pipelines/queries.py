@@ -1261,6 +1261,20 @@ def _pagestore_edges(t: pa.Table) -> pa.Table:
     )
 
 
+def q_tensor_prep(sf_dir: str):
+    """Training tensor prep over the page-store: center-crop →
+    block-mean resize → normalize; verified by exact per-channel
+    integer sums of the cropped-resized uint8 image."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(synth.make_pagestore(60, seed=42))
+    out = mm.tensor_prep(ps, out=16, concurrency=2, batch_size=32)
+    return out.map_batches(
+        lambda t: t.select(["image_id", "sum_r", "sum_g", "sum_b"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Integer-exact distributed PageRank over the page-store outlink
     graph (5 power iterations; per iteration one src-rank hash join +
@@ -1617,6 +1631,7 @@ def build_queries() -> dict:
         "suppliers_per_region": q_suppliers_per_region,
         "revenue": q_revenue,
         "pagerank": q_pagerank,
+        "tensor_prep": q_tensor_prep,
         "resize_images": q_resize_images,
         "news_pipeline": q_news_pipeline,
         "rss_advisories": q_rss_advisories,

@@ -888,3 +888,24 @@ def test_image_features_corrupt_bytes(ray_session):
     for i, r in out.items():
         if i not in bad:
             assert r["phash_check"] is not None
+
+
+def test_tensor_prep_normalization(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import codec, synth
+    from news_crawler_ray.ops.multimodal import tensor_prep
+
+    ps = synth.make_pagestore(8, seed=4)
+    out = {r["image_id"]: r for r in tensor_prep(rd.from_arrow(ps), out=16).take_all()}
+    assert len(out) == 8
+    for iid, r in out.items():
+        t = np.asarray(r["tensor"], dtype=np.float32)
+        assert t.shape == (16 * 16 * 3,)
+        assert -1.0 <= t.min() and t.max() <= 1.0
+        # tensor is the exact affine of the integer crop/resize: its
+        # channel sums must reproduce the int verification columns
+        chw = t.reshape(3, 16, 16)
+        for ch, name in enumerate(("sum_r", "sum_g", "sum_b")):
+            q = np.rint((chw[ch] * 0.5 + 0.5) * 255.0).astype(np.int64)
+            assert int(q.sum()) == r[name]

@@ -565,3 +565,71 @@ def hll_distinct_by(ds, key_col: str, col: str, p: int = 12) -> pa.Table:
             ),
         }
     )
+
+
+# ------------------------------------------------ per-group top-k rows
+
+
+@ray.remote
+def _top_k_block(
+    key_col: str,
+    order_cols: tuple,
+    descending: tuple,
+    k: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    sort_keys = [(key_col, "ascending")] + [
+        (c, "descending" if d else "ascending")
+        for c, d in zip(order_cols, descending)
+    ]
+    s = tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys))
+    n = s.num_rows
+    keys = s[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    # within-key rank = global index minus the key run's start index
+    run_starts = np.flatnonzero(new_key)
+    run_id = np.cumsum(new_key) - 1
+    rank = np.arange(n, dtype=np.int64) - run_starts[run_id]
+    out = s.append_column("rn", pa.array(rank + 1, pa.int64()))
+    return out.filter(pa.array(rank < k))
+
+
+def group_top_k(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    descending: list[bool],
+    k: int,
+) -> "ray.data.Dataset":
+    """Top-k rows per group (SELECT ... QUALIFY row_number() <= k) on the
+    task-based key-complete exchange: one range-partition sort by
+    ``(key, *order)``, boundary runs donated so each key's rows land in
+    exactly one kernel task, then the rank filter is pure offset
+    arithmetic per block — no hash shuffle, no per-group Python, no
+    group ever materialized driver-side. ``order_cols`` must make the
+    ordering total (include a unique tiebreak column) so the kept rows —
+    and the emitted ``rn`` (1-based rank) — are deterministic at any
+    parallelism. Ref analog: the per-feed newest-first truncate
+    (/root/reference/src/secbot/fetchers/news.py:152-162) generalized to
+    per-key."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=order_cols, descending=descending)
+    if not groups:
+        cols = {key_col: pa.array([], pa.string()), "rn": pa.array([], pa.int64())}
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_arrow_refs(
+        [
+            _top_k_block.remote(key_col, tuple(order_cols), tuple(descending), k, *parts)
+            for parts in groups
+        ]
+    )

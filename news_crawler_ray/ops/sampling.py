@@ -113,3 +113,54 @@ def sample_case_sql(
         f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 8) < "
         f"CASE {strata_col} {cases} ELSE '{fraction_threshold_hex(default_fraction)}' END"
     )
+
+
+# ------------------------------------------------ train/val/test split
+
+
+def split_thresholds_hex(val_fraction: float, test_fraction: float) -> tuple[str, str]:
+    """(test_cut, val_cut) — digest prefixes below ``test_cut`` are test
+    rows, below ``val_cut`` val rows, the rest train. Shared by the op
+    and its SQL oracle so the assignment cannot drift."""
+    return (
+        fraction_threshold_hex(test_fraction),
+        fraction_threshold_hex(test_fraction + val_fraction),
+    )
+
+
+def split_column_batch(
+    batch: pa.Table, key_col: str, val_fraction: float, test_fraction: float
+) -> pa.Table:
+    """Append a ``split`` column ('train'|'val'|'test') assigned by
+    content-stable hash — disjoint, exhaustive, identical on every rerun
+    and cluster shape (the property a 100 TB training corpus needs so an
+    incremental re-ingest never moves an old row across splits).
+    Streams block-local through ``map_batches``; no shuffle, no RNG."""
+    if batch.num_rows == 0:
+        return batch.append_column("split", pa.array([], pa.string()))
+    t_test, t_val = split_thresholds_hex(val_fraction, test_fraction)
+    prefixes = _digest_prefixes(batch[key_col])
+    split = np.where(
+        prefixes < np.array(t_test, dtype="U8"),
+        "test",
+        np.where(prefixes < np.array(t_val, dtype="U8"), "val", "train"),
+    )
+    return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+
+def dataset_split(ds, key_col: str, val_fraction: float, test_fraction: float):
+    return ds.map_batches(
+        lambda b: split_column_batch(b, key_col, val_fraction, test_fraction),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def split_case_sql(key_col: str, val_fraction: float, test_fraction: float) -> str:
+    """Oracle-side split assignment, from the SAME thresholds as the op."""
+    t_test, t_val = split_thresholds_hex(val_fraction, test_fraction)
+    return (
+        f"CASE WHEN substr(md5(CAST({key_col} AS VARCHAR)), 1, 8) < '{t_test}' "
+        f"THEN 'test' WHEN substr(md5(CAST({key_col} AS VARCHAR)), 1, 8) < '{t_val}' "
+        "THEN 'val' ELSE 'train' END"
+    )

@@ -1332,6 +1332,33 @@ def q_running_totals(sf_dir: str):
     )
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (10% val, 10% test) by
+    content-stable md5 — disjoint + exhaustive, identical on any rerun
+    or cluster shape (ops/sampling.dataset_split). Streams block-local;
+    no shuffle, no RNG state."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return sp.dataset_split(ds, "doc_id", val_fraction=0.1, test_fraction=0.1)
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Per-group top-k (QUALIFY row_number() <= 3): each customer's 3
+    priciest orders, on the key-complete sort exchange
+    (ops/agg.group_top_k) — the ref's newest-first-truncate (news.py:
+    152-162) generalized to per-key. Tiebreak on o_orderkey makes the
+    kept rows and ranks total-order deterministic."""
+    from ..ops.agg import group_top_k
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = group_top_k(
+        ds, "o_custkey", ["o_totalprice", "o_orderkey"], [True, False], k=3
+    )
+    return out.map_batches(
+        lambda t: t.select(["o_custkey", "o_orderkey", "o_totalprice", "rn"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_events_rollup(sf_dir: str):
     """GROUP BY ROLLUP(event_type, day): all three grouping levels in
     one streaming pass (in-task level fan-out + zero-exchange combiner,
@@ -1496,6 +1523,17 @@ ORACLE_SQL.update(
             "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
             ") AS running_cents FROM events"
         ),
+        "dataset_split": (
+            "SELECT doc_id, "
+            + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
+            + " AS split FROM documents"
+        ),
+        "top_orders_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+            ") AS rn FROM orders) WHERE rn <= 3"
+        ),
         "events_rollup": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, "
             "max(value) AS max_value FROM events "
@@ -1626,6 +1664,8 @@ def build_queries() -> dict:
         "curate_corpus": q_curate_corpus,
         "events_rollup": q_events_rollup,
         "running_totals": q_running_totals,
+        "top_orders_per_cust": q_top_orders_per_cust,
+        "dataset_split": q_dataset_split,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

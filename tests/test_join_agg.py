@@ -360,3 +360,37 @@ def test_rollup_levels_and_null_grouping(ray_session):
     assert rows[(None, None)][0] == n
     assert rows[("x", None)][0] == n // 3
     assert rows[("x", 0)] == (n // 12, float(n - 12))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_top_k_matches_sequential_rank():
+    """Top-3 per key vs a sequential rank reference; one hot key spans
+    many blocks (the skew case the key-complete exchange must handle)
+    and a unique key exercises the k > group-size edge."""
+    from news_crawler_ray.ops.agg import group_top_k
+
+    rng = np.random.default_rng(7)
+    keys = ["hot"] * 400 + [f"k{i % 37}" for i in range(300)] + ["solo"]
+    vals = rng.integers(0, 10_000, size=len(keys))
+    ids = np.arange(len(keys), dtype=np.int64)
+    tbl = pa.table(
+        {"k": pa.array(keys), "v": pa.array(vals, pa.int64()), "id": pa.array(ids)}
+    )
+    out = (
+        group_top_k(_ds(tbl, 16), "k", ["v", "id"], [True, False], k=3)
+        .to_pandas()
+        .sort_values(["k", "rn"])
+        .reset_index(drop=True)
+    )
+
+    # sequential reference: sort by (k, -v, id), first 3 per key
+    import pandas as pd
+
+    df = tbl.to_pandas().sort_values(
+        ["k", "v", "id"], ascending=[True, False, True]
+    )
+    df["rn"] = df.groupby("k").cumcount() + 1
+    ref = df[df["rn"] <= 3][["k", "v", "id", "rn"]].reset_index(drop=True)
+    got = out[["k", "v", "id", "rn"]]
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+    assert (out[out["k"] == "solo"]["rn"] == [1]).all()

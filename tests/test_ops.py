@@ -909,3 +909,31 @@ def test_tensor_prep_normalization(ray_session):
         for ch, name in enumerate(("sum_r", "sum_g", "sum_b")):
             q = np.rint((chw[ch] * 0.5 + 0.5) * 255.0).astype(np.int64)
             assert int(q.sum()) == r[name]
+
+
+def test_dataset_split_disjoint_exhaustive_stable(ray_session):
+    """train/val/test assignment is a partition (every row exactly one
+    split), reproduces across reruns and block layouts, and lands near
+    the requested fractions."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops import sampling as sp
+
+    ids = pa.table({"doc_id": pa.array(np.arange(4000, dtype=np.int64))})
+    a = sp.dataset_split(rd.from_arrow(ids), "doc_id", 0.1, 0.2).to_pandas()
+    b = (
+        sp.dataset_split(
+            rd.from_arrow(ids).repartition(13), "doc_id", 0.1, 0.2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # parallelism-independent
+    assert len(a) == 4000 and set(a["split"]) == {"train", "val", "test"}
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["test"] - 0.2) < 0.03 and abs(frac["val"] - 0.1) < 0.03
+    # keep-all edge: test_fraction=1.0 sends everything to 'test'
+    allt = sp.dataset_split(rd.from_arrow(ids), "doc_id", 0.0, 1.0).to_pandas()
+    assert (allt["split"] == "test").all()

@@ -1332,6 +1332,26 @@ def q_running_totals(sf_dir: str):
     )
 
 
+def q_lineitems_of_large_parts(sf_dir: str):
+    """Bloom-prefilter semi join (ops/join.bloom_semi_join): lineitems
+    whose part is size > 40. The bloom bitmap over the small right side
+    broadcasts once; the big left side is prefiltered block-local so the
+    exact sort-merge verify sees ~|matches| rows instead of |lineitem|
+    — the 100 TB shape for mid-sized right sides."""
+    from ..ops.join import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def large_part_keys(t: pa.Table) -> pa.Table:
+        big = t.filter(pc.greater(t["p_size"], 40))
+        return pa.table({"l_partkey": big["p_partkey"]})
+
+    right = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        large_part_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bloom_semi_join(li, right, "l_partkey")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val/test split (10% val, 10% test) by
     content-stable md5 — disjoint + exhaustive, identical on any rerun
@@ -1523,6 +1543,10 @@ ORACLE_SQL.update(
             "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
             ") AS running_cents FROM events"
         ),
+        "lineitems_of_large_parts": (
+            "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)"
+        ),
         "dataset_split": (
             "SELECT doc_id, "
             + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
@@ -1666,6 +1690,7 @@ def build_queries() -> dict:
         "running_totals": q_running_totals,
         "top_orders_per_cust": q_top_orders_per_cust,
         "dataset_split": q_dataset_split,
+        "lineitems_of_large_parts": q_lineitems_of_large_parts,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

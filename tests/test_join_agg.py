@@ -394,3 +394,44 @@ def test_group_top_k_matches_sequential_rank():
     got = out[["k", "v", "id", "rn"]]
     pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
     assert (out[out["k"] == "solo"]["rn"] == [1]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bloom_semi_join_exact_vs_reference():
+    """bloom prefilter + exact verify == plain semi join (bloom false
+    positives must not leak), including string keys and an empty right."""
+    from news_crawler_ray.ops.join import (
+        _bloom_positions,
+        bloom_semi_join,
+        sort_merge_semi_join,
+    )
+
+    rng = np.random.default_rng(11)
+    lk = rng.integers(0, 5000, size=6000)
+    left = pa.table(
+        {"k": pa.array(lk, pa.int64()), "payload": pa.array(np.arange(6000))}
+    )
+    right = pa.table({"k": pa.array(rng.choice(5000, 80, replace=False), pa.int64())})
+    got = (
+        bloom_semi_join(_ds(left, 8), _ds(right, 3), "k")
+        .to_pandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        sort_merge_semi_join(_ds(left, 8), _ds(right, 3), "k")
+        .to_pandas()
+        .sort_values(["k", "payload"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(ref)
+    member = set(right["k"].to_pylist())
+    assert set(got["k"]) <= member and len(got) == int(
+        np.isin(lk, list(member)).sum()
+    )
+    # empty right → empty result, same schema
+    empty = pa.table({"k": pa.array([], pa.int64())})
+    assert bloom_semi_join(_ds(left, 4), _ds(empty, 1), "k").count() == 0
+    # double-hash probe positions stay in range and use all k slots
+    pos = _bloom_positions(rng.integers(0, 2**63, 100, dtype=np.uint64), 1 << 12, 7)
+    assert pos.shape == (100, 7) and pos.min() >= 0 and pos.max() < (1 << 12)

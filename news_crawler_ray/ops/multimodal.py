@@ -542,3 +542,54 @@ def tensor_prep(ds, out: int = 16, concurrency=2, batch_size: int = 32):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def image_meta_filter_batch(
+    t: pa.Table,
+    min_dim: int = 64,
+    max_aspect: int = 2,
+    min_caption_tokens: int = 8,
+    fmts: tuple = ("png", "jpeg"),
+) -> pa.Table:
+    """LAION-style corpus admission filter on METADATA ONLY — the cheap
+    first pass a 100 TB image corpus runs before any decode: minimum
+    dimension, aspect-ratio bound (max(w,h) <= max_aspect*min(w,h),
+    integer-exact), minimum caption token count, format allowlist. All
+    pyarrow.compute; the ``bytes`` column never enters the stage (prune
+    it at the read). Emits (image_id, w, h, fmt, n_caption_tokens)."""
+    import pyarrow.compute as pc
+
+    w, h = t["w"], t["h"]
+    lo = pc.min_element_wise(w, h)
+    hi = pc.max_element_wise(w, h)
+    ntok = pc.cast(
+        pc.count_substring_regex(pc.coalesce(t["caption"], ""), r"\S+"), pa.int64()
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(lo, min_dim),
+            pc.less_equal(hi, pc.multiply(lo, max_aspect)),
+        ),
+        pc.and_(
+            pc.greater_equal(ntok, min_caption_tokens),
+            pc.is_in(t["fmt"], value_set=pa.array(list(fmts))),
+        ),
+    )
+    out = pa.table(
+        {
+            "image_id": t["image_id"],
+            "w": w,
+            "h": h,
+            "fmt": t["fmt"],
+            "n_caption_tokens": ntok,
+        }
+    )
+    return out.filter(keep)
+
+
+def image_meta_filter(ds, **kw):
+    return ds.map_batches(
+        lambda t: image_meta_filter_batch(t, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -789,6 +789,26 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "WHERE published = DATE '2025-06-20'"
     )
 
+    # image_corpus_filter: page-store METADATA inlined, the admission
+    # predicates (min dim, aspect bound, caption token floor, fmt
+    # allowlist) in real SQL — same fixture, same thresholds as
+    # queries.q_image_corpus_filter
+    from .queries import IMG_FILTER_N
+
+    meta = values_sql(
+        synth.make_pagestore(IMG_FILTER_N, seed=42).select(
+            ["image_id", "w", "h", "fmt", "caption"]
+        )
+    )
+    sql["image_corpus_filter"] = (
+        "WITH meta AS (" + meta + ") "
+        r"SELECT image_id, w, h, fmt, len(regexp_extract_all(caption, '\S+')) "
+        "AS n_caption_tokens FROM meta "
+        "WHERE least(w, h) >= 64 AND greatest(w, h) <= 2 * least(w, h) "
+        r"AND len(regexp_extract_all(caption, '\S+')) >= 8 "
+        "AND fmt IN ('png', 'jpeg')"
+    )
+
     # langid: the marker-vote heuristic in real SQL over documents
     def marker_count(lang: str) -> str:
         ms = LANG_MARKERS[lang]

@@ -1332,6 +1332,25 @@ def q_running_totals(sf_dir: str):
     )
 
 
+IMG_FILTER_N = 200
+
+
+def q_image_corpus_filter(sf_dir: str):
+    """LAION-style admission filter over the page-store METADATA (min
+    dim, aspect bound, caption token floor, fmt allowlist) — the
+    decode-free first pass of an image-corpus ingest. ``bytes`` is
+    dropped before the stage so only narrow columns flow; the SQL
+    oracle runs the same predicates over the inlined fixture metadata."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(IMG_FILTER_N, seed=42).select(
+            ["image_id", "w", "h", "fmt", "caption"]
+        )
+    )
+    return mm.image_meta_filter(ps)
+
+
 def q_lineitems_of_large_parts(sf_dir: str):
     """Bloom-prefilter semi join (ops/join.bloom_semi_join): lineitems
     whose part is size > 40. The bloom bitmap over the small right side
@@ -1691,6 +1710,7 @@ def build_queries() -> dict:
         "top_orders_per_cust": q_top_orders_per_cust,
         "dataset_split": q_dataset_split,
         "lineitems_of_large_parts": q_lineitems_of_large_parts,
+        "image_corpus_filter": q_image_corpus_filter,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

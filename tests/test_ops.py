@@ -937,3 +937,27 @@ def test_dataset_split_disjoint_exhaustive_stable(ray_session):
     # keep-all edge: test_fraction=1.0 sends everything to 'test'
     allt = sp.dataset_split(rd.from_arrow(ids), "doc_id", 0.0, 1.0).to_pandas()
     assert (allt["split"] == "test").all()
+
+
+def test_image_meta_filter_edges(ray_session):
+    """Boundary aspect ratio is kept (<=), null captions drop, fmt
+    allowlist enforced, and bytes never needs to be present."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.multimodal import image_meta_filter
+
+    cap8 = "a b c d e f g h"
+    t = pa.table(
+        {
+            "image_id": pa.array([f"i{k}" for k in range(6)]),
+            "w": pa.array([64, 128, 63, 64, 64, 130], pa.int32()),
+            "h": pa.array([128, 64, 64, 64, 64, 64], pa.int32()),
+            "fmt": pa.array(["png", "jpeg", "png", "gif", "png", "png"]),
+            "caption": pa.array([cap8, cap8, cap8, cap8, None, cap8]),
+        }
+    )
+    out = image_meta_filter(rd.from_arrow(t)).to_pandas()
+    # i0/i1: aspect exactly 2 → kept; i2 min dim 63 → drop; i3 gif →
+    # drop; i4 null caption → drop; i5 aspect 130/64 > 2 → drop
+    assert sorted(out["image_id"]) == ["i0", "i1"]
+    assert (out["n_caption_tokens"] == 8).all()

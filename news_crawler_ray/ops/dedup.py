@@ -29,6 +29,7 @@ import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from . import hashing as H
 
@@ -661,3 +662,107 @@ def embedding_cosine_pairs(
         )
 
     return _bucketed_pairs(exploded, ["table", "bucket"], bucket_pairs)
+
+
+# ------------------------------------------------ SemDeDup (cluster-partitioned)
+
+
+@ray.remote
+def _semantic_dedup_block(
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float,
+    max_cluster: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    """Per-cluster cosine dedup kernel: the exchange guarantees every
+    cluster is complete in this task, so components never span tasks —
+    a local union-find per cluster is exact, no distributed CC round."""
+    from .similarity import _as_matrix, _normalize
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[(cluster_col, "ascending"), (id_col, "ascending")]
+        )
+    )
+    ids = np.asarray(tbl[id_col], dtype=np.int64)
+    drop_ids, rep_ids = [], []
+    for start, end in _multi_runs(tbl, [cluster_col]):
+        n = end - start
+        if n > max_cluster:
+            _log_truncated_bucket("semantic-dedup cluster", n, max_cluster)
+            end = start + max_cluster
+            n = max_cluster
+        V = _normalize(_as_matrix(tbl[vec_col].slice(start, n), n))
+        S = V @ V.T
+        ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+        if len(ia) == 0:
+            continue
+        # union-find over local indices; ids ascending → root = min id
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ia.tolist(), ib.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for i in range(n):
+            r = find(i)
+            if r != i:
+                drop_ids.append(ids[start + i])
+                rep_ids.append(ids[start + r])
+    return pa.table(
+        {
+            id_col: pa.array(drop_ids, pa.int64()),
+            "rep_id": pa.array(rep_ids, pa.int64()),
+        }
+    )
+
+
+def semantic_dedup_ids(
+    ds,
+    centroids: np.ndarray,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 4096,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse k-means
+    quantization partitions the corpus, near-dups are resolved WITHIN
+    each cluster only — the pairing cost drops from O(N²) to
+    O(sum B_c²) and the exchange ships each row once, keyed by cluster.
+    Returns the DROPPED rows as (id, rep_id) where rep is the min id of
+    the row's within-cluster cosine-≥-threshold component; keep-set =
+    anti-join against these ids. Pairs split across clusters are missed
+    by design (the recall/cost knob is the cluster count); over-cap
+    clusters are truncated and logged like the LSH bucket caps.
+    Centroids come from the caller (train_centroids on a driver-side
+    sample — training is sample-scale, assignment is the distributed
+    part) and are broadcast once inside kmeans_assign."""
+    from ..stages.index import key_complete_parts
+    from .similarity import kmeans_assign
+
+    assigned = kmeans_assign(ds, centroids, vec_col=vec_col, cluster_col="cluster")
+    groups = key_complete_parts(assigned, "cluster", order=[id_col])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "rep_id": pa.array([], pa.int64())}
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _semantic_dedup_block.remote(
+                id_col, vec_col, "cluster", threshold, max_cluster, *parts
+            )
+            for parts in groups
+        ]
+    )

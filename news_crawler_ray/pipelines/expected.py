@@ -239,6 +239,61 @@ def expected_embedding_pairs(sf_dir: str, threshold: float = 0.98) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_semantic_dedup(sf_dir: str) -> pa.Table:
+    """Sequential SemDeDup: identical centroid training (driver-side
+    head sample), identical normalized-argmax assignment, brute
+    within-cluster cosine pairing, min-id union-find — mirrors
+    ops/dedup.semantic_dedup_ids exactly (same float64 expressions over
+    the same float32-stored table)."""
+    from ..ops.similarity import _normalize, train_centroids
+    from .queries import (
+        SEMDEDUP_NLIST,
+        SEMDEDUP_THRESHOLD,
+        SEMDEDUP_TRAIN_N,
+        _planted_embeddings_tbl,
+    )
+
+    tbl = _planted_embeddings_tbl(sf_dir)
+    n = tbl.num_rows
+    V = np.asarray(
+        tbl["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(n, -1)
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    C = _normalize(train_centroids(V[:SEMDEDUP_TRAIN_N], nlist=SEMDEDUP_NLIST))
+    Vn = _normalize(V)
+    assign = np.argmax(Vn @ C.T, axis=1)
+    drop, rep = [], []
+    for c in np.unique(assign):
+        members = np.nonzero(assign == c)[0]
+        members = members[np.argsort(ids[members], kind="stable")]
+        m = len(members)
+        if m < 2:
+            continue
+        _check_cap(m, 4096, "semantic-dedup")
+        S = Vn[members] @ Vn[members].T
+        ia, ib = np.nonzero(np.triu(S >= SEMDEDUP_THRESHOLD, k=1))
+        parent = np.arange(m)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ia.tolist(), ib.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for i in range(m):
+            r = find(i)
+            if r != i:
+                drop.append(int(ids[members[i]]))
+                rep.append(int(ids[members[r]]))
+    return pa.table(
+        {"vec_id": pa.array(drop, pa.int64()), "rep_id": pa.array(rep, pa.int64())}
+    )
+
+
 # ------------------------------------------------------------------ kNN
 
 
@@ -679,6 +734,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["pagerank"] = values_sql(expected_pagerank())
     sql["tensor_prep"] = values_sql(expected_tensor_prep())
     sql["embedding_dup_pairs"] = values_sql(expected_embedding_pairs(sf_dir))
+    sql["semantic_dedup"] = values_sql(expected_semantic_dedup(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the

@@ -597,6 +597,28 @@ def q_embedding_dup_pairs(sf_dir: str):
     return pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
 
 
+SEMDEDUP_NLIST = 8
+SEMDEDUP_TRAIN_N = 2000
+SEMDEDUP_THRESHOLD = 0.98
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (cluster-partitioned semantic dedup) over the planted
+    noisy-copy embeddings: k-means coarse quantization partitions the
+    corpus, near-dups resolve within clusters only, dropped rows come
+    back as (vec_id, rep_id). Centroids train on a driver-side head
+    sample (sample-scale); assignment + pairing are distributed."""
+    tab = _planted_embeddings_tbl(sf_dir)
+    head = tab.slice(0, SEMDEDUP_TRAIN_N)
+    E = np.asarray(
+        head["embedding"].combine_chunks().flatten(), dtype=np.float64
+    ).reshape(head.num_rows, -1)
+    C = sim.train_centroids(E, nlist=SEMDEDUP_NLIST)
+    return dd.semantic_dedup_ids(
+        _ds_from_table(tab), C, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 def q_knn_ivf(sf_dir: str):
     """IVF-pruned ANN over the embeddings table (approximate scale path)."""
     # training sample + query vectors: stream only the first ~2000 rows
@@ -1711,6 +1733,7 @@ def build_queries() -> dict:
         "dataset_split": q_dataset_split,
         "lineitems_of_large_parts": q_lineitems_of_large_parts,
         "image_corpus_filter": q_image_corpus_filter,
+        "semantic_dedup": q_semantic_dedup,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -961,3 +961,54 @@ def test_image_meta_filter_edges(ray_session):
     # drop; i4 null caption → drop; i5 aspect 130/64 > 2 → drop
     assert sorted(out["image_id"]) == ["i0", "i1"]
     assert (out["n_caption_tokens"] == 8).all()
+
+
+def test_semantic_dedup_drops_planted_copies(ray_session):
+    """Planted noisy copies resolve to their originals (rep = min id of
+    the within-cluster component); result is identical across block
+    layouts; clean corpus drops nothing."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import semantic_dedup_ids
+    from news_crawler_ray.ops.similarity import train_centroids
+
+    rng = np.random.default_rng(5)
+    # 4 well-separated anchor directions; base points jitter tightly
+    # around an anchor so a noisy copy can never cross a cluster
+    # boundary (boundary-crossing pairs are missed BY DESIGN — that is
+    # the recall/cost knob, not what this test pins down)
+    anchors = np.eye(16)[:4] * 3.0
+    base = anchors[np.arange(120) % 4] + rng.standard_normal((120, 16)) * 0.5
+    noisy = base + rng.standard_normal(base.shape) * 0.005
+    V = np.concatenate([base, noisy])
+    ids = np.concatenate([np.arange(120), np.arange(120) + 10_000])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(V.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    C = train_centroids(V[:100], nlist=4)
+    got = (
+        semantic_dedup_ids(rd.from_arrow(tbl).repartition(7), C, threshold=0.999)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    # every planted copy dropped, its original is the representative
+    assert (got["vec_id"].to_numpy() == np.arange(120) + 10_000).all()
+    assert (got["rep_id"].to_numpy() == np.arange(120)).all()
+    again = (
+        semantic_dedup_ids(rd.from_arrow(tbl).repartition(2), C, threshold=0.999)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(again)
+    clean = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120), pa.int64()),
+            "embedding": pa.array(base.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    assert semantic_dedup_ids(rd.from_arrow(clean), C, threshold=0.9999).count() == 0

@@ -593,3 +593,42 @@ def image_meta_filter(ds, **kw):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+ASPECT_BUCKETS = ((1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (2, 1), (1, 2))
+
+
+def aspect_bucket_batch(t: pa.Table, buckets: tuple = ASPECT_BUCKETS) -> pa.Table:
+    """Aspect-ratio bucketing for training (SDXL-style): each image
+    goes to the bucket minimizing the INTEGER-EXACT distortion ratio
+    ``max(w·bh, h·bw) / min(w·bh, h·bw)`` (first bucket wins ties) —
+    cross-multiplied ints, so the argmin is reproducible across engines
+    with no float log. Metadata-only; batching groups of one aspect
+    into uniform training batches avoids padding waste. Emits
+    (image_id, w, h, bucket)."""
+    n = t.num_rows
+    w = np.asarray(t["w"], dtype=np.int64)
+    h = np.asarray(t["h"], dtype=np.int64)
+    bw = np.array([b[0] for b in buckets], dtype=np.int64)
+    bh = np.array([b[1] for b in buckets], dtype=np.int64)
+    A = w[:, None] * bh[None, :]
+    B = h[:, None] * bw[None, :]
+    R = np.maximum(A, B) / np.minimum(A, B)
+    idx = np.argmin(R, axis=1)  # first occurrence wins ties
+    labels = np.array([f"{a}:{b}" for a, b in buckets])
+    return pa.table(
+        {
+            "image_id": t["image_id"],
+            "w": t["w"],
+            "h": t["h"],
+            "bucket": pa.array(labels[idx].tolist(), pa.string()),
+        }
+    )
+
+
+def aspect_buckets(ds, buckets: tuple = ASPECT_BUCKETS):
+    return ds.map_batches(
+        lambda t: aspect_bucket_batch(t, buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -164,3 +164,41 @@ def split_case_sql(key_col: str, val_fraction: float, test_fraction: float) -> s
         f"THEN 'test' WHEN substr(md5(CAST({key_col} AS VARCHAR)), 1, 8) < '{t_val}' "
         "THEN 'val' ELSE 'train' END"
     )
+
+
+# ------------------------------------------------ target-mixture sampling
+
+
+def mixture_fractions(
+    counts: dict[str, int], weights: dict[str, float], budget: int
+) -> dict[str, float]:
+    """Per-stratum keep fractions that land a target mixture inside a
+    row budget: ``fraction_s = min(1, budget·weight_s / count_s)`` —
+    the data-mixing step of corpus assembly (e.g. rebalance languages
+    or sources to a recipe). Expected kept rows per stratum ≈
+    budget·weight_s, capped at the stratum's actual size (a rare
+    stratum is kept whole, never upsampled). Pure function shared by
+    the engine pass and the SQL oracle; strata absent from ``weights``
+    get 0."""
+    out: dict[str, float] = {}
+    for s, c in counts.items():
+        w = weights.get(s, 0.0)
+        out[s] = min(1.0, (budget * w) / c) if c else 0.0
+    return out
+
+
+def mixture_sample(ds, key_col: str, strata_col: str, weights: dict[str, float], budget: int):
+    """Two-phase mixture sampling: one combiner pass counts strata
+    (O(strata) rows leave the map — no shuffle), the fractions formula
+    runs driver-side on that tiny table, then the content-stable
+    stratified filter streams block-local. Deterministic end-to-end."""
+    from .agg import partial_group_agg
+
+    counts_tbl = partial_group_agg(ds, [strata_col], [("n", "count_all", None)])
+    counts = dict(
+        zip(counts_tbl[strata_col].to_pylist(), counts_tbl["n"].to_pylist())
+    )
+    fr = mixture_fractions(counts, weights, budget)
+    return hash_sample(
+        ds, key_col, strata_col=strata_col, fractions=fr, default_fraction=0.0
+    )

@@ -845,6 +845,25 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "WHERE published = DATE '2025-06-20'"
     )
 
+    # mixture_sample: counts read at oracle-build time (one pruned
+    # column), fractions from the SAME pure formula as the engine pass,
+    # predicate from the SAME threshold renderer (sample_case_sql)
+    from collections import Counter
+
+    from ..ops.sampling import mixture_fractions, sample_case_sql
+    from .queries import MIXTURE_BUDGET, MIXTURE_WEIGHTS
+
+    lang_counts = Counter(
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+        )["lang"].to_pylist()
+    )
+    fr = mixture_fractions(dict(lang_counts), MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+    sql["mixture_sample"] = (
+        "SELECT doc_id, lang FROM documents WHERE "
+        + sample_case_sql("doc_id", "lang", fr, 0.0)
+    )
+
     # image_corpus_filter: page-store METADATA inlined, the admission
     # predicates (min dim, aspect bound, caption token floor, fmt
     # allowlist) in real SQL — same fixture, same thresholds as
@@ -863,6 +882,26 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "WHERE least(w, h) >= 64 AND greatest(w, h) <= 2 * least(w, h) "
         r"AND len(regexp_extract_all(caption, '\S+')) >= 8 "
         "AND fmt IN ('png', 'jpeg')"
+    )
+
+    # aspect_buckets: same fixture metadata, same integer-exact
+    # distortion ranked in real SQL over a buckets VALUES table
+    from ..ops.multimodal import ASPECT_BUCKETS
+
+    bucket_rows = ", ".join(
+        f"({i}, {a}, {b}, '{a}:{b}')" for i, (a, b) in enumerate(ASPECT_BUCKETS)
+    )
+    dims = values_sql(
+        synth.make_pagestore(IMG_FILTER_N, seed=42).select(["image_id", "w", "h"])
+    )
+    sql["aspect_buckets"] = (
+        "WITH meta AS (" + dims + "), "
+        f"bk(idx, bw, bh, label) AS (VALUES {bucket_rows}), "
+        "ranked AS (SELECT image_id, w, h, label, row_number() OVER ("
+        "PARTITION BY image_id ORDER BY "
+        "greatest(w * bh, h * bw) * 1.0 / least(w * bh, h * bw), idx) AS rn "
+        "FROM meta CROSS JOIN bk) "
+        "SELECT image_id, w, h, label AS bucket FROM ranked WHERE rn = 1"
     )
 
     # langid: the marker-vote heuristic in real SQL over documents

@@ -1039,6 +1039,19 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+MIXTURE_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.1, "fr": 0.1, "es": 0.1}
+MIXTURE_BUDGET = 300
+
+
+def q_mixture_sample(sf_dir: str):
+    """Target-mixture corpus assembly: rebalance languages to a recipe
+    (50/20/10/10/10) within a ~300-row budget — one combiner counting
+    pass, driver-side fractions (ops/sampling.mixture_fractions), then
+    the content-stable stratified filter streams block-local."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return sp.mixture_sample(ds, "doc_id", "lang", MIXTURE_WEIGHTS, MIXTURE_BUDGET)
+
+
 def _benchmark_needles(sf_dir: str) -> list[str]:
     """Deterministic 8-gram 'benchmark' needles: the opening 8 words of
     every 50th document — tiny by construction (real decontamination
@@ -1371,6 +1384,20 @@ def q_image_corpus_filter(sf_dir: str):
         )
     )
     return mm.image_meta_filter(ps)
+
+
+def q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing over the page-store metadata:
+    integer-exact nearest-bucket assignment (ops/multimodal
+    .aspect_buckets) so training batches group uniform shapes. The SQL
+    oracle ranks the same cross-multiplied distortion over a buckets
+    VALUES table."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(IMG_FILTER_N, seed=42).select(["image_id", "w", "h"])
+    )
+    return mm.aspect_buckets(ps)
 
 
 def q_lineitems_of_large_parts(sf_dir: str):
@@ -1734,6 +1761,8 @@ def build_queries() -> dict:
         "lineitems_of_large_parts": q_lineitems_of_large_parts,
         "image_corpus_filter": q_image_corpus_filter,
         "semantic_dedup": q_semantic_dedup,
+        "mixture_sample": q_mixture_sample,
+        "aspect_buckets": q_aspect_buckets,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -1012,3 +1012,40 @@ def test_semantic_dedup_drops_planted_copies(ray_session):
         }
     )
     assert semantic_dedup_ids(rd.from_arrow(clean), C, threshold=0.9999).count() == 0
+
+
+def test_mixture_sample_hits_recipe(ray_session):
+    """Mixture sampling lands near budget·weight per stratum, caps rare
+    strata at their full size (never upsamples), and zero-weight strata
+    vanish."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.sampling import mixture_fractions, mixture_sample
+
+    n = 3000
+    langs = np.array(["en"] * 2000 + ["de"] * 900 + ["rare"] * 100)
+    tbl = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "lang": pa.array(langs)}
+    )
+    weights = {"en": 0.5, "de": 0.25, "rare": 0.25}
+    out = mixture_sample(rd.from_arrow(tbl), "doc_id", "lang", weights, 800).to_pandas()
+    got = out["lang"].value_counts()
+    assert got["rare"] == 100  # min(1, 200/100) → kept whole
+    assert abs(got["en"] - 400) < 60 and abs(got["de"] - 200) < 45
+    fr = mixture_fractions({"en": 2000, "de": 900, "rare": 100, "x": 50}, weights, 800)
+    assert fr["rare"] == 1.0 and fr["x"] == 0.0 and 0 < fr["en"] < 1
+
+
+def test_aspect_bucket_assignment_exact():
+    from news_crawler_ray.ops.multimodal import aspect_bucket_batch
+
+    t = pa.table(
+        {
+            "image_id": pa.array(["a", "b", "c", "d", "e"]),
+            "w": pa.array([100, 160, 90, 512, 100], pa.int32()),
+            "h": pa.array([100, 90, 160, 256, 75], pa.int32()),
+        }
+    )
+    out = aspect_bucket_batch(t)
+    got = dict(zip(out["image_id"].to_pylist(), out["bucket"].to_pylist()))
+    assert got == {"a": "1:1", "b": "16:9", "c": "9:16", "d": "2:1", "e": "4:3"}

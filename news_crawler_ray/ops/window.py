@@ -280,3 +280,66 @@ def running_sum(
             for parts in groups
         ]
     )
+
+
+@ray.remote
+def _gap_stats_block(
+    key_col: str, ts_col: str, carry_cols: tuple, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[(key_col, "ascending"), (ts_col, "ascending")]
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    ts = np.asarray(tbl[ts_col], dtype=np.int64)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.concatenate([np.flatnonzero(new_key), [n]])
+    counts, gaps, first_idx = [], [], []
+    for a, b in zip(starts[:-1], starts[1:]):
+        counts.append(int(b - a))
+        gaps.append(int(np.diff(ts[a:b]).min()) if b - a >= 2 else None)
+        first_idx.append(int(a))
+    take = pa.array(first_idx, pa.int64())
+    cols = {key_col: keys.take(take)}
+    cols.update({c: tbl[c].take(take) for c in carry_cols if c != key_col})
+    cols["n_events"] = pa.array(counts, pa.int64())
+    cols["min_gap"] = pa.array(gaps, pa.int64())
+    return pa.table(cols)
+
+
+def group_gap_stats(ds, key_col: str, ts_col: str, carry_cols: tuple = ()):
+    """Per-key event count + MIN adjacent gap of the sorted ``ts_col``
+    (the politeness-audit primitive: a per-host crawl schedule is
+    compliant iff min_gap >= the host's delay). One key-complete sort
+    exchange, vectorized diff per key run, no per-row Python.
+    ``carry_cols``: extra columns whose first-row value per key is
+    carried through (constant-per-key attributes like delay_ms).
+    ``min_gap`` is NULL for single-event keys."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[ts_col])
+    if not groups:
+        cols = {key_col: pa.array([], pa.string())}
+        cols.update(
+            {c: pa.array([], pa.string()) for c in carry_cols if c != key_col}
+        )
+        cols["n_events"] = pa.array([], pa.int64())
+        cols["min_gap"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    return ray.data.from_arrow_refs(
+        [
+            _gap_stats_block.remote(key_col, ts_col, tuple(carry_cols), *parts)
+            for parts in groups
+        ]
+    )

@@ -667,6 +667,43 @@ def expected_crawl_flagship() -> pa.Table:
     )
 
 
+def expected_politeness_audit() -> pa.Table:
+    """Sequential per-(host, wave) schedule audit over the same crawl
+    oracle: count + min adjacent gap of the virtual-clock fetch times,
+    plus the host's delay — mirrors q_politeness_audit."""
+    ps = synth.make_pagestore(80, seed=42)
+    fr = synth.make_frontier(60, seed=42)
+    robots = synth.make_robots(seed=42)
+    res = crawl_oracle(
+        fr.to_pylist(), ps.to_pylist(), robots.to_pylist(), max_waves=2
+    )
+    groups: dict = {}
+    it = iter(res.fetched)
+    for w, wave_urls in enumerate(res.crawl_order):
+        for _ in wave_urls:
+            r = next(it)
+            groups.setdefault((r["host"], w), []).append(r)
+    hosts, waves, ns, gaps, delays = [], [], [], [], []
+    for (host, w), rows in sorted(groups.items()):
+        ts = sorted(r["fetch_at_us"] for r in rows)
+        hosts.append(host)
+        waves.append(w)
+        ns.append(len(rows))
+        gaps.append(
+            min(b - a for a, b in zip(ts, ts[1:])) if len(ts) >= 2 else None
+        )
+        delays.append(rows[0]["delay_ms"] * 1000)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "wave": pa.array(waves, pa.int32()),
+            "n_fetches": pa.array(ns, pa.int64()),
+            "min_gap_us": pa.array(gaps, pa.int64()),
+            "delay_us": pa.array(delays, pa.int64()),
+        }
+    )
+
+
 # ------------------------------------------------------------- assembly
 
 
@@ -801,6 +838,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["image_features"] = values_sql(expected_image_features())
     sql["resize_images"] = values_sql(expected_resize())
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())
+    sql["politeness_audit"] = values_sql(expected_politeness_audit())
 
     # ip_block_rules: distinct IPs from the expected IOC table, then the
     # SID + rule-line logic in real SQL (ref suricata.py:60,182-189)

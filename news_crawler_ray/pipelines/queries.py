@@ -1114,6 +1114,58 @@ def q_crawl_flagship(sf_dir: str):
     )
 
 
+def q_politeness_audit(sf_dir: str):
+    """Politeness as an auditable RESULT, not a side effect: per
+    (host, wave) fetch count + the MINIMUM inter-fetch gap of the
+    scheduled virtual-clock times vs the host's crawl delay — a
+    compliant schedule has min_gap_us >= delay_us everywhere
+    (north-rule per-host politeness budget; ref news.py:135 sleep(1)).
+    One key-complete exchange over the flagship crawl's output."""
+    from ..fixtures import synth
+    from ..ops.window import group_gap_stats
+    from .crawl import CrawlConfig, run_crawl
+
+    out_dir = tempfile.mkdtemp(prefix="crawl_aud_", dir="/tmp")
+    res = run_crawl(
+        synth.make_frontier(60, seed=42),
+        synth.make_pagestore(80, seed=42),
+        synth.make_robots(seed=42),
+        out_dir,
+        config=CrawlConfig(max_waves=2, num_seen_shards=2, dedup_partitions=4),
+    )
+    ds = res.fetched_dataset().select_columns(
+        ["host", "wave", "fetch_at_us", "delay_ms"]
+    )
+
+    def with_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t["host"], pc.cast(t["wave"], pa.string()), "#"
+        )
+        return t.append_column("hw", k)
+
+    stats = group_gap_stats(
+        ds.map_batches(with_key, batch_format="pyarrow", zero_copy_batch=True),
+        "hw",
+        "fetch_at_us",
+        carry_cols=("host", "wave", "delay_ms"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t["host"],
+                "wave": pc.cast(t["wave"], pa.int32()),
+                "n_fetches": t["n_events"],
+                "min_gap_us": t["min_gap"],
+                "delay_us": pc.multiply(
+                    pc.cast(t["delay_ms"], pa.int64()), pa.scalar(1000, pa.int64())
+                ),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
 # --- corpus term statistics / windows: constants shared between the Ray
 # queries and their DuckDB oracles so the two sides cannot drift
 TOP_TERMS_K = 50
@@ -1763,6 +1815,7 @@ def build_queries() -> dict:
         "semantic_dedup": q_semantic_dedup,
         "mixture_sample": q_mixture_sample,
         "aspect_buckets": q_aspect_buckets,
+        "politeness_audit": q_politeness_audit,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

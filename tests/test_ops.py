@@ -1049,3 +1049,35 @@ def test_aspect_bucket_assignment_exact():
     out = aspect_bucket_batch(t)
     got = dict(zip(out["image_id"].to_pylist(), out["bucket"].to_pylist()))
     assert got == {"a": "1:1", "b": "16:9", "c": "9:16", "d": "2:1", "e": "4:3"}
+
+
+def test_group_gap_stats_and_politeness_compliance(ray_session):
+    """group_gap_stats computes exact per-key min gaps across block
+    layouts, and the flagship crawl's schedule is politeness-compliant:
+    every multi-fetch (host, wave) has min_gap_us >= the host's delay."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import group_gap_stats
+    from news_crawler_ray.pipelines.queries import q_politeness_audit
+
+    t = pa.table(
+        {
+            "k": pa.array(["a"] * 4 + ["b"] * 2 + ["c"]),
+            "ts": pa.array([0, 10, 13, 40, 100, 107, 5], pa.int64()),
+            "tag": pa.array(["x"] * 7),
+        }
+    )
+    out = (
+        group_gap_stats(rd.from_arrow(t).repartition(5), "k", "ts", ("tag",))
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["n_events"].tolist() == [4, 2, 1]
+    assert out["min_gap"].tolist()[:2] == [3, 7]
+    assert out["min_gap"].isna().tolist() == [False, False, True]
+
+    audit = q_politeness_audit("/root/testdata/sf0.001").to_pandas()
+    multi = audit[audit["n_fetches"] >= 2]
+    assert len(multi) > 0
+    assert (multi["min_gap_us"] >= multi["delay_us"]).all()

@@ -231,6 +231,12 @@ QUERY_SUBSET = [
     "value_histogram",
     "curate_corpus",
     "dedup_corpus",
+    # round-2 late additions
+    "semantic_dedup",
+    "top_orders_per_cust",
+    "lineitems_of_large_parts",
+    "mixture_sample",
+    "image_corpus_filter",
 ]
 
 

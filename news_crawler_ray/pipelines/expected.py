@@ -922,6 +922,20 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "AND fmt IN ('png', 'jpeg')"
     )
 
+    # exact_phash_dups: metadata inlined, the dup grouping in real SQL
+    from .queries import PHASH_DUP_N, PHASH_DUP_POOL
+
+    ph = values_sql(
+        synth.make_pagestore(PHASH_DUP_N, seed=42, image_pool=PHASH_DUP_POOL).select(
+            ["image_id", "phash"]
+        )
+    )
+    sql["exact_phash_dups"] = (
+        "WITH meta AS (" + ph + ") "
+        "SELECT phash, count(*) AS n_copies, min(image_id) AS canonical_id "
+        "FROM meta GROUP BY phash HAVING count(*) > 1"
+    )
+
     # aspect_buckets: same fixture metadata, same integer-exact
     # distortion ranked in real SQL over a buckets VALUES table
     from ..ops.multimodal import ASPECT_BUCKETS

@@ -1039,6 +1039,23 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+SAMPLED_Q_FRACTION = 0.25
+
+
+def q_sampled_quantiles(sf_dir: str):
+    """Sketch-by-sampling quantiles: exact per-group quantiles of a
+    content-stable 25% hash sample — order-insensitive and
+    parallelism-proof where mergeable quantile sketches (KLL/t-digest)
+    are merge-order-sensitive, so the SQL oracle can share the exact
+    subset via the same md5 threshold. The scale path when the full
+    sort exchange of group_quantiles is too wide."""
+    from ..ops.agg import group_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    sampled = sp.hash_sample(ev, "event_id", fraction=SAMPLED_Q_FRACTION)
+    return group_quantiles(sampled, "event_type", "value", (25, 50, 75))
+
+
 MIXTURE_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.1, "fr": 0.1, "es": 0.1}
 MIXTURE_BUDGET = 300
 
@@ -1452,6 +1469,32 @@ def q_aspect_buckets(sf_dir: str):
     return mm.aspect_buckets(ps)
 
 
+PHASH_DUP_N, PHASH_DUP_POOL = 200, 60
+
+
+def q_exact_phash_dups(sf_dir: str):
+    """Exact perceptual-hash dup groups over STORE METADATA: the
+    input_hint schema ships phash as a column, so byte-identical
+    re-posts group without any decode — combiner partials per block
+    (phash cardinality is pool-sized, not corpus-sized), keep groups
+    with >1 copy, canonical = min image_id. The decode-free complement
+    of phash_near_dup."""
+    from ..fixtures import synth
+    from ..ops.agg import partial_group_agg
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(PHASH_DUP_N, seed=42, image_pool=PHASH_DUP_POOL).select(
+            ["image_id", "phash"]
+        )
+    )
+    g = partial_group_agg(
+        ps,
+        ["phash"],
+        [("n_copies", "count_all", None), ("canonical_id", "min", "image_id")],
+    )
+    return g.filter(pc.greater(g["n_copies"], 1))
+
+
 def q_lineitems_of_large_parts(sf_dir: str):
     """Bloom-prefilter semi join (ops/join.bloom_semi_join): lineitems
     whose part is size > 40. The bloom bitmap over the small right side
@@ -1672,6 +1715,14 @@ ORACLE_SQL.update(
             + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
             + " AS split FROM documents"
         ),
+        "sampled_quantiles": (
+            "SELECT event_type, CAST(unnest([25, 50, 75]) AS BIGINT) AS pct, "
+            "unnest(quantile_disc(value, [0.25, 0.5, 0.75])) AS value FROM ("
+            "SELECT event_type, value FROM events WHERE "
+            "substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < "
+            f"'{sp.fraction_threshold_hex(SAMPLED_Q_FRACTION)}'"
+            ") GROUP BY event_type"
+        ),
         "top_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice, rn FROM ("
             "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
@@ -1816,6 +1867,8 @@ def build_queries() -> dict:
         "mixture_sample": q_mixture_sample,
         "aspect_buckets": q_aspect_buckets,
         "politeness_audit": q_politeness_audit,
+        "exact_phash_dups": q_exact_phash_dups,
+        "sampled_quantiles": q_sampled_quantiles,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -1081,3 +1081,25 @@ def test_group_gap_stats_and_politeness_compliance(ray_session):
     multi = audit[audit["n_fetches"] >= 2]
     assert len(multi) > 0
     assert (multi["min_gap_us"] >= multi["delay_us"]).all()
+
+
+def test_exact_phash_dups_and_sampled_quantiles(ray_session):
+    """Pool-cycled store: every phash group has ceil-or-floor(n/pool)
+    copies and the canonical id is the group min; sampled quantiles sit
+    within a tolerance of the exact full-data quantiles."""
+    from news_crawler_ray.pipelines.queries import (
+        q_exact_phash_dups,
+        q_sampled_quantiles,
+        q_value_quantiles,
+    )
+
+    dups = q_exact_phash_dups("/root/testdata/sf0.001").to_pandas()
+    assert len(dups) == 60  # every pool image repeats (200 rows / 60 pool)
+    assert set(dups["n_copies"]) == {3, 4} and (dups["n_copies"].sum() == 200)
+
+    sq = q_sampled_quantiles("/root/testdata/sf0.001").to_pandas()
+    ex = q_value_quantiles("/root/testdata/sf0.001").to_pandas()
+    m = sq.merge(ex, on=["event_type", "pct"], suffixes=("_s", "_e"))
+    assert len(m) == len(sq) > 0
+    spread = ex["value"].max() - ex["value"].min()
+    assert (abs(m["value_s"] - m["value_e"]) <= 0.25 * spread).all()

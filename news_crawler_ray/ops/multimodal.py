@@ -632,3 +632,56 @@ def aspect_buckets(ds, buckets: tuple = ASPECT_BUCKETS):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def caption_consistency_batch(t: pa.Table) -> pa.Table:
+    """Deterministic caption↔image consistency score (the CLIP-filter
+    slot of an image-corpus pipeline, per the build contract's
+    deterministic-fake rule for model steps): image side = the 8x8
+    block-mean cell embedding (codec.cell_vector64, shared with the kNN
+    oracle); caption side = 64-dim signed feature hashing of the tokens
+    (integer accumulation — batching-order-proof); score = cosine of
+    the two unit vectors. Real decode, real batching, real schema — a
+    CLIP model swaps in at the embed lines only. Emits
+    (image_id, clip_score: float64)."""
+    from .hashing import tokenize_batch
+
+    n = t.num_rows
+    data = t["bytes"].to_pylist()
+    fmts = t["fmt"].to_pylist()
+    V = (
+        np.stack([cell_vector64_f64(b, f) for b, f in zip(data, fmts)])
+        if n
+        else np.zeros((0, 64), np.float64)
+    )
+    hashes, offsets = tokenize_batch(t["caption"].combine_chunks())
+    M = np.zeros((n, 64), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), np.diff(offsets))
+    dims = (hashes % np.uint64(64)).astype(np.int64)
+    signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+    np.add.at(M, (doc_idx, dims), signs)
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    C = M.astype(np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    score = np.sum(Vn * Cn, axis=1)
+    return pa.table(
+        {
+            "image_id": t["image_id"],
+            "clip_score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+def cell_vector64_f64(buf: bytes, fmt: str) -> np.ndarray:
+    """decode → cell embedding → float64 (one shared conversion point
+    so the stage and the sequential oracle round identically)."""
+    return codec.cell_vector64(codec.decode(buf, fmt)).astype(np.float64)
+
+
+def caption_image_consistency(ds, batch_size: int = 64):
+    return ds.map_batches(
+        caption_consistency_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

@@ -667,6 +667,35 @@ def expected_crawl_flagship() -> pa.Table:
     )
 
 
+def expected_caption_consistency() -> pa.Table:
+    """Sequential caption↔image consistency: one-row-at-a-time decode +
+    embed over the same fixture, same shared kernels — batching on the
+    engine side must not change a single float64."""
+    from ..ops.multimodal import cell_vector64_f64
+    from .queries import CLIP_SCORE_N
+
+    ps = synth.make_pagestore(CLIP_SCORE_N, seed=42)
+    ids, scores = [], []
+    for row in ps.select(["image_id", "bytes", "fmt", "caption"]).to_pylist():
+        v = cell_vector64_f64(row["bytes"], row["fmt"])
+        hashes, _ = H.tokenize_batch(pa.array([row["caption"]], pa.string()))
+        m = np.zeros(64, dtype=np.int64)
+        dims = (hashes % np.uint64(64)).astype(np.int64)
+        signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+        np.add.at(m, dims, signs)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        c = m.astype(np.float64)
+        cn = c / max(np.linalg.norm(c), 1e-12)
+        ids.append(row["image_id"])
+        scores.append(float(np.sum(vn * cn)))
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "clip_score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 def expected_politeness_audit() -> pa.Table:
     """Sequential per-(host, wave) schedule audit over the same crawl
     oracle: count + min adjacent gap of the virtual-clock fetch times,
@@ -920,6 +949,26 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "WHERE least(w, h) >= 64 AND greatest(w, h) <= 2 * least(w, h) "
         r"AND len(regexp_extract_all(caption, '\S+')) >= 8 "
         "AND fmt IN ('png', 'jpeg')"
+    )
+
+    # caption_consistency: sequential oracle over the same fixture,
+    # sharing the embed kernels (cell_vector64_f64 / tokenize_batch are
+    # the conformance-anchored primitives, like the kNN image oracle)
+    sql["caption_consistency"] = values_sql(expected_caption_consistency())
+
+    # outlink_degrees: captions inlined, link harvest + host parse +
+    # count re-expressed in real SQL regexps
+    from .queries import OUTLINK_DEG_N
+
+    caps = values_sql(
+        synth.make_pagestore(OUTLINK_DEG_N, seed=42).select(["caption"])
+    )
+    sql["outlink_degrees"] = (
+        "WITH meta AS (" + caps + "), "
+        r"l AS (SELECT unnest(regexp_extract_all(caption, 'link:(\S+)', 1)) AS u "
+        "FROM meta) "
+        "SELECT regexp_extract(u, '^[a-z]+://([^/]+)', 1) AS host, "
+        "count(*) AS n_links FROM l GROUP BY 1"
     )
 
     # exact_phash_dups: metadata inlined, the dup grouping in real SQL

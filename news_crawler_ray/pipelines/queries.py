@@ -1469,6 +1469,42 @@ def q_aspect_buckets(sf_dir: str):
     return mm.aspect_buckets(ps)
 
 
+CLIP_SCORE_N = 120
+OUTLINK_DEG_N = 150
+
+
+def q_caption_consistency(sf_dir: str):
+    """Caption↔image consistency scoring over the page-store (the
+    CLIP-filter slot, deterministic-fake embeddings per the contract):
+    real decode → cell embedding vs signed-feature-hashed caption,
+    cosine per row. Sequential oracle shares the embed kernels."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(CLIP_SCORE_N, seed=42).select(
+            ["image_id", "bytes", "fmt", "caption"]
+        )
+    )
+    return mm.caption_image_consistency(ps)
+
+
+def q_outlink_degrees(sf_dir: str):
+    """In-degree per host of the outlink graph embedded in captions:
+    flat_map link harvest (S3/M9 semantics) → combiner count by host —
+    zero exchange at host-registry cardinality. Real-SQL oracle
+    re-parses the same inlined captions with regexps."""
+    from ..fixtures import synth
+    from ..ops.agg import partial_group_agg
+    from ..stages.parse import extract_outlinks
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(OUTLINK_DEG_N, seed=42).select(["caption"])
+    )
+    return partial_group_agg(
+        extract_outlinks(ps), ["host"], [("n_links", "count_all", None)]
+    )
+
+
 PHASH_DUP_N, PHASH_DUP_POOL = 200, 60
 
 
@@ -1869,6 +1905,8 @@ def build_queries() -> dict:
         "politeness_audit": q_politeness_audit,
         "exact_phash_dups": q_exact_phash_dups,
         "sampled_quantiles": q_sampled_quantiles,
+        "caption_consistency": q_caption_consistency,
+        "outlink_degrees": q_outlink_degrees,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

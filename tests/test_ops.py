@@ -1103,3 +1103,38 @@ def test_exact_phash_dups_and_sampled_quantiles(ray_session):
     assert len(m) == len(sq) > 0
     spread = ex["value"].max() - ex["value"].min()
     assert (abs(m["value_s"] - m["value_e"]) <= 0.25 * spread).all()
+
+
+def test_caption_consistency_batching_invariant(ray_session):
+    """clip_score is bit-identical across batch sizes (integer feature
+    accumulation + shared float64 conversion point), scores are in
+    [-1, 1], and an empty caption scores exactly 0."""
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import caption_image_consistency
+
+    ps = synth.make_pagestore(60, seed=9).select(
+        ["image_id", "bytes", "fmt", "caption"]
+    )
+    a = (
+        caption_image_consistency(rd.from_arrow(ps), batch_size=7)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        caption_image_consistency(rd.from_arrow(ps), batch_size=64)
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["clip_score"].between(-1.0, 1.0).all()
+    blank = ps.set_column(
+        ps.schema.get_field_index("caption"),
+        "caption",
+        pa.array([""] * ps.num_rows, pa.string()),
+    )
+    z = caption_image_consistency(rd.from_arrow(blank)).to_pandas()
+    assert (z["clip_score"] == 0.0).all()

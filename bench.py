@@ -237,6 +237,7 @@ QUERY_SUBSET = [
     "lineitems_of_large_parts",
     "mixture_sample",
     "image_corpus_filter",
+    "curate_image_corpus",
 ]
 
 

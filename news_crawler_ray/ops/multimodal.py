@@ -544,19 +544,16 @@ def tensor_prep(ds, out: int = 16, concurrency=2, batch_size: int = 32):
     )
 
 
-def image_meta_filter_batch(
+def image_meta_keep_mask(
     t: pa.Table,
     min_dim: int = 64,
     max_aspect: int = 2,
     min_caption_tokens: int = 8,
     fmts: tuple = ("png", "jpeg"),
-) -> pa.Table:
-    """LAION-style corpus admission filter on METADATA ONLY — the cheap
-    first pass a 100 TB image corpus runs before any decode: minimum
-    dimension, aspect-ratio bound (max(w,h) <= max_aspect*min(w,h),
-    integer-exact), minimum caption token count, format allowlist. All
-    pyarrow.compute; the ``bytes`` column never enters the stage (prune
-    it at the read). Emits (image_id, w, h, fmt, n_caption_tokens)."""
+):
+    """(keep_mask, n_caption_tokens) for the admission predicates —
+    one shared implementation so the standalone filter and the fused
+    curation stage cannot drift."""
     import pyarrow.compute as pc
 
     w, h = t["w"], t["h"]
@@ -575,6 +572,26 @@ def image_meta_filter_batch(
             pc.is_in(t["fmt"], value_set=pa.array(list(fmts))),
         ),
     )
+    return keep, ntok
+
+
+def image_meta_filter_batch(
+    t: pa.Table,
+    min_dim: int = 64,
+    max_aspect: int = 2,
+    min_caption_tokens: int = 8,
+    fmts: tuple = ("png", "jpeg"),
+) -> pa.Table:
+    """LAION-style corpus admission filter on METADATA ONLY — the cheap
+    first pass a 100 TB image corpus runs before any decode: minimum
+    dimension, aspect-ratio bound (max(w,h) <= max_aspect*min(w,h),
+    integer-exact), minimum caption token count, format allowlist. All
+    pyarrow.compute; the ``bytes`` column never enters the stage (prune
+    it at the read). Emits (image_id, w, h, fmt, n_caption_tokens)."""
+    keep, ntok = image_meta_keep_mask(
+        t, min_dim, max_aspect, min_caption_tokens, fmts
+    )
+    w, h = t["w"], t["h"]
     out = pa.table(
         {
             "image_id": t["image_id"],
@@ -684,4 +701,55 @@ def caption_image_consistency(ds, batch_size: int = 64):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
+    )
+
+
+def curate_image_manifest_batch(
+    t: pa.Table, min_clip_score: float = 0.0
+) -> pa.Table:
+    """ONE fused pass of the image-corpus curation pipeline: admission
+    predicates (image_meta_keep_mask) gate which rows pay the decode,
+    then caption↔image consistency scoring and aspect-bucket assignment
+    run on the survivors only — at 100 TB this fusion is the difference
+    between one payload read and three. Emits the training-manifest
+    columns (image_id, w, h, fmt, bucket, clip_score, phash); exact
+    phash dedup happens downstream on the narrow manifest rows."""
+    import pyarrow.compute as pc
+
+    keep, _ = image_meta_keep_mask(t)
+    s = t.filter(keep)
+    scored = caption_consistency_batch(s)
+    buckets = aspect_bucket_batch(s)
+    ok = pc.greater_equal(scored["clip_score"], min_clip_score)
+    return pa.table(
+        {
+            "image_id": s["image_id"],
+            "w": s["w"],
+            "h": s["h"],
+            "fmt": s["fmt"],
+            "bucket": buckets["bucket"],
+            "clip_score": scored["clip_score"],
+            "phash": s["phash"],
+        }
+    ).filter(ok)
+
+
+def curate_image_corpus(ds, min_clip_score: float = 0.0):
+    """Admission → decode-score → bucket (fused map) → exact phash
+    dedup keeping the min admitted image_id per hash (group_top_k on
+    the narrow manifest — payload bytes never enter the exchange)."""
+    from .agg import group_top_k
+
+    manifest = ds.map_batches(
+        lambda t: curate_image_manifest_batch(t, min_clip_score),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+    )
+    deduped = group_top_k(manifest, "phash", ["image_id"], [False], k=1)
+    return deduped.map_batches(
+        lambda t: t.select(
+            ["image_id", "w", "h", "fmt", "bucket", "clip_score", "phash"]
+        ),
+        batch_format="pyarrow",
     )

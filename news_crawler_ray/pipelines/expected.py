@@ -696,6 +696,77 @@ def expected_caption_consistency() -> pa.Table:
     )
 
 
+def _clip_score_row(buf: bytes, fmt: str, caption: str) -> float:
+    from ..ops.multimodal import cell_vector64_f64
+
+    v = cell_vector64_f64(buf, fmt)
+    hashes, _ = H.tokenize_batch(pa.array([caption], pa.string()))
+    m = np.zeros(64, dtype=np.int64)
+    dims = (hashes % np.uint64(64)).astype(np.int64)
+    signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+    np.add.at(m, dims, signs)
+    vn = v / max(np.linalg.norm(v), 1e-12)
+    c = m.astype(np.float64)
+    cn = c / max(np.linalg.norm(c), 1e-12)
+    return float(np.sum(vn * cn))
+
+
+def expected_curate_image_corpus() -> pa.Table:
+    """Sequential curation: admission predicates, clip score, integer
+    aspect argmin, score gate, keep-min-id per phash — one row at a
+    time over the same pool-cycled fixture."""
+    import re
+
+    from ..ops.multimodal import ASPECT_BUCKETS
+    from .queries import PHASH_DUP_N, PHASH_DUP_POOL
+
+    ps = synth.make_pagestore(PHASH_DUP_N, seed=42, image_pool=PHASH_DUP_POOL)
+    best: dict[int, dict] = {}
+    tok_re = re.compile(r"\S+")
+    for row in ps.to_pylist():
+        w, h = row["w"], row["h"]
+        ntok = len(tok_re.findall(row["caption"] or ""))
+        if not (
+            min(w, h) >= 64
+            and max(w, h) <= 2 * min(w, h)
+            and ntok >= 8
+            and row["fmt"] in ("png", "jpeg")
+        ):
+            continue
+        score = _clip_score_row(row["bytes"], row["fmt"], row["caption"])
+        if score < 0.0:
+            continue
+        ratios = [
+            (max(w * bh, h * bw) / min(w * bh, h * bw), i)
+            for i, (bw, bh) in enumerate(ASPECT_BUCKETS)
+        ]
+        _, bi = min(ratios)
+        rec = {
+            "image_id": row["image_id"],
+            "w": w,
+            "h": h,
+            "fmt": row["fmt"],
+            "bucket": f"{ASPECT_BUCKETS[bi][0]}:{ASPECT_BUCKETS[bi][1]}",
+            "clip_score": score,
+            "phash": row["phash"],
+        }
+        cur = best.get(row["phash"])
+        if cur is None or rec["image_id"] < cur["image_id"]:
+            best[row["phash"]] = rec
+    recs = sorted(best.values(), key=lambda r: r["image_id"])
+    return pa.table(
+        {
+            "image_id": pa.array([r["image_id"] for r in recs], pa.string()),
+            "w": pa.array([r["w"] for r in recs], pa.int32()),
+            "h": pa.array([r["h"] for r in recs], pa.int32()),
+            "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+            "bucket": pa.array([r["bucket"] for r in recs], pa.string()),
+            "clip_score": pa.array([r["clip_score"] for r in recs], pa.float64()),
+            "phash": pa.array([r["phash"] for r in recs], pa.int64()),
+        }
+    )
+
+
 def expected_politeness_audit() -> pa.Table:
     """Sequential per-(host, wave) schedule audit over the same crawl
     oracle: count + min adjacent gap of the virtual-clock fetch times,
@@ -868,6 +939,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["resize_images"] = values_sql(expected_resize())
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())
     sql["politeness_audit"] = values_sql(expected_politeness_audit())
+    sql["curate_image_corpus"] = values_sql(expected_curate_image_corpus())
 
     # ip_block_rules: distinct IPs from the expected IOC table, then the
     # SID + rule-line logic in real SQL (ref suricata.py:60,182-189)

@@ -1508,6 +1508,21 @@ def q_outlink_degrees(sf_dir: str):
 PHASH_DUP_N, PHASH_DUP_POOL = 200, 60
 
 
+def q_curate_image_corpus(sf_dir: str):
+    """End-to-end image-corpus curation, the on-axis flagship
+    composition: admission predicates gate the decode, caption↔image
+    scoring + aspect bucketing run fused in ONE payload pass, then
+    exact phash dedup keeps the min admitted id per hash over the
+    narrow manifest (ops/multimodal.curate_image_corpus). The pool-
+    cycled fixture plants real exact dups."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(PHASH_DUP_N, seed=42, image_pool=PHASH_DUP_POOL)
+    )
+    return mm.curate_image_corpus(ps)
+
+
 def q_exact_phash_dups(sf_dir: str):
     """Exact perceptual-hash dup groups over STORE METADATA: the
     input_hint schema ships phash as a column, so byte-identical
@@ -1907,6 +1922,7 @@ def build_queries() -> dict:
         "sampled_quantiles": q_sampled_quantiles,
         "caption_consistency": q_caption_consistency,
         "outlink_degrees": q_outlink_degrees,
+        "curate_image_corpus": q_curate_image_corpus,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -1138,3 +1138,32 @@ def test_caption_consistency_batching_invariant(ray_session):
     )
     z = caption_image_consistency(rd.from_arrow(blank)).to_pandas()
     assert (z["clip_score"] == 0.0).all()
+
+
+def test_curate_image_corpus_manifest(ray_session):
+    """The curated manifest has one row per surviving phash (exact dups
+    collapsed to the min admitted id), every row passed admission and
+    the score gate, and results are block-layout invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import curate_image_corpus
+
+    ps = synth.make_pagestore(150, seed=42, image_pool=40)
+    out = (
+        curate_image_corpus(rd.from_arrow(ps))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) > 0
+    assert out["phash"].is_unique
+    assert (out["clip_score"] >= 0.0).all()
+    assert (out[["w", "h"]].min(axis=1) >= 64).all()
+    again = (
+        curate_image_corpus(rd.from_arrow(ps).repartition(9))
+        .to_pandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(again)

@@ -1473,6 +1473,50 @@ CLIP_SCORE_N = 120
 OUTLINK_DEG_N = 150
 
 
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff between crawl epochs (incremental-ingest
+    primitive): snapshot B derives from documents by a deterministic
+    rule — every 7th doc removed, every 10th mutated, every 13th gains
+    a new doc — and ops/join.snapshot_diff reports added / removed /
+    changed by md5 fingerprint over ONE narrow-row key-complete
+    exchange. The SQL oracle applies the same rule with a FULL OUTER
+    JOIN."""
+    from ..ops.join import snapshot_diff
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_a(t: pa.Table) -> pa.Table:
+        from ..ops.text import fingerprint_batch
+
+        f = fingerprint_batch(t)
+        return pa.table({"doc_id": f["doc_id"], "fp": f["md5"]})
+
+    def make_b(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        texts = t["text"].to_pylist()
+        out_ids, out_fps = [], []
+        for i, txt in zip(ids.tolist(), texts):
+            if i % 7 != 0:
+                s = (txt or "") + " v2" if i % 10 == 0 else (txt or "")
+                out_ids.append(i)
+                out_fps.append(hashlib.md5(s.encode()).hexdigest())
+            if i % 13 == 0:
+                out_ids.append(i + 1_000_000)
+                out_fps.append(hashlib.md5(f"new doc {i}".encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "fp": pa.array(out_fps, pa.string()),
+            }
+        )
+
+    a = docs.map_batches(fp_a, batch_format="pyarrow", zero_copy_batch=True)
+    b = docs.map_batches(make_b, batch_format="pyarrow", zero_copy_batch=True)
+    return snapshot_diff(a, b, "doc_id", "fp")
+
+
 def q_caption_consistency(sf_dir: str):
     """Caption↔image consistency scoring over the page-store (the
     CLIP-filter slot, deterministic-fake embeddings per the contract):
@@ -1766,6 +1810,21 @@ ORACLE_SQL.update(
             + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
             + " AS split FROM documents"
         ),
+        "corpus_diff": (
+            "WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents), "
+            "b0 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
+            "md5(coalesce(text, '') || ' v2') ELSE md5(coalesce(text, '')) END AS fp "
+            "FROM documents WHERE doc_id % 7 <> 0), "
+            "badd AS (SELECT doc_id + 1000000 AS doc_id, "
+            "md5('new doc ' || CAST(doc_id AS VARCHAR)) AS fp FROM documents "
+            "WHERE doc_id % 13 = 0), "
+            "b AS (SELECT * FROM b0 UNION ALL SELECT * FROM badd) "
+            "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+            "CASE WHEN a.doc_id IS NULL THEN 'added' "
+            "WHEN b.doc_id IS NULL THEN 'removed' ELSE 'changed' END AS status "
+            "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id "
+            "WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.fp <> b.fp"
+        ),
         "sampled_quantiles": (
             "SELECT event_type, CAST(unnest([25, 50, 75]) AS BIGINT) AS pct, "
             "unnest(quantile_disc(value, [0.25, 0.5, 0.75])) AS value FROM ("
@@ -1923,6 +1982,7 @@ def build_queries() -> dict:
         "caption_consistency": q_caption_consistency,
         "outlink_degrees": q_outlink_degrees,
         "curate_image_corpus": q_curate_image_corpus,
+        "corpus_diff": q_corpus_diff,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

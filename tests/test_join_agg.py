@@ -435,3 +435,39 @@ def test_bloom_semi_join_exact_vs_reference():
     # double-hash probe positions stay in range and use all k slots
     pos = _bloom_positions(rng.integers(0, 2**63, 100, dtype=np.uint64), 1 << 12, 7)
     assert pos.shape == (100, 7) and pos.min() >= 0 and pos.max() < (1 << 12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_verdicts():
+    """added / removed / changed / unchanged verdicts are exact across
+    block layouts; duplicate keys within one snapshot raise loudly."""
+    from news_crawler_ray.ops.join import snapshot_diff
+
+    a = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "fp": pa.array(["x", "y", "z", "w"]),
+        }
+    )
+    b = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5], pa.int64()),
+            "fp": pa.array(["y", "ZZ", "w", "n"]),
+        }
+    )
+    out = (
+        snapshot_diff(_ds(a, 3), _ds(b, 2), "doc_id", "fp")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(zip(out["doc_id"], out["status"])) == [
+        (1, "removed"),
+        (3, "changed"),
+        (5, "added"),
+    ]
+    dup = pa.table(
+        {"doc_id": pa.array([1, 1], pa.int64()), "fp": pa.array(["x", "x"])}
+    )
+    with pytest.raises(Exception, match="duplicate|appeared"):
+        snapshot_diff(_ds(dup, 1), _ds(b, 1), "doc_id", "fp").take_all()

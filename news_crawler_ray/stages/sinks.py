@@ -177,3 +177,81 @@ def daily_digest(
     return ray.data.from_arrow_refs(
         [_digest_block.remote(ts_col, type_col, id_col, *parts) for parts in groups]
     )
+
+
+# ---------------------------------------------- training shard export
+
+
+def write_training_shards(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    key_col: str = "image_id",
+    num_shards: int = 16,
+) -> dict:
+    """WebDataset-style resumable shard export for a training corpus:
+    rows land in ``shard-{k:05d}/`` by content-stable hash of
+    ``key_col`` (identical shards on every rerun and cluster shape —
+    a loader can seed its order off the shard id), each input block
+    scatters its own rows as one part file per touched shard (the
+    shuffle-free layout partition_pagestore proved out: no exchange,
+    payload bytes move exactly once), and ``_manifest.json`` commits
+    the export atomically (tmp+rename) with per-shard row counts. A
+    rerun over a directory whose manifest is already complete SKIPS the
+    write entirely — the kill-and-rerun contract of the reference's
+    merge-don't-rewrite sinks (suricata.py:139-195) applied to corpus
+    export. Returns the manifest dict."""
+    import json
+    import uuid
+
+    import numpy as np
+    import polars as pl
+    import pyarrow.parquet as pq
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("complete"):
+            return m
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        col = t[key_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = pl.from_arrow(col).hash(seed=7).to_numpy().astype(np.uint64)
+        shards = (h % np.uint64(num_shards)).astype(np.int64)
+        out_s, out_n = [], []
+        for s in np.unique(shards):
+            part = t.filter(pa.array(shards == s))
+            d = os.path.join(out_dir, f"shard-{int(s):05d}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                part, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
+            )
+            out_s.append(int(s))
+            out_n.append(part.num_rows)
+        return pa.table({"shard": pa.array(out_s, pa.int64()),
+                         "rows": pa.array(out_n, pa.int64())})
+
+    counts = ds.map_batches(
+        scatter, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    per_shard: dict[int, int] = {}
+    for r in counts:
+        per_shard[r["shard"]] = per_shard.get(r["shard"], 0) + r["rows"]
+    manifest = {
+        "complete": True,
+        "num_shards": num_shards,
+        "key_col": key_col,
+        "rows": sum(per_shard.values()),
+        "per_shard": {str(k): per_shard[k] for k in sorted(per_shard)},
+    }
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return manifest

@@ -100,3 +100,46 @@ def test_daily_digest_ordered(ray_session):
         "# digest 2024-01-01\n- 08:00 [a] #1\n- 09:05 [b] #2"
     )
     assert out["2024-01-02"]["digest"] == "# digest 2024-01-02\n- 10:30 [c] #3"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_training_shards_resumable(tmp_path):
+    """Shard assignment is content-stable (same rows per shard across
+    reruns and block layouts), the manifest counts every row exactly
+    once, and a rerun over a complete manifest writes nothing."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from news_crawler_ray.stages.sinks import write_training_shards
+
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"img{i:06d}" for i in range(500)]),
+            "payload": pa.array(np.arange(500), pa.int64()),
+        }
+    )
+    out1 = str(tmp_path / "a")
+    m1 = write_training_shards(rd.from_arrow(tbl).repartition(7), out1, num_shards=8)
+    assert m1["complete"] and m1["rows"] == 500
+    assert sum(m1["per_shard"].values()) == 500
+
+    out2 = str(tmp_path / "b")
+    m2 = write_training_shards(rd.from_arrow(tbl).repartition(2), out2, num_shards=8)
+    assert m1["per_shard"] == m2["per_shard"]
+    for s, n in m1["per_shard"].items():
+        d1 = sorted(
+            pq.read_table(os.path.join(out1, f"shard-{int(s):05d}"))["image_id"].to_pylist()
+        )
+        d2 = sorted(
+            pq.read_table(os.path.join(out2, f"shard-{int(s):05d}"))["image_id"].to_pylist()
+        )
+        assert d1 == d2 and len(d1) == n
+
+    # rerun skip: mutate nothing, manifest short-circuits
+    before = sorted(os.listdir(out1))
+    m3 = write_training_shards(rd.from_arrow(tbl), out1, num_shards=8)
+    assert m3 == m1 and sorted(os.listdir(out1)) == before

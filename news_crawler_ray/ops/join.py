@@ -559,3 +559,123 @@ def snapshot_diff(a, b, key_col: str, fp_col: str):
     return ray.data.from_arrow_refs(
         [_diff_block.remote(key_col, fp_col, *parts) for parts in groups]
     )
+
+
+# ------------------------------------------------ inner equi-join
+
+
+@ray.remote
+def _inner_join_block(
+    key_col: str,
+    left_cols: tuple,
+    right_cols: tuple,
+    max_pairs_per_key: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl, sort_keys=[(key_col, "ascending"), (_SIDE, "ascending")]
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    sides = np.asarray(tbl[_SIDE], dtype=np.int8)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key).astype(np.int64)
+    ends = np.concatenate([starts[1:], [n]])
+    # per run: side0 rows are [start, start+c0), side1 rows the rest
+    c_total = ends - starts
+    # count of side-1 rows per run via cumulative sum of the side flags
+    csum = np.concatenate([[0], np.cumsum(sides, dtype=np.int64)])
+    c1 = csum[ends] - csum[starts]
+    c0 = c_total - c1
+    pairs = c0 * c1
+    if pairs.max(initial=0) > max_pairs_per_key:
+        raise ValueError(
+            f"inner join key with {pairs.max()} output pairs exceeds "
+            f"max_pairs_per_key={max_pairs_per_key} (hot-key guard; raise "
+            "the cap or pre-aggregate the many-side)"
+        )
+    T = int(pairs.sum())
+    out_cols: dict = {}
+    if T == 0:
+        li = np.zeros(0, np.int64)
+        ri = np.zeros(0, np.int64)
+    else:
+        live = pairs > 0
+        run_rep = np.repeat(np.flatnonzero(live), pairs[live])
+        off = np.arange(T, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(pairs[live])])[:-1], pairs[live]
+        )
+        c1_rep = c1[run_rep]
+        li = starts[run_rep] + off // c1_rep
+        ri = starts[run_rep] + c0[run_rep] + off % c1_rep
+    out_cols[key_col] = keys.take(pa.array(li, pa.int64()))
+    for c in left_cols:
+        out_cols[c] = tbl[c].take(pa.array(li, pa.int64()))
+    for c in right_cols:
+        out_cols[c] = tbl[c].take(pa.array(ri, pa.int64()))
+    return pa.table(out_cols)
+
+
+def sort_merge_inner_join(
+    left,
+    right,
+    key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_key: str | None = None,
+    max_pairs_per_key: int = 1 << 20,
+):
+    """General inner equi-join of two DATA-SCALE sides on the
+    task-based key-complete exchange (no hash-shuffle aggregator pools
+    — BASELINE.md round-2 findings): both sides ship once, each key's
+    rows land in exactly one kernel task, and the per-key cartesian is
+    assembled by pure offset arithmetic (no per-row Python). Column
+    sets must be disjoint; ``right_key`` renames the right side's key
+    onto ``key``. Skew: a hot key's entire output materializes in its
+    owner task — ``max_pairs_per_key`` raises loudly instead of
+    silently exploding (broadcast the small side or pre-aggregate when
+    you hit it). Output columns: [key, *left_cols, *right_cols]."""
+    from ..stages.index import key_complete_parts
+
+    # null columns need concrete types: take them from each side's schema
+    lsch, rsch = left.schema(), right.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+
+    def tag_typed(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            out = {key: t[(right_key or key)] if side else t[key]}
+            for c in left_cols:
+                out[c] = t[c] if side == 0 else pa.nulls(t.num_rows, ltypes[c])
+            for c in right_cols:
+                out[c] = t[c] if side == 1 else pa.nulls(t.num_rows, rtypes[c])
+            out[_SIDE] = pa.array(np.full(t.num_rows, side, np.int8))
+            return pa.table(out)
+
+        return f
+
+    tagged = left.map_batches(
+        tag_typed(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag_typed(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    groups = key_complete_parts(tagged, key, order=[_SIDE])
+    if not groups:
+        return left.limit(0)
+    return ray.data.from_arrow_refs(
+        [
+            _inner_join_block.remote(
+                key, tuple(left_cols), tuple(right_cols), max_pairs_per_key, *parts
+            )
+            for parts in groups
+        ]
+    )

@@ -1473,6 +1473,26 @@ CLIP_SCORE_N = 120
 OUTLINK_DEG_N = 150
 
 
+def q_lineitem_orders_join(sf_dir: str):
+    """General inner equi-join of two DATA-SCALE fact tables
+    (lineitem ⋈ orders on orderkey) on the key-complete exchange —
+    both sides ship once, per-key outputs assemble by offset
+    arithmetic, hot keys raise loudly instead of exploding
+    (ops/join.sort_merge_inner_join)."""
+    from ..ops.join import sort_merge_inner_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+    return sort_merge_inner_join(
+        li,
+        orders,
+        "l_orderkey",
+        left_cols=["l_linenumber", "l_quantity"],
+        right_cols=["o_orderdate", "o_totalprice"],
+        right_key="o_orderkey",
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff between crawl epochs (incremental-ingest
     primitive): snapshot B derives from documents by a deterministic
@@ -1810,6 +1830,10 @@ ORACLE_SQL.update(
             + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
             + " AS split FROM documents"
         ),
+        "lineitem_orders_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, "
+            "o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        ),
         "corpus_diff": (
             "WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents), "
             "b0 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN "
@@ -1983,6 +2007,7 @@ def build_queries() -> dict:
         "outlink_degrees": q_outlink_degrees,
         "curate_image_corpus": q_curate_image_corpus,
         "corpus_diff": q_corpus_diff,
+        "lineitem_orders_join": q_lineitem_orders_join,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -471,3 +471,49 @@ def test_snapshot_diff_verdicts():
     )
     with pytest.raises(Exception, match="duplicate|appeared"):
         snapshot_diff(_ds(dup, 1), _ds(b, 1), "doc_id", "fp").take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_merge_inner_join_cartesian_and_guard():
+    """Many-to-many keys produce the full per-key cartesian, unmatched
+    keys drop, results are block-layout invariant, and the hot-key
+    guard raises instead of exploding."""
+    import pandas as pd
+
+    from news_crawler_ray.ops.join import sort_merge_inner_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 3, 3, 3, 9], pa.int64()),
+            "lv": pa.array([10, 11, 20, 30, 31, 32, 90], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array([1, 1, 2, 4], pa.int64()),
+            "rv": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    got = (
+        sort_merge_inner_join(
+            _ds(left, 4), _ds(right, 2), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk",
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref.astype(got.dtypes.to_dict()))
+    assert len(got) == 5  # 2x2 for k=1 + 1x1 for k=2; k=3,9,4 unmatched
+    with pytest.raises(Exception, match="max_pairs_per_key|exceeds"):
+        sort_merge_inner_join(
+            _ds(left, 2), _ds(right, 2), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk",
+            max_pairs_per_key=3,
+        ).take_all()

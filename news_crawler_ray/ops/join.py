@@ -570,6 +570,7 @@ def _inner_join_block(
     left_cols: tuple,
     right_cols: tuple,
     max_pairs_per_key: int,
+    left_outer: bool,
     *parts: pa.Table,
 ) -> pa.Table:
     tables = [p for p in parts if p.num_rows]
@@ -617,11 +618,24 @@ def _inner_join_block(
         c1_rep = c1[run_rep]
         li = starts[run_rep] + off // c1_rep
         ri = starts[run_rep] + c0[run_rep] + off % c1_rep
-    out_cols[key_col] = keys.take(pa.array(li, pa.int64()))
+    if left_outer:
+        # keys with no right row: keep their left rows, null right cols
+        lone = np.flatnonzero((c1 == 0) & (c0 > 0))
+        if len(lone):
+            extra = np.concatenate(
+                [np.arange(starts[r], starts[r] + c0[r]) for r in lone.tolist()]
+            ).astype(np.int64)
+            li = np.concatenate([li, extra])
+            ri = np.concatenate([ri, np.full(len(extra), -1, np.int64)])
+    li_arr = pa.array(li, pa.int64())
+    # ri == -1 marks null-padded right side: a null take-index yields a
+    # null output row, no per-row Python
+    ri_arr = pa.array(ri, type=pa.int64(), mask=ri < 0)
+    out_cols[key_col] = keys.take(li_arr)
     for c in left_cols:
-        out_cols[c] = tbl[c].take(pa.array(li, pa.int64()))
+        out_cols[c] = tbl[c].take(li_arr)
     for c in right_cols:
-        out_cols[c] = tbl[c].take(pa.array(ri, pa.int64()))
+        out_cols[c] = tbl[c].take(ri_arr)
     return pa.table(out_cols)
 
 
@@ -633,8 +647,9 @@ def sort_merge_inner_join(
     right_cols: list[str],
     right_key: str | None = None,
     max_pairs_per_key: int = 1 << 20,
+    how: str = "inner",
 ):
-    """General inner equi-join of two DATA-SCALE sides on the
+    """General inner / left-outer equi-join of two DATA-SCALE sides on the
     task-based key-complete exchange (no hash-shuffle aggregator pools
     — BASELINE.md round-2 findings): both sides ship once, each key's
     rows land in exactly one kernel task, and the per-key cartesian is
@@ -643,7 +658,10 @@ def sort_merge_inner_join(
     onto ``key``. Skew: a hot key's entire output materializes in its
     owner task — ``max_pairs_per_key`` raises loudly instead of
     silently exploding (broadcast the small side or pre-aggregate when
-    you hit it). Output columns: [key, *left_cols, *right_cols]."""
+    you hit it). ``how="left"`` keeps unmatched left rows with nulled
+    right columns. Output columns: [key, *left_cols, *right_cols]."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     from ..stages.index import key_complete_parts
 
     # null columns need concrete types: take them from each side's schema
@@ -674,7 +692,8 @@ def sort_merge_inner_join(
     return ray.data.from_arrow_refs(
         [
             _inner_join_block.remote(
-                key, tuple(left_cols), tuple(right_cols), max_pairs_per_key, *parts
+                key, tuple(left_cols), tuple(right_cols), max_pairs_per_key,
+                how == "left", *parts
             )
             for parts in groups
         ]

@@ -1493,6 +1493,25 @@ def q_lineitem_orders_join(sf_dir: str):
     )
 
 
+def q_customer_orders_left_join(sf_dir: str):
+    """Left-outer variant of the data-scale equi-join: every customer
+    row survives, the ~2% with no orders carry nulled order columns
+    (the unmatched path of ops/join.sort_merge_inner_join how='left')."""
+    from ..ops.join import sort_merge_inner_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return sort_merge_inner_join(
+        cust,
+        orders,
+        "c_custkey",
+        left_cols=[],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_key="o_custkey",
+        how="left",
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff between crawl epochs (incremental-ingest
     primitive): snapshot B derives from documents by a deterministic
@@ -1830,6 +1849,10 @@ ORACLE_SQL.update(
             + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
             + " AS split FROM documents"
         ),
+        "customer_orders_left_join": (
+            "SELECT c_custkey, o_orderkey, o_totalprice FROM customer "
+            "LEFT JOIN orders ON c_custkey = o_custkey"
+        ),
         "lineitem_orders_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, "
             "o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -2008,6 +2031,7 @@ def build_queries() -> dict:
         "curate_image_corpus": q_curate_image_corpus,
         "corpus_diff": q_corpus_diff,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "customer_orders_left_join": q_customer_orders_left_join,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

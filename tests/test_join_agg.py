@@ -517,3 +517,29 @@ def test_sort_merge_inner_join_cartesian_and_guard():
             left_cols=["lv"], right_cols=["rv"], right_key="rk",
             max_pairs_per_key=3,
         ).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_merge_left_join_null_padding():
+    import pandas as pd
+
+    from news_crawler_ray.ops.join import sort_merge_inner_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()), "lv": pa.array([10, 20, 30])}
+    )
+    right = pa.table(
+        {"rk": pa.array([1, 1], pa.int64()), "rv": pa.array(["a", "b"])}
+    )
+    got = (
+        sort_merge_inner_join(
+            _ds(left, 2), _ds(right, 1), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk", how="left",
+        )
+        .to_pandas()
+        .sort_values(["k", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 1, 2, 3]
+    assert got["rv"].tolist()[:2] == ["a", "b"]
+    assert pd.isna(got["rv"][2]) and pd.isna(got["rv"][3])

@@ -460,35 +460,39 @@ def value_histogram(
 # ------------------------------------------------------------------- rollup
 
 
-def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
-    """SQL ``GROUP BY ROLLUP(keys...)`` as one streaming pass: each row
-    fans out to len(keys)+1 grouping levels INSIDE the map task (level
-    L nulls out keys[L:], exactly DuckDB's rollup frame), then the
-    zero-exchange combiner aggregates (level, *keys). The fan-out
-    factor never crosses an exchange — same shape as hopping windows.
-    Returns a pyarrow Table with NULLs in rolled-up key columns."""
-    import numpy as np
+def grouping_sets_agg(
+    ds,
+    keys: list[str],
+    specs: list[tuple[str, str, str | None]],
+    sets: list[tuple[int, ...]],
+):
+    """SQL ``GROUP BY GROUPING SETS`` as one streaming pass: each row
+    fans out to one sub-row per grouping set INSIDE the map task (keys
+    outside the set nulled out, exactly DuckDB's frame), then the
+    zero-exchange combiner aggregates. The fan-out factor never crosses
+    an exchange — same shape as hopping windows. ``sets`` are tuples of
+    KEPT key indices and must be distinct. Returns a pyarrow Table with
+    NULLs in the rolled-up key columns."""
+    import numpy as np  # noqa: F401  (parity with sibling aggregates)
 
     import pyarrow.compute as pc
 
-    n_levels = len(keys) + 1
-
     def derive(t: pa.Table) -> pa.Table:
-        # One sub-table per level, rolled-up keys nulled out. Grouping
-        # runs on ONE composed string surrogate key: this pyarrow's
-        # (16.1.0) multi-key hash grouper splits identical NULL
-        # fixed-width keys when any var-width key is present (it hashes
-        # the data buffer behind the validity bitmap), so grouping on
-        # (level, keys...) directly returns garbage; string keys are
-        # unaffected, and the real key values ride along as min()
-        # aggregates (constant within a group by construction).
+        # One sub-table per grouping set, excluded keys nulled out.
+        # Grouping runs on ONE composed string surrogate key: this
+        # pyarrow's (16.1.0) multi-key hash grouper splits identical
+        # NULL fixed-width keys when any var-width key is present (it
+        # hashes the data buffer behind the validity bitmap), so
+        # grouping on (set, keys...) directly returns garbage; string
+        # keys are unaffected, and the real key values ride along as
+        # min() aggregates (constant within a group by construction).
         n = t.num_rows
         outs = []
-        for lvl in range(n_levels):
+        for si, kept in enumerate(sets):
             o = t
-            parts = [pa.array([str(lvl)] * n, pa.string())]
+            parts = [pa.array([str(si)] * n, pa.string())]
             for j, k in enumerate(keys):
-                if lvl <= j:  # level L keeps keys[:L]
+                if j not in kept:
                     o = o.set_column(
                         o.column_names.index(k),
                         k,
@@ -509,6 +513,27 @@ def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
     )
     names = [s[0] for s in specs]
     return out.select(list(keys) + names)
+
+
+def rollup_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
+    """SQL ``GROUP BY ROLLUP(keys...)``: grouping sets = the key-list
+    prefixes (level L keeps keys[:L])."""
+    sets = [tuple(range(lvl)) for lvl in range(len(keys) + 1)]
+    return grouping_sets_agg(ds, keys, specs, sets)
+
+
+def cube_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None]]):
+    """SQL ``GROUP BY CUBE(keys...)``: grouping sets = ALL key subsets
+    (2^len(keys) of them — keep the key list short; the fan-out is
+    in-task only, like rollup)."""
+    from itertools import combinations
+
+    sets = [
+        tuple(c)
+        for r in range(len(keys) + 1)
+        for c in combinations(range(len(keys)), r)
+    ]
+    return grouping_sets_agg(ds, keys, specs, sets)
 
 
 def hll_distinct_by(ds, key_col: str, col: str, p: int = 12) -> pa.Table:

@@ -1696,6 +1696,24 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day): all four grouping sets in one
+    streaming pass (ops/agg.cube_agg — in-task set fan-out, zero
+    exchange)."""
+    from ..ops.agg import cube_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def with_day(t: pa.Table) -> pa.Table:
+        return t.append_column("day", pc.strftime(t["ts"], format="%Y-%m-%d"))
+
+    return cube_agg(
+        ev.map_batches(with_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"],
+        [("n_events", "count_all", None), ("max_value", "max", "value")],
+    )
+
+
 def q_value_histogram(sf_dir: str):
     """Fixed-width histogram of event values (vectorized binning +
     zero-exchange combiner; edge bins clip out-of-range)."""
@@ -1891,6 +1909,11 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "events_cube": (
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, "
+            "max(value) AS max_value FROM events "
+            "GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))"
+        ),
         "curate_corpus": (
             r"WITH q AS (SELECT doc_id, text, "
             r"  len(regexp_extract_all(text, '\S+')) AS n_tokens, "
@@ -2032,6 +2055,7 @@ def build_queries() -> dict:
         "corpus_diff": q_corpus_diff,
         "lineitem_orders_join": q_lineitem_orders_join,
         "customer_orders_left_join": q_customer_orders_left_join,
+        "events_cube": q_events_cube,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -543,3 +543,29 @@ def test_sort_merge_left_join_null_padding():
     assert got["k"].tolist() == [1, 1, 2, 3]
     assert got["rv"].tolist()[:2] == ["a", "b"]
     assert pd.isna(got["rv"][2]) and pd.isna(got["rv"][3])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cube_agg_all_subsets():
+    """CUBE(a, b) emits all four grouping sets with exact counts."""
+    from news_crawler_ray.ops.agg import cube_agg
+
+    n = 24
+    tbl = pa.table(
+        {
+            "a": pa.array([f"a{i % 2}" for i in range(n)]),
+            "b": pa.array([f"b{i % 3}" for i in range(n)]),
+            "v": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    out = cube_agg(
+        _ds(tbl, 4), ["a", "b"], [("n", "count_all", None), ("mx", "max", "v")]
+    ).to_pandas()
+    rows = {
+        (r["a"], r["b"]): (r["n"], r["mx"]) for _, r in out.iterrows()
+    }
+    assert len(out) == 2 * 3 + 2 + 3 + 1  # (a,b) + (a) + (b) + ()
+    assert rows[(None, None)] == (n, n - 1)
+    assert rows[("a0", None)][0] == n // 2
+    assert rows[(None, "b1")][0] == n // 3
+    assert rows[("a1", "b2")][0] == n // 6

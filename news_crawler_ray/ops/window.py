@@ -343,3 +343,88 @@ def group_gap_stats(ds, key_col: str, ts_col: str, carry_cols: tuple = ()):
             for parts in groups
         ]
     )
+
+
+@ray.remote
+def _rank_block(
+    key_col: str, order_col: str, id_col: str, n_tiles: int, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    run_id = np.cumsum(new_key) - 1
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    pos = np.arange(n, dtype=np.int64) - starts[run_id]  # 0-based row number
+    size = sizes[run_id]
+    # SQL row_number / percent_rank / ntile over a TOTAL order (the
+    # id tiebreak) — rank == row_number, percent_rank = (rn-1)/(N-1)
+    pct = np.where(size > 1, pos / np.maximum(size - 1, 1), 0.0)
+    # DuckDB ntile: first (N % tiles) buckets get ceil(N/tiles) rows
+    big = size % n_tiles
+    ceil_sz = -(-size // n_tiles)
+    floor_sz = size // n_tiles
+    cut = big * ceil_sz
+    tile = np.where(
+        pos < cut,
+        pos // np.maximum(ceil_sz, 1),
+        big + (pos - cut) // np.maximum(floor_sz, 1),
+    )
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "rn": pa.array(pos + 1, pa.int64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "tile": pa.array(tile + 1, pa.int64()),
+        }
+    )
+
+
+def rank_window(ds, key_col: str, order_col: str, id_col: str, n_tiles: int = 4):
+    """The rank window-function family — ROW_NUMBER, PERCENT_RANK,
+    NTILE(n) OVER (PARTITION BY key ORDER BY order, id) — on the
+    key-complete exchange: one sort, each partition lands whole in its
+    owner task, ranks/percentiles/tiles are pure offset arithmetic.
+    The id tiebreak makes the order total, so every output (including
+    the float percent_rank, an exact ratio of small ints) is
+    deterministic at any parallelism. NTILE uses DuckDB's convention
+    (first N%n buckets take the extra row)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[order_col, id_col])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "pct_rank": pa.array([], pa.float64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _rank_block.remote(key_col, order_col, id_col, n_tiles, *parts)
+            for parts in groups
+        ]
+    )

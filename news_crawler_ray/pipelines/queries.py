@@ -1696,6 +1696,18 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_event_ranks(sf_dir: str):
+    """The rank window-function family — ROW_NUMBER / PERCENT_RANK /
+    NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) —
+    on the key-complete exchange (ops/window.rank_window). The
+    tiebreak makes the order total, so even the float percent_rank is
+    an exact ratio reproducible at any parallelism."""
+    from ..ops.window import rank_window
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return rank_window(ev, "event_type", "value", "event_id", n_tiles=4)
+
+
 def q_events_cube(sf_dir: str):
     """GROUP BY CUBE(event_type, day): all four grouping sets in one
     streaming pass (ops/agg.cube_agg — in-task set fan-out, zero
@@ -1909,6 +1921,12 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "event_ranks": (
+            "SELECT event_id, row_number() OVER w AS rn, "
+            "percent_rank() OVER w AS pct_rank, ntile(4) OVER w AS tile "
+            "FROM events WINDOW w AS ("
+            "PARTITION BY event_type ORDER BY value, event_id)"
+        ),
         "events_cube": (
             "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events, "
             "max(value) AS max_value FROM events "
@@ -2056,6 +2074,7 @@ def build_queries() -> dict:
         "lineitem_orders_join": q_lineitem_orders_join,
         "customer_orders_left_join": q_customer_orders_left_join,
         "events_cube": q_events_cube,
+        "event_ranks": q_event_ranks,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

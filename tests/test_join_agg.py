@@ -569,3 +569,44 @@ def test_cube_agg_all_subsets():
     assert rows[("a0", None)][0] == n // 2
     assert rows[(None, "b1")][0] == n // 3
     assert rows[("a1", "b2")][0] == n // 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_window_matches_pandas():
+    """rn / pct_rank / ntile against a pandas reference, including the
+    uneven-bucket ntile convention and a partition smaller than the
+    tile count."""
+    import pandas as pd
+
+    from news_crawler_ray.ops.window import rank_window
+
+    rng = np.random.default_rng(3)
+    n = 230
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "k": pa.array([f"t{i % 3}" for i in range(n - 2)] + ["solo", "solo"]),
+            "v": pa.array(rng.integers(0, 50, n), pa.int64()),
+        }
+    )
+    out = (
+        rank_window(_ds(tbl, 6), "k", "v", "event_id", n_tiles=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = tbl.to_pandas().sort_values(["k", "v", "event_id"]).reset_index(drop=True)
+    df["rn"] = df.groupby("k").cumcount() + 1
+    size = df.groupby("k")["rn"].transform("max")
+    df["pct_rank"] = np.where(size > 1, (df["rn"] - 1) / np.maximum(size - 1, 1), 0.0)
+    ref = df.sort_values("event_id").reset_index(drop=True)
+    assert (out["rn"] == ref["rn"]).all()
+    assert np.allclose(out["pct_rank"], ref["pct_rank"], rtol=0, atol=0)
+    # ntile: bucket sizes differ by at most 1, first buckets larger
+    merged = out.merge(tbl.to_pandas(), on="event_id")
+    for k, g in merged.groupby("k"):
+        counts = g["tile"].value_counts().sort_index()
+        assert counts.max() - counts.min() <= 1
+        assert (counts.index == np.arange(1, len(counts) + 1)).all()
+        assert counts.is_monotonic_decreasing
+    assert set(merged[merged["k"] == "solo"]["tile"]) == {1, 2}

@@ -1696,6 +1696,26 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_top_users_per_type(sf_dir: str):
+    """Two chained exchanges — per-(type, user) counts on the sorted
+    group-aggregate, then per-type top-3 users on the key-complete
+    rank — the heavy-hitters-per-segment composition (who dominates
+    each event type). Tiebreak (count desc, user asc) is total."""
+    from ..ops.agg import group_top_k, sorted_group_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    counts = sorted_group_agg(
+        ev, ["event_type", "user_id"], [("n_events", "count_all", None)]
+    )
+    top = group_top_k(
+        counts, "event_type", ["n_events", "user_id"], [True, False], k=3
+    )
+    return top.map_batches(
+        lambda t: t.select(["event_type", "user_id", "n_events", "rn"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_event_ranks(sf_dir: str):
     """The rank window-function family — ROW_NUMBER / PERCENT_RANK /
     NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) —
@@ -1921,6 +1941,13 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "top_users_per_type": (
+            "SELECT event_type, user_id, n_events, rn FROM ("
+            "SELECT event_type, user_id, n_events, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rn "
+            "FROM (SELECT event_type, user_id, count(*) AS n_events "
+            "FROM events GROUP BY event_type, user_id)) WHERE rn <= 3"
+        ),
         "event_ranks": (
             "SELECT event_id, row_number() OVER w AS rn, "
             "percent_rank() OVER w AS pct_rank, ntile(4) OVER w AS tile "
@@ -2075,6 +2102,7 @@ def build_queries() -> dict:
         "customer_orders_left_join": q_customer_orders_left_join,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
+        "top_users_per_type": q_top_users_per_type,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -238,6 +238,9 @@ QUERY_SUBSET = [
     "mixture_sample",
     "image_corpus_filter",
     "curate_image_corpus",
+    "lineitem_orders_join",
+    "event_ranks",
+    "corpus_diff",
 ]
 
 

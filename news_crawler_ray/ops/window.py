@@ -428,3 +428,67 @@ def rank_window(ds, key_col: str, order_col: str, id_col: str, n_tiles: int = 4)
             for parts in groups
         ]
     )
+
+
+@ray.remote
+def _lag_lead_block(
+    key_col: str, order_cols: tuple, id_col: str, val_col: str, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    idx = np.arange(n, dtype=np.int64)
+    prev_i = pa.array(idx - 1, type=pa.int64(), mask=new_key)
+    last_of_key = np.concatenate([new_key[1:], [True]])
+    next_i = pa.array(idx + 1, type=pa.int64(), mask=last_of_key)
+    vals = tbl[val_col].combine_chunks()
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "prev_value": vals.take(prev_i),
+            "next_value": vals.take(next_i),
+        }
+    )
+
+
+def lag_lead(ds, key_col: str, order_cols: list[str], id_col: str, val_col: str):
+    """LAG(val) / LEAD(val) OVER (PARTITION BY key ORDER BY order, id)
+    on the key-complete exchange: one sort, shifts are null-masked
+    take-indices (nulls at partition edges), no per-row Python.
+    ``order_cols`` must end in a unique tiebreak so the shift targets
+    are deterministic at any parallelism."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=list(order_cols))
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "prev_value": pa.array([], pa.float64()),
+                    "next_value": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _lag_lead_block.remote(key_col, tuple(order_cols), id_col, val_col, *parts)
+            for parts in groups
+        ]
+    )

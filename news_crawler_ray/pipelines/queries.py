@@ -1696,6 +1696,16 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_event_lag_lead(sf_dir: str):
+    """LAG/LEAD(value) OVER (PARTITION BY user ORDER BY ts, id) — the
+    neighbor-value window pair (null at partition edges) as null-masked
+    take-indices on the key-complete exchange (ops/window.lag_lead)."""
+    from ..ops.window import lag_lead
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return lag_lead(ev, "user_id", ["ts", "event_id"], "event_id", "value")
+
+
 def q_top_users_per_type(sf_dir: str):
     """Two chained exchanges — per-(type, user) counts on the sorted
     group-aggregate, then per-type top-3 users on the key-complete
@@ -1941,6 +1951,11 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "event_lag_lead": (
+            "SELECT event_id, lag(value) OVER w AS prev_value, "
+            "lead(value) OVER w AS next_value FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
         "top_users_per_type": (
             "SELECT event_type, user_id, n_events, rn FROM ("
             "SELECT event_type, user_id, n_events, row_number() OVER ("
@@ -2103,6 +2118,7 @@ def build_queries() -> dict:
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,
+        "event_lag_lead": q_event_lag_lead,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

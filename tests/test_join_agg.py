@@ -610,3 +610,29 @@ def test_rank_window_matches_pandas():
         assert (counts.index == np.arange(1, len(counts) + 1)).all()
         assert counts.is_monotonic_decreasing
     assert set(merged[merged["k"] == "solo"]["tile"]) == {1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lag_lead_partition_edges():
+    import pandas as pd
+
+    from news_crawler_ray.ops.window import lag_lead
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "u": pa.array(["a", "a", "a", "b", "b"]),
+            "ts": pa.array([10, 20, 30, 5, 6], pa.int64()),
+            "v": pa.array([1.0, 2.0, 3.0, 9.0, 8.0]),
+        }
+    )
+    out = (
+        lag_lead(_ds(tbl, 3), "u", ["ts", "event_id"], "event_id", "v")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert pd.isna(out["prev_value"][0]) and out["prev_value"].tolist()[1:3] == [1.0, 2.0]
+    assert out["next_value"].tolist()[:2] == [2.0, 3.0] and pd.isna(out["next_value"][2])
+    assert pd.isna(out["prev_value"][3]) and out["next_value"][3] == 8.0
+    assert out["prev_value"][4] == 9.0 and pd.isna(out["next_value"][4])

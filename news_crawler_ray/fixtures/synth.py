@@ -491,3 +491,15 @@ def write_fixture_dir(
         pq.write_table(tbl, p, row_group_size=100_000)
         paths[name] = p
     return paths
+
+
+def reference_pixels(k: int, seed: int = 42, sizes: tuple = SIZES) -> np.ndarray:
+    """The TRUE pixels of pool image ``k`` — the same recipe
+    make_pagestore encodes (row i uses pool image ``i % pool_n``). The
+    per-row payload invariant (input_hint: decoded-pixel allclose /
+    PSNR ≥ 40 dB for lossy) is checked against THIS ground truth."""
+    r = np.random.default_rng((seed, 1, k))
+    w = int(r.choice(sizes))
+    h = int(r.choice(sizes))
+    r.random()  # fmt draw, consumed to stay stream-aligned
+    return r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -753,3 +753,55 @@ def curate_image_corpus(ds, min_clip_score: float = 0.0):
         ),
         batch_format="pyarrow",
     )
+
+
+def payload_psnr_batch(t: pa.Table) -> pa.Table:
+    """The input_hint's per-row payload invariant as DATA: decode each
+    payload and measure PSNR against the row's REFERENCE pixels
+    (``ref_px`` raw uint8 bytes, shaped by the row's w/h) — lossless
+    formats must match exactly (psnr_db NULL, lossless=true), lossy
+    ones must stay ≥ 40 dB (the north-rule bound). ``psnr_ok`` makes
+    corpus-wide invariant checks one filter, the same way
+    politeness_audit turns the crawl budget into a checkable column."""
+    ids, fmts_out, lossless, vals, oks = [], [], [], [], []
+    for iid, buf, fmt, ref, w, h in zip(
+        t["image_id"].to_pylist(),
+        t["bytes"].to_pylist(),
+        t["fmt"].to_pylist(),
+        t["ref_px"].to_pylist(),
+        t["w"].to_pylist(),
+        t["h"].to_pylist(),
+    ):
+        px = codec.decode(buf, fmt)
+        ref_arr = np.frombuffer(ref, dtype=np.uint8).reshape(h, w, 3)
+        p = codec.psnr(ref_arr, px)
+        ids.append(iid)
+        fmts_out.append(fmt)
+        if p == float("inf"):
+            lossless.append(True)
+            vals.append(None)
+            oks.append(True)
+        else:
+            lossless.append(False)
+            vals.append(p)
+            oks.append(p >= 40.0)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(fmts_out, pa.string()),
+            "lossless": pa.array(lossless, pa.bool_()),
+            "psnr_db": pa.array(vals, pa.float64()),
+            "psnr_ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
+def payload_psnr_audit(ds, batch_size: int = 64):
+    """Actor-free decode audit (the codec is pure, like the other
+    decode-class task stages); per-row loop is the decode itself."""
+    return ds.map_batches(
+        payload_psnr_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

@@ -767,6 +767,33 @@ def expected_curate_image_corpus() -> pa.Table:
     )
 
 
+def expected_payload_psnr() -> pa.Table:
+    """Sequential roundtrip-PSNR audit, shared codec kernels."""
+    from ..fixtures import codec
+    from .queries import PSNR_AUDIT_N
+
+    ps = synth.make_pagestore(PSNR_AUDIT_N, seed=42)
+    ids, fmts, lossless, vals, oks = [], [], [], [], []
+    for k, row in enumerate(ps.select(["image_id", "bytes", "fmt"]).to_pylist()):
+        px = codec.decode(row["bytes"], row["fmt"])
+        ref = synth.reference_pixels(k, seed=42)
+        p = codec.psnr(ref, px)
+        ids.append(row["image_id"])
+        fmts.append(row["fmt"])
+        lossless.append(p == float("inf"))
+        vals.append(None if p == float("inf") else p)
+        oks.append(p == float("inf") or p >= 40.0)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "fmt": pa.array(fmts, pa.string()),
+            "lossless": pa.array(lossless, pa.bool_()),
+            "psnr_db": pa.array(vals, pa.float64()),
+            "psnr_ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
 def expected_politeness_audit() -> pa.Table:
     """Sequential per-(host, wave) schedule audit over the same crawl
     oracle: count + min adjacent gap of the virtual-clock fetch times,
@@ -940,6 +967,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["crawl_flagship"] = values_sql(expected_crawl_flagship())
     sql["politeness_audit"] = values_sql(expected_politeness_audit())
     sql["curate_image_corpus"] = values_sql(expected_curate_image_corpus())
+    sql["payload_psnr"] = values_sql(expected_payload_psnr())
 
     # ip_block_rules: distinct IPs from the expected IOC table, then the
     # SID + rule-line logic in real SQL (ref suricata.py:60,182-189)

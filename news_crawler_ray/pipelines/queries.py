@@ -1512,6 +1512,26 @@ def q_customer_orders_left_join(sf_dir: str):
     )
 
 
+PSNR_AUDIT_N = 120
+
+
+def q_payload_psnr(sf_dir: str):
+    """The input_hint's per-row payload invariant (decoded-pixel
+    fidelity vs the TRUE reference pixels; PSNR ≥ 40 dB for lossy
+    formats) as a queryable audit over the page-store
+    (ops/multimodal.payload_psnr_audit)."""
+    from ..fixtures import synth
+
+    tab = synth.make_pagestore(PSNR_AUDIT_N, seed=42).select(
+        ["image_id", "bytes", "fmt", "w", "h"]
+    )
+    refs = [
+        synth.reference_pixels(k, seed=42).tobytes() for k in range(PSNR_AUDIT_N)
+    ]
+    tab = tab.append_column("ref_px", pa.array(refs, pa.large_binary()))
+    return mm.payload_psnr_audit(ray.data.from_arrow(tab))
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff between crawl epochs (incremental-ingest
     primitive): snapshot B derives from documents by a deterministic
@@ -2119,6 +2139,7 @@ def build_queries() -> dict:
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,
         "event_lag_lead": q_event_lag_lead,
+        "payload_psnr": q_payload_psnr,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

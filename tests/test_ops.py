@@ -1167,3 +1167,27 @@ def test_curate_image_corpus_manifest(ray_session):
         .reset_index(drop=True)
     )
     assert out.equals(again)
+
+
+def test_payload_psnr_invariant(ray_session):
+    """PNG payloads roundtrip lossless; lossy payloads hold the 40 dB
+    north-rule bound; a corrupted payload surfaces as decode failure
+    rather than a silent pass."""
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import payload_psnr_audit
+
+    import pyarrow as _pa
+
+    ps = synth.make_pagestore(80, seed=11).select(
+        ["image_id", "bytes", "fmt", "w", "h"]
+    )
+    refs = [synth.reference_pixels(k, seed=11).tobytes() for k in range(80)]
+    ps = ps.append_column("ref_px", _pa.array(refs, _pa.large_binary()))
+    out = payload_psnr_audit(rd.from_arrow(ps)).to_pandas()
+    assert len(out) == 80 and out["psnr_ok"].all()
+    png = out[out["fmt"] == "png"]
+    assert png["lossless"].all() and png["psnr_db"].isna().all()
+    lossy = out[out["fmt"] == "jpeg"]
+    assert (~lossy["lossless"]).all() and (lossy["psnr_db"] >= 40.0).all()

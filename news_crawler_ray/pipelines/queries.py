@@ -1716,6 +1716,37 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_quality_percentile_filter(sf_dir: str):
+    """Adaptive-threshold corpus filter (two-phase): the exact global
+    75th-percentile token count is computed distributed (one
+    group-quantile exchange over a constant key), broadcast as a plain
+    value, then the keep-filter streams block-local — the shape of any
+    data-dependent cutoff (quality floors, length caps) at corpus
+    scale. Integer threshold → no float drift."""
+    from ..ops.agg import group_quantiles
+    from ..ops.text import token_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    stats = token_stats(docs).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "k": pa.array(["all"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    q = group_quantiles(stats, "k", "n_tokens", (75,)).take_all()
+    threshold = int(q[0]["n_tokens"])
+    return stats.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": t["n_tokens"]}
+        ).filter(pc.greater_equal(t["n_tokens"], threshold)),
+        batch_format="pyarrow",
+    )
+
+
 def q_event_lag_lead(sf_dir: str):
     """LAG/LEAD(value) OVER (PARTITION BY user ORDER BY ts, id) — the
     neighbor-value window pair (null at partition edges) as null-masked
@@ -1971,6 +2002,12 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "quality_percentile_filter": (
+            r"WITH s AS (SELECT doc_id, len(regexp_extract_all("
+            r"coalesce(text, ''), '\S+')) AS n_tokens FROM documents), "
+            "t AS (SELECT quantile_disc(n_tokens, 0.75) AS th FROM s) "
+            "SELECT doc_id, n_tokens FROM s, t WHERE n_tokens >= th"
+        ),
         "event_lag_lead": (
             "SELECT event_id, lag(value) OVER w AS prev_value, "
             "lead(value) OVER w AS next_value FROM events "
@@ -2140,6 +2177,7 @@ def build_queries() -> dict:
         "top_users_per_type": q_top_users_per_type,
         "event_lag_lead": q_event_lag_lead,
         "payload_psnr": q_payload_psnr,
+        "quality_percentile_filter": q_quality_percentile_filter,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -665,3 +665,25 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id", k: int =
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_freq_spectrum(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Zipf frequency-of-frequencies: how many distinct terms occur
+    exactly n times — the corpus-statistics pass behind vocabulary
+    truncation and hapax analysis. Same combiner → term exchange as
+    top_terms, then a SECOND zero-exchange combiner over the tiny
+    (count → n_terms) domain. Returns (n, n_terms), exact."""
+    from .agg import partial_group_agg, sorted_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        g = tf.group_by(["term"]).aggregate([("tf", "sum")])
+        return pa.table({"term": g["term"], "n": pc.cast(g["tf_sum"], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
+    return partial_group_agg(totals, ["n"], [("n_terms", "count_all", None)])

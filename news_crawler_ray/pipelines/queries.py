@@ -1716,6 +1716,15 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+def q_token_freq_spectrum(sf_dir: str):
+    """Zipf frequency-of-frequencies over the corpus vocabulary
+    (ops/text.token_freq_spectrum): term-count exchange, then a
+    zero-exchange combiner over the tiny spectrum domain."""
+    from ..ops.text import token_freq_spectrum
+
+    return token_freq_spectrum(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_quality_percentile_filter(sf_dir: str):
     """Adaptive-threshold corpus filter (two-phase): the exact global
     75th-percentile token count is computed distributed (one
@@ -2002,6 +2011,11 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "token_freq_spectrum": (
+            f"WITH tf AS (SELECT term, count(*) AS n FROM ({_TOK_SQL}) "
+            "WHERE term <> '' GROUP BY term) "
+            "SELECT n, count(*) AS n_terms FROM tf GROUP BY n"
+        ),
         "quality_percentile_filter": (
             r"WITH s AS (SELECT doc_id, len(regexp_extract_all("
             r"coalesce(text, ''), '\S+')) AS n_tokens FROM documents), "
@@ -2178,6 +2192,7 @@ def build_queries() -> dict:
         "event_lag_lead": q_event_lag_lead,
         "payload_psnr": q_payload_psnr,
         "quality_percentile_filter": q_quality_percentile_filter,
+        "token_freq_spectrum": q_token_freq_spectrum,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

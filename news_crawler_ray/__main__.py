@@ -137,6 +137,29 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """Curate a page-store into training shards: admission → clip-score
+    → aspect bucket → exact phash dedup → resumable shard export (one
+    manifest line on stdout; a rerun over a complete manifest is a
+    no-op)."""
+    _ray_init()
+    import ray.data
+
+    from .context import configure
+    from .ops.multimodal import curate_image_corpus
+    from .stages.sinks import write_training_shards
+
+    configure()
+    ps = ray.data.read_parquet(args.store)
+    manifest = write_training_shards(
+        curate_image_corpus(ps, min_clip_score=args.min_clip_score),
+        args.out,
+        num_shards=args.shards,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="python -m news_crawler_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -165,6 +188,15 @@ def main(argv: list[str] | None = None) -> int:
     qu.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qu.add_argument("--write", help="write result parquet here")
     qu.set_defaults(fn=cmd_query)
+
+    ex = sub.add_parser(
+        "export", help="curate a page-store into resumable training shards"
+    )
+    ex.add_argument("--store", required=True, help="page-store parquet file/dir")
+    ex.add_argument("--out", required=True, help="shard output dir")
+    ex.add_argument("--shards", type=int, default=16)
+    ex.add_argument("--min-clip-score", type=float, default=0.0)
+    ex.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

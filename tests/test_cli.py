@@ -56,3 +56,22 @@ def test_cli_synth_crawl_query(ray_session, sf_dir, tmp_path, capsys):
     assert q["rows"] > 0 and q["columns"] == ["event_id"]
 
     assert main(["query", "definitely_not_a_query"]) == 2
+
+
+def test_cli_export_resumable(ray_session, tmp_path, capsys):
+    import json
+
+    from news_crawler_ray.__main__ import main
+
+    fix = str(tmp_path / "fix")
+    assert main(["synth", "--out", fix, "--pages", "150", "--frontier", "50"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "shards")
+    store = os.path.join(fix, "pagestore.parquet")
+    assert main(["export", "--store", store, "--out", out, "--shards", "4"]) == 0
+    m1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m1["complete"] and m1["rows"] > 0 and len(m1["per_shard"]) <= 4
+    # rerun: complete manifest short-circuits, identical output
+    assert main(["export", "--store", store, "--out", out, "--shards", "4"]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2 == m1

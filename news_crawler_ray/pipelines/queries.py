@@ -1716,6 +1716,33 @@ def q_events_rollup(sf_dir: str):
     )
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_type_pivot(sf_dir: str):
+    """Pivot (long → wide reshape): per-user counts of each event type
+    as columns. One vectorized conditional-count pass per block (an
+    int64 equality-mask column per type — the pivot never becomes a
+    per-type shuffle), then the single sorted group-aggregate by user
+    sums the wide partials. Unknown types are counted nowhere by
+    design; the column set is the broadcast-small config, like the
+    keyword list."""
+    from ..ops.agg import sorted_group_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.cast(pc.equal(t["event_type"], ty), pa.int64())
+        return pa.table(cols)
+
+    wide = ev.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_group_agg(
+        wide, ["user_id"], [(f"n_{ty}", "sum", f"n_{ty}") for ty in PIVOT_TYPES]
+    )
+
+
 def q_token_freq_spectrum(sf_dir: str):
     """Zipf frequency-of-frequencies over the corpus vocabulary
     (ops/text.token_freq_spectrum): term-count exchange, then a
@@ -2011,6 +2038,15 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "user_type_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(count(*) FILTER (WHERE event_type = '{ty}') AS BIGINT) "
+                f"AS n_{ty}"
+                for ty in PIVOT_TYPES
+            )
+            + " FROM events GROUP BY user_id"
+        ),
         "token_freq_spectrum": (
             f"WITH tf AS (SELECT term, count(*) AS n FROM ({_TOK_SQL}) "
             "WHERE term <> '' GROUP BY term) "
@@ -2193,6 +2229,7 @@ def build_queries() -> dict:
         "payload_psnr": q_payload_psnr,
         "quality_percentile_filter": q_quality_percentile_filter,
         "token_freq_spectrum": q_token_freq_spectrum,
+        "user_type_pivot": q_user_type_pivot,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

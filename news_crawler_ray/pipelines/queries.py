@@ -1743,6 +1743,33 @@ def q_user_type_pivot(sf_dir: str):
     )
 
 
+def q_user_type_melt(sf_dir: str):
+    """Unpivot (wide → long reshape), proven as the pivot's inverse:
+    melt the per-user wide counts back to (user_id, event_type, n) and
+    drop the zero cells — the result must equal a direct GROUP BY, so
+    the round trip is the oracle. The melt is an in-block column
+    fan-out (one take per type), no exchange at all."""
+    wide = q_user_type_pivot(sf_dir)
+    if isinstance(wide, pa.Table):
+        wide = ray.data.from_arrow(wide)
+
+    def melt(t: pa.Table) -> pa.Table:
+        outs = []
+        for ty in PIVOT_TYPES:
+            n = t[f"n_{ty}"]
+            part = pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": pa.array([ty] * t.num_rows, pa.string()),
+                    "n": pc.cast(n, pa.int64()),
+                }
+            )
+            outs.append(part.filter(pc.greater(part["n"], 0)))
+        return pa.concat_tables(outs)
+
+    return wide.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_token_freq_spectrum(sf_dir: str):
     """Zipf frequency-of-frequencies over the corpus vocabulary
     (ops/text.token_freq_spectrum): term-count exchange, then a
@@ -2038,6 +2065,10 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "user_type_melt": (
+            "SELECT user_id, event_type, count(*) AS n FROM events "
+            "GROUP BY user_id, event_type"
+        ),
         "user_type_pivot": (
             "SELECT user_id, "
             + ", ".join(
@@ -2230,6 +2261,7 @@ def build_queries() -> dict:
         "quality_percentile_filter": q_quality_percentile_filter,
         "token_freq_spectrum": q_token_freq_spectrum,
         "user_type_pivot": q_user_type_pivot,
+        "user_type_melt": q_user_type_melt,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -650,7 +650,14 @@ def group_top_k(
 
     groups = key_complete_parts(ds, key_col, order=order_cols, descending=descending)
     if not groups:
-        cols = {key_col: pa.array([], pa.string()), "rn": pa.array([], pa.int64())}
+        # empty result must carry the REAL schema (all input columns,
+        # their real types) + rn, so downstream selects/unions that
+        # worked on data keep working on none
+        schema = ds.schema()
+        cols = {
+            n: pa.array([], t) for n, t in zip(schema.names, schema.types)
+        }
+        cols["rn"] = pa.array([], pa.int64())
         return ray.data.from_arrow(pa.table(cols))
     return ray.data.from_arrow_refs(
         [

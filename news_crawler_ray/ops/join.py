@@ -429,21 +429,30 @@ def bloom_semi_join(
     use sort_merge_semi_join directly (this bitmap broadcast is the
     scale knob in between — 10^9 right keys ≈ a 2 GB bitmap, per node
     once, vs shuffling a 100 TB left)."""
-    import ray.data as rd
+    import ray.data as rd  # noqa: F401
 
-    n_right = right.count()
+    # one execution of the right lineage: keys are materialized once and
+    # reused by the count, the bloom build, and the exact verify (the
+    # unmaterialized dataset would re-run its reads/maps three times)
+    right_keys = right.select_columns([key]).materialize()
+    n_right = right_keys.count()
     if n_right == 0:
         return left.limit(0)
     m = 1 << max(10, int(np.ceil(np.log2(n_right * bits_per_key))))
 
     def partial(t: pa.Table) -> pa.Table:
-        bits = np.zeros(m, dtype=bool)
+        # set bits directly on the PACKED array (m/8 bytes, not an
+        # m-byte bool expansion — at 10^9 keys the bool form is 8x the
+        # bitmap per block)
+        packed_bits = np.zeros(m // 8, dtype=np.uint8)
         if t.num_rows:
-            pos = _bloom_positions(_hash_key_column(t[key]), m, num_hashes)
-            bits[pos.ravel()] = True
-        return pa.table({"bits": pa.array([np.packbits(bits).tobytes()], pa.binary())})
+            pos = _bloom_positions(_hash_key_column(t[key]), m, num_hashes).ravel()
+            np.bitwise_or.at(
+                packed_bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+            )
+        return pa.table({"bits": pa.array([packed_bits.tobytes()], pa.binary())})
 
-    packed = right.select_columns([key]).map_batches(
+    packed = right_keys.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
     merged = np.zeros(m // 8, dtype=np.uint8)
@@ -454,12 +463,15 @@ def bloom_semi_join(
     def prefilter(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        bits = np.unpackbits(ray.get(bloom_ref)).view(bool)
+        packed_bits = ray.get(bloom_ref)  # zero-copy plasma view per node
         pos = _bloom_positions(_hash_key_column(t[key]), m, num_hashes)
-        return t.filter(pa.array(bits[pos].all(axis=1)))
+        hit = (
+            packed_bits[pos >> 3] >> (pos & 7).astype(np.uint8)
+        ) & np.uint8(1)
+        return t.filter(pa.array(hit.all(axis=1)))
 
     survivors = left.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
-    return sort_merge_semi_join(survivors, right.select_columns([key]), key)
+    return sort_merge_semi_join(survivors, right_keys, key)
 
 
 # ------------------------------------------------ snapshot diff (full-outer)
@@ -551,9 +563,10 @@ def snapshot_diff(a, b, key_col: str, fp_col: str):
     )
     groups = key_complete_parts(tagged, key_col, order=[_SIDE])
     if not groups:
+        key_type = dict(zip(a.schema().names, a.schema().types))[key_col]
         return ray.data.from_arrow(
             pa.table(
-                {key_col: pa.array([], pa.int64()), "status": pa.array([], pa.string())}
+                {key_col: pa.array([], key_type), "status": pa.array([], pa.string())}
             )
         )
     return ray.data.from_arrow_refs(
@@ -688,7 +701,13 @@ def sort_merge_inner_join(
     )
     groups = key_complete_parts(tagged, key, order=[_SIDE])
     if not groups:
-        return left.limit(0)
+        # empty output in the documented join schema, not raw left
+        cols = {key: pa.array([], ltypes[key])}
+        for c in left_cols:
+            cols[c] = pa.array([], ltypes[c])
+        for c in right_cols:
+            cols[c] = pa.array([], rtypes[c])
+        return ray.data.from_arrow(pa.table(cols))
     return ray.data.from_arrow_refs(
         [
             _inner_join_block.remote(

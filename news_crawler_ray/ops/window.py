@@ -330,9 +330,10 @@ def group_gap_stats(ds, key_col: str, ts_col: str, carry_cols: tuple = ()):
 
     groups = key_complete_parts(ds, key_col, order=[ts_col])
     if not groups:
-        cols = {key_col: pa.array([], pa.string())}
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        cols = {key_col: pa.array([], types[key_col])}
         cols.update(
-            {c: pa.array([], pa.string()) for c in carry_cols if c != key_col}
+            {c: pa.array([], types[c]) for c in carry_cols if c != key_col}
         )
         cols["n_events"] = pa.array([], pa.int64())
         cols["min_gap"] = pa.array([], pa.int64())
@@ -477,12 +478,13 @@ def lag_lead(ds, key_col: str, order_cols: list[str], id_col: str, val_col: str)
 
     groups = key_complete_parts(ds, key_col, order=list(order_cols))
     if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
         return ray.data.from_arrow(
             pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
-                    "prev_value": pa.array([], pa.float64()),
-                    "next_value": pa.array([], pa.float64()),
+                    id_col: pa.array([], types[id_col]),
+                    "prev_value": pa.array([], types[val_col]),
+                    "next_value": pa.array([], types[val_col]),
                 }
             )
         )

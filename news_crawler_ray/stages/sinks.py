@@ -201,7 +201,6 @@ def write_training_shards(
     merge-don't-rewrite sinks (suricata.py:139-195) applied to corpus
     export. Returns the manifest dict."""
     import json
-    import uuid
 
     import numpy as np
     import polars as pl
@@ -214,9 +213,20 @@ def write_training_shards(
         if m.get("complete"):
             return m
 
+    # incomplete prior attempt (killed before the manifest landed):
+    # clear its part files so the rerun cannot double-count rows — the
+    # kill-and-rerun contract is restart-from-scratch, never append
+    if os.path.isdir(out_dir):
+        import shutil
+
+        for entry in os.listdir(out_dir):
+            if entry.startswith("shard-"):
+                shutil.rmtree(os.path.join(out_dir, entry), ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def scatter(t: pa.Table) -> pa.Table:
+        import hashlib
+
         if t.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.int64()),
                              "rows": pa.array([], pa.int64())})
@@ -229,9 +239,15 @@ def write_training_shards(
             part = t.filter(pa.array(shards == s))
             d = os.path.join(out_dir, f"shard-{int(s):05d}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                part, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet")
-            )
+            # part name = digest of the part's key set: a retried Ray
+            # task rewrites the SAME file instead of duplicating rows
+            # (blocks are disjoint, so distinct parts never collide)
+            digest = hashlib.md5(
+                "\x1f".join(str(v) for v in part[key_col].to_pylist()).encode()
+            ).hexdigest()
+            tmp_part = os.path.join(d, f".part-{digest}.tmp")
+            pq.write_table(part, tmp_part)
+            os.replace(tmp_part, os.path.join(d, f"part-{digest}.parquet"))
             out_s.append(int(s))
             out_n.append(part.num_rows)
         return pa.table({"shard": pa.array(out_s, pa.int64()),

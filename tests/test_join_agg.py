@@ -636,3 +636,51 @@ def test_lag_lead_partition_edges():
     assert out["next_value"].tolist()[:2] == [2.0, 3.0] and pd.isna(out["next_value"][2])
     assert pd.isna(out["prev_value"][3]) and out["next_value"][3] == 8.0
     assert out["prev_value"][4] == 9.0 and pd.isna(out["next_value"][4])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_input_schemas_survive():
+    """Empty inputs return the same schema (names AND types) as
+    non-empty runs for every key-complete kernel — unions/selects that
+    work on data must work on none."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import group_top_k
+    from news_crawler_ray.ops.join import snapshot_diff, sort_merge_inner_join
+    from news_crawler_ray.ops.window import group_gap_stats, lag_lead
+
+    empty = pa.table(
+        {
+            "k": pa.array([], pa.string()),
+            "v": pa.array([], pa.int64()),
+            "id": pa.array([], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(empty)
+    tk = group_top_k(ds, "k", ["v", "id"], [True, False], 3)
+    assert tk.schema().names == ["k", "v", "id", "rn"]
+    assert [str(t) for t in tk.schema().types] == ["string", "int64", "int64", "int64"]
+
+    jn = sort_merge_inner_join(
+        ds, rd.from_arrow(pa.table({"rk": pa.array([], pa.string()),
+                                    "rv": pa.array([], pa.float64())})),
+        "k", left_cols=["v"], right_cols=["rv"], right_key="rk",
+    )
+    assert jn.schema().names == ["k", "v", "rv"]
+    assert [str(t) for t in jn.schema().types] == ["string", "int64", "double"]
+
+    sd = snapshot_diff(
+        rd.from_arrow(pa.table({"url": pa.array([], pa.string()),
+                                "fp": pa.array([], pa.string())})),
+        rd.from_arrow(pa.table({"url": pa.array([], pa.string()),
+                                "fp": pa.array([], pa.string())})),
+        "url", "fp",
+    )
+    assert [str(t) for t in sd.schema().types] == ["string", "string"]
+
+    ll = lag_lead(ds, "k", ["v", "id"], "id", "v")
+    assert [str(t) for t in ll.schema().types] == ["int64", "int64", "int64"]
+
+    gg = group_gap_stats(ds, "k", "v", ("id",))
+    assert gg.schema().names == ["k", "id", "n_events", "min_gap"]
+    assert [str(t) for t in gg.schema().types] == ["string", "int64", "int64", "int64"]

@@ -143,3 +143,37 @@ def test_write_training_shards_resumable(tmp_path):
     before = sorted(os.listdir(out1))
     m3 = write_training_shards(rd.from_arrow(tbl), out1, num_shards=8)
     assert m3 == m1 and sorted(os.listdir(out1)) == before
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_training_shards_interrupted_rerun(tmp_path):
+    """A rerun after a kill (parts on disk, no manifest) must not
+    double rows: stale parts are cleared, the fresh export equals a
+    clean one."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from news_crawler_ray.stages.sinks import write_training_shards
+
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"img{i:06d}" for i in range(200)]),
+            "payload": pa.array(np.arange(200), pa.int64()),
+        }
+    )
+    out = str(tmp_path / "x")
+    # simulate a killed first attempt: parts written, manifest missing
+    write_training_shards(rd.from_arrow(tbl), out, num_shards=4)
+    os.remove(os.path.join(out, "_manifest.json"))
+    m = write_training_shards(rd.from_arrow(tbl).repartition(5), out, num_shards=4)
+    assert m["rows"] == 200
+    total = 0
+    for s in m["per_shard"]:
+        d = pq.read_table(os.path.join(out, f"shard-{int(s):05d}"))
+        assert d["image_id"].to_pandas().is_unique  # no duplicated rows
+        total += d.num_rows
+    assert total == 200

@@ -494,3 +494,80 @@ def lag_lead(ds, key_col: str, order_cols: list[str], id_col: str, val_col: str)
             for parts in groups
         ]
     )
+
+
+@ray.remote
+def _session_assign_block(
+    gap_us: int, user_col: str, ts_col: str, id_col: str, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    s = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+    )
+    n = s.num_rows
+    users = s[user_col].combine_chunks()
+    ts = np.asarray(s[ts_col].cast(pa.int64()))
+    new_user = np.empty(n, dtype=bool)
+    new_user[0] = True
+    if n > 1:
+        new_user[1:] = pc.not_equal(users.slice(1), users.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    gap_break = np.empty(n, dtype=bool)
+    gap_break[0] = True
+    if n > 1:
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+    new_s = new_user | gap_break
+    snum_global = np.cumsum(new_s)  # 1-based global session number
+    user_first = np.maximum.accumulate(np.where(new_user, snum_global, 0))
+    session_num = snum_global - user_first + 1
+    return pa.table(
+        {
+            id_col: s[id_col],
+            "session_num": pa.array(session_num, pa.int64()),
+        }
+    )
+
+
+def session_assign(
+    ds,
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Per-EVENT session ids (the assignment form of sessionize: every
+    row tagged with its 1-based session number within its user) — the
+    enrichment join a training pipeline needs to group events by
+    session downstream. Same key-complete exchange and break logic as
+    sessionize; output is (id, session_num) per input row."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, user_col, order=[ts_col, id_col])
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], types[id_col]),
+                    "session_num": pa.array([], pa.int64()),
+                }
+            )
+        )
+    gap_us = int(gap_minutes * 60_000_000)
+    return ray.data.from_arrow_refs(
+        [
+            _session_assign_block.remote(gap_us, user_col, ts_col, id_col, *parts)
+            for parts in groups
+        ]
+    )

@@ -1719,6 +1719,17 @@ def q_events_rollup(sf_dir: str):
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
+def q_event_sessions(sf_dir: str):
+    """Per-EVENT session assignment (the enrichment form of
+    sessionize): each event tagged with its 1-based session number —
+    ops/window.session_assign, 30-minute gap, same break logic the
+    session-summary query uses."""
+    from ..ops.window import session_assign
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return session_assign(ev, gap_minutes=30.0)
+
+
 def q_user_type_pivot(sf_dir: str):
     """Pivot (long → wide reshape): per-user counts of each event type
     as columns. One vectorized conditional-count pass per block (an
@@ -2065,6 +2076,15 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "event_sessions": (
+            "WITH g AS (SELECT event_id, user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events) "
+            "SELECT event_id, CAST(SUM(CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num FROM g"
+        ),
         "user_type_melt": (
             "SELECT user_id, event_type, count(*) AS n FROM events "
             "GROUP BY user_id, event_type"
@@ -2262,6 +2282,7 @@ def build_queries() -> dict:
         "token_freq_spectrum": q_token_freq_spectrum,
         "user_type_pivot": q_user_type_pivot,
         "user_type_melt": q_user_type_melt,
+        "event_sessions": q_event_sessions,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -433,7 +433,12 @@ def rank_window(ds, key_col: str, order_col: str, id_col: str, n_tiles: int = 4)
 
 @ray.remote
 def _lag_lead_block(
-    key_col: str, order_cols: tuple, id_col: str, val_col: str, *parts: pa.Table
+    key_col: str,
+    order_cols: tuple,
+    id_col: str,
+    val_col: str,
+    keep_value: bool,
+    *parts: pa.Table,
 ) -> pa.Table:
     import numpy as np
 
@@ -459,38 +464,48 @@ def _lag_lead_block(
     last_of_key = np.concatenate([new_key[1:], [True]])
     next_i = pa.array(idx + 1, type=pa.int64(), mask=last_of_key)
     vals = tbl[val_col].combine_chunks()
-    return pa.table(
-        {
-            id_col: tbl[id_col],
-            "prev_value": vals.take(prev_i),
-            "next_value": vals.take(next_i),
-        }
-    )
+    cols = {
+        id_col: tbl[id_col],
+        "prev_value": vals.take(prev_i),
+        "next_value": vals.take(next_i),
+    }
+    if keep_value:
+        cols["value"] = vals
+    return pa.table(cols)
 
 
-def lag_lead(ds, key_col: str, order_cols: list[str], id_col: str, val_col: str):
+def lag_lead(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    id_col: str,
+    val_col: str,
+    keep_value: bool = False,
+):
     """LAG(val) / LEAD(val) OVER (PARTITION BY key ORDER BY order, id)
     on the key-complete exchange: one sort, shifts are null-masked
     take-indices (nulls at partition edges), no per-row Python.
     ``order_cols`` must end in a unique tiebreak so the shift targets
-    are deterministic at any parallelism."""
+    are deterministic at any parallelism. ``keep_value`` also emits the
+    row's own value, so (prev, current) pairs need no join back."""
     from ..stages.index import key_complete_parts
 
     groups = key_complete_parts(ds, key_col, order=list(order_cols))
     if not groups:
         types = dict(zip(ds.schema().names, ds.schema().types))
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    id_col: pa.array([], types[id_col]),
-                    "prev_value": pa.array([], types[val_col]),
-                    "next_value": pa.array([], types[val_col]),
-                }
-            )
-        )
+        cols = {
+            id_col: pa.array([], types[id_col]),
+            "prev_value": pa.array([], types[val_col]),
+            "next_value": pa.array([], types[val_col]),
+        }
+        if keep_value:
+            cols["value"] = pa.array([], types[val_col])
+        return ray.data.from_arrow(pa.table(cols))
     return ray.data.from_arrow_refs(
         [
-            _lag_lead_block.remote(key_col, tuple(order_cols), id_col, val_col, *parts)
+            _lag_lead_block.remote(
+                key_col, tuple(order_cols), id_col, val_col, keep_value, *parts
+            )
             for parts in groups
         ]
     )

@@ -1730,6 +1730,56 @@ def q_event_sessions(sf_dir: str):
     return session_assign(ev, gap_minutes=30.0)
 
 
+def q_event_type_transitions(sf_dir: str):
+    """Within-session event-type transition counts (sequence-mining
+    prep), composed from three engine primitives: session assignment →
+    data-scale inner join back onto the events → LAG of the type
+    within each (user, session) → zero-exchange combiner count of
+    (prev_type, event_type) pairs. Session boundaries break chains
+    (the first event of a session has no prev)."""
+    from ..ops.agg import partial_group_agg
+    from ..ops.join import sort_merge_inner_join
+    from ..ops.window import lag_lead, session_assign
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    sa = session_assign(ev, gap_minutes=30.0)
+    enriched = sort_merge_inner_join(
+        ev,
+        sa,
+        "event_id",
+        left_cols=["user_id", "ts", "event_type"],
+        right_cols=["session_num"],
+    )
+
+    def with_us_key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(t["user_id"], pa.string()),
+            pc.cast(t["session_num"], pa.string()),
+            "#",
+        )
+        return t.append_column("us", k)
+
+    keyed = enriched.map_batches(
+        with_us_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    lagged = lag_lead(
+        keyed, "us", ["ts", "event_id"], "event_id", "event_type", keep_value=True
+    )
+
+    def drop_null_prev(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.is_valid(t["prev_value"]))
+        return pa.table(
+            {"prev_type": out["prev_value"], "event_type": out["value"]}
+        )
+
+    long = lagged.map_batches(
+        drop_null_prev, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial_group_agg(
+        long, ["prev_type", "event_type"], [("n", "count_all", None)]
+    )
+
+
 def q_user_type_pivot(sf_dir: str):
     """Pivot (long → wide reshape): per-user counts of each event type
     as columns. One vectorized conditional-count pass per block (an
@@ -2076,6 +2126,20 @@ ORACLE_SQL.update(
             "max(value) AS max_value FROM events "
             "GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))"
         ),
+        "event_type_transitions": (
+            "WITH g AS (SELECT event_id, user_id, ts, event_type, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events), "
+            "s AS (SELECT *, SUM(CASE WHEN prev_ts IS NULL "
+            "OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_num FROM g), "
+            "p AS (SELECT event_type, lag(event_type) OVER ("
+            "PARTITION BY user_id, session_num ORDER BY ts, event_id"
+            ") AS prev_type FROM s) "
+            "SELECT prev_type, event_type, count(*) AS n FROM p "
+            "WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+        ),
         "event_sessions": (
             "WITH g AS (SELECT event_id, user_id, ts, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
@@ -2283,6 +2347,7 @@ def build_queries() -> dict:
         "user_type_pivot": q_user_type_pivot,
         "user_type_melt": q_user_type_melt,
         "event_sessions": q_event_sessions,
+        "event_type_transitions": q_event_type_transitions,
         "hll_users_by_type": q_hll_users_by_type,
         "channel_histogram": q_channel_histogram,
         "suppliers_per_region": q_suppliers_per_region,

@@ -27,19 +27,24 @@ import ray
 import ray.data
 
 
-@ray.remote
-def _session_block(
-    gap_us: int, user_col: str, ts_col: str, id_col: str, *parts: pa.Table
-) -> pa.Table:
-    tables = [p for p in parts if p.num_rows]
-    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
-    # parts arrive sorted (key_complete_parts preserves sort order), but
-    # a local re-sort is O(n log n) vectorized and removes the coupling
-    idx = pc.sort_indices(
-        tbl,
-        sort_keys=[(user_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")],
+
+def _session_breaks(
+    tbl: pa.Table, user_col: str, ts_col: str, id_col: str, gap_us: int
+):
+    """Shared session-break kernel: sort by (user, ts, id) and return
+    (sorted_table, new_user, new_session, per-row 1-based session_num).
+    ONE implementation serves both the summary (sessionize) and the
+    assignment (session_assign) forms, so gap semantics cannot drift."""
+    s = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (user_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
     )
-    s = tbl.take(idx)
     n = s.num_rows
     users = s[user_col].combine_chunks()
     ts = np.asarray(s[ts_col].cast(pa.int64()))
@@ -54,6 +59,22 @@ def _session_block(
     if n > 1:
         gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
     new_s = new_user | gap_break
+    snum_global = np.cumsum(new_s)  # 1-based global session number
+    user_first = np.maximum.accumulate(np.where(new_user, snum_global, 0))
+    session_num = snum_global - user_first + 1
+    return s, new_user, new_s, session_num
+
+
+@ray.remote
+def _session_block(
+    gap_us: int, user_col: str, ts_col: str, id_col: str, *parts: pa.Table
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    s, new_user, new_s, _ = _session_breaks(tbl, user_col, ts_col, id_col, gap_us)
+    n = s.num_rows
+    users = s[user_col].combine_chunks()
+    ts = np.asarray(s[ts_col].cast(pa.int64()))
     starts = np.flatnonzero(new_s)
     ends = np.concatenate([starts[1:], [n]])
     # session_num = 1-based session index within each user: global
@@ -513,45 +534,23 @@ def lag_lead(
 
 @ray.remote
 def _session_assign_block(
-    gap_us: int, user_col: str, ts_col: str, id_col: str, *parts: pa.Table
+    gap_us: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    carry_cols: tuple,
+    *parts: pa.Table,
 ) -> pa.Table:
-    import numpy as np
-
     tables = [p for p in parts if p.num_rows]
     tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
-    s = tbl.take(
-        pc.sort_indices(
-            tbl,
-            sort_keys=[
-                (user_col, "ascending"),
-                (ts_col, "ascending"),
-                (id_col, "ascending"),
-            ],
-        )
-    )
-    n = s.num_rows
-    users = s[user_col].combine_chunks()
-    ts = np.asarray(s[ts_col].cast(pa.int64()))
-    new_user = np.empty(n, dtype=bool)
-    new_user[0] = True
-    if n > 1:
-        new_user[1:] = pc.not_equal(users.slice(1), users.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-    gap_break = np.empty(n, dtype=bool)
-    gap_break[0] = True
-    if n > 1:
-        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
-    new_s = new_user | gap_break
-    snum_global = np.cumsum(new_s)  # 1-based global session number
-    user_first = np.maximum.accumulate(np.where(new_user, snum_global, 0))
-    session_num = snum_global - user_first + 1
-    return pa.table(
-        {
-            id_col: s[id_col],
-            "session_num": pa.array(session_num, pa.int64()),
-        }
-    )
+    s, _, _, session_num = _session_breaks(tbl, user_col, ts_col, id_col, gap_us)
+    cols = {
+        id_col: s[id_col],
+        "session_num": pa.array(session_num, pa.int64()),
+    }
+    for c in carry_cols:
+        cols[c] = s[c]
+    return pa.table(cols)
 
 
 def session_assign(
@@ -560,29 +559,33 @@ def session_assign(
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    carry_cols: tuple = (),
 ):
     """Per-EVENT session ids (the assignment form of sessionize: every
     row tagged with its 1-based session number within its user) — the
-    enrichment join a training pipeline needs to group events by
-    session downstream. Same key-complete exchange and break logic as
-    sessionize; output is (id, session_num) per input row."""
+    enrichment a training pipeline needs to group events by session
+    downstream. SAME break kernel as sessionize (_session_breaks), so
+    the two forms cannot drift. ``carry_cols`` ride through to the
+    output so downstream stages need no join back onto the input —
+    the kernel already has every row co-located and sorted."""
     from ..stages.index import key_complete_parts
 
     groups = key_complete_parts(ds, user_col, order=[ts_col, id_col])
     if not groups:
         types = dict(zip(ds.schema().names, ds.schema().types))
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    id_col: pa.array([], types[id_col]),
-                    "session_num": pa.array([], pa.int64()),
-                }
-            )
-        )
+        cols = {
+            id_col: pa.array([], types[id_col]),
+            "session_num": pa.array([], pa.int64()),
+        }
+        for c in carry_cols:
+            cols[c] = pa.array([], types[c])
+        return ray.data.from_arrow(pa.table(cols))
     gap_us = int(gap_minutes * 60_000_000)
     return ray.data.from_arrow_refs(
         [
-            _session_assign_block.remote(gap_us, user_col, ts_col, id_col, *parts)
+            _session_assign_block.remote(
+                gap_us, user_col, ts_col, id_col, tuple(carry_cols), *parts
+            )
             for parts in groups
         ]
     )

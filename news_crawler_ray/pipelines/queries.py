@@ -1732,23 +1732,18 @@ def q_event_sessions(sf_dir: str):
 
 def q_event_type_transitions(sf_dir: str):
     """Within-session event-type transition counts (sequence-mining
-    prep), composed from three engine primitives: session assignment →
-    data-scale inner join back onto the events → LAG of the type
-    within each (user, session) → zero-exchange combiner count of
-    (prev_type, event_type) pairs. Session boundaries break chains
-    (the first event of a session has no prev)."""
+    prep), composed from engine primitives: session assignment (with
+    carry columns — the kernel already co-locates and sorts every row,
+    so no join back) → LAG of the type within each (user, session) →
+    zero-exchange combiner count of (prev_type, event_type) pairs.
+    Session boundaries break chains (a session's first event has no
+    prev)."""
     from ..ops.agg import partial_group_agg
-    from ..ops.join import sort_merge_inner_join
     from ..ops.window import lag_lead, session_assign
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
-    sa = session_assign(ev, gap_minutes=30.0)
-    enriched = sort_merge_inner_join(
-        ev,
-        sa,
-        "event_id",
-        left_cols=["user_id", "ts", "event_type"],
-        right_cols=["session_num"],
+    enriched = session_assign(
+        ev, gap_minutes=30.0, carry_cols=("user_id", "ts", "event_type")
     )
 
     def with_us_key(t: pa.Table) -> pa.Table:

@@ -684,3 +684,50 @@ def test_empty_input_schemas_survive():
     gg = group_gap_stats(ds, "k", "v", ("id",))
     assert gg.schema().names == ["k", "id", "n_events", "min_gap"]
     assert [str(t) for t in gg.schema().types] == ["string", "int64", "int64", "int64"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_session_assign_consistent_with_sessionize():
+    """Per-event assignment and per-session summaries derive from the
+    same break kernel: event counts per (user, session) must equal the
+    summaries' n_events; carry_cols ride through; lag_lead keep_value
+    emits the row's own value."""
+    import pandas as pd
+
+    from news_crawler_ray.ops.window import lag_lead, session_assign, sessionize
+
+    rng = np.random.default_rng(13)
+    n = 400
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 9, n), pa.int64()),
+            "ts": pa.array(
+                np.sort(rng.integers(0, 10**10, n)).astype("datetime64[us]")
+            ),
+            "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        }
+    )
+    ds = _ds(tbl, 6)
+    assign = session_assign(
+        ds, gap_minutes=30.0, carry_cols=("user_id", "event_type")
+    ).to_pandas()
+    summary = sessionize(ds, gap_minutes=30.0).to_pandas()
+    got = (
+        assign.groupby(["user_id", "session_num"])
+        .size()
+        .reset_index(name="n_events")
+        .sort_values(["user_id", "session_num"])
+        .reset_index(drop=True)
+    )
+    ref = summary[["user_id", "session_num", "n_events"]].sort_values(
+        ["user_id", "session_num"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(ref.dtypes.to_dict()), ref)
+    assert set(assign.columns) == {"event_id", "session_num", "user_id", "event_type"}
+
+    kv = lag_lead(
+        ds, "user_id", ["ts", "event_id"], "event_id", "event_type", keep_value=True
+    ).to_pandas()
+    merged = kv.merge(tbl.to_pandas()[["event_id", "event_type"]], on="event_id")
+    assert (merged["value"] == merged["event_type"]).all()

@@ -583,7 +583,7 @@ def _inner_join_block(
     left_cols: tuple,
     right_cols: tuple,
     max_pairs_per_key: int,
-    left_outer: bool,
+    left_outer: str,  # join mode: "inner" | "left" | "outer"
     *parts: pa.Table,
 ) -> pa.Table:
     tables = [p for p in parts if p.num_rows]
@@ -631,7 +631,7 @@ def _inner_join_block(
         c1_rep = c1[run_rep]
         li = starts[run_rep] + off // c1_rep
         ri = starts[run_rep] + c0[run_rep] + off % c1_rep
-    if left_outer:
+    if left_outer in ("left", "outer"):
         # keys with no right row: keep their left rows, null right cols
         lone = np.flatnonzero((c1 == 0) & (c0 > 0))
         if len(lone):
@@ -640,11 +640,22 @@ def _inner_join_block(
             ).astype(np.int64)
             li = np.concatenate([li, extra])
             ri = np.concatenate([ri, np.full(len(extra), -1, np.int64)])
-    li_arr = pa.array(li, pa.int64())
-    # ri == -1 marks null-padded right side: a null take-index yields a
-    # null output row, no per-row Python
+    if left_outer == "outer":
+        # keys with no left row: keep their right rows, null left cols
+        rone = np.flatnonzero((c0 == 0) & (c1 > 0))
+        if len(rone):
+            extra = np.concatenate(
+                [np.arange(starts[r], starts[r] + c1[r]) for r in rone.tolist()]
+            ).astype(np.int64)
+            li = np.concatenate([li, np.full(len(extra), -1, np.int64)])
+            ri = np.concatenate([ri, extra])
+    # negative index marks the null-padded side: a null take-index
+    # yields a null output row, no per-row Python; the key always comes
+    # from whichever side is present
+    li_arr = pa.array(li, type=pa.int64(), mask=li < 0)
     ri_arr = pa.array(ri, type=pa.int64(), mask=ri < 0)
-    out_cols[key_col] = keys.take(li_arr)
+    ki = np.where(li >= 0, li, ri)
+    out_cols[key_col] = keys.take(pa.array(ki, pa.int64()))
     for c in left_cols:
         out_cols[c] = tbl[c].take(li_arr)
     for c in right_cols:
@@ -672,9 +683,11 @@ def sort_merge_inner_join(
     owner task — ``max_pairs_per_key`` raises loudly instead of
     silently exploding (broadcast the small side or pre-aggregate when
     you hit it). ``how="left"`` keeps unmatched left rows with nulled
-    right columns. Output columns: [key, *left_cols, *right_cols]."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    right columns; ``how="outer"`` additionally keeps unmatched right
+    rows with nulled left columns (the key always comes from whichever
+    side is present). Output columns: [key, *left_cols, *right_cols]."""
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be 'inner', 'left' or 'outer', got {how!r}")
     from ..stages.index import key_complete_parts
 
     # null columns need concrete types: take them from each side's schema
@@ -712,7 +725,7 @@ def sort_merge_inner_join(
         [
             _inner_join_block.remote(
                 key, tuple(left_cols), tuple(right_cols), max_pairs_per_key,
-                how == "left", *parts
+                how, *parts
             )
             for parts in groups
         ]

@@ -1532,6 +1532,41 @@ def q_payload_psnr(sf_dir: str):
     return mm.payload_psnr_audit(ray.data.from_arrow(tab))
 
 
+def q_customer_orders_full_join(sf_dir: str):
+    """Full-outer equi-join (both unmatched directions null-padded,
+    key from whichever side is present): even customers × orders of
+    third customers — the filters guarantee unmatched rows on BOTH
+    sides, exercising the complete join matrix."""
+    from ..ops.join import sort_merge_inner_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["c_custkey"], 1), 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def third(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(
+                t["o_custkey"],
+                pc.multiply(pc.divide(t["o_custkey"], 3), pa.scalar(3, pa.int64())),
+            ),
+            0,
+        )
+        return t.filter(keep)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return sort_merge_inner_join(
+        cust,
+        orders.map_batches(third, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey",
+        left_cols=[],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_key="o_custkey",
+        how="outer",
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff between crawl epochs (incremental-ingest
     primitive): snapshot B derives from documents by a deterministic
@@ -2079,6 +2114,14 @@ ORACLE_SQL.update(
             + sp.split_case_sql("doc_id", val_fraction=0.1, test_fraction=0.1)
             + " AS split FROM documents"
         ),
+        "customer_orders_full_join": (
+            "SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey, "
+            "o.o_orderkey, o.o_totalprice FROM "
+            "(SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0) c "
+            "FULL OUTER JOIN "
+            "(SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "WHERE o_custkey % 3 = 0) o ON c.c_custkey = o.o_custkey"
+        ),
         "customer_orders_left_join": (
             "SELECT c_custkey, o_orderkey, o_totalprice FROM customer "
             "LEFT JOIN orders ON c_custkey = o_custkey"
@@ -2332,6 +2375,7 @@ def build_queries() -> dict:
         "corpus_diff": q_corpus_diff,
         "lineitem_orders_join": q_lineitem_orders_join,
         "customer_orders_left_join": q_customer_orders_left_join,
+        "customer_orders_full_join": q_customer_orders_full_join,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

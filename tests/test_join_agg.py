@@ -731,3 +731,29 @@ def test_session_assign_consistent_with_sessionize():
     ).to_pandas()
     merged = kv.merge(tbl.to_pandas()[["event_id", "event_type"]], on="event_id")
     assert (merged["value"] == merged["event_type"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sort_merge_full_outer_join():
+    import pandas as pd
+
+    from news_crawler_ray.ops.join import sort_merge_inner_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "lv": pa.array([10, 20], pa.int64())}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 3], pa.int64()), "rv": pa.array(["b", "c"])}
+    )
+    got = (
+        sort_merge_inner_join(
+            _ds(left, 2), _ds(right, 2), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk", how="outer",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3]  # key present even for right-only
+    assert got["lv"].tolist()[:2] == [10, 20] and pd.isna(got["lv"][2])
+    assert pd.isna(got["rv"][0]) and got["rv"].tolist()[1:] == ["b", "c"]

@@ -583,7 +583,7 @@ def _inner_join_block(
     left_cols: tuple,
     right_cols: tuple,
     max_pairs_per_key: int,
-    left_outer: str,  # join mode: "inner" | "left" | "outer"
+    left_outer: str,  # join mode: "inner" | "left" | "right" | "outer"
     *parts: pa.Table,
 ) -> pa.Table:
     tables = [p for p in parts if p.num_rows]
@@ -640,7 +640,7 @@ def _inner_join_block(
             ).astype(np.int64)
             li = np.concatenate([li, extra])
             ri = np.concatenate([ri, np.full(len(extra), -1, np.int64)])
-    if left_outer == "outer":
+    if left_outer in ("right", "outer"):
         # keys with no left row: keep their right rows, null left cols
         rone = np.flatnonzero((c0 == 0) & (c1 > 0))
         if len(rone):
@@ -683,11 +683,14 @@ def sort_merge_inner_join(
     owner task — ``max_pairs_per_key`` raises loudly instead of
     silently exploding (broadcast the small side or pre-aggregate when
     you hit it). ``how="left"`` keeps unmatched left rows with nulled
-    right columns; ``how="outer"`` additionally keeps unmatched right
-    rows with nulled left columns (the key always comes from whichever
-    side is present). Output columns: [key, *left_cols, *right_cols]."""
-    if how not in ("inner", "left", "outer"):
-        raise ValueError(f"how must be 'inner', 'left' or 'outer', got {how!r}")
+    right columns; ``how="right"`` keeps unmatched right rows with
+    nulled left columns; ``how="outer"`` keeps both (the key always
+    comes from whichever side is present). Output columns:
+    [key, *left_cols, *right_cols]."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right' or 'outer', got {how!r}"
+        )
     from ..stages.index import key_complete_parts
 
     # null columns need concrete types: take them from each side's schema

@@ -1567,6 +1567,27 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+def q_orders_customer_right_join(sf_dir: str):
+    """Right-outer mode completing the data-scale join matrix
+    (inner/left/right/full on one kernel): orders ⋈ customer keyed on
+    custkey with orders as the LEFT side, so the ~2% of customers with
+    no orders exercise the unmatched-right null-padding branch of
+    ops/join.sort_merge_inner_join how='right'."""
+    from ..ops.join import sort_merge_inner_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return sort_merge_inner_join(
+        orders,
+        cust,
+        "o_custkey",
+        left_cols=["o_orderkey", "o_totalprice"],
+        right_cols=[],
+        right_key="c_custkey",
+        how="right",
+    )
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot diff between crawl epochs (incremental-ingest
     primitive): snapshot B derives from documents by a deterministic
@@ -2126,6 +2147,11 @@ ORACLE_SQL.update(
             "SELECT c_custkey, o_orderkey, o_totalprice FROM customer "
             "LEFT JOIN orders ON c_custkey = o_custkey"
         ),
+        "orders_customer_right_join": (
+            "SELECT coalesce(o_custkey, c_custkey) AS o_custkey, "
+            "o_orderkey, o_totalprice FROM orders "
+            "RIGHT JOIN customer ON o_custkey = c_custkey"
+        ),
         "lineitem_orders_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, "
             "o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -2376,6 +2402,7 @@ def build_queries() -> dict:
         "lineitem_orders_join": q_lineitem_orders_join,
         "customer_orders_left_join": q_customer_orders_left_join,
         "customer_orders_full_join": q_customer_orders_full_join,
+        "orders_customer_right_join": q_orders_customer_right_join,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

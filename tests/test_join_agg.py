@@ -757,3 +757,18 @@ def test_sort_merge_full_outer_join():
     assert got["k"].tolist() == [1, 2, 3]  # key present even for right-only
     assert got["lv"].tolist()[:2] == [10, 20] and pd.isna(got["lv"][2])
     assert pd.isna(got["rv"][0]) and got["rv"].tolist()[1:] == ["b", "c"]
+
+    # right mode: unmatched RIGHT rows survive null-padded, unmatched
+    # left rows (k=1) are dropped
+    got_r = (
+        sort_merge_inner_join(
+            _ds(left, 2), _ds(right, 2), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk", how="right",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got_r["k"].tolist() == [2, 3]
+    assert got_r["lv"].tolist()[:1] == [20] and pd.isna(got_r["lv"][1])
+    assert got_r["rv"].tolist() == ["b", "c"]

@@ -457,6 +457,102 @@ def value_histogram(
     )
 
 
+def group_var_stats(
+    ds, keys: list[str], value_col: str, max_groups: int = 65536
+) -> pa.Table:
+    """Exact per-group mean / population variance / stddev over an
+    INTEGER value column as a zero-exchange combiner (the
+    :func:`partial_group_agg` shape): each block emits integer moment
+    partials (n, Σv, Σv²) per group, the driver merges the O(blocks ×
+    groups) partial rows in arbitrary-precision Python ints, and only
+    the final division / sqrt touches float64. Because every float is
+    produced by ONE correctly-rounded cast of an exact integer ratio —
+    mean = Σv/n, var = (Σv²·n − (Σv)²)/n² — the result is bit-identical
+    at any block layout or merge order (the parallelism-proof-float
+    rule used across this engine) and equals the SQL
+    ``CAST(exact_int AS DOUBLE)`` formula to the last bit. Per-block
+    Σv² must fit int64 — guarded loudly via max|v|²·rows ≤ 2⁶²; the
+    driver-side merge is unbounded precision. Keys must be non-null
+    (sorted driver-side). Output:
+    [*keys, n_values, sum_v, mean_v, var_v, std_v] sorted by keys."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        key_cols = {k: t[k] for k in keys}
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **key_cols,
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "ss": pa.array([], pa.int64()),
+                }
+            )
+        v = pc.cast(t[value_col], pa.int64())
+        m = pc.max(pc.abs(v)).as_py() or 0
+        if m * m * t.num_rows > (1 << 62):
+            raise ValueError(
+                f"group_var_stats: per-block sum of squares may overflow "
+                f"int64 (max|v|={m}, rows={t.num_rows}); scale the value "
+                "column down or shrink the block size"
+            )
+        tt = pa.table({**key_cols, "_v": v, "_sq": pc.multiply_checked(v, v)})
+        g = tt.group_by(keys).aggregate(
+            [([], "count_all"), ("_v", "sum"), ("_sq", "sum")]
+        )
+        return pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": g["count_all"],
+                "s": g["_v_sum"],
+                "ss": g["_sq_sum"],
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        a = acc.setdefault(tuple(r[k] for k in keys), [0, 0, 0])
+        a[0] += r["n"]
+        a[1] += r["s"]
+        a[2] += r["ss"]
+    if len(acc) > max_groups:
+        raise ValueError(
+            f"group_var_stats: {len(acc)} groups > max_groups={max_groups}; "
+            "use sorted_group_agg for data-scale cardinalities"
+        )
+    rows = []
+    for key in sorted(acc):
+        n, s, ss = acc[key]
+        var = float(ss * n - s * s) / float(n * n)
+        rows.append(
+            {
+                **dict(zip(keys, key)),
+                "n_values": n,
+                "sum_v": s,
+                "mean_v": float(s) / float(n),
+                "var_v": var,
+                "std_v": math.sqrt(var),
+            }
+        )
+    if not rows:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table(
+            {
+                **{k: pa.array([], types[k]) for k in keys},
+                "n_values": pa.array([], pa.int64()),
+                "sum_v": pa.array([], pa.int64()),
+                "mean_v": pa.array([], pa.float64()),
+                "var_v": pa.array([], pa.float64()),
+                "std_v": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 # ------------------------------------------------------------------- rollup
 
 

@@ -1567,6 +1567,32 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+def q_event_value_stats(sf_dir: str):
+    """Exact per-type mean / population variance / stddev of event
+    value in integer cents (ops/agg.group_var_stats): integer moment
+    partials per block, arbitrary-precision driver merge, one
+    correctly-rounded cast per output float — bit-identical to the SQL
+    exact-integer formula at any parallelism."""
+    from ..ops.agg import group_var_stats
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+        return pa.table(
+            {"event_type": t["event_type"], "v": pa.array(v, pa.int64())}
+        )
+
+    tab = group_var_stats(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        "v",
+    )
+    return tab.rename_columns(
+        ["event_type", "n_values", "sum_cents", "mean_cents", "var_cents", "std_cents"]
+    )
+
+
 def q_orders_customer_right_join(sf_dir: str):
     """Right-outer mode completing the data-scale join matrix
     (inner/left/right/full on one kernel): orders ⋈ customer keyed on
@@ -2152,6 +2178,16 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "event_value_stats": (
+            "WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c "
+            "FROM events), m AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s, "
+            "SUM(c*c) AS ss FROM v GROUP BY event_type) "
+            "SELECT event_type, n AS n_values, CAST(s AS BIGINT) AS sum_cents, "
+            "CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mean_cents, "
+            "CAST(ss*n - s*s AS DOUBLE)/CAST(n*n AS DOUBLE) AS var_cents, "
+            "sqrt(CAST(ss*n - s*s AS DOUBLE)/CAST(n*n AS DOUBLE)) AS std_cents "
+            "FROM m ORDER BY event_type"
+        ),
         "lineitem_orders_join": (
             "SELECT l_orderkey, l_linenumber, l_quantity, o_orderdate, "
             "o_totalprice FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
@@ -2403,6 +2439,7 @@ def build_queries() -> dict:
         "customer_orders_left_join": q_customer_orders_left_join,
         "customer_orders_full_join": q_customer_orders_full_join,
         "orders_customer_right_join": q_orders_customer_right_join,
+        "event_value_stats": q_event_value_stats,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

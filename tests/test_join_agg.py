@@ -772,3 +772,47 @@ def test_sort_merge_full_outer_join():
     assert got_r["k"].tolist() == [2, 3]
     assert got_r["lv"].tolist()[:1] == [20] and pd.isna(got_r["lv"][1])
     assert got_r["rv"].tolist() == ["b", "c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_var_stats_bit_exact_and_layout_proof():
+    import duckdb
+
+    from news_crawler_ray.ops.agg import group_var_stats
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 7, n), pa.int64()),
+            "v": pa.array(rng.integers(-50000, 50000, n), pa.int64()),
+        }
+    )
+    sql = (
+        "WITH m AS (SELECT k, COUNT(*) n, SUM(v) s, SUM(v*v) ss FROM t GROUP BY k) "
+        "SELECT k, n AS n_values, CAST(s AS BIGINT) AS sum_v, "
+        "CAST(s AS DOUBLE)/CAST(n AS DOUBLE) AS mean_v, "
+        "CAST(ss*n - s*s AS DOUBLE)/CAST(n*n AS DOUBLE) AS var_v, "
+        "sqrt(CAST(ss*n - s*s AS DOUBLE)/CAST(n*n AS DOUBLE)) AS std_v "
+        "FROM m ORDER BY k"
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(sql).df()
+    outs = []
+    for blocks in (1, 13):  # layout-proof: single block vs many ragged blocks
+        got = group_var_stats(_ds(tbl, blocks), ["k"], "v").to_pandas()
+        # BIT-exact float comparison: the whole point of the integer-moment path
+        assert got["mean_v"].tolist() == exp["mean_v"].tolist()
+        assert got["var_v"].tolist() == exp["var_v"].tolist()
+        assert got["std_v"].tolist() == exp["std_v"].tolist()
+        assert got["n_values"].tolist() == exp["n_values"].tolist()
+        assert got["sum_v"].tolist() == exp["sum_v"].tolist()
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+
+    # loud overflow guard
+    big = pa.table({"k": pa.array([0, 0], pa.int64()),
+                    "v": pa.array([1 << 31, 1 << 31], pa.int64())})
+    with pytest.raises(Exception, match="overflow"):
+        group_var_stats(_ds(big, 1), ["k"], "v").to_pandas()

@@ -304,6 +304,95 @@ def running_sum(
 
 
 @ray.remote
+def _rolling_block(
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    k: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    s = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+    )
+    n = s.num_rows
+    keys = s[key_col].combine_chunks()
+    v = np.asarray(s[val_col], dtype=np.int64)
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    run_starts = np.flatnonzero(new_key)
+    run_lens = np.diff(np.concatenate([run_starts, [n]]))
+    pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+    w = np.minimum(pos, k) + 1  # rows actually in [k PRECEDING, CURRENT]
+    total = np.cumsum(v)
+    jm1 = np.arange(n, dtype=np.int64) - w  # row before the window start
+    prev = np.where(jm1 >= 0, total[np.maximum(jm1, 0)], 0)
+    roll = total - prev
+    return pa.table(
+        {
+            id_col: s[id_col],
+            "rolling_n": pa.array(w, pa.int64()),
+            "rolling_sum": pa.array(roll, pa.int64()),
+            # one exact int/int ratio per row — parallelism-proof float
+            "rolling_avg": pa.array(roll.astype(np.float64) / w, pa.float64()),
+        }
+    )
+
+
+def rolling_window(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "v_int",
+    k_preceding: int = 3,
+) -> "ray.data.Dataset":
+    """SUM/COUNT/AVG(val) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN k PRECEDING AND CURRENT ROW) — the bounded row-window
+    sibling of :func:`running_sum`, on the same task-based key-complete
+    exchange: one sort, each key's history in its owner task, and the
+    bounded window is cumsum minus a shifted cumsum with the window
+    width clamped at each partition edge (pure offset arithmetic, no
+    per-row loop). ``val_col`` must be int64 so sums are exact and the
+    average is a single correctly-rounded int/int cast — bit-identical
+    at any parallelism. Output (id, rolling_n, rolling_sum,
+    rolling_avg)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[ts_col, id_col])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rolling_n": pa.array([], pa.int64()),
+                    "rolling_sum": pa.array([], pa.int64()),
+                    "rolling_avg": pa.array([], pa.float64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _rolling_block.remote(key_col, ts_col, id_col, val_col, k_preceding, *parts)
+            for parts in groups
+        ]
+    )
+
+
+@ray.remote
 def _gap_stats_block(
     key_col: str, ts_col: str, carry_cols: tuple, *parts: pa.Table
 ) -> pa.Table:

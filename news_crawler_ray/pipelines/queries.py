@@ -1567,6 +1567,31 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+def q_event_rolling(sf_dir: str):
+    """Bounded row-window aggregate — SUM/COUNT/AVG OVER (PARTITION BY
+    user ORDER BY ts, id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) in
+    integer cents on the key-complete exchange
+    (ops/window.rolling_window)."""
+    from ..ops.window import rolling_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+        return t.drop_columns(["value"]).append_column(
+            "v_int", pa.array(v, pa.int64())
+        )
+
+    return rolling_window(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        val_col="v_int",
+        k_preceding=3,
+    )
+
+
 def q_event_value_stats(sf_dir: str):
     """Exact per-type mean / population variance / stddev of event
     value in integer cents (ops/agg.group_var_stats): integer moment
@@ -2178,6 +2203,15 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "event_rolling": (
+            "WITH v AS (SELECT event_id, user_id, ts, "
+            "CAST(round(value*100) AS BIGINT) AS c FROM events) "
+            "SELECT event_id, COUNT(*) OVER w AS rolling_n, "
+            "CAST(SUM(c) OVER w AS BIGINT) AS rolling_sum, "
+            "CAST(SUM(c) OVER w AS DOUBLE)/CAST(COUNT(*) OVER w AS DOUBLE) "
+            "AS rolling_avg FROM v WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        ),
         "event_value_stats": (
             "WITH v AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c "
             "FROM events), m AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s, "
@@ -2440,6 +2474,7 @@ def build_queries() -> dict:
         "customer_orders_full_join": q_customer_orders_full_join,
         "orders_customer_right_join": q_orders_customer_right_join,
         "event_value_stats": q_event_value_stats,
+        "event_rolling": q_event_rolling,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

@@ -816,3 +816,41 @@ def test_group_var_stats_bit_exact_and_layout_proof():
                     "v": pa.array([1 << 31, 1 << 31], pa.int64())})
     with pytest.raises(Exception, match="overflow"):
         group_var_stats(_ds(big, 1), ["k"], "v").to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rolling_window_bit_exact_vs_duckdb():
+    import duckdb
+
+    from news_crawler_ray.ops.window import rolling_window
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 500, n), pa.int64()),
+            "v_int": pa.array(rng.integers(-1000, 1000, n), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.sql(
+        "SELECT event_id, COUNT(*) OVER w AS rolling_n, "
+        "CAST(SUM(v_int) OVER w AS BIGINT) AS rolling_sum, "
+        "CAST(SUM(v_int) OVER w AS DOUBLE)/CAST(COUNT(*) OVER w AS DOUBLE) AS rolling_avg "
+        "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) ORDER BY event_id"
+    ).df()
+    for blocks in (1, 11):
+        got = (
+            rolling_window(_ds(tbl, blocks), "user_id", "ts", "event_id", "v_int", 3)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert got["rolling_n"].tolist() == exp["rolling_n"].tolist()
+        assert got["rolling_sum"].tolist() == exp["rolling_sum"].tolist()
+        # bit-exact floats: single int/int cast on both sides
+        assert got["rolling_avg"].tolist() == exp["rolling_avg"].tolist()

@@ -687,3 +687,158 @@ def token_freq_spectrum(ds, text_col: str = "text", id_col: str = "doc_id") -> p
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
     return partial_group_agg(totals, ["n"], [("n_terms", "count_all", None)])
+
+
+# ------------------------------------------------- duplicate n-gram spans
+
+
+def _ngram_explode_batch(
+    batch: pa.Table, text_col: str, id_col: str, n: int
+) -> pa.Table:
+    """One block → (gram, id) rows: every n-token window of every doc,
+    gram = tokens joined by ' '. Same flatten/filter/offset-stitch
+    machinery as chunk_documents_batch; the n shifted gathers feed one
+    vectorized binary_join_element_wise — no per-row Python."""
+    text = pc.coalesce(batch[text_col], "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = pc.list_flatten(toks)
+    raw_off = np.asarray(toks.offsets, dtype=np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    F = flat.filter(pa.array(keep))
+    kept_cum = np.concatenate([[0], np.cumsum(keep)])
+    O = kept_cum[raw_off]
+    n_tok = np.diff(O)
+    cnt = np.maximum(n_tok - n + 1, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "gram": pa.array([], pa.string()),
+                id_col: pa.array([], batch.schema.field(id_col).type),
+            }
+        )
+    live = cnt > 0
+    row_rep = np.repeat(np.flatnonzero(live), cnt[live])
+    cum = np.concatenate([[0], np.cumsum(cnt[live])])
+    local = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], cnt[live])
+    g0 = O[:-1][row_rep] + local
+    sep = pa.scalar(
+        " ", pa.large_string() if pa.types.is_large_string(F.type) else pa.string()
+    )
+    shifted = [F.take(pa.array(g0 + s)) for s in range(n)]
+    return pa.table(
+        {
+            "gram": pc.binary_join_element_wise(*shifted, sep).cast(pa.string()),
+            id_col: batch[id_col].take(pa.array(row_rep)),
+        }
+    )
+
+
+@ray.remote
+def _dup_gram_partial(id_col: str, *parts: pa.Table) -> pa.Table:
+    """Kernel for one gram-complete exchange task: every instance of
+    each gram in this task is the gram's GLOBAL instance set, so an
+    instance is duplicated iff its run length > 1. Emits per-doc
+    partial dup counts (id, nd)."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    s = tbl.take(pc.sort_indices(tbl, sort_keys=[("gram", "ascending")]))
+    nrows = s.num_rows
+    grams = s["gram"].combine_chunks()
+    new_g = np.empty(nrows, dtype=bool)
+    new_g[0] = True
+    if nrows > 1:
+        new_g[1:] = pc.not_equal(grams.slice(1), grams.slice(0, nrows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_g)
+    lens = np.diff(np.concatenate([starts, [nrows]]))
+    dup = np.repeat(lens > 1, lens)
+    t = pa.table(
+        {id_col: s[id_col], "d": pa.array(dup.astype(np.int64), pa.int64())}
+    )
+    g = t.group_by([id_col]).aggregate([("d", "sum")])
+    return pa.table({id_col: g[id_col], "nd": pc.cast(g["d_sum"], pa.int64())})
+
+
+def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id", n: int = 5):
+    """Exact duplicate-n-gram statistics per document — the
+    training-data substring-dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a gram INSTANCE is
+    duplicated iff its n-token string occurs more than once in the
+    whole corpus (any doc, any position). Three scale-safe legs:
+
+    1. explode (gram, id) per block — vectorized, \\S+ tokens;
+    2. gram-key-complete exchange → per-task run-length dup marking →
+       per-doc partial counts (only narrow (id, nd) rows leave);
+    3. doc-sum exchange + left join back onto per-doc gram totals
+       (computed block-locally, no exchange), so gram-less docs emit 0s.
+
+    Grams travel as strings for oracle-exact identity; at corpus scale
+    swap the exchange key for a 64-bit gram hash (collision-accepted)
+    to keep the exchange narrow. Output (id, n_grams, n_dup_grams,
+    dup_gram_ratio) with the ratio one exact int/int cast."""
+    from ..stages.index import key_complete_parts
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    def base_stats(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t[text_col], "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        raw_off = np.asarray(toks.offsets, dtype=np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        kept_cum = np.concatenate([[0], np.cumsum(keep)])
+        n_tok = np.diff(kept_cum[raw_off])
+        cnt = np.maximum(n_tok - n + 1, 0)
+        return pa.table(
+            {id_col: t[id_col], "n_grams": pa.array(cnt, pa.int64())}
+        )
+
+    base = ds.map_batches(base_stats, batch_format="pyarrow", zero_copy_batch=True)
+    grams = ds.map_batches(
+        lambda b: _ngram_explode_batch(b, text_col, id_col, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    groups = key_complete_parts(grams, "gram")
+    if groups:
+        partials = ray.data.from_arrow_refs(
+            [_dup_gram_partial.remote(id_col, *parts) for parts in groups]
+        )
+        dup = sorted_group_agg(partials, [id_col], [("n_dup_grams", "sum", "nd")])
+    else:
+        dup = ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_dup_grams": pa.array([], pa.int64()),
+                }
+            )
+        )
+    joined = sort_merge_inner_join(
+        base,
+        dup,
+        id_col,
+        left_cols=["n_grams"],
+        right_cols=["n_dup_grams"],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = np.asarray(t["n_grams"], dtype=np.int64)
+        nd = pc.coalesce(t["n_dup_grams"], pa.scalar(0, pa.int64()))
+        ndv = np.asarray(nd, dtype=np.int64)
+        ratio = np.where(ng > 0, ndv / np.maximum(ng, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": t["n_grams"],
+                "n_dup_grams": nd,
+                "dup_gram_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

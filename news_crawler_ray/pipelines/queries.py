@@ -1567,6 +1567,17 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Exact duplicate-5-gram span stats per document (the substring-
+    dedup signal of Lee et al. 2022): explode grams → gram-complete
+    exchange → per-doc dup partials → doc sum + left join
+    (ops/text.dup_ngram_stats)."""
+    from ..ops.text import dup_ngram_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_ngram_stats(docs, text_col="text", id_col="doc_id", n=5)
+
+
 def q_event_rolling(sf_dir: str):
     """Bounded row-window aggregate — SUM/COUNT/AVG OVER (PARTITION BY
     user ORDER BY ts, id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) in
@@ -2203,6 +2214,23 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "dup_ngrams": (
+            "WITH l AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || "
+            "toks[i+3] || ' ' || toks[i+4])) AS gram FROM l), "
+            "c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram), "
+            "p AS (SELECT g.doc_id, count(*) AS n, "
+            "count(*) FILTER (c.cnt > 1) AS nd FROM g JOIN c USING (gram) "
+            "GROUP BY g.doc_id) "
+            "SELECT l.doc_id, "
+            "CAST(greatest(len(l.toks) - 4, 0) AS BIGINT) AS n_grams, "
+            "CAST(coalesce(p.nd, 0) AS BIGINT) AS n_dup_grams, "
+            "CASE WHEN coalesce(p.n, 0) = 0 THEN 0.0 ELSE "
+            "CAST(p.nd AS DOUBLE)/CAST(p.n AS DOUBLE) END AS dup_gram_ratio "
+            "FROM l LEFT JOIN p ON l.doc_id = p.doc_id"
+        ),
         "event_rolling": (
             "WITH v AS (SELECT event_id, user_id, ts, "
             "CAST(round(value*100) AS BIGINT) AS c FROM events) "
@@ -2475,6 +2503,7 @@ def build_queries() -> dict:
         "orders_customer_right_join": q_orders_customer_right_join,
         "event_value_stats": q_event_value_stats,
         "event_rolling": q_event_rolling,
+        "dup_ngrams": q_dup_ngrams,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

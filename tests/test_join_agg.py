@@ -854,3 +854,36 @@ def test_rolling_window_bit_exact_vs_duckdb():
         assert got["rolling_sum"].tolist() == exp["rolling_sum"].tolist()
         # bit-exact floats: single int/int cast on both sides
         assert got["rolling_avg"].tolist() == exp["rolling_avg"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_ngram_stats_planted():
+    from news_crawler_ray.ops.text import dup_ngram_stats
+
+    phrase = "the quick brown fox jumps"  # exactly one 5-gram
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    f"alpha beta {phrase} gamma delta",   # shares the phrase
+                    f"start {phrase} end of line",        # shares the phrase
+                    "tiny doc",                            # < 5 tokens → 0 grams
+                    "u v w x y z",                         # unique grams only
+                ]
+            ),
+        }
+    )
+    for blocks in (1, 4):
+        got = (
+            dup_ngram_stats(_ds(docs, blocks), n=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc0/doc1: 9 tokens → 5 grams each; only the shared full
+        # phrase gram is duplicated
+        assert got["n_grams"].tolist() == [5, 5, 0, 2]
+        assert got["n_dup_grams"].tolist() == [1, 1, 0, 0]
+        assert got.loc[2, "dup_gram_ratio"] == 0.0
+        assert got.loc[0, "dup_gram_ratio"] == 1.0 / 5.0

@@ -733,3 +733,171 @@ def sort_merge_inner_join(
             for parts in groups
         ]
     )
+
+
+# ------------------------------------------------- skew-aware equi-join
+
+
+def skew_join(
+    left,
+    right,
+    key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_key: str | None = None,
+    hot_threshold: int = 100_000,
+    max_broadcast_rows: int = 5_000_000,
+    max_pairs_per_key: int = 1 << 20,
+    how: str = "inner",
+):
+    """Equi-join with explicit hot-key handling — the scale answer to
+    the one failure mode of :func:`sort_merge_inner_join`: a key with
+    millions of LEFT rows lands them all in one exchange task. Plan:
+
+    1. exact left-side key counts (narrow (key, n) combiner partials →
+       one small exchange over the distinct-key domain);
+    2. keys with count > ``hot_threshold`` become the HOT set; their
+       right-side rows are filtered block-locally (no exchange),
+       bounded by ``max_broadcast_rows``, and broadcast once via
+       ``ray.put`` (plasma-shared per node, not re-shipped per batch);
+    3. hot left rows join map-side against the broadcast (sorted-run
+       binary search + offset-arithmetic cartesian — no per-row
+       Python, and crucially NO exchange for the skewed rows);
+    4. cold rows take the normal sort-merge exchange; the two outputs
+       union. Result is row-identical to the plain join at any ``how``
+       (unmatched HOT left rows only matter for left/outer — padded in
+       the map-side kernel; hot keys always match on the left by
+       construction, so right/outer padding stays on the cold path).
+
+    Use when one side's key histogram is Zipf-ish (crawl frontiers by
+    host, events by power user). The hot set is assumed SMALL (it's the
+    head of the distribution); the right rows per hot key must fit the
+    broadcast budget — both guarded loudly."""
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right' or 'outer', got {how!r}"
+        )
+    from .agg import sorted_group_agg
+
+    rk = right_key or key
+
+    def kpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by([key]).aggregate([([], "count_all")])
+        return pa.table({key: g[key], "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = sorted_group_agg(
+        left.map_batches(kpart, batch_format="pyarrow", zero_copy_batch=True),
+        [key],
+        [("n", "sum", "n")],
+    )
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], hot_threshold)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # the head of the key histogram: tiny by assumption
+    hot_keys = sorted(r[key] for r in hot_rows)
+    if not hot_keys:
+        return sort_merge_inner_join(
+            left, right, key, left_cols, right_cols, right_key=right_key,
+            max_pairs_per_key=max_pairs_per_key, how=how,
+        )
+    hot_arr = pa.array(hot_keys)
+
+    right_hot_tbl = pa.concat_tables(
+        [
+            b
+            for b in right.map_batches(
+                lambda t: t.filter(pc.is_in(t[rk], value_set=hot_arr)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).iter_batches(batch_format="pyarrow")
+        ]
+        or [
+            pa.table(
+                {
+                    rk: pa.array([], hot_arr.type),
+                    **{
+                        c: pa.array(
+                            [], dict(zip(right.schema().names, right.schema().types))[c]
+                        )
+                        for c in right_cols
+                    },
+                }
+            )
+        ]
+    )
+    if right_hot_tbl.num_rows > max_broadcast_rows:
+        raise ValueError(
+            f"skew_join: {right_hot_tbl.num_rows} right rows match the hot "
+            f"keys > max_broadcast_rows={max_broadcast_rows}; the key is hot "
+            "on BOTH sides — pre-aggregate one side instead"
+        )
+    right_hot_tbl = right_hot_tbl.select([rk] + list(right_cols))
+    right_hot_tbl = right_hot_tbl.take(
+        pc.sort_indices(right_hot_tbl, sort_keys=[(rk, "ascending")])
+    )
+    rh_keys = np.asarray(right_hot_tbl[rk])
+    run_new = np.empty(len(rh_keys), dtype=bool)
+    if len(rh_keys):
+        run_new[0] = True
+        run_new[1:] = rh_keys[1:] != rh_keys[:-1]
+    starts = np.flatnonzero(run_new)
+    lens = np.diff(np.concatenate([starts, [len(rh_keys)]]))
+    dim_ref = ray.put((rh_keys[starts] if len(rh_keys) else rh_keys,
+                       starts, lens, right_hot_tbl))
+    pad_left = how in ("left", "outer")
+
+    def hot_map(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[key], value_set=hot_arr))
+        uk, st, ln, rtbl = ray.get(dim_ref)  # plasma-local after first batch
+        lk = np.asarray(t[key])
+        n = len(lk)
+        if len(uk):
+            pos = np.searchsorted(uk, lk)
+            posc = np.minimum(pos, len(uk) - 1)
+            matched = (pos < len(uk)) & (uk[posc] == lk)
+        else:
+            posc = np.zeros(n, np.int64)
+            matched = np.zeros(n, dtype=bool)
+        c1 = np.where(matched, ln[posc], 0)
+        if pad_left:
+            c1 = np.maximum(c1, 1)  # unmatched left row → one null-padded row
+        T = int(c1.sum())
+        live = c1 > 0
+        row_rep = np.repeat(np.flatnonzero(live), c1[live])
+        cum = np.concatenate([[0], np.cumsum(c1[live])])
+        off = np.arange(T, dtype=np.int64) - np.repeat(cum[:-1], c1[live])
+        m_rep = matched[row_rep]
+        ri = np.where(m_rep, st[posc[row_rep]] + off, -1)
+        ri_arr = pa.array(ri, type=pa.int64(), mask=ri < 0)
+        rep_arr = pa.array(row_rep, pa.int64())
+        out = {key: t[key].take(rep_arr)}
+        for c in left_cols:
+            out[c] = t[c].take(rep_arr)
+        for c in right_cols:
+            out[c] = rtbl[c].take(ri_arr)
+        return pa.table(out)
+
+    hot_out = left.map_batches(
+        hot_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cold_left = left.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[key], value_set=hot_arr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cold_right = right.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t[rk], value_set=hot_arr))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cold_out = sort_merge_inner_join(
+        cold_left, cold_right, key, left_cols, right_cols, right_key=right_key,
+        max_pairs_per_key=max_pairs_per_key, how=how,
+    )
+    return hot_out.union(cold_out)

@@ -1567,6 +1567,27 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+def q_event_customer_skew_join(sf_dir: str):
+    """Skew-aware equi-join (ops/join.skew_join): power users past the
+    hot threshold bypass the exchange — their customer rows broadcast
+    once via ray.put and join map-side; the cold tail takes the normal
+    sort-merge exchange. Row-identical to the plain JOIN (the oracle);
+    threshold 80 makes BOTH paths real at sf0.01."""
+    from ..ops.join import skew_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    return skew_join(
+        ev,
+        cust,
+        "user_id",
+        left_cols=["event_id"],
+        right_cols=["c_nationkey"],
+        right_key="c_custkey",
+        hot_threshold=80,
+    )
+
+
 def q_dup_ngrams(sf_dir: str):
     """Exact duplicate-5-gram span stats per document (the substring-
     dedup signal of Lee et al. 2022): explode grams → gram-complete
@@ -2214,6 +2235,10 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "event_customer_skew_join": (
+            "SELECT user_id, event_id, c_nationkey FROM events "
+            "JOIN customer ON user_id = c_custkey"
+        ),
         "dup_ngrams": (
             "WITH l AS (SELECT doc_id, list_filter(regexp_split_to_array("
             "coalesce(text, ''), '\\s+'), x -> x <> '') AS toks FROM documents), "
@@ -2504,6 +2529,7 @@ def build_queries() -> dict:
         "event_value_stats": q_event_value_stats,
         "event_rolling": q_event_rolling,
         "dup_ngrams": q_dup_ngrams,
+        "event_customer_skew_join": q_event_customer_skew_join,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

@@ -887,3 +887,60 @@ def test_dup_ngram_stats_planted():
         assert got["n_dup_grams"].tolist() == [1, 1, 0, 0]
         assert got.loc[2, "dup_gram_ratio"] == 0.0
         assert got.loc[0, "dup_gram_ratio"] == 1.0 / 5.0
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_skew_join_matches_plain_join(how):
+    import duckdb
+
+    from news_crawler_ray.ops.join import skew_join
+
+    rng = np.random.default_rng(17)
+    # one monster key (2000 rows), a warm key (300), a cold tail, plus
+    # a hot key ABSENT from the right side (pad/drop path)
+    lk = np.concatenate(
+        [np.full(2000, 7), np.full(300, 13), np.full(250, 99),
+         rng.integers(0, 60, 500)]
+    )
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(np.arange(len(lk)), pa.int64()),
+        }
+    )
+    rk = np.concatenate([[7, 7, 13], np.arange(0, 60, 2)])
+    right = pa.table(
+        {
+            "rk": pa.array(rk, pa.int64()),
+            "rv": pa.array(np.arange(len(rk)) * 10, pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    join_kw = "JOIN" if how == "inner" else "LEFT JOIN"
+    exp = con.sql(
+        f"SELECT k, lv, rv FROM l {join_kw} r ON k = rk ORDER BY k, lv, rv"
+    ).df()
+    got = (
+        skew_join(
+            _ds(left, 7), _ds(right, 3), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk",
+            hot_threshold=200, how=how,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lv"].tolist() == exp["lv"].tolist()
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+    # both-sides-hot guard fires loudly
+    with pytest.raises(Exception, match="BOTH sides"):
+        skew_join(
+            _ds(left, 4), _ds(left.rename_columns(["rk", "rv"]), 4), "k",
+            left_cols=["lv"], right_cols=["rv"], right_key="rk",
+            hot_threshold=200, max_broadcast_rows=100, how="inner",
+        ).to_pandas()

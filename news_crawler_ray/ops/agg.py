@@ -761,3 +761,101 @@ def group_top_k(
             for parts in groups
         ]
     )
+
+
+# ---------------------------------------------------------- count-min sketch
+
+
+def cm_bucket(term: str, j: int, w: int) -> int:
+    """Row-``j`` count-min bucket of ``term``: first 8 md5 hex chars of
+    ``"{j}:{term}"`` as an int, mod ``w`` — the repo-wide md5 identity
+    convention (ops/sampling.py), so DuckDB reproduces it exactly via
+    CAST(CONCAT('0x', substr(md5(j || ':' || term), 1, 8)) AS BIGINT) % w."""
+    import hashlib
+
+    return int(hashlib.md5(f"{j}:{term}".encode()).hexdigest()[:8], 16) % w
+
+
+def cm_sketch_counts(
+    ds,
+    probes: list[str],
+    text_col: str = "text",
+    w: int = 1024,
+    d: int = 3,
+) -> pa.Table:
+    """Count-min sketch term-frequency estimates — the mergeable
+    approximate counter for when the exact term exchange
+    (ops/text.top_terms) is too wide. Counters are SUMS, so per-block
+    sparse partials (j, bucket, n) merge exactly at ANY order/layout —
+    unlike Misra-Gries summaries, whose merge is order-sensitive — and
+    the whole op is a zero-exchange combiner: only O(d·w) rows per
+    block leave the map. Estimate(term) = min_j counter[j][h_j(term)],
+    an integer ≥ the true count (classic one-sided CM error ≤ n/w with
+    prob 1-2^-d). Tokens follow the repo-wide \\S+ convention. Output
+    (term, cm_count) over ``probes``, sorted by term."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "j": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        text = pc.coalesce(t[text_col], "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"term": flat}).group_by(["term"]).aggregate([([], "count_all")])
+        terms = g["term"].to_pylist()
+        counts = np.asarray(g["count_all"], dtype=np.int64)
+        js, bs, ns = [], [], []
+        for j in range(d):
+            buckets = np.fromiter(
+                (cm_bucket(term, j, w) for term in terms), np.int64, len(terms)
+            )
+            # collapse same-bucket collisions inside the block
+            acc = np.zeros(w, dtype=np.int64)
+            np.add.at(acc, buckets, counts)
+            nz = np.flatnonzero(acc)
+            js.append(np.full(len(nz), j, np.int64))
+            bs.append(nz)
+            ns.append(acc[nz])
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js), pa.int64()),
+                "b": pa.array(np.concatenate(bs), pa.int64()),
+                "n": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+    sk = partial_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["j", "b"],
+        [("n", "sum", "n")],
+        max_groups=d * w,
+    )
+    lut = {
+        (j, b): n
+        for j, b, n in zip(
+            sk["j"].to_pylist(), sk["b"].to_pylist(), sk["n"].to_pylist()
+        )
+    }
+    out_terms = sorted(set(probes))
+    ests = [
+        min(lut.get((j, cm_bucket(term, j, w)), 0) for j in range(d))
+        for term in out_terms
+    ]
+    return pa.table(
+        {
+            "term": pa.array(out_terms, pa.string()),
+            "cm_count": pa.array(ests, pa.int64()),
+        }
+    )

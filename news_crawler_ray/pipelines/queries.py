@@ -1567,6 +1567,22 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+CM_PROBES = ["batch", "hash", "join", "row", "scan", "zz-absent-term"]
+CM_W, CM_D = 1024, 3
+
+
+def q_cm_counts(sf_dir: str):
+    """Count-min sketch term estimates (ops/agg.cm_sketch_counts):
+    counters are sums, so the sketch merges exactly at any block
+    layout — a zero-exchange combiner where exact top_terms needs the
+    full term exchange. The SQL oracle rebuilds the identical sketch
+    (same md5 bucket convention) in DuckDB."""
+    from ..ops.agg import cm_sketch_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return cm_sketch_counts(docs, CM_PROBES, text_col="text", w=CM_W, d=CM_D)
+
+
 def q_event_customer_skew_join(sf_dir: str):
     """Skew-aware equi-join (ops/join.skew_join): power users past the
     hot threshold bypass the exchange — their customer rows broadcast
@@ -2235,6 +2251,23 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "cm_counts": (
+            "WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '')) AS term FROM documents), "
+            "js(j) AS (VALUES (0), (1), (2)), "
+            "probes(pterm) AS (VALUES "
+            + ", ".join(f"('{t}')" for t in CM_PROBES)
+            + "), "
+            "bk AS (SELECT j, CAST(CONCAT('0x', substr(md5(CAST(j AS VARCHAR) "
+            f"|| ':' || term), 1, 8)) AS BIGINT) % {CM_W} AS b, count(*) AS n "
+            "FROM toks CROSS JOIN js GROUP BY 1, 2), "
+            "pe AS (SELECT pterm, js.j, CAST(CONCAT('0x', substr(md5("
+            "CAST(js.j AS VARCHAR) || ':' || pterm), 1, 8)) AS BIGINT) "
+            f"% {CM_W} AS b FROM probes CROSS JOIN js) "
+            "SELECT pterm AS term, CAST(min(coalesce(bk.n, 0)) AS BIGINT) "
+            "AS cm_count FROM pe LEFT JOIN bk ON pe.j = bk.j AND pe.b = bk.b "
+            "GROUP BY pterm ORDER BY term"
+        ),
         "event_customer_skew_join": (
             "SELECT user_id, event_id, c_nationkey FROM events "
             "JOIN customer ON user_id = c_custkey"
@@ -2530,6 +2563,7 @@ def build_queries() -> dict:
         "event_rolling": q_event_rolling,
         "dup_ngrams": q_dup_ngrams,
         "event_customer_skew_join": q_event_customer_skew_join,
+        "cm_counts": q_cm_counts,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

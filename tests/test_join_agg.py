@@ -944,3 +944,27 @@ def test_skew_join_matches_plain_join(how):
             left_cols=["lv"], right_cols=["rv"], right_key="rk",
             hot_threshold=200, max_broadcast_rows=100, how="inner",
         ).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cm_sketch_one_sided_and_layout_proof():
+    from collections import Counter
+
+    from news_crawler_ray.ops.agg import cm_sketch_counts
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(60)
+    ]
+    true = Counter(tok for d in docs for tok in d.split())
+    tbl = pa.table({"text": pa.array(docs)})
+    probes = ["w0", "w1", "w42", "w199", "never-seen"]
+    outs = []
+    for blocks in (1, 9):
+        got = cm_sketch_counts(_ds(tbl, blocks), probes, w=256, d=3)
+        est = dict(zip(got["term"].to_pylist(), got["cm_count"].to_pylist()))
+        for t in probes:
+            assert est[t] >= true.get(t, 0)  # CM never underestimates
+        outs.append(got)
+    assert outs[0].equals(outs[1])  # sketch merge is layout-invariant

@@ -1567,6 +1567,42 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+GROUP_SAMPLE_K = 20
+
+
+def q_event_type_sample(sf_dir: str):
+    """Deterministic per-group sample — the scale-safe 'reservoir':
+    keep the K rows per event_type with the smallest md5(event_id)
+    prefix (content-stable, so reruns and any partitioning agree;
+    uniform because md5 is key-equidistributed). Just a hash-derive +
+    ops/agg.group_top_k — no new exchange machinery."""
+    import hashlib
+
+    from ..ops.agg import group_top_k
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def hk(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(str(v).encode()).hexdigest()[:8]
+            for v in t["event_id"].to_pylist()
+        ]
+        return t.append_column("hk", pa.array(h, pa.string()))
+
+    top = group_top_k(
+        ev.map_batches(hk, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        ["hk", "event_id"],
+        [False, False],
+        GROUP_SAMPLE_K,
+    )
+    return top.map_batches(
+        lambda t: t.select(["event_type", "event_id", "rn"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 CM_PROBES = ["batch", "hash", "join", "row", "scan", "zz-absent-term"]
 CM_W, CM_D = 1024, 3
 
@@ -2251,6 +2287,12 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "event_type_sample": (
+            "SELECT event_type, event_id, CAST(row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "substr(md5(CAST(event_id AS VARCHAR)), 1, 8), event_id"
+            f") AS BIGINT) AS rn FROM events QUALIFY rn <= {GROUP_SAMPLE_K}"
+        ),
         "cm_counts": (
             "WITH toks AS (SELECT unnest(list_filter(regexp_split_to_array("
             "coalesce(text, ''), '\\s+'), x -> x <> '')) AS term FROM documents), "
@@ -2564,6 +2606,7 @@ def build_queries() -> dict:
         "dup_ngrams": q_dup_ngrams,
         "event_customer_skew_join": q_event_customer_skew_join,
         "cm_counts": q_cm_counts,
+        "event_type_sample": q_event_type_sample,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

@@ -1567,6 +1567,38 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+TRIANGLE_MOD = 97
+
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count (ops/graph.triangle_count) over a
+    deterministic graph derived from lineitem (orderkey/partkey folded
+    mod 97, canonical a<b, distinct): wedge generation on the
+    a-complete exchange + semi join of packed wedge keys against the
+    edge set."""
+    from ..ops.agg import sorted_distinct
+    from ..ops.graph import triangle_count
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    m = pa.scalar(TRIANGLE_MOD, pa.int64())
+
+    def fold(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_orderkey"], pa.int64())
+        y = pc.cast(t["l_partkey"], pa.int64())
+        u = pc.subtract(x, pc.multiply(pc.divide(x, m), m))
+        v = pc.subtract(y, pc.multiply(pc.divide(y, m), m))
+        a = pc.min_element_wise(u, v)
+        b = pc.max_element_wise(u, v)
+        keep = pc.not_equal(a, b)
+        return pa.table({"a": a.filter(keep), "b": b.filter(keep)})
+
+    edges = sorted_distinct(
+        li.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True),
+        ["a", "b"],
+    )
+    return triangle_count(edges, node_cap=TRIANGLE_MOD)
+
+
 GROUP_SAMPLE_K = 20
 
 
@@ -2287,6 +2319,14 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "triangles": (
+            f"WITH e0 AS (SELECT DISTINCT least(l_orderkey % {TRIANGLE_MOD}, "
+            f"l_partkey % {TRIANGLE_MOD}) AS a, greatest(l_orderkey % "
+            f"{TRIANGLE_MOD}, l_partkey % {TRIANGLE_MOD}) AS b FROM lineitem "
+            f"WHERE l_orderkey % {TRIANGLE_MOD} <> l_partkey % {TRIANGLE_MOD}) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM e0 e1 "
+            "JOIN e0 e2 ON e1.b = e2.a JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
         "event_type_sample": (
             "SELECT event_type, event_id, CAST(row_number() OVER ("
             "PARTITION BY event_type ORDER BY "
@@ -2607,6 +2647,7 @@ def build_queries() -> dict:
         "event_customer_skew_join": q_event_customer_skew_join,
         "cm_counts": q_cm_counts,
         "event_type_sample": q_event_type_sample,
+        "triangles": q_triangles,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

@@ -968,3 +968,37 @@ def test_cm_sketch_one_sided_and_layout_proof():
             assert est[t] >= true.get(t, 0)  # CM never underestimates
         outs.append(got)
     assert outs[0].equals(outs[1])  # sketch merge is layout-invariant
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_known_graphs():
+    from news_crawler_ray.ops.graph import triangle_count
+
+    # K4 on {0,1,2,3}: 4 triangles
+    k4 = pa.table(
+        {
+            "a": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+            "b": pa.array([1, 2, 3, 2, 3, 3], pa.int64()),
+        }
+    )
+    # square 4-5-6-7 with one diagonal 4-6: 2 triangles
+    sq = pa.table(
+        {
+            "a": pa.array([4, 4, 5, 6, 4], pa.int64()),
+            "b": pa.array([5, 7, 6, 7, 6], pa.int64()),
+        }
+    )
+    both = pa.concat_tables([k4, sq])
+    for blocks in (1, 5):
+        out = triangle_count(_ds(both, blocks), node_cap=8)
+        assert out["n_triangles"].to_pylist() == [6]
+
+    # hub guard fires loudly
+    hub = pa.table(
+        {
+            "a": pa.array(np.zeros(50, np.int64)),
+            "b": pa.array(np.arange(1, 51), pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="max_adjacency"):
+        triangle_count(_ds(hub, 2), node_cap=64, max_adjacency=10)

@@ -241,6 +241,13 @@ QUERY_SUBSET = [
     "lineitem_orders_join",
     "event_ranks",
     "corpus_diff",
+    # round-2 addendum-8 additions
+    "event_value_stats",
+    "event_rolling",
+    "dup_ngrams",
+    "event_customer_skew_join",
+    "cm_counts",
+    "triangles",
 ]
 
 

@@ -248,6 +248,7 @@ QUERY_SUBSET = [
     "event_customer_skew_join",
     "cm_counts",
     "triangles",
+    "profile_events",
 ]
 
 

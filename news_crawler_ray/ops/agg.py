@@ -859,3 +859,51 @@ def cm_sketch_counts(
             "cm_count": pa.array(ests, pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------ table profile
+
+
+def profile_table(ds, cols: list[str]) -> pa.Table:
+    """Per-column data profile — the ingest-auditing op run before a
+    corpus enters the pipeline: (col, n_rows, n_null, n_distinct), all
+    exact integers (no stringified min/max, so the result is
+    type-agnostic and oracle-safe). n_rows / n_null are one
+    zero-exchange combiner pass over ALL columns together; n_distinct
+    is one sorted-distinct exchange PER column (exact, SQL
+    count(distinct) semantics: nulls excluded). Swap the distinct leg
+    for :func:`hll_distinct` when an estimate is enough at corpus
+    scale. Output sorted by col."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ns, nns = [], [], []
+        for c in cols:
+            names.append(c)
+            ns.append(t.num_rows)
+            nns.append(t[c].null_count if t.num_rows else 0)
+        return pa.table(
+            {
+                "col": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "nn": pa.array(nns, pa.int64()),
+            }
+        )
+
+    counts = partial_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["col"],
+        [("n_rows", "sum", "n"), ("n_null", "sum", "nn")],
+    )
+    distincts = []
+    for c in cols:
+        one = ds.map_batches(
+            lambda t, c=c: t.select([c]).filter(pc.is_valid(t[c])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        distincts.append(sorted_distinct(one, [c]).count())
+    order = {c: i for i, c in enumerate(counts["col"].to_pylist())}
+    nd = [0] * len(order)
+    for c, d in zip(cols, distincts):
+        nd[order[c]] = d
+    return counts.append_column("n_distinct", pa.array(nd, pa.int64()))

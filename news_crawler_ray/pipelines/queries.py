@@ -1567,6 +1567,19 @@ def q_customer_orders_full_join(sf_dir: str):
     )
 
 
+PROFILE_COLS = ["event_type", "props", "user_id", "value"]
+
+
+def q_profile_events(sf_dir: str):
+    """Per-column ingest profile of the events table
+    (ops/agg.profile_table): null/row counts as one zero-exchange
+    combiner, exact distinct per column on the sort exchange."""
+    from ..ops.agg import profile_table
+
+    ev = _read(sf_dir, "events", PROFILE_COLS)
+    return profile_table(ev, PROFILE_COLS)
+
+
 TRIANGLE_MOD = 97
 
 
@@ -2319,6 +2332,16 @@ ORACLE_SQL.update(
             "o_orderkey, o_totalprice FROM orders "
             "RIGHT JOIN customer ON o_custkey = c_custkey"
         ),
+        "profile_events": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+                f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+                for c in ["event_type", "props", "user_id", "value"]
+            )
+            + ") ORDER BY col"
+        ),
         "triangles": (
             f"WITH e0 AS (SELECT DISTINCT least(l_orderkey % {TRIANGLE_MOD}, "
             f"l_partkey % {TRIANGLE_MOD}) AS a, greatest(l_orderkey % "
@@ -2648,6 +2671,7 @@ def build_queries() -> dict:
         "cm_counts": q_cm_counts,
         "event_type_sample": q_event_type_sample,
         "triangles": q_triangles,
+        "profile_events": q_profile_events,
         "events_cube": q_events_cube,
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,

@@ -1002,3 +1002,20 @@ def test_triangle_count_known_graphs():
     )
     with pytest.raises(Exception, match="max_adjacency"):
         triangle_count(_ds(hub, 2), node_cap=64, max_adjacency=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_table_with_planted_nulls():
+    from news_crawler_ray.ops.agg import profile_table
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", None, None, "x", "y"]),
+        }
+    )
+    for blocks in (1, 3):
+        got = profile_table(_ds(tbl, blocks), ["a", "b"]).to_pandas()
+        got = got.set_index("col")
+        assert got.loc["a"].tolist() == [5, 1, 3]
+        assert got.loc["b"].tolist() == [5, 2, 2]

@@ -678,3 +678,240 @@ def session_assign(
             for parts in groups
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# rank with ties (RANK / DENSE_RANK)
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _rank_ties_block(
+    key_col: str, order_col: str, id_col: str, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (key_col, "ascending"),
+                (order_col, "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    order = tbl[order_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    new_ord = np.empty(n, dtype=bool)
+    new_ord[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_ord[1:] = new_key[1:] | pc.not_equal(
+            order.slice(1), order.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    key_starts = np.flatnonzero(new_key)
+    key_run = np.cumsum(new_key) - 1
+    pos = idx - key_starts[key_run]  # 0-based row number within key
+    # RANK: 1 + position of the first row of this (key, order) tie run
+    ord_starts = np.flatnonzero(new_ord)
+    ord_run = np.cumsum(new_ord) - 1
+    rank = ord_starts[ord_run] - key_starts[key_run] + 1
+    # DENSE_RANK: tie-run ordinal within the key (no gaps)
+    cord = np.cumsum(new_ord)
+    dense = cord - cord[key_starts][key_run] + 1
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "rn": pa.array(pos + 1, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+            "dense_rank": pa.array(dense, pa.int64()),
+        }
+    )
+
+
+def rank_with_ties(ds, key_col: str, order_col: str, id_col: str):
+    """RANK() / DENSE_RANK() OVER (PARTITION BY key ORDER BY order) plus
+    ROW_NUMBER with the id tiebreak — the tie-aware half of the rank
+    window family (rank_window covers the total-order half). Ties in
+    ``order_col`` share a rank (gaps for RANK, none for DENSE_RANK),
+    so both are deterministic at any parallelism even without a total
+    order; only ``rn`` needs the tiebreak. Same key-complete exchange,
+    pure offset arithmetic per block."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[order_col, id_col])
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], types[id_col]),
+                    "rn": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "dense_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _rank_ties_block.remote(key_col, order_col, id_col, *parts)
+            for parts in groups
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE per group
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _first_last_block(
+    key_col: str, order_cols: tuple, val_col: str, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    ends = np.concatenate([starts[1:], [n]]) - 1
+    vals = tbl[val_col].combine_chunks()
+    return pa.table(
+        {
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "first_value": vals.take(pa.array(starts, pa.int64())),
+            "last_value": vals.take(pa.array(ends, pa.int64())),
+            "n_rows": pa.array(ends - starts + 1, pa.int64()),
+        }
+    )
+
+
+def group_first_last(ds, key_col: str, order_cols: list[str], val_col: str):
+    """FIRST_VALUE(val) / LAST_VALUE(val) OVER (PARTITION BY key ORDER
+    BY order ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+    reduced to one row per key — the first/last-touch attribution
+    aggregate. ``order_cols`` must end in a unique tiebreak so both
+    picks are deterministic at any parallelism. One key-complete
+    exchange; the picks are two take-indices per block."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=list(order_cols))
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], types[key_col]),
+                    "first_value": pa.array([], types[val_col]),
+                    "last_value": pa.array([], types[val_col]),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _first_last_block.remote(key_col, tuple(order_cols), val_col, *parts)
+            for parts in groups
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# LOCF forward fill
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _fill_forward_block(
+    key_col: str, order_cols: tuple, id_col: str, val_col: str, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    key_run = np.cumsum(new_key) - 1
+    vals = tbl[val_col].combine_chunks()
+    valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    # last valid index at-or-before each row; entries that point into a
+    # PREVIOUS key (accumulate crosses key runs) are masked to null —
+    # exactly SQL's "no prior value in this partition => NULL"
+    last = np.maximum.accumulate(np.where(valid, idx, -1))
+    crossed = last < starts[key_run]
+    take = pa.array(np.where(crossed, 0, last), pa.int64(), mask=crossed)
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "filled": vals.take(take),
+        }
+    )
+
+
+def fill_forward(ds, key_col: str, order_cols: list[str], id_col: str, val_col: str):
+    """LOCF gap repair: last_value(val IGNORE NULLS) OVER (PARTITION BY
+    key ORDER BY order ROWS UNBOUNDED PRECEDING) — nulls replaced by the
+    most recent non-null within the key, leading nulls stay null. One
+    key-complete exchange; the fill is a single maximum.accumulate over
+    valid row indices per block (key crossings null-masked), no per-row
+    Python. ``order_cols`` must end in a unique tiebreak."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=list(order_cols))
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], types[id_col]),
+                    "filled": pa.array([], types[val_col]),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _fill_forward_block.remote(
+                key_col, tuple(order_cols), id_col, val_col, *parts
+            )
+            for parts in groups
+        ]
+    )

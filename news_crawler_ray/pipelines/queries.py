@@ -2112,6 +2112,55 @@ def q_event_lag_lead(sf_dir: str):
     return lag_lead(ev, "user_id", ["ts", "event_id"], "event_id", "value")
 
 
+def q_event_rank_ties(sf_dir: str):
+    """RANK / DENSE_RANK OVER (PARTITION BY event_type ORDER BY
+    user_id) — the tie-aware rank half (ops/window.rank_with_ties);
+    user_id repeats within a type so tie runs are real. Only rn uses
+    the event_id tiebreak."""
+    from ..ops.window import rank_with_ties
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+    return rank_with_ties(ev, "event_type", "user_id", "event_id")
+
+
+def q_user_first_last(sf_dir: str):
+    """First/last-touch attribution: per user the first and last
+    event_type by (ts, event_id) plus the row count, one row per user
+    (ops/window.group_first_last on the key-complete exchange)."""
+    from ..ops.window import group_first_last
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return group_first_last(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def q_value_fill_forward(sf_dir: str):
+    """LOCF gap repair: values nulled on a deterministic mask
+    (event_id % 7 == 3), then forward-filled per user in (ts, id)
+    order (ops/window.fill_forward); leading nulls stay null. The mask
+    is shared with the SQL oracle so both sides repair the same gaps."""
+    from ..ops.window import fill_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"], dtype=np.int64)
+        mask = (ids % 7) == 3
+        vals = np.asarray(t["value"], dtype=np.float64)
+        return t.set_column(
+            t.schema.get_field_index("value"),
+            "value",
+            pa.array(vals, pa.float64(), mask=mask),
+        )
+
+    return fill_forward(
+        ev.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        ["ts", "event_id"],
+        "event_id",
+        "value",
+    )
+
+
 def q_top_users_per_type(sf_dir: str):
     """Two chained exchanges — per-(type, user) counts on the sorted
     group-aggregate, then per-type top-3 users on the key-complete
@@ -2503,6 +2552,29 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "event_rank_ties": (
+            "SELECT event_id, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY user_id, event_id) AS rn, "
+            'rank() OVER w AS "rank", '
+            'dense_rank() OVER w AS "dense_rank" FROM events '
+            "WINDOW w AS (PARTITION BY event_type ORDER BY user_id)"
+        ),
+        "user_first_last": (
+            "WITH w AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS rn, count(*) OVER (PARTITION BY user_id) AS n FROM events) "
+            "SELECT a.user_id, a.event_type AS first_value, "
+            "b.event_type AS last_value, a.n AS n_rows "
+            "FROM w a JOIN w b USING (user_id) WHERE a.rn = 1 AND b.rn = b.n"
+        ),
+        "value_fill_forward": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v "
+            "FROM events) SELECT event_id, "
+            "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS filled FROM e"
+        ),
         "top_users_per_type": (
             "SELECT event_type, user_id, n_events, rn FROM ("
             "SELECT event_type, user_id, n_events, row_number() OVER ("
@@ -2676,6 +2748,9 @@ def build_queries() -> dict:
         "event_ranks": q_event_ranks,
         "top_users_per_type": q_top_users_per_type,
         "event_lag_lead": q_event_lag_lead,
+        "event_rank_ties": q_event_rank_ties,
+        "user_first_last": q_user_first_last,
+        "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,
         "quality_percentile_filter": q_quality_percentile_filter,
         "token_freq_spectrum": q_token_freq_spectrum,

@@ -1019,3 +1019,63 @@ def test_profile_table_with_planted_nulls():
         got = got.set_index("col")
         assert got.loc["a"].tolist() == [5, 1, 3]
         assert got.loc["b"].tolist() == [5, 2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rank_with_ties_known_values():
+    from news_crawler_ray.ops.window import rank_with_ties
+
+    # key a: order values [5, 5, 7] -> rank [1,1,3], dense [1,1,2]
+    # key b: order values [2, 2, 2] -> rank [1,1,1], dense [1,1,1]
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b", "b"],
+            "o": pa.array([5, 7, 5, 2, 2, 2], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    for blocks in (1, 4):
+        got = (
+            rank_with_ties(_ds(tbl, blocks), "k", "o", "id")
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        assert got["rn"].tolist() == [1, 3, 2, 1, 2, 3]
+        assert got["rank"].tolist() == [1, 3, 1, 1, 1, 1]
+        assert got["dense_rank"].tolist() == [1, 2, 1, 1, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_first_last_and_fill_forward():
+    from news_crawler_ray.ops.window import fill_forward, group_first_last
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "ts": pa.array([10, 20, 30, 5, 6], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([None, 1.5, None, None, 2.0], pa.float64()),
+            "lbl": ["x", "y", "z", "p", "q"],
+        }
+    )
+    for blocks in (1, 3):
+        fl = (
+            group_first_last(_ds(tbl, blocks), "k", ["ts", "id"], "lbl")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert fl["first_value"].tolist() == ["x", "p"]
+        assert fl["last_value"].tolist() == ["z", "q"]
+        assert fl["n_rows"].tolist() == [3, 2]
+
+        ff = (
+            fill_forward(_ds(tbl, blocks), "k", ["ts", "id"], "id", "v")
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        # leading null stays null; fills never cross the key boundary
+        got = ff["filled"].tolist()
+        assert got[0] != got[0]  # NaN (leading null in key a)
+        assert got[1] == 1.5 and got[2] == 1.5
+        assert got[3] != got[3]  # leading null in key b, not 1.5 from a
+        assert got[4] == 2.0

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import polars as pl  # module-level: lazy in-UDF imports race in fused
 # parallel map threads (see ops/text.py note)
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -907,3 +908,174 @@ def profile_table(ds, cols: list[str]) -> pa.Table:
     for c, d in zip(cols, distincts):
         nd[order[c]] = d
     return counts.append_column("n_distinct", pa.array(nd, pa.int64()))
+
+
+# ------------------------------------------------ exact grouped distinct
+
+
+def group_count_distinct(ds, key_col: str, col: str) -> pa.Table:
+    """Exact COUNT(DISTINCT col) GROUP BY key — the hard-count
+    complement of :func:`hll_distinct_by`. One sorted-distinct exchange
+    over the (key, col) pairs; because the surviving rows are globally
+    unique, per-key counts are plain sum-mergeable block partials, so
+    the count leg is the zero-exchange combiner. Nulls in ``col`` are
+    excluded (SQL count-distinct semantics). The combiner bounds the
+    KEY domain (not the value domain) at ~64k groups — for data-scale
+    key domains chain :func:`sorted_group_agg` over the distinct pairs
+    instead."""
+
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([key_col, col])
+        return t.select([key_col, col]).filter(pc.is_valid(t[col]))
+
+    pairs = sorted_distinct(
+        ds.map_batches(drop_null_vals, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col, col],
+    )
+    counts = partial_group_agg(
+        pairs, [key_col], [("n_distinct", "count_all", None)]
+    )
+    # SQL keeps a group whose values are ALL null (count distinct = 0);
+    # the null filter above would drop it — left-fill the key domain
+    domain = partial_group_agg(
+        ds.map_batches(
+            lambda t: t.select([key_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        [key_col],
+        [("n_rows", "count_all", None)],
+    )
+    have = set(counts[key_col].to_pylist())
+    missing = [k for k in domain[key_col].to_pylist() if k not in have]
+    if not missing:
+        return counts
+    fill = pa.table(
+        {
+            key_col: pa.array(missing, counts.schema.field(key_col).type),
+            "n_distinct": pa.array([0] * len(missing), pa.int64()),
+        }
+    )
+    return pa.concat_tables([counts, fill]).sort_by(
+        [(key_col, "ascending")]
+    )
+
+
+# ------------------------------------------ interpolated per-group quantiles
+
+
+@ray.remote
+def _cont_pick_block(
+    tbl: pa.Table, key: str, value_col: str, offsets: dict, targets: dict
+) -> pa.Table:
+    """Emit (key, pct, side, value) rows for the floor/ceil rank picks
+    of the continuous-quantile targets present in this sorted block."""
+    from ..stages.index import _run_boundaries
+
+    out_k, out_p, out_s, out_i = [], [], [], []
+    if tbl.num_rows:
+        starts, values = _run_boundaries(tbl, key)
+        ends = list(starts[1:]) + [tbl.num_rows]
+        for s, e, g in zip(starts, ends, values):
+            off = offsets.get(g, 0)
+            for rank, pct, side in targets.get(g, ()):
+                j = rank - off
+                if 0 <= j < e - s:
+                    out_k.append(g)
+                    out_p.append(pct)
+                    out_s.append(side)
+                    out_i.append(int(s) + int(j))
+    vals = tbl[value_col].take(pa.array(out_i, pa.int64()))
+    kt = tbl.schema.field(key).type
+    return pa.table(
+        {
+            key: pa.array(out_k, kt),
+            "pct": pa.array(out_p, pa.int64()),
+            "side": pa.array(out_s, pa.int64()),
+            value_col: vals,
+        }
+    )
+
+
+def group_quantiles_cont(
+    ds, key: str, value_col: str, percents: tuple[int, ...] = (25, 50, 90)
+) -> pa.Table:
+    """EXACT per-group INTERPOLATED quantiles (SQL percentile_cont /
+    DuckDB quantile_cont) — same rank-selection shape as
+    :func:`group_quantiles` (range-partition sort, offset arithmetic,
+    no group ever materialized in one task), but each target needs the
+    elements at floor((n−1)·q) and ceil((n−1)·q), combined as DuckDB
+    does: ``lo·(crn−rn) + hi·(rn−frn)`` (verified bit-exact against
+    quantile_cont, including non-dyadic q like 0.9). The pick rows are
+    O(groups × percents × 2) — tiny — so the final interpolation is a
+    driver-side stitch returning a pa.Table ``[key, pct, value]``."""
+    from ..stages.index import _block_group_counts
+
+    mat = ds.sort([key, value_col]).materialize()
+    refs = mat.to_arrow_refs()
+    kt = ds.schema().field(key).type if hasattr(ds.schema(), "field") else pa.string()
+    empty = pa.table(
+        {
+            key: pa.array([], kt),
+            "pct": pa.array([], pa.int64()),
+            value_col: pa.array([], pa.float64()),
+        }
+    )
+    if not refs:
+        return empty
+    metas = ray.get([_block_group_counts.remote(r, key) for r in refs])
+    running: dict = {}
+    per_block_offsets = []
+    for counts in metas:
+        off = {g: running.get(g, 0) for g, _ in counts}
+        for g, n in counts:
+            running[g] = running.get(g, 0) + n
+        per_block_offsets.append(off)
+    rns: dict = {}
+    targets: dict = {}
+    for g, n in running.items():
+        if n == 0:
+            continue
+        tg = []
+        for p in percents:
+            rn = (p / 100) * (n - 1)
+            frn = int(np.floor(rn))
+            crn = int(np.ceil(rn))
+            rns[(g, p)] = (rn, frn, crn)
+            tg.append((frn, p, 0))
+            if crn != frn:
+                tg.append((crn, p, 1))
+        targets[g] = tuple(tg)
+    picks = pa.concat_tables(
+        ray.get(
+            [
+                _cont_pick_block.remote(r, key, value_col, off, targets)
+                for r, off in zip(refs, per_block_offsets)
+            ]
+        )
+    )
+    lo: dict = {}
+    hi: dict = {}
+    for g, p, side, v in zip(
+        picks[key].to_pylist(),
+        picks["pct"].to_pylist(),
+        picks["side"].to_pylist(),
+        picks[value_col].to_pylist(),
+    ):
+        (lo if side == 0 else hi)[(g, p)] = v
+    out_k, out_p, out_v = [], [], []
+    for (g, p), (rn, frn, crn) in sorted(rns.items(), key=lambda kv: repr(kv[0])):
+        lv = lo[(g, p)]
+        out_v.append(
+            lv if crn == frn else lv * (crn - rn) + hi[(g, p)] * (rn - frn)
+        )
+        out_k.append(g)
+        out_p.append(p)
+    return pa.table(
+        {
+            key: pa.array(out_k, kt),
+            "pct": pa.array(out_p, pa.int64()),
+            value_col: pa.array(out_v, pa.float64()),
+        }
+    )

@@ -2161,6 +2161,38 @@ def q_value_fill_forward(sf_dir: str):
     )
 
 
+def q_distinct_users_per_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type
+    (ops/agg.group_count_distinct): one sorted-distinct exchange over
+    the (type, user) pairs, then the zero-exchange combiner count —
+    the hard-count twin of hll_users_by_type."""
+    from ..ops.agg import group_count_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return group_count_distinct(ev, "event_type", "user_id")
+
+
+def q_user_modal_type(sf_dir: str):
+    """Per-user modal event_type (most frequent; ties broken by the
+    lexicographically smallest type) — the categorical mode aggregate,
+    composed as per-(user, type) counts on the sorted group-aggregate
+    chained into the per-group rank (k=1). Two exchanges, both
+    key-complete."""
+    from ..ops.agg import group_top_k, sorted_group_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = sorted_group_agg(
+        ev, ["user_id", "event_type"], [("n_events", "count_all", None)]
+    )
+    top = group_top_k(
+        counts, "user_id", ["n_events", "event_type"], [True, False], k=1
+    )
+    return top.map_batches(
+        lambda t: t.select(["user_id", "event_type", "n_events"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_top_users_per_type(sf_dir: str):
     """Two chained exchanges — per-(type, user) counts on the sorted
     group-aggregate, then per-type top-3 users on the key-complete
@@ -2288,8 +2320,25 @@ def q_value_quantiles(sf_dir: str):
     return group_quantiles(ev, "event_type", "value", percents=(25, 50, 75))
 
 
+def q_value_quantiles_cont(sf_dir: str):
+    """Exact per-type INTERPOLATED quantiles (percentile_cont
+    25/50/90): same sort exchange as the discrete form, floor+ceil rank
+    picks per target, DuckDB's own lo·(crn−rn)+hi·(rn−frn) combination
+    so the float output is bit-identical to quantile_cont
+    (ops/agg.group_quantiles_cont)."""
+    from ..ops.agg import group_quantiles_cont
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantiles_cont(ev, "event_type", "value", percents=(25, 50, 90))
+
+
 ORACLE_SQL.update(
     {
+        "value_quantiles_cont": (
+            "SELECT event_type, CAST(unnest([25, 50, 90]) AS BIGINT) AS pct, "
+            "unnest(quantile_cont(value, [0.25, 0.5, 0.9])) AS value "
+            "FROM events GROUP BY event_type"
+        ),
         "value_quantiles": (
             "SELECT event_type, CAST(unnest([25, 50, 75]) AS BIGINT) AS pct, "
             "unnest(quantile_disc(value, [0.25, 0.5, 0.75])) AS value "
@@ -2552,6 +2601,17 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "distinct_users_per_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "user_modal_type": (
+            "SELECT user_id, event_type, n_events FROM ("
+            "SELECT user_id, event_type, count(*) AS n_events, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
         "event_rank_ties": (
             "SELECT event_id, row_number() OVER "
             "(PARTITION BY event_type ORDER BY user_id, event_id) AS rn, "
@@ -2692,6 +2752,7 @@ def build_queries() -> dict:
         "term_search": q_term_search,
         "events_hourly": q_events_hourly,
         "value_quantiles": q_value_quantiles,
+        "value_quantiles_cont": q_value_quantiles_cont,
         "top_bigrams": q_top_bigrams,
         "normalize_text": q_normalize_text,
         "dedup_corpus": q_dedup_corpus,
@@ -2749,6 +2810,8 @@ def build_queries() -> dict:
         "top_users_per_type": q_top_users_per_type,
         "event_lag_lead": q_event_lag_lead,
         "event_rank_ties": q_event_rank_ties,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "user_modal_type": q_user_modal_type,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

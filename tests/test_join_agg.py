@@ -1079,3 +1079,53 @@ def test_group_first_last_and_fill_forward():
         assert got[1] == 1.5 and got[2] == 1.5
         assert got[3] != got[3]  # leading null in key b, not 1.5 from a
         assert got[4] == 2.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_count_distinct_excludes_nulls():
+    from news_crawler_ray.ops.agg import group_count_distinct
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "b", "b"],
+            "v": pa.array([1, 1, 2, None, None, None], pa.int64()),
+        }
+    )
+    for blocks in (1, 3):
+        got = group_count_distinct(_ds(tbl, blocks), "k", "v").to_pandas()
+        got = got.set_index("k")["n_distinct"]
+        assert got["a"] == 2
+        assert got["b"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_quantiles_cont_matches_formula():
+    import numpy as np
+
+    from news_crawler_ray.ops.agg import group_quantiles_cont
+
+    rng = np.random.default_rng(11)
+    ka = rng.uniform(0, 100, 37)
+    kb = rng.uniform(-5, 5, 8)
+    tbl = pa.table(
+        {
+            "k": ["a"] * 37 + ["b"] * 8,
+            "v": pa.array(np.concatenate([ka, kb]), pa.float64()),
+        }
+    )
+
+    def expect(vals, p):
+        s = np.sort(vals)
+        rn = (p / 100) * (len(s) - 1)
+        frn, crn = int(np.floor(rn)), int(np.ceil(rn))
+        if crn == frn:
+            return s[frn]
+        return s[frn] * (crn - rn) + s[crn] * (rn - frn)
+
+    for blocks in (1, 5):
+        got = group_quantiles_cont(
+            _ds(tbl, blocks), "k", "v", percents=(25, 50, 90)
+        ).to_pandas()
+        for _, row in got.iterrows():
+            vals = ka if row["k"] == "a" else kb
+            assert row["v"] == expect(vals, row["pct"])  # bit-exact

@@ -2102,6 +2102,176 @@ def q_quality_percentile_filter(sf_dir: str):
     )
 
 
+def q_events_hourly_dense(sf_dir: str):
+    """Gap-filled hourly series: per-(type, hour) counts zero-filled
+    over the FULL dense grid (every type × every hour between the
+    global min and max) — the densify step a charting/forecasting
+    consumer needs. Counts are the zero-exchange combiner
+    (partial_group_agg); the grid is metadata-scale (types × hours),
+    built driver-side from two tiny min/max partials and left-joined
+    in one vectorized pandas merge. No shuffle anywhere."""
+    from ..ops.agg import partial_group_agg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_start": pc.floor_temporal(t["ts"], unit="hour"),
+            }
+        )
+
+    hourly = ev.map_batches(with_hour, batch_format="pyarrow", zero_copy_batch=True)
+    counts = partial_group_agg(
+        hourly,
+        ["event_type", "hour_start"],
+        [("n_events", "count_all", None)],
+    )
+    bounds = partial_group_agg(
+        hourly.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        ["one"],
+        [("h0", "min", "hour_start"), ("h1", "max", "hour_start")],
+    )
+    h0 = bounds["h0"][0].as_py()
+    h1 = bounds["h1"][0].as_py()
+    hours = np.arange(
+        np.datetime64(h0, "us"),
+        np.datetime64(h1, "us") + np.timedelta64(1, "h"),
+        np.timedelta64(1, "h"),
+    )
+    types = sorted(set(counts["event_type"].to_pylist()))
+    grid = pa.table(
+        {
+            "event_type": pa.array(np.repeat(types, len(hours)), pa.string()),
+            "hour_start": pa.array(
+                np.tile(hours, len(types)), pa.timestamp("us")
+            ),
+        }
+    )
+    merged = (
+        grid.to_pandas()
+        .merge(counts.to_pandas(), on=["event_type", "hour_start"], how="left")
+        .fillna({"n_events": 0})
+    )
+    merged["n_events"] = merged["n_events"].astype("int64")
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-15"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 analog (shipping priority): segment-filtered customers
+    semi-join orders (one key-complete exchange on custkey), the
+    surviving orders equi-join date-filtered lineitems (one exchange on
+    orderkey), per-(order, date) revenue in integer cents on the sorted
+    group-aggregate, global top-10 by revenue. Revenue rounds per line
+    like the oracle (round(price·(1−disc)·100), half away from zero) so
+    the sum is merge-order-proof. Three exchanges total; every filter
+    and the cents kernel run block-local before any data moves."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_inner_join, sort_merge_semi_join
+
+    cut = np.datetime64(Q3_CUTOFF + "T00:00:00", "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_keys(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["c_mktsegment"], Q3_SEGMENT)
+        return pa.table({"o_custkey": t.filter(keep)["c_custkey"]})
+
+    keys = cust.map_batches(
+        building_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def before_cut(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+
+    orders = sort_merge_semi_join(
+        orders.map_batches(
+            before_cut, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys,
+        "o_custkey",
+    )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+
+    def line_cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        p = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        d = np.asarray(t["l_discount"], dtype=np.float64)
+        rev = np.floor(p * (1 - d) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": pa.array(rev, pa.int64())}
+        )
+
+    joined = sort_merge_inner_join(
+        li.map_batches(line_cents, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        "l_orderkey",
+        ["rev"],
+        ["o_orderdate"],
+        right_key="o_orderkey",
+    )
+    per_order = sorted_group_agg(
+        joined, ["l_orderkey", "o_orderdate"], [("revenue_cents", "sum", "rev")]
+    )
+    return per_order.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-group IQR outlier fence (Tukey 1.5·IQR) — the robust-stats
+    admission filter: exact q25/q75 per event_type on the quantile
+    exchange (10 rows), fences computed driver-side with the oracle's
+    exact float op order (t = q3−q1; lo = q1 − 1.5·t; hi = q3 + 1.5·t),
+    broadcast into a block-local vectorized filter (index_in code
+    lookup, no per-row Python). Two-phase like
+    quality_percentile_filter, but per-key."""
+    from ..ops.agg import group_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    q = group_quantiles(ev, "event_type", "value", percents=(25, 75)).take_all()
+    qs: dict[str, dict[int, float]] = {}
+    for row in q:
+        qs.setdefault(row["event_type"], {})[row["pct"]] = row["value"]
+    types = sorted(qs)
+    lo_v, hi_v = [], []
+    for t in types:
+        q1, q3 = qs[t][25], qs[t][75]
+        iqr = q3 - q1
+        lo_v.append(q1 - 1.5 * iqr)
+        hi_v.append(q3 + 1.5 * iqr)
+    type_arr = pa.array(types, pa.string())
+    lo_arr = np.asarray(lo_v, dtype=np.float64)
+    hi_arr = np.asarray(hi_v, dtype=np.float64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        codes = pc.index_in(t["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        v = np.asarray(t["value"], dtype=np.float64)
+        mask = (v < lo_arr[codes]) | (v > hi_arr[codes])
+        return t.select(["event_id", "event_type", "value"]).filter(
+            pa.array(mask)
+        )
+
+    return ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_event_lag_lead(sf_dir: str):
     """LAG/LEAD(value) OVER (PARTITION BY user ORDER BY ts, id) — the
     neighbor-value window pair (null at partition edges) as null-masked
@@ -2601,6 +2771,41 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "events_hourly_dense": (
+            "WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, "
+            "date_trunc('hour', max(ts)) AS h1 FROM events), "
+            "g AS (SELECT t.event_type, h.h FROM "
+            "(SELECT DISTINCT event_type FROM events) t CROSS JOIN "
+            "(SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h "
+            "FROM b) h), "
+            "c AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+            "count(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT g.event_type, g.h AS hour_start, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events "
+            "FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer, orders, lineitem "
+            f"WHERE c_mktsegment = '{Q3_SEGMENT}' "
+            "AND c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            f"AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}' "
+            f"AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+        ),
+        "value_outliers": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_disc(value, 0.25) AS q1, "
+            "quantile_disc(value, 0.75) AS q3 FROM events "
+            "GROUP BY event_type) "
+            "SELECT e.event_id, e.event_type, e.value FROM events e "
+            "JOIN q USING (event_type) "
+            "WHERE e.value < q1 - 1.5 * (q3 - q1) "
+            "OR e.value > q3 + 1.5 * (q3 - q1)"
+        ),
         "distinct_users_per_type": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type ORDER BY event_type"
@@ -2812,6 +3017,9 @@ def build_queries() -> dict:
         "event_rank_ties": q_event_rank_ties,
         "distinct_users_per_type": q_distinct_users_per_type,
         "user_modal_type": q_user_modal_type,
+        "value_outliers": q_value_outliers,
+        "shipping_priority": q_shipping_priority,
+        "events_hourly_dense": q_events_hourly_dense,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -1129,3 +1129,39 @@ def test_group_quantiles_cont_matches_formula():
         for _, row in got.iterrows():
             vals = ka if row["k"] == "a" else kb
             assert row["v"] == expect(vals, row["pct"])  # bit-exact
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hourly_dense_zero_fills_gaps(tmp_path):
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_events_hourly_dense
+
+    # two types, 4-hour span, with holes: type a misses hours 1-2,
+    # type b only has hour 2
+    ts = pa.array(
+        [
+            np.datetime64("2024-01-01T00:10", "us"),
+            np.datetime64("2024-01-01T03:20", "us"),
+            np.datetime64("2024-01-01T02:30", "us"),
+        ],
+        pa.timestamp("us"),
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "event_type": ["a", "a", "b"],
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = q_events_hourly_dense(str(tmp_path)).to_pandas()
+    assert len(got) == 8  # 2 types x 4 hours, gaps included
+    assert got["n_events"].sum() == 3
+    a = got[got["event_type"] == "a"].sort_values("hour_start")
+    assert a["n_events"].tolist() == [1, 0, 0, 1]
+    b = got[got["event_type"] == "b"].sort_values("hour_start")
+    assert b["n_events"].tolist() == [0, 0, 1, 0]

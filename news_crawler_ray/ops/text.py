@@ -842,3 +842,109 @@ def dup_ngram_stats(ds, text_col: str = "text", id_col: str = "doc_id", n: int =
         )
 
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------- bit-parallel edit distance
+
+
+def myers_distance_batch(
+    prefixes: "np.ndarray", lens: "np.ndarray", pattern: bytes
+) -> "np.ndarray":
+    """Levenshtein distance of ONE pattern (≤64 bytes) against MANY
+    texts at once — Myers' 1999 bit-vector algorithm with every
+    bit-word vectorized across the row axis: O(max_len) numpy uint64
+    passes for the whole batch, no per-row DP. ``prefixes`` is an
+    (R, L) uint8 matrix (null-padded), ``lens`` the true byte lengths.
+    Byte-level distance == character Levenshtein for ASCII text (the
+    caller is expected to slice/sanitize accordingly)."""
+    m = len(pattern)
+    if not 1 <= m <= 64:
+        raise ValueError(f"pattern length {m} outside [1, 64]")
+    R, L = prefixes.shape
+    one = np.uint64(1)
+    peq = np.zeros(256, np.uint64)
+    for i, ch in enumerate(pattern):
+        peq[ch] |= one << np.uint64(i)
+    hmask = one << np.uint64(m - 1)
+    pv = np.full(R, ~np.uint64(0), np.uint64)
+    mv = np.zeros(R, np.uint64)
+    score = np.full(R, m, np.int64)
+    final = np.where(lens == 0, score, -1)
+    for j in range(min(L, int(lens.max()) if R else 0)):
+        eq = peq[prefixes[:, j]]
+        xv = eq | mv
+        xh = (((eq & pv) + pv) ^ pv) | eq
+        ph = mv | ~(xh | pv)
+        mh = pv & xh
+        score += ((ph & hmask) != 0).astype(np.int64)
+        score -= ((mh & hmask) != 0).astype(np.int64)
+        ph = (ph << one) | one
+        mh = mh << one
+        pv = mh | ~(xv | ph)
+        mv = ph & xv
+        final = np.where(lens == j + 1, score, final)
+    return final
+
+
+def _prefix_matrix(col, prefix_len: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Arrow string column → (R, prefix_len) uint8 matrix + byte lens."""
+    sliced = pc.utf8_slice_codeunits(
+        pc.fill_null(col, ""), start=0, stop=prefix_len
+    )
+    lens = pc.binary_length(sliced).to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = np.array(sliced.to_pylist(), dtype=f"S{prefix_len}")
+    mat = arr.view(np.uint8).reshape(len(lens), prefix_len)
+    return mat, lens
+
+
+def edit_distance_search(
+    ds,
+    patterns: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 32,
+    max_dist: int = 10,
+):
+    """Fuzzy search: byte-level Levenshtein of each doc's
+    ``prefix_len``-byte text prefix against a broadcast list of query
+    patterns, keeping hits within ``max_dist`` — the typo-tolerant
+    lookup a curation pipeline runs to find near-copies of a known
+    snippet. Patterns ship once in the task closure (tiny); each block
+    runs Q bit-parallel Myers passes (vectorized across rows), so the
+    hot loop is O(Q · prefix_len) numpy ops per block regardless of
+    row count. Output: (id, pattern_id, dist) rows, dist ≤ max_dist."""
+    pats = [p.encode("utf-8")[:prefix_len] for p in patterns]
+
+    def block(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        out_id, out_p, out_d = [], [], []
+        if t.num_rows:
+            mat, lens = _prefix_matrix(t[text_col], prefix_len)
+            for pi, pat in enumerate(pats):
+                d = myers_distance_batch(mat, lens, pat)
+                keep = np.flatnonzero(d <= max_dist)
+                if len(keep):
+                    out_id.append(ids.take(pa.array(keep, pa.int64())))
+                    out_p.append(
+                        pa.array(np.full(len(keep), pi, np.int64), pa.int64())
+                    )
+                    out_d.append(pa.array(d[keep], pa.int64()))
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "pattern_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_id]
+                ),
+                "pattern_id": pa.concat_arrays(out_p),
+                "dist": pa.concat_arrays(out_d),
+            }
+        )
+
+    return ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)

@@ -2102,6 +2102,39 @@ def q_quality_percentile_filter(sf_dir: str):
     )
 
 
+FUZZY_PREFIX = 32
+FUZZY_MAX_DIST = 10
+
+
+def q_fuzzy_search(sf_dir: str):
+    """Typo-tolerant snippet lookup: the 32-byte prefixes of docs 0 and
+    1, each with chars 3/4 transposed (a planted typo), searched
+    against every document's prefix by bit-parallel Myers Levenshtein
+    (ops/text.edit_distance_search — one vectorized uint64 pass per
+    pattern per block, no per-row DP). Hits within distance 10."""
+    from ..ops.text import edit_distance_search
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    seed_rows = {
+        r["doc_id"]: (r["text"] or "")[:FUZZY_PREFIX]
+        for r in docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 2)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    }
+    patterns = [
+        p[:2] + p[3] + p[2] + p[4:] if len(p) >= 4 else p
+        for p in (seed_rows[0], seed_rows[1])
+    ]
+    return edit_distance_search(
+        docs,
+        patterns,
+        prefix_len=FUZZY_PREFIX,
+        max_dist=FUZZY_MAX_DIST,
+    )
+
+
 def q_events_hourly_dense(sf_dir: str):
     """Gap-filled hourly series: per-(type, hour) counts zero-filled
     over the FULL dense grid (every type × every hour between the
@@ -2771,6 +2804,20 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "fuzzy_search": (
+            "WITH p0 AS (SELECT CAST(0 AS BIGINT) AS pattern_id, "
+            f"substr(text, 1, {FUZZY_PREFIX}) AS q FROM documents "
+            "WHERE doc_id = 0 UNION ALL "
+            f"SELECT 1, substr(text, 1, {FUZZY_PREFIX}) FROM documents "
+            "WHERE doc_id = 1), "
+            "pm AS (SELECT pattern_id, substr(q, 1, 2) || substr(q, 4, 1) || "
+            "substr(q, 3, 1) || substr(q, 5) AS q FROM p0) "
+            "SELECT doc_id, pattern_id, dist FROM ("
+            "SELECT d.doc_id, pm.pattern_id, CAST(levenshtein("
+            f"substr(d.text, 1, {FUZZY_PREFIX}), pm.q) AS BIGINT) AS dist "
+            "FROM documents d CROSS JOIN pm) "
+            f"WHERE dist <= {FUZZY_MAX_DIST}"
+        ),
         "events_hourly_dense": (
             "WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0, "
             "date_trunc('hour', max(ts)) AS h1 FROM events), "
@@ -3020,6 +3067,7 @@ def build_queries() -> dict:
         "value_outliers": q_value_outliers,
         "shipping_priority": q_shipping_priority,
         "events_hourly_dense": q_events_hourly_dense,
+        "fuzzy_search": q_fuzzy_search,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

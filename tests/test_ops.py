@@ -1191,3 +1191,65 @@ def test_payload_psnr_invariant(ray_session):
     assert png["lossless"].all() and png["psnr_db"].isna().all()
     lossy = out[out["fmt"] == "jpeg"]
     assert (~lossy["lossless"]).all() and (lossy["psnr_db"] >= 40.0).all()
+
+
+def _lev_ref(a: bytes, b: bytes) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_myers_distance_matches_dp():
+    import random
+
+    from news_crawler_ray.ops.text import myers_distance_batch
+
+    rng = random.Random(5)
+    alphabet = b"abcde "
+    texts = [
+        bytes(rng.choice(alphabet) for _ in range(rng.randrange(0, 33)))
+        for _ in range(200)
+    ]
+    texts += [b"", b"kitten", b"sitting", b"a" * 32]
+    L = 32
+    mat = np.array([t.ljust(L, b"\x00") for t in texts], dtype=f"S{L}")
+    mat = mat.view(np.uint8).reshape(len(texts), L)
+    lens = np.array([len(t) for t in texts], np.int64)
+    for pattern in (b"kitten", b"abcabcabc", b"x" * 64, b"e"):
+        got = myers_distance_batch(mat, lens, pattern)
+        for t, g in zip(texts, got):
+            assert g == _lev_ref(pattern, t), (pattern, t)
+
+
+def test_edit_distance_search_finds_planted(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import edit_distance_search
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                "the quick brown fox jumps over",
+                "the quikc brown fox jumps over",  # transposition: dist 2
+                "completely unrelated content..",
+                "the quick brown fox jumps over the lazy dog",  # same prefix
+                "",
+                None,
+            ],
+        }
+    )
+    ds = rd.from_arrow(docs)
+    got = (
+        edit_distance_search(
+            ds, ["the quick brown fox jumps over"], prefix_len=30, max_dist=3
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["doc_id"].tolist() == [0, 1, 3]
+    assert got["dist"].tolist() == [0, 2, 0]

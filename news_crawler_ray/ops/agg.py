@@ -1079,3 +1079,113 @@ def group_quantiles_cont(
             value_col: pa.array(out_v, pa.float64()),
         }
     )
+
+
+# ----------------------------------------------------- exact correlation
+
+
+def group_corr(
+    ds, keys: list[str], x_col: str, y_col: str, max_groups: int = 65536
+) -> pa.Table:
+    """Exact per-group Pearson correlation over two INTEGER-valued
+    columns — the :func:`group_var_stats` recipe extended to cross
+    moments: each block emits integer partials (n, Σx, Σy, Σx², Σy²,
+    Σxy) per group (zero-exchange combiner), the driver merges them in
+    arbitrary-precision Python ints, and the ONLY floats are the final
+    corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ₜ) · √(n·Σy² − Σy²ₜ))
+    computed as one cast per exact integer plus IEEE sqrt/div — so the
+    result is bit-identical at any block layout and equals the SQL
+    HUGEINT-sum formula to the last bit. Per-block Σxy overflow is
+    guarded loudly (max|x|·max|y|·rows ≤ 2⁶²). Output:
+    [*keys, n_values, corr_xy] sorted by keys; groups with zero
+    variance on either side emit null."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        key_cols = {k: t[k] for k in keys}
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **key_cols,
+                    "n": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.int64()),
+                    "sy": pa.array([], pa.int64()),
+                    "sxx": pa.array([], pa.int64()),
+                    "syy": pa.array([], pa.int64()),
+                    "sxy": pa.array([], pa.int64()),
+                }
+            )
+        x = pc.cast(t[x_col], pa.int64())
+        y = pc.cast(t[y_col], pa.int64())
+        mx = pc.max(pc.abs(x)).as_py() or 0
+        my = pc.max(pc.abs(y)).as_py() or 0
+        if max(mx * mx, my * my, mx * my) * t.num_rows > (1 << 62):
+            raise ValueError(
+                f"group_corr: per-block moment may overflow int64 "
+                f"(max|x|={mx}, max|y|={my}, rows={t.num_rows}); scale "
+                "the value columns down or shrink the block size"
+            )
+        tt = pa.table(
+            {
+                **key_cols,
+                "_x": x,
+                "_y": y,
+                "_xx": pc.multiply_checked(x, x),
+                "_yy": pc.multiply_checked(y, y),
+                "_xy": pc.multiply_checked(x, y),
+            }
+        )
+        g = tt.group_by(keys).aggregate(
+            [([], "count_all"), ("_x", "sum"), ("_y", "sum"),
+             ("_xx", "sum"), ("_yy", "sum"), ("_xy", "sum")]
+        )
+        return pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": g["count_all"],
+                "sx": g["_x_sum"],
+                "sy": g["_y_sum"],
+                "sxx": g["_xx_sum"],
+                "syy": g["_yy_sum"],
+                "sxy": g["_xy_sum"],
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        a = acc.setdefault(tuple(r[k] for k in keys), [0, 0, 0, 0, 0, 0])
+        for i, f in enumerate(("n", "sx", "sy", "sxx", "syy", "sxy")):
+            a[i] += r[f]
+    if len(acc) > max_groups:
+        raise ValueError(
+            f"group_corr: {len(acc)} groups > max_groups={max_groups}; "
+            "use sorted_group_agg partials for data-scale cardinalities"
+        )
+    rows = []
+    for key in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[key]
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        corr = (
+            None
+            if dx == 0 or dy == 0
+            else float(n * sxy - sx * sy)
+            / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+        )
+        rows.append(
+            {**dict(zip(keys, key)), "n_values": n, "corr_xy": corr}
+        )
+    if not rows:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table(
+            {
+                **{k: pa.array([], types[k]) for k in keys},
+                "n_values": pa.array([], pa.int64()),
+                "corr_xy": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)

@@ -901,3 +901,57 @@ def skew_join(
         max_pairs_per_key=max_pairs_per_key, how=how,
     )
     return hot_out.union(cold_out)
+
+
+# ------------------------------------------------------- SQL set operations
+
+
+def set_op(left, right, keys: list[str], op: str):
+    """SQL INTERSECT / EXCEPT (distinct semantics) between two
+    data-scale sides in ONE exchange: each side tags a 0/1 origin
+    column, the union rides a single sorted group-aggregate keyed on
+    ``keys`` with min/max of the tag, and presence-on-both-sides (or
+    left-only) is a block-local filter on the two aggregates. No
+    second distinct pass — the group-agg IS the dedup."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"op must be 'intersect' or 'except', got {op!r}")
+    from .agg import sorted_group_agg
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    "_side": pa.array(
+                        np.full(t.num_rows, side, np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    both = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    agg = sorted_group_agg(
+        both, keys, [("mn", "min", "_side"), ("mx", "max", "_side")]
+    )
+    want_mx = 1 if op == "intersect" else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["mn"], 0), pc.equal(t["mx"], want_mx))
+        return t.filter(mask).select(keys)
+
+    return agg.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def set_intersect(left, right, keys: list[str]):
+    """SQL INTERSECT: distinct ``keys`` rows present on BOTH sides."""
+    return set_op(left, right, keys, "intersect")
+
+
+def set_except(left, right, keys: list[str]):
+    """SQL EXCEPT: distinct ``keys`` rows on the left and NOT right."""
+    return set_op(left, right, keys, "except")

@@ -2102,6 +2102,95 @@ def q_quality_percentile_filter(sf_dir: str):
     )
 
 
+SETOP_VALUE_MIN = 200.0
+SETOP_SPLIT_DAY = 15
+
+
+def _half_users(sf_dir: str, first_half: bool):
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        day = pc.day(t["ts"])
+        cond = (
+            pc.less_equal(day, SETOP_SPLIT_DAY)
+            if first_half
+            else pc.greater(day, SETOP_SPLIT_DAY)
+        )
+        mask = pc.and_(cond, pc.greater(t["value"], SETOP_VALUE_MIN))
+        return pa.table({"user_id": t.filter(mask)["user_id"]})
+
+    return ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_users_both_halves(sf_dir: str):
+    """SQL INTERSECT: users with a high-value event in BOTH halves of
+    the month — one tagged union + one sorted group-aggregate, the
+    both-sides test a block-local min/max filter
+    (ops/join.set_intersect)."""
+    from ..ops.join import set_intersect
+
+    return set_intersect(
+        _half_users(sf_dir, True), _half_users(sf_dir, False), ["user_id"]
+    )
+
+
+def q_users_first_half_only(sf_dir: str):
+    """SQL EXCEPT: high-value users of the first half with no
+    high-value event in the second (ops/join.set_except; same single
+    exchange as the intersect)."""
+    from ..ops.join import set_except
+
+    return set_except(
+        _half_users(sf_dir, True), _half_users(sf_dir, False), ["user_id"]
+    )
+
+
+def q_quantity_price_corr(sf_dir: str):
+    """Exact per-flag Pearson correlation of quantity vs price-in-cents
+    (ops/agg.group_corr): integer cross-moment partials per block
+    (zero-exchange combiner), arbitrary-precision driver merge, one
+    correctly-rounded cast per float — bit-identical to the oracle's
+    HUGEINT-sum formula at any block layout."""
+    from ..ops.agg import group_corr
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def to_ints(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64)
+        p = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "qty": pa.array(q, pa.int64()),
+                "price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return group_corr(
+        li.map_batches(to_ints, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag"],
+        "qty",
+        "price_cents",
+    )
+
+
+def q_max_value_event_per_type(sf_dir: str):
+    """MAX_BY / ARG_MAX: per event_type the event carrying the maximum
+    value (event_id tiebreak) — group_top_k with k=1, one key-complete
+    exchange."""
+    from ..ops.agg import group_top_k
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    top = group_top_k(ev, "event_type", ["value", "event_id"], [True, False], k=1)
+    return top.map_batches(
+        lambda t: t.select(["event_type", "event_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
 FUZZY_PREFIX = 32
 FUZZY_MAX_DIST = 10
 
@@ -2804,6 +2893,41 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "users_both_halves": (
+            f"SELECT user_id FROM events WHERE value > {SETOP_VALUE_MIN} "
+            f"AND day(ts) <= {SETOP_SPLIT_DAY} INTERSECT "
+            f"SELECT user_id FROM events WHERE value > {SETOP_VALUE_MIN} "
+            f"AND day(ts) > {SETOP_SPLIT_DAY}"
+        ),
+        "users_first_half_only": (
+            f"SELECT user_id FROM events WHERE value > {SETOP_VALUE_MIN} "
+            f"AND day(ts) <= {SETOP_SPLIT_DAY} EXCEPT "
+            f"SELECT user_id FROM events WHERE value > {SETOP_VALUE_MIN} "
+            f"AND day(ts) > {SETOP_SPLIT_DAY}"
+        ),
+        "quantity_price_corr": (
+            "WITH m AS (SELECT l_returnflag, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(l_quantity AS HUGEINT)) AS sx, "
+            "sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy, "
+            "sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) "
+            "AS sxx, "
+            "sum(CAST(round(l_extendedprice * 100) AS HUGEINT) * "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT)) AS syy, "
+            "sum(CAST(l_quantity AS HUGEINT) * "
+            "CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy "
+            "FROM lineitem GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n_values, "
+            "CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
+            "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
+        ),
+        "max_value_event_per_type": (
+            "SELECT event_type, event_id, value FROM ("
+            "SELECT event_type, event_id, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY value DESC, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
+        ),
         "fuzzy_search": (
             "WITH p0 AS (SELECT CAST(0 AS BIGINT) AS pattern_id, "
             f"substr(text, 1, {FUZZY_PREFIX}) AS q FROM documents "
@@ -3068,6 +3192,10 @@ def build_queries() -> dict:
         "shipping_priority": q_shipping_priority,
         "events_hourly_dense": q_events_hourly_dense,
         "fuzzy_search": q_fuzzy_search,
+        "users_both_halves": q_users_both_halves,
+        "users_first_half_only": q_users_first_half_only,
+        "quantity_price_corr": q_quantity_price_corr,
+        "max_value_event_per_type": q_max_value_event_per_type,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -1165,3 +1165,74 @@ def test_hourly_dense_zero_fills_gaps(tmp_path):
     assert a["n_events"].tolist() == [1, 0, 0, 1]
     b = got[got["event_type"] == "b"].sort_values("hour_start")
     assert b["n_events"].tolist() == [0, 0, 1, 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_set_ops_distinct_semantics():
+    from news_crawler_ray.ops.join import set_except, set_intersect
+
+    left = pa.table({"k": pa.array([1, 1, 2, 3, 3, 3], pa.int64())})
+    right = pa.table({"k": pa.array([2, 2, 3, 4], pa.int64())})
+    for blocks in (1, 3):
+        inter = sorted(
+            set_intersect(_ds(left, blocks), _ds(right, blocks), ["k"])
+            .to_pandas()["k"]
+            .tolist()
+        )
+        assert inter == [2, 3]  # distinct, both sides
+        exc = sorted(
+            set_except(_ds(left, blocks), _ds(right, blocks), ["k"])
+            .to_pandas()["k"]
+            .tolist()
+        )
+        assert exc == [1]  # distinct, left only
+        with pytest.raises(ValueError, match="intersect"):
+            from news_crawler_ray.ops.join import set_op
+
+            set_op(_ds(left, 1), _ds(right, 1), ["k"], "union")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_corr_bit_exact():
+    import math
+
+    from news_crawler_ray.ops.agg import group_corr
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(1, 50, 500)
+    y = 3 * x + rng.integers(-20, 20, 500)  # strongly correlated
+    tbl = pa.table(
+        {
+            "k": ["g"] * 500,
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+
+    def expect():
+        n = 500
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x.astype(object) * x).sum())
+        syy = int((y.astype(object) * y).sum())
+        sxy = int((x.astype(object) * y).sum())
+        return float(n * sxy - sx * sy) / (
+            math.sqrt(float(n * sxx - sx * sx))
+            * math.sqrt(float(n * syy - sy * sy))
+        )
+
+    want = expect()
+    got1 = group_corr(_ds(tbl, 1), ["k"], "x", "y")["corr_xy"][0].as_py()
+    got5 = group_corr(_ds(tbl, 5), ["k"], "x", "y")["corr_xy"][0].as_py()
+    assert got1 == want and got5 == want  # bit-exact at any layout
+    assert got1 > 0.95
+
+    # zero-variance group -> null
+    flat = pa.table(
+        {
+            "k": ["z"] * 4,
+            "x": pa.array([7, 7, 7, 7], pa.int64()),
+            "y": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = group_corr(_ds(flat, 2), ["k"], "x", "y")
+    assert out["corr_xy"][0].as_py() is None

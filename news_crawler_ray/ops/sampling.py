@@ -202,3 +202,53 @@ def mixture_sample(ds, key_col: str, strata_col: str, weights: dict[str, float],
     return hash_sample(
         ds, key_col, strata_col=strata_col, fractions=fr, default_fraction=0.0
     )
+
+
+# -------------------------------------------------- crawl budget allocation
+
+
+def budget_allocate(
+    ds, key_col: str, weight_col: str, total_budget: int
+) -> pa.Table:
+    """Per-host fetch-quota allocation (the politeness scheduler's
+    capacity split, ref scale analog of the per-feed limits at
+    /root/reference/src/secbot/config.py:46-66): ``total_budget`` slots
+    divided proportionally to each key's integer weight mass by the
+    LARGEST-REMAINDER method — floor(B·w/W) per key plus one extra slot
+    for the B − Σfloor largest remainders (ties → smaller key first).
+    Entirely integer arithmetic (remainders compared as B·w mod W over
+    the shared denominator), so quotas are exact and
+    parallelism-proof, and Σquota == total_budget ALWAYS. Weight sums
+    ride the zero-exchange combiner; the allocation itself runs over
+    the per-key table (config-scale — for data-scale key domains rank
+    the remainders with group_top_k instead). Output:
+    [key, weight, quota] sorted by key."""
+    from .agg import partial_group_agg
+
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    weights = partial_group_agg(
+        ds, [key_col], [("weight", "sum", weight_col)]
+    )
+    keys = weights[key_col].to_pylist()
+    w = [int(x) for x in weights["weight"].to_pylist()]
+    if any(x < 0 for x in w):
+        raise ValueError("budget_allocate: negative weights")
+    total_w = sum(w)
+    if total_w == 0:
+        quota = [0] * len(keys)
+    else:
+        base = [total_budget * x // total_w for x in w]
+        rem = [total_budget * x % total_w for x in w]
+        leftover = total_budget - sum(base)
+        order = sorted(range(len(keys)), key=lambda i: (-rem[i], keys[i]))
+        quota = list(base)
+        for i in order[:leftover]:
+            quota[i] += 1
+    return pa.table(
+        {
+            key_col: pa.array(keys, weights.schema.field(key_col).type),
+            "weight": pa.array(w, pa.int64()),
+            "quota": pa.array(quota, pa.int64()),
+        }
+    )

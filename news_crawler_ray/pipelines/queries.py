@@ -2102,6 +2102,22 @@ def q_quality_percentile_filter(sf_dir: str):
     )
 
 
+CRAWL_BUDGET_TOTAL = 1000
+
+
+def q_crawl_budget(sf_dir: str):
+    """Per-source crawl-quota allocation: CRAWL_BUDGET_TOTAL fetch
+    slots split proportionally to each source's character mass by the
+    integer largest-remainder method (ops/sampling.budget_allocate) —
+    Σquota == budget exactly, ties deterministic. The weight sums are
+    the zero-exchange combiner; allocation runs on the config-scale
+    per-source table."""
+    from ..ops.sampling import budget_allocate
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars"])
+    return budget_allocate(docs, "source", "n_chars", CRAWL_BUDGET_TOTAL)
+
+
 SETOP_VALUE_MIN = 200.0
 SETOP_SPLIT_DAY = 15
 
@@ -2893,6 +2909,21 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "crawl_budget": (
+            f"WITH w AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS wt "
+            "FROM documents GROUP BY source), "
+            f"t AS (SELECT sum(wt) AS tot FROM w), "
+            f"q AS (SELECT source, wt, "
+            f"(CAST({CRAWL_BUDGET_TOTAL} AS HUGEINT) * wt) // tot AS base, "
+            f"(CAST({CRAWL_BUDGET_TOTAL} AS HUGEINT) * wt) % tot AS rem "
+            "FROM w, t), "
+            "r AS (SELECT sum(base) AS fsum FROM q) "
+            "SELECT source, CAST(wt AS BIGINT) AS weight, "
+            "CAST(base + CASE WHEN row_number() OVER "
+            "(ORDER BY rem DESC, source) <= "
+            f"{CRAWL_BUDGET_TOTAL} - fsum THEN 1 ELSE 0 END AS BIGINT) "
+            "AS quota FROM q, r ORDER BY source"
+        ),
         "users_both_halves": (
             f"SELECT user_id FROM events WHERE value > {SETOP_VALUE_MIN} "
             f"AND day(ts) <= {SETOP_SPLIT_DAY} INTERSECT "
@@ -3196,6 +3227,7 @@ def build_queries() -> dict:
         "users_first_half_only": q_users_first_half_only,
         "quantity_price_corr": q_quantity_price_corr,
         "max_value_event_per_type": q_max_value_event_per_type,
+        "crawl_budget": q_crawl_budget,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -1236,3 +1236,28 @@ def test_group_corr_bit_exact():
     )
     out = group_corr(_ds(flat, 2), ["k"], "x", "y")
     assert out["corr_xy"][0].as_py() is None
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_budget_allocate_largest_remainder():
+    from news_crawler_ray.ops.sampling import budget_allocate
+
+    tbl = pa.table(
+        {
+            "host": ["a", "a", "b", "c"],
+            "w": pa.array([3, 4, 7, 2], pa.int64()),  # a=7, b=7, c=2
+        }
+    )
+    for blocks in (1, 2):
+        got = budget_allocate(_ds(tbl, blocks), "host", "w", 10).to_pandas()
+        got = got.set_index("host")
+        # W=16: floors = 70/16=4, 70/16=4, 20/16=1 (sum 9); remainders
+        # a=6/16, b=6/16, c=4/16 -> leftover 1 goes to 'a' (tie, key asc)
+        assert got.loc["a", "quota"] == 5
+        assert got.loc["b", "quota"] == 4
+        assert got.loc["c", "quota"] == 1
+        assert got["quota"].sum() == 10
+    # degenerate: all-zero weights, zero budget
+    z = pa.table({"host": ["x", "y"], "w": pa.array([0, 0], pa.int64())})
+    got = budget_allocate(_ds(z, 1), "host", "w", 10).to_pandas()
+    assert got["quota"].sum() == 0

@@ -915,3 +915,98 @@ def fill_forward(ds, key_col: str, order_cols: list[str], id_col: str, val_col: 
             for parts in groups
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE (time-interval) window sum
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _range_sum_block(
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    interval_us: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[
+                (key_col, "ascending"),
+                (ts_col, "ascending"),
+                (id_col, "ascending"),
+            ],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    ends = np.concatenate([starts[1:], [n]])
+    ts = pc.cast(tbl[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+    v = pc.cast(tbl[val_col], pa.int64()).to_numpy(zero_copy_only=False)
+    out = np.empty(n, np.int64)
+    # O(runs) Python over key runs; inside each run the frame bounds are
+    # two vectorized searchsorteds and the sum a cumsum difference
+    for s, e in zip(starts, ends):
+        t_run = ts[s:e]
+        cum = np.cumsum(v[s:e])
+        lo = np.searchsorted(t_run, t_run - interval_us, side="left")
+        hi = np.searchsorted(t_run, t_run, side="right")
+        w = cum[hi - 1]  # hi >= 1 always (row is its own peer)
+        w = w - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        out[s:e] = w
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "range_sum": pa.array(out, pa.int64()),
+        }
+    )
+
+
+def range_window_sum(
+    ds, key_col: str, ts_col: str, id_col: str, val_col: str, interval_us: int
+):
+    """SUM(val) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    ``interval_us`` PRECEDING AND CURRENT ROW) — the TIME-based window
+    completing the matrix next to rolling_window's ROWS frame. SQL
+    RANGE semantics: the frame is every row whose ts lies in
+    [ts − interval, ts], INCLUDING later-ordered peers at the same ts,
+    so no tiebreak is needed for determinism. ``val_col`` must be
+    integer (cents-scale floats upstream) so the sums are exact at any
+    parallelism. One key-complete exchange; per run the frame bounds
+    are two searchsorteds against the run's own timestamps and the sum
+    a cumsum difference."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[ts_col, id_col])
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], types[id_col]),
+                    "range_sum": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _range_sum_block.remote(
+                key_col, ts_col, id_col, val_col, interval_us, *parts
+            )
+            for parts in groups
+        ]
+    )

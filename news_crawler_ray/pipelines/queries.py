@@ -2102,6 +2102,117 @@ def q_quality_percentile_filter(sf_dir: str):
     )
 
 
+def q_event_range_window(sf_dir: str):
+    """Time-based rolling sum: per user, the exact cents-sum of values
+    in the trailing 1-hour RANGE window (ops/window.range_window_sum).
+    Peers at the same ts are in-frame per SQL RANGE semantics, so the
+    result needs no tiebreak to be deterministic; integer cents make
+    the sums merge-order-proof."""
+    from ..ops.window import range_window_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], dtype=np.float64)
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pa.array(c, pa.int64()),
+            }
+        )
+
+    return range_window_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        interval_us=3_600_000_000,
+    )
+
+
+def q_value_quartile_buckets(sf_dir: str):
+    """Quantile feature binning: each event labeled with its
+    event_type's quartile bucket (1–4) — exact per-type q25/q50/q75 on
+    the quantile exchange (15 rows), thresholds broadcast, the binning
+    one vectorized comparison-sum per block (bucket = 1 + Σ v > qᵢ,
+    the exact form the oracle uses)."""
+    from ..ops.agg import group_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    q = group_quantiles(ev, "event_type", "value", percents=(25, 50, 75)).take_all()
+    th: dict[str, dict[int, float]] = {}
+    for row in q:
+        th.setdefault(row["event_type"], {})[row["pct"]] = row["value"]
+    types = sorted(th)
+    th_mat = np.array(
+        [[th[t][25], th[t][50], th[t][75]] for t in types], dtype=np.float64
+    )
+    type_arr = pa.array(types, pa.string())
+
+    def bucket(t: pa.Table) -> pa.Table:
+        codes = pc.index_in(t["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        v = np.asarray(t["value"], dtype=np.float64)
+        b = 1 + (v[:, None] > th_mat[codes]).sum(axis=1)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "bucket": pa.array(b.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ev.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_value_share(sf_dir: str):
+    """Percent-of-group-total (ratio_to_report): each event's share of
+    its type's total value — totals in exact integer cents via the
+    zero-exchange combiner, the share ONE IEEE division of two exact
+    ints per row (bit-identical to the SQL CAST/CAST division)."""
+    from ..ops.agg import partial_group_agg
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cts = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    totals = partial_group_agg(
+        cts, ["event_type"], [("tot", "sum", "cents")]
+    )
+    types = totals["event_type"].to_pylist()
+    tot = np.asarray(totals["tot"], dtype=np.float64)
+    type_arr = pa.array(types, pa.string())
+
+    def share(t: pa.Table) -> pa.Table:
+        codes = pc.index_in(t["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        c = np.asarray(t["cents"], dtype=np.int64).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "share": pa.array(c / tot[codes], pa.float64()),
+            }
+        )
+
+    return cts.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
+
+
 CRAWL_BUDGET_TOTAL = 1000
 
 
@@ -2909,6 +3020,30 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "value_quartile_buckets": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_disc(value, 0.25) AS q1, "
+            "quantile_disc(value, 0.50) AS q2, "
+            "quantile_disc(value, 0.75) AS q3 FROM events "
+            "GROUP BY event_type) "
+            "SELECT e.event_id, CAST(1 + CAST(e.value > q1 AS INT) + "
+            "CAST(e.value > q2 AS INT) + CAST(e.value > q3 AS INT) "
+            "AS BIGINT) AS bucket FROM events e JOIN q USING (event_type)"
+        ),
+        "value_share": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "t AS (SELECT event_type, sum(cents) AS tot FROM c "
+            "GROUP BY event_type) "
+            "SELECT c.event_id, CAST(c.cents AS DOUBLE) / "
+            "CAST(t.tot AS DOUBLE) AS share FROM c JOIN t USING (event_type)"
+        ),
+        "event_range_window": (
+            "SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) "
+            "OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS range_sum FROM events"
+        ),
         "crawl_budget": (
             f"WITH w AS (SELECT source, CAST(sum(n_chars) AS HUGEINT) AS wt "
             "FROM documents GROUP BY source), "
@@ -3228,6 +3363,9 @@ def build_queries() -> dict:
         "quantity_price_corr": q_quantity_price_corr,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,
+        "event_range_window": q_event_range_window,
+        "value_quartile_buckets": q_value_quartile_buckets,
+        "value_share": q_value_share,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

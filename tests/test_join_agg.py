@@ -1261,3 +1261,28 @@ def test_budget_allocate_largest_remainder():
     z = pa.table({"host": ["x", "y"], "w": pa.array([0, 0], pa.int64())})
     got = budget_allocate(_ds(z, 1), "host", "w", 10).to_pandas()
     assert got["quota"].sum() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_range_window_sum_with_ts_peers():
+    from news_crawler_ray.ops.window import range_window_sum
+
+    # key a: ts [0, 5, 5, 12], vals [1, 10, 100, 1000], interval 6
+    #   row@0   -> [max(-6,..0)]      = 1
+    #   rows@5  -> ts in [-1, 5]: BOTH peers in frame = 1+10+100 = 111
+    #   row@12  -> ts in [6, 12]: only itself         = 1000
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "a", "b"],
+            "ts": pa.array([0, 5, 5, 12, 3], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([1, 10, 100, 1000, 7], pa.int64()),
+        }
+    )
+    for blocks in (1, 3):
+        got = (
+            range_window_sum(_ds(tbl, blocks), "k", "ts", "id", "v", 6)
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        assert got["range_sum"].tolist() == [1, 111, 111, 1000, 7]

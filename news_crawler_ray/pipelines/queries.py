@@ -2213,6 +2213,144 @@ def q_value_share(sf_dir: str):
     return cts.map_batches(share, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_value_mad(sf_dir: str):
+    """Median absolute deviation per event_type — the robust spread
+    statistic curation filters prefer over stddev: two chained exact
+    quantile exchanges (median of values → broadcast → median of
+    |v − med|), every float either a quantile_disc element pick or one
+    IEEE abs/subtract, so the result is bit-identical to the SQL
+    two-CTE oracle."""
+    from ..ops.agg import group_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    med_rows = group_quantiles(ev, "event_type", "value", percents=(50,)).take_all()
+    types = sorted(r["event_type"] for r in med_rows)
+    med = {r["event_type"]: r["value"] for r in med_rows}
+    type_arr = pa.array(types, pa.string())
+    med_arr = np.asarray([med[t] for t in types], dtype=np.float64)
+
+    def absdev(t: pa.Table) -> pa.Table:
+        codes = pc.index_in(t["event_type"], value_set=type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        v = np.asarray(t["value"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "dev": pa.array(np.abs(v - med_arr[codes]), pa.float64()),
+            }
+        )
+
+    devs = ev.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_quantiles(devs, "event_type", "dev", percents=(50,))
+    return out.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"], "mad": t["dev"]}),
+        batch_format="pyarrow",
+    )
+
+
+def q_integrity_report(sf_dir: str):
+    """Cross-table data-quality audit — the constraint checks an
+    ingest pipeline runs before admitting a snapshot, as ONE report
+    table (check_name, n_violations): referential integrity both ways
+    (sort-merge anti joins), key uniqueness (sorted group-agg count >
+    1), and cross-table consistency (per-order lineitem cents sum vs
+    the order header, integer-exact). Each check is a distributed
+    count; only the 4-row report materializes."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_anti_join, sort_merge_inner_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    ev = _read(sf_dir, "events", ["event_id"])
+
+    okeys = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow",
+    )
+    lkeys = li.map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"]}),
+        batch_format="pyarrow",
+    )
+    n_childless = sort_merge_anti_join(okeys, lkeys, "o_orderkey").count()
+    n_orphans = sort_merge_anti_join(
+        li.map_batches(
+            lambda t: pa.table({"l_orderkey": t["l_orderkey"]}),
+            batch_format="pyarrow",
+        ),
+        orders.map_batches(
+            lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
+            batch_format="pyarrow",
+        ),
+        "l_orderkey",
+    ).count()
+
+    dup = sorted_group_agg(ev, ["event_id"], [("n", "count_all", None)])
+    n_dup = dup.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).count()
+
+    def line_cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "cents": pa.array(
+                    np.floor(p * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    sums = sorted_group_agg(
+        li.map_batches(line_cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"],
+        [("line_cents", "sum", "cents")],
+    )
+
+    def order_cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["o_totalprice"], dtype=np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "total_cents": pa.array(
+                    np.floor(p * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    joined = sort_merge_inner_join(
+        orders.map_batches(
+            order_cents, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        sums,
+        "o_orderkey",
+        ["total_cents"],
+        ["line_cents"],
+        right_key="l_orderkey",
+    )
+    n_mismatch = joined.map_batches(
+        lambda t: t.filter(pc.not_equal(t["total_cents"], t["line_cents"])),
+        batch_format="pyarrow",
+    ).count()
+
+    return pa.table(
+        {
+            "check_name": pa.array(
+                [
+                    "duplicate_event_ids",
+                    "order_total_mismatch",
+                    "orders_without_lineitems",
+                    "orphan_lineitems",
+                ],
+                pa.string(),
+            ),
+            "n_violations": pa.array(
+                [n_dup, n_mismatch, n_childless, n_orphans], pa.int64()
+            ),
+        }
+    )
+
+
 CRAWL_BUDGET_TOTAL = 1000
 
 
@@ -3020,6 +3158,32 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "value_mad": (
+            "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_type, quantile_disc(abs(e.value - m.med), 0.5) "
+            "AS mad FROM events e JOIN m USING (event_type) "
+            "GROUP BY e.event_type"
+        ),
+        "integrity_report": (
+            "SELECT 'duplicate_event_ids' AS check_name, "
+            "CAST(count(*) AS BIGINT) AS n_violations FROM ("
+            "SELECT event_id FROM events GROUP BY event_id "
+            "HAVING count(*) > 1) "
+            "UNION ALL SELECT 'order_total_mismatch', "
+            "CAST(count(*) AS BIGINT) FROM ("
+            "SELECT o_orderkey FROM orders JOIN ("
+            "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT)) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey) "
+            "ON o_orderkey = l_orderkey "
+            "WHERE CAST(round(o_totalprice * 100) AS BIGINT) <> c) "
+            "UNION ALL SELECT 'orders_without_lineitems', "
+            "CAST(count(*) AS BIGINT) FROM orders "
+            "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) "
+            "UNION ALL SELECT 'orphan_lineitems', "
+            "CAST(count(*) AS BIGINT) FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"
+        ),
         "value_quartile_buckets": (
             "WITH q AS (SELECT event_type, "
             "quantile_disc(value, 0.25) AS q1, "
@@ -3366,6 +3530,8 @@ def build_queries() -> dict:
         "event_range_window": q_event_range_window,
         "value_quartile_buckets": q_value_quartile_buckets,
         "value_share": q_value_share,
+        "value_mad": q_value_mad,
+        "integrity_report": q_integrity_report,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

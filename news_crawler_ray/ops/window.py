@@ -1010,3 +1010,75 @@ def range_window_sum(
             for parts in groups
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# ordered ARRAY_AGG (collect_list)
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _collect_list_block(
+    key_col: str, order_cols: tuple, val_col: str, *parts: pa.Table
+) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(
+            tbl,
+            sort_keys=[(key_col, "ascending")]
+            + [(c, "ascending") for c in order_cols],
+        )
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    offsets = pa.array(
+        np.concatenate([starts, [n]]).astype(np.int32), pa.int32()
+    )
+    values = tbl[val_col].combine_chunks()
+    lists = pa.ListArray.from_arrays(offsets, values)
+    return pa.table(
+        {
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "values": lists,
+        }
+    )
+
+
+def group_collect_list(ds, key_col: str, order_cols: list[str], val_col: str):
+    """Ordered ARRAY_AGG: one ``list<val>`` row per key, elements in
+    ``order_cols`` order (end with a unique tiebreak for determinism)
+    — SQL's list(val ORDER BY ...) GROUP BY key. One key-complete
+    exchange; the list assembly is a single zero-copy
+    ListArray.from_arrays over the sorted block (run starts ARE the
+    offsets), no per-row Python. A key's whole list materializes in
+    its owner task — cap or pre-slice upstream for pathological keys
+    (same contract as the join kernels' hot-key guard)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=list(order_cols))
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], types[key_col]),
+                    "values": pa.array([], pa.list_(types[val_col])),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _collect_list_block.remote(key_col, tuple(order_cols), val_col, *parts)
+            for parts in groups
+        ]
+    )

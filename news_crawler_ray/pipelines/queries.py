@@ -2351,6 +2351,16 @@ def q_integrity_report(sf_dir: str):
     )
 
 
+def q_user_event_type_list(sf_dir: str):
+    """Ordered ARRAY_AGG: per user the full event_type sequence in
+    (ts, id) order as a list column (ops/window.group_collect_list —
+    run starts become the ListArray offsets, zero-copy)."""
+    from ..ops.window import group_collect_list
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return group_collect_list(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
 CRAWL_BUDGET_TOTAL = 1000
 
 
@@ -3158,6 +3168,10 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "user_event_type_list": (
+            "SELECT user_id, list(event_type ORDER BY ts, event_id) "
+            'AS "values" FROM events GROUP BY user_id'
+        ),
         "value_mad": (
             "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med "
             "FROM events GROUP BY event_type) "
@@ -3532,6 +3546,7 @@ def build_queries() -> dict:
         "value_share": q_value_share,
         "value_mad": q_value_mad,
         "integrity_report": q_integrity_report,
+        "user_event_type_list": q_user_event_type_list,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

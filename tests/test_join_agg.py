@@ -1286,3 +1286,24 @@ def test_range_window_sum_with_ts_peers():
             .sort_values("id", ignore_index=True)
         )
         assert got["range_sum"].tolist() == [1, 111, 111, 1000, 7]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_collect_list_ordered():
+    from news_crawler_ray.ops.window import group_collect_list
+
+    tbl = pa.table(
+        {
+            "k": ["b", "a", "a", "b", "a"],
+            "o": pa.array([1, 3, 1, 0, 2], pa.int64()),
+            "v": ["b1", "a3", "a1", "b0", "a2"],
+        }
+    )
+    for blocks in (1, 3):
+        got = (
+            group_collect_list(_ds(tbl, blocks), "k", ["o"], "v")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert list(got.loc[0, "values"]) == ["a1", "a2", "a3"]
+        assert list(got.loc[1, "values"]) == ["b0", "b1"]

@@ -249,6 +249,20 @@ QUERY_SUBSET = [
     "cm_counts",
     "triangles",
     "profile_events",
+    # round-2 addendum-9 additions
+    "event_rank_ties",
+    "value_fill_forward",
+    "distinct_users_per_type",
+    "value_quantiles_cont",
+    "shipping_priority",
+    "fuzzy_search",
+    "quantity_price_corr",
+    "event_range_window",
+    "value_share",
+    "integrity_report",
+    "user_event_type_list",
+    "retention_cohorts",
+    "session_funnel",
 ]
 
 

@@ -1082,3 +1082,92 @@ def group_collect_list(ds, key_col: str, order_cols: list[str], val_col: str):
             for parts in groups
         ]
     )
+
+
+# --------------------------------------------------------------------------
+# session funnel
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _funnel_block(
+    gap_us: int,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    stages: tuple,
+    *parts: pa.Table,
+) -> list:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return [0] * len(stages)
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    s, _, new_s, _ = _session_breaks(tbl, user_col, ts_col, id_col, gap_us)
+    ts = np.asarray(s[ts_col].cast(pa.int64()))
+    starts = np.flatnonzero(new_s)
+    run_id = np.cumsum(new_s) - 1
+    types = s[type_col].combine_chunks()
+    n_sessions = len(starts)
+    int_min = np.iinfo(np.int64).min
+    int_max = np.iinfo(np.int64).max
+    t_prev = np.full(n_sessions, int_min, np.int64)
+    alive = np.ones(n_sessions, dtype=bool)
+    counts = []
+    for stage in stages:
+        mask = pc.equal(types, stage).to_numpy(zero_copy_only=False)
+        cand = np.where(mask & (ts > t_prev[run_id]), ts, int_max)
+        t_stage = np.minimum.reduceat(cand, starts)
+        alive = alive & (t_stage < int_max)
+        counts.append(int(alive.sum()))
+        t_prev = np.where(alive, t_stage, t_prev)
+    return counts
+
+
+def funnel_counts(
+    ds,
+    stages: list[str],
+    gap_minutes: float = 30.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> pa.Table:
+    """Session conversion funnel: how many sessions reach stage 1, then
+    stage 2 STRICTLY AFTER their first stage-1 event, and so on — the
+    ordered-sequence analytics a behavioral dataset ships with. Rides
+    the SAME session-break kernel as sessionize/session_assign (gap
+    semantics cannot drift); per block each stage is one vectorized
+    mask + minimum.reduceat over session runs ("first qualifying ts
+    after the previous stage's"), sessions are task-complete because
+    users are, and only len(stages) ints per block reach the driver.
+    Output: (stage, n_sessions) with cumulative stage labels."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, user_col, order=[ts_col, id_col])
+    labels = [">".join(stages[: i + 1]) for i in range(len(stages))]
+    if not groups:
+        return pa.table(
+            {
+                "stage": pa.array(labels, pa.string()),
+                "n_sessions": pa.array([0] * len(stages), pa.int64()),
+            }
+        )
+    gap_us = int(gap_minutes * 60_000_000)
+    partials = ray.get(
+        [
+            _funnel_block.remote(
+                gap_us, user_col, ts_col, id_col, type_col, tuple(stages), *parts
+            )
+            for parts in groups
+        ]
+    )
+    totals = [sum(p[i] for p in partials) for i in range(len(stages))]
+    return pa.table(
+        {
+            "stage": pa.array(labels, pa.string()),
+            "n_sessions": pa.array(totals, pa.int64()),
+        }
+    )

@@ -2258,32 +2258,11 @@ def q_integrity_report(sf_dir: str):
     the order header, integer-exact). Each check is a distributed
     count; only the 4-row report materializes."""
     from ..ops.agg import sorted_group_agg
-    from ..ops.join import sort_merge_anti_join, sort_merge_inner_join
+    from ..ops.join import sort_merge_inner_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
     ev = _read(sf_dir, "events", ["event_id"])
-
-    okeys = orders.map_batches(
-        lambda t: pa.table({"o_orderkey": t["o_orderkey"]}),
-        batch_format="pyarrow",
-    )
-    lkeys = li.map_batches(
-        lambda t: pa.table({"o_orderkey": t["l_orderkey"]}),
-        batch_format="pyarrow",
-    )
-    n_childless = sort_merge_anti_join(okeys, lkeys, "o_orderkey").count()
-    n_orphans = sort_merge_anti_join(
-        li.map_batches(
-            lambda t: pa.table({"l_orderkey": t["l_orderkey"]}),
-            batch_format="pyarrow",
-        ),
-        orders.map_batches(
-            lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
-            batch_format="pyarrow",
-        ),
-        "l_orderkey",
-    ).count()
 
     dup = sorted_group_agg(ev, ["event_id"], [("n", "count_all", None)])
     n_dup = dup.map_batches(
@@ -2304,7 +2283,7 @@ def q_integrity_report(sf_dir: str):
     sums = sorted_group_agg(
         li.map_batches(line_cents, batch_format="pyarrow", zero_copy_batch=True),
         ["l_orderkey"],
-        [("line_cents", "sum", "cents")],
+        [("line_cents", "sum", "cents"), ("n_lines", "count_all", None)],
     )
 
     def order_cents(t: pa.Table) -> pa.Table:
@@ -2318,6 +2297,10 @@ def q_integrity_report(sf_dir: str):
             }
         )
 
+    # ONE full-outer join carries all three referential checks:
+    # left-only rows = childless orders, right-only rows = orphan
+    # lineitem keys (their n_lines sum = orphan ROWS), matched rows
+    # compare cents — per-block int partials, 3 ints/block to driver
     joined = sort_merge_inner_join(
         orders.map_batches(
             order_cents, batch_format="pyarrow", zero_copy_batch=True
@@ -2325,13 +2308,39 @@ def q_integrity_report(sf_dir: str):
         sums,
         "o_orderkey",
         ["total_cents"],
-        ["line_cents"],
+        ["line_cents", "n_lines"],
         right_key="l_orderkey",
+        how="outer",
     )
-    n_mismatch = joined.map_batches(
-        lambda t: t.filter(pc.not_equal(t["total_cents"], t["line_cents"])),
-        batch_format="pyarrow",
-    ).count()
+
+    def check_partial(t: pa.Table) -> pa.Table:
+        have_total = pc.is_valid(t["total_cents"]).to_numpy(zero_copy_only=False)
+        have_lines = pc.is_valid(t["line_cents"]).to_numpy(zero_copy_only=False)
+        childless = int((have_total & ~have_lines).sum())
+        orphan_mask = ~have_total & have_lines
+        nl = np.asarray(
+            pc.fill_null(t["n_lines"], 0).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        orphans = int(nl[orphan_mask].sum())
+        both = have_total & have_lines
+        tc = pc.fill_null(t["total_cents"], 0).to_numpy(zero_copy_only=False)
+        lc = pc.fill_null(t["line_cents"], 0).to_numpy(zero_copy_only=False)
+        mismatch = int((both & (tc != lc)).sum())
+        return pa.table(
+            {
+                "childless": pa.array([childless], pa.int64()),
+                "orphans": pa.array([orphans], pa.int64()),
+                "mismatch": pa.array([mismatch], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(
+        check_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_childless = sum(p["childless"] for p in parts)
+    n_orphans = sum(p["orphans"] for p in parts)
+    n_mismatch = sum(p["mismatch"] for p in parts)
 
     return pa.table(
         {
@@ -2359,6 +2368,76 @@ def q_user_event_type_list(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
     return group_collect_list(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users grouped by first-activity day, counted
+    as active per (cohort_day, day_offset) — the engagement matrix a
+    training-data freshness dashboard needs. First touch rides
+    group_first_last (one key-complete exchange), cohorts join back to
+    the activity stream on the same exchange
+    (sort_merge_inner_join on user), and the distinct
+    (cohort, offset, user) count collapses through
+    group_count_distinct. Day arithmetic is pure integer epoch-days."""
+    from ..ops.agg import partial_group_agg, sorted_distinct
+    from ..ops.join import sort_merge_inner_join
+    from ..ops.window import group_first_last
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def with_day(t: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        epoch_day = pc.divide(pc.cast(days, pa.int64()), 86_400_000_000)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": epoch_day,
+                "event_id": t["event_id"],
+            }
+        )
+
+    daily = ev.map_batches(with_day, batch_format="pyarrow", zero_copy_batch=True)
+    first = group_first_last(daily, "user_id", ["day", "event_id"], "day")
+    cohorts = first.map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"], "cohort_day": t["first_value"]}
+        ),
+        batch_format="pyarrow",
+    )
+    user_days = sorted_distinct(daily, ["user_id", "day"])
+    joined = sort_merge_inner_join(
+        user_days, cohorts, "user_id", ["day"], ["cohort_day"]
+    )
+
+    def offset(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": t["cohort_day"],
+                "day_offset": pc.subtract(t["day"], t["cohort_day"]),
+            }
+        )
+
+    return partial_group_agg(
+        joined.map_batches(offset, batch_format="pyarrow", zero_copy_batch=True),
+        ["cohort_day", "day_offset"],
+        [("n_users", "count_all", None)],
+    )
+
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_session_funnel(sf_dir: str):
+    """Session conversion funnel view → click → purchase (strictly
+    ordered within a 30-min-gap session; ops/window.funnel_counts) —
+    one key-complete exchange, one mask + minimum.reduceat per stage
+    per block, only 3 ints per block to the driver."""
+    from ..ops.window import funnel_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return funnel_counts(ev, FUNNEL_STAGES, gap_minutes=30.0)
 
 
 CRAWL_BUDGET_TOTAL = 1000
@@ -2565,41 +2644,71 @@ Q3_CUTOFF = "1998-06-15"
 
 
 def q_shipping_priority(sf_dir: str):
-    """TPC-H Q3 analog (shipping priority): segment-filtered customers
-    semi-join orders (one key-complete exchange on custkey), the
-    surviving orders equi-join date-filtered lineitems (one exchange on
-    orderkey), per-(order, date) revenue in integer cents on the sorted
-    group-aggregate, global top-10 by revenue. Revenue rounds per line
-    like the oracle (round(price·(1−disc)·100), half away from zero) so
-    the sum is merge-order-proof. Three exchanges total; every filter
-    and the cents kernel run block-local before any data moves."""
-    from ..ops.agg import sorted_group_agg
+    """TPC-H Q3 analog (shipping priority) in ONE exchange: the
+    segment-filtered custkey set broadcasts once (ray.put +
+    searchsorted membership inside map_batches — the star-schema
+    broadcast pattern of q_orders_per_nation, with the sort-merge semi
+    join as the over-budget fallback), date-filtered lineitems
+    equi-join the surviving orders on the key-complete exchange, and
+    because that exchange leaves every orderkey whole in one block,
+    the per-(order, date) revenue aggregate and the top-10 partials
+    are BLOCK-LOCAL — only ≤10 rows per block reach the driver.
+    Revenue rounds per line like the oracle (round(price·(1−disc)·100),
+    half away from zero) so the cents sums are merge-order-proof."""
     from ..ops.join import sort_merge_inner_join, sort_merge_semi_join
 
     cut = np.datetime64(Q3_CUTOFF + "T00:00:00", "us")
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def building_keys(t: pa.Table) -> pa.Table:
-        keep = pc.equal(t["c_mktsegment"], Q3_SEGMENT)
-        return pa.table({"o_custkey": t.filter(keep)["c_custkey"]})
-
-    keys = cust.map_batches(
-        building_keys, batch_format="pyarrow", zero_copy_batch=True
-    )
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-
-    def before_cut(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
-
-    orders = sort_merge_semi_join(
-        orders.map_batches(
-            before_cut, batch_format="pyarrow", zero_copy_batch=True
-        ),
-        keys,
-        "o_custkey",
+    cust_tbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
     )
+    if cust_tbl.nbytes <= BROADCAST_DIM_BYTES:
+        keep = pc.equal(cust_tbl["c_mktsegment"], Q3_SEGMENT)
+        keys_ref = ray.put(
+            np.sort(
+                np.asarray(cust_tbl.filter(keep)["c_custkey"], dtype=np.int64)
+            )
+        )
+
+        def order_filter(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+            ks = ray.get(keys_ref)  # plasma-local after first batch
+            oc = np.asarray(t["o_custkey"], dtype=np.int64)
+            pos = np.minimum(np.searchsorted(ks, oc), len(ks) - 1)
+            return t.select(["o_orderkey", "o_orderdate"]).filter(
+                pa.array(ks[pos] == oc)
+            )
+
+        orders = orders.map_batches(
+            order_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:  # data-scale dimension: fall back to the sort-merge semi join
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        keys = cust.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t.filter(
+                        pc.equal(t["c_mktsegment"], Q3_SEGMENT)
+                    )["c_custkey"]
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        orders = sort_merge_semi_join(
+            orders.map_batches(
+                lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            keys,
+            "o_custkey",
+        ).map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate"]),
+            batch_format="pyarrow",
+        )
 
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
@@ -2622,12 +2731,50 @@ def q_shipping_priority(sf_dir: str):
         ["o_orderdate"],
         right_key="o_orderkey",
     )
-    per_order = sorted_group_agg(
-        joined, ["l_orderkey", "o_orderdate"], [("revenue_cents", "sum", "rev")]
+
+    def block_top10(t: pa.Table) -> pa.Table:
+        # the join exchange is key-complete on l_orderkey, so the
+        # group-by and the top-k partial are exact block-local
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        g = t.group_by(["l_orderkey", "o_orderdate"]).aggregate([("rev", "sum")])
+        g = pa.table(
+            {
+                "l_orderkey": g["l_orderkey"],
+                "o_orderdate": g["o_orderdate"],
+                "revenue_cents": g["rev_sum"],
+            }
+        )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
+        )
+        return g.take(idx.slice(0, 10))
+
+    partials = joined.map_batches(
+        block_top10, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    top = pa.Table.from_pylist(
+        partials,
+        schema=pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
     )
-    return per_order.sort(
-        ["revenue_cents", "l_orderkey"], descending=[True, False]
-    ).limit(10)
+    idx = pc.sort_indices(
+        top,
+        sort_keys=[("revenue_cents", "descending"), ("l_orderkey", "ascending")],
+    )
+    return top.take(idx.slice(0, 10))
 
 
 def q_value_outliers(sf_dir: str):
@@ -3168,6 +3315,40 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "session_funnel": (
+            "WITH g AS (SELECT event_id, user_id, ts, event_type, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS prev_ts FROM events), "
+            "s AS (SELECT user_id, ts, event_type, "
+            "SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > "
+            "INTERVAL 30 MINUTE THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS sn FROM g), "
+            "v AS (SELECT user_id, sn, min(ts) AS t1 FROM s "
+            "WHERE event_type = 'view' GROUP BY 1, 2), "
+            "c AS (SELECT s.user_id, s.sn, min(s.ts) AS t2 FROM s "
+            "JOIN v ON s.user_id = v.user_id AND s.sn = v.sn "
+            "WHERE s.event_type = 'click' AND s.ts > v.t1 GROUP BY 1, 2), "
+            "p AS (SELECT s.user_id, s.sn, min(s.ts) AS t3 FROM s "
+            "JOIN c ON s.user_id = c.user_id AND s.sn = c.sn "
+            "WHERE s.event_type = 'purchase' AND s.ts > c.t2 GROUP BY 1, 2) "
+            "SELECT * FROM ("
+            "SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM v UNION ALL SELECT 'view>click', "
+            "CAST(count(*) AS BIGINT) FROM c "
+            "UNION ALL SELECT 'view>click>purchase', "
+            "CAST(count(*) AS BIGINT) FROM p)"
+        ),
+        "retention_cohorts": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day "
+            "FROM events), "
+            "c AS (SELECT user_id, min(day) AS cohort_day FROM d "
+            "GROUP BY user_id) "
+            "SELECT c.cohort_day, d.day - c.cohort_day AS day_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM d JOIN c USING (user_id) GROUP BY 1, 2"
+        ),
         "user_event_type_list": (
             "SELECT user_id, list(event_type ORDER BY ts, event_id) "
             'AS "values" FROM events GROUP BY user_id'
@@ -3547,6 +3728,8 @@ def build_queries() -> dict:
         "value_mad": q_value_mad,
         "integrity_report": q_integrity_report,
         "user_event_type_list": q_user_event_type_list,
+        "retention_cohorts": q_retention_cohorts,
+        "session_funnel": q_session_funnel,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -1307,3 +1307,36 @@ def test_group_collect_list_ordered():
         )
         assert list(got.loc[0, "values"]) == ["a1", "a2", "a3"]
         assert list(got.loc[1, "values"]) == ["b0", "b1"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_counts_strict_ordering():
+    from news_crawler_ray.ops.window import funnel_counts
+
+    # user 1 session A: view@0 click@10 purchase@20   -> full funnel
+    # user 1 session B (gap): click@10000 view@10010  -> view only (click
+    #   precedes the first view, so stage 2 is NOT reached)
+    # user 2: view@5 purchase@6 (no click)            -> view only
+    us = 60_000_000  # 1 min in us
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array(
+                np.array(
+                    [0, 10, 20, 100 * 60, 100 * 60 + 10, 5, 6], np.int64
+                )
+                * us,
+                pa.timestamp("us"),
+            ),
+            "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "event_type": [
+                "view", "click", "purchase", "click", "view", "view",
+                "purchase",
+            ],
+        }
+    )
+    for blocks in (1, 3):
+        got = funnel_counts(
+            _ds(tbl, blocks), ["view", "click", "purchase"], gap_minutes=30
+        ).to_pandas()
+        assert got["n_sessions"].tolist() == [3, 1, 1]

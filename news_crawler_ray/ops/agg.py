@@ -1189,3 +1189,54 @@ def group_corr(
             }
         )
     return pa.Table.from_pylist(rows)
+
+
+# -------------------------------------------------------- skew diagnostics
+
+
+def key_skew_report(ds, key_col: str) -> pa.Table:
+    """Shuffle-skew audit for a prospective partition key — run this
+    BEFORE keying an exchange on a column at corpus scale: exact
+    per-key counts on the sort exchange (data-scale key domains fine),
+    then the count distribution's n_rows / n_keys / max / p50 / p90 /
+    p99 via one more constant-key quantile pass. A max_count ≫ p99
+    reading is the hot-key signal that routes a join to the skew-aware
+    path (ops/join.skew_join) or salts the key. Returns ONE row."""
+    counts = sorted_group_agg(ds, [key_col], [("n", "count_all", None)])
+    tagged = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(["all"] * t.num_rows, pa.string()),
+                "n": t["n"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    q = {
+        r["pct"]: r["n"]
+        for r in group_quantiles(tagged, "k", "n", percents=(50, 90, 99)).take_all()
+    }
+    tot = partial_group_agg(
+        tagged,
+        ["k"],
+        [
+            ("n_rows", "sum", "n"),
+            ("n_keys", "count_all", None),
+            ("max_count", "max", "n"),
+        ],
+    )
+
+    def _cell(col: str) -> int:
+        return int(tot[col][0].as_py()) if tot.num_rows else 0
+
+    return pa.table(
+        {
+            "n_rows": pa.array([_cell("n_rows")], pa.int64()),
+            "n_keys": pa.array([_cell("n_keys")], pa.int64()),
+            "max_count": pa.array([_cell("max_count")], pa.int64()),
+            "p50_count": pa.array([q.get(50, 0)], pa.int64()),
+            "p90_count": pa.array([q.get(90, 0)], pa.int64()),
+            "p99_count": pa.array([q.get(99, 0)], pa.int64()),
+        }
+    )

@@ -955,3 +955,40 @@ def set_intersect(left, right, keys: list[str]):
 def set_except(left, right, keys: list[str]):
     """SQL EXCEPT: distinct ``keys`` rows on the left and NOT right."""
     return set_op(left, right, keys, "except")
+
+
+# ------------------------------------------------------------- upsert / CDC
+
+
+def upsert(base, changes, key: str, version_col: str, value_cols: list[str]):
+    """MERGE latest-wins (SCD type 1 / CDC apply): the ``changes`` rows
+    replace same-key ``base`` rows when their version is >=; new keys
+    append. One tagged union + one key-complete rank (group_top_k k=1
+    ordered by version desc then change-side-first), so the merge is a
+    single exchange and per-key offset arithmetic — no driver-side
+    state, no hash shuffle. Column sets must match
+    ``[key, version_col, *value_cols]`` on both sides. Output drops
+    the helper tag and keeps [key, version_col, *value_cols]."""
+    from .agg import group_top_k
+
+    cols = [key, version_col, *value_cols]
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            out = {c: t[c] for c in cols}
+            out["_src"] = pa.array(np.full(t.num_rows, side, np.int64), pa.int64())
+            return pa.table(out)
+
+        return f
+
+    both = base.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        changes.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    top = group_top_k(
+        both, key, [version_col, "_src"], [True, True], k=1
+    )
+    return top.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"
+    )

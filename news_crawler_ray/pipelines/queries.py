@@ -2426,6 +2426,59 @@ def q_retention_cohorts(sf_dir: str):
     )
 
 
+def q_events_upsert(sf_dir: str):
+    """CDC MERGE latest-wins (ops/join.upsert): a deterministic change
+    feed (every event_id % 10 == 3 gets value + 1000 at version 2)
+    applied onto the base snapshot — one tagged union + one
+    key-complete rank, changes win ties."""
+    from ..ops.join import upsert
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "version": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    def changes(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["event_id"], dtype=np.int64)
+        keep = (ids % 10) == 3
+        sub = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": sub["event_id"],
+                "version": pa.array(
+                    np.full(sub.num_rows, 2, np.int64), pa.int64()
+                ),
+                "value": pc.add(sub["value"], 1000.0),
+            }
+        )
+
+    return upsert(
+        ev.map_batches(base, batch_format="pyarrow", zero_copy_batch=True),
+        ev.map_batches(changes, batch_format="pyarrow", zero_copy_batch=True),
+        "event_id",
+        "version",
+        ["value"],
+    )
+
+
+def q_user_key_skew(sf_dir: str):
+    """Shuffle-skew audit of user_id as a partition key
+    (ops/agg.key_skew_report): exact per-key counts on the sort
+    exchange, distribution stats (max vs p50/p90/p99) in one more
+    constant-key quantile pass — the pre-flight check that routes hot
+    keys to skew_join / salting."""
+    from ..ops.agg import key_skew_report
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return key_skew_report(ev, "user_id")
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -3315,6 +3368,26 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "events_upsert": (
+            "WITH base AS (SELECT event_id, 1 AS v, value FROM events), "
+            "ch AS (SELECT event_id, 2 AS v, value + 1000 AS value "
+            "FROM events WHERE event_id % 10 = 3), "
+            "u AS (SELECT * FROM base UNION ALL SELECT * FROM ch) "
+            "SELECT event_id, CAST(version AS BIGINT) AS version, value "
+            "FROM (SELECT event_id, v AS version, value, row_number() OVER ("
+            "PARTITION BY event_id ORDER BY v DESC) AS rn FROM u) "
+            "WHERE rn = 1"
+        ),
+        "user_key_skew": (
+            "WITH c AS (SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id) "
+            "SELECT CAST(sum(n) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(max(n) AS BIGINT) AS max_count, "
+            "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_count, "
+            "CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90_count, "
+            "CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_count FROM c"
+        ),
         "session_funnel": (
             "WITH g AS (SELECT event_id, user_id, ts, event_type, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
@@ -3730,6 +3803,8 @@ def build_queries() -> dict:
         "user_event_type_list": q_user_event_type_list,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
+        "events_upsert": q_events_upsert,
+        "user_key_skew": q_user_key_skew,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

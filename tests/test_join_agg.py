@@ -1340,3 +1340,46 @@ def test_funnel_counts_strict_ordering():
             _ds(tbl, blocks), ["view", "click", "purchase"], gap_minutes=30
         ).to_pandas()
         assert got["n_sessions"].tolist() == [3, 1, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_upsert_latest_wins_and_ties():
+    from news_crawler_ray.ops.join import upsert
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([1, 1, 5], pa.int64()),  # key 3 base at v5
+            "val": ["b1", "b2", "b3"],
+        }
+    )
+    ch = pa.table(
+        {
+            "k": pa.array([2, 3, 4], pa.int64()),
+            "v": pa.array([2, 5, 1], pa.int64()),  # key 3 SAME version
+            "val": ["c2", "c3", "c4"],
+        }
+    )
+    for blocks in (1, 2):
+        got = (
+            upsert(_ds(base, blocks), _ds(ch, blocks), "k", "v", ["val"])
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        # 1: base only; 2: change wins (higher v); 3: change wins the
+        # version TIE; 4: new key appended
+        assert got["val"].tolist() == ["b1", "c2", "c3", "c4"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_key_skew_report_hot_key():
+    from news_crawler_ray.ops.agg import key_skew_report
+
+    ks = ["hot"] * 90 + [f"k{i}" for i in range(10)]
+    tbl = pa.table({"k": pa.array(ks, pa.string())})
+    for blocks in (1, 4):
+        got = key_skew_report(_ds(tbl, blocks), "k").to_pandas().iloc[0]
+        assert got["n_rows"] == 100
+        assert got["n_keys"] == 11
+        assert got["max_count"] == 90
+        assert got["p50_count"] == 1  # the hot key dwarfs the median

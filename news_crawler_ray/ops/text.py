@@ -948,3 +948,51 @@ def edit_distance_search(
         )
 
     return ds.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ----------------------------------------------------- keyword hit counts
+
+
+def keyword_hit_counts(ds, keywords: list[str], text_col: str = "text") -> pa.Table:
+    """Per-keyword document-frequency report — the reference's
+    keyword-list predicate (news.py:38-68, case-insensitive substring)
+    turned into a tagging/monitoring count: for each keyword, how many
+    docs contain it. One lowercase pass + one vectorized
+    match_substring per keyword per block, K ints per block to the
+    driver (zero-exchange combiner). Keywords ship in the task closure
+    (config-scale)."""
+    kws = [k.lower() for k in keywords]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            counts = [0] * len(kws)
+        else:
+            low = pc.utf8_lower(pc.fill_null(t[text_col], ""))
+            counts = [
+                int(
+                    pc.sum(
+                        pc.match_substring(low, k).cast(pa.int64())
+                    ).as_py()
+                    or 0
+                )
+                for k in kws
+            ]
+        return pa.table(
+            {
+                "keyword": pa.array(kws, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc = {k: 0 for k in kws}
+    for r in parts:
+        acc[r["keyword"]] += r["n"]
+    return pa.table(
+        {
+            "keyword": pa.array(kws, pa.string()),
+            "n_docs": pa.array([acc[k] for k in kws], pa.int64()),
+        }
+    )

@@ -2479,6 +2479,20 @@ def q_user_key_skew(sf_dir: str):
     return key_skew_report(ev, "user_id")
 
 
+HIT_KEYWORDS = ["key", "agg", "table", "scan", "zzz-absent"]
+
+
+def q_keyword_hits(sf_dir: str):
+    """Per-keyword document frequency over the corpus
+    (ops/text.keyword_hit_counts — the reference's M7 keyword list as
+    a monitoring count; one match_substring pass per keyword, combiner
+    merge)."""
+    from ..ops.text import keyword_hit_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return keyword_hit_counts(docs, HIT_KEYWORDS)
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -3368,6 +3382,16 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "keyword_hits": (
+            "SELECT * FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{k}' AS keyword, CAST(count(*) FILTER (WHERE "
+                f"contains(lower(coalesce(text, '')), '{k}')) AS BIGINT) "
+                "AS n_docs FROM documents"
+                for k in HIT_KEYWORDS
+            )
+            + ")"
+        ),
         "events_upsert": (
             "WITH base AS (SELECT event_id, 1 AS v, value FROM events), "
             "ch AS (SELECT event_id, 2 AS v, value + 1000 AS value "
@@ -3805,6 +3829,7 @@ def build_queries() -> dict:
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,
         "user_key_skew": q_user_key_skew,
+        "keyword_hits": q_keyword_hits,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

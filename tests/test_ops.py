@@ -1253,3 +1253,28 @@ def test_edit_distance_search_finds_planted(ray_session):
     )
     assert got["doc_id"].tolist() == [0, 1, 3]
     assert got["dist"].tolist() == [0, 2, 0]
+
+
+def test_keyword_hit_counts(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import keyword_hit_counts
+
+    docs = pa.table(
+        {
+            "text": [
+                "Alpha BETA gamma",
+                "beta beta beta",  # multiple hits count ONCE per doc
+                None,
+                "delta",
+            ]
+        }
+    )
+    got = (
+        keyword_hit_counts(rd.from_arrow(docs), ["beta", "alpha", "zzz"])
+        .to_pandas()
+        .set_index("keyword")["n_docs"]
+    )
+    assert got["beta"] == 2  # case-insensitive, doc-level
+    assert got["alpha"] == 1
+    assert got["zzz"] == 0

@@ -1171,3 +1171,60 @@ def funnel_counts(
             "n_sessions": pa.array(totals, pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# COUNT(*) OVER (PARTITION BY key)
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _group_size_block(key_col: str, id_col: str, *parts: pa.Table) -> pa.Table:
+    import numpy as np
+
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.take(
+        pc.sort_indices(tbl, sort_keys=[(key_col, "ascending")])
+    )
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    run_id = np.cumsum(new_key) - 1
+    return pa.table(
+        {
+            id_col: tbl[id_col],
+            "n_in_group": pa.array(sizes[run_id], pa.int64()),
+        }
+    )
+
+
+def group_size_window(ds, key_col: str, id_col: str):
+    """COUNT(*) OVER (PARTITION BY key) as a per-row enrichment — one
+    key-complete exchange, run sizes by offset arithmetic. Composite
+    partition keys pack into one int64/string column upstream (the
+    engine's composite-key pattern: every key-complete kernel is
+    single-column, so multi-column keys ride a reversible pack)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[])
+    if not groups:
+        types = dict(zip(ds.schema().names, ds.schema().types))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], types[id_col]),
+                    "n_in_group": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [_group_size_block.remote(key_col, id_col, *parts) for parts in groups]
+    )

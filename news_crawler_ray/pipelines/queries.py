@@ -2479,6 +2479,41 @@ def q_user_key_skew(sf_dir: str):
     return key_skew_report(ev, "user_id")
 
 
+def q_event_same_day_count(sf_dir: str):
+    """COUNT(*) OVER (PARTITION BY user_id, day) — a COMPOSITE
+    partition key, demonstrating the engine's composite-key pattern:
+    (user, epoch_day) packs reversibly into one int64
+    (user·2²⁰ + day; both ranges loudly bounded), then rides the
+    single-column key-complete exchange (ops/window.group_size_window;
+    one exchange, run sizes by offset arithmetic)."""
+    from ..ops.window import group_size_window
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        days = pc.cast(
+            pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us")
+        )
+        day = pc.divide(pc.cast(days, pa.int64()), 86_400_000_000).to_numpy(
+            zero_copy_only=False
+        )
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        if len(uid) and (
+            uid.min() < 0 or day.min() < 0 or day.max() >= (1 << 20)
+        ):
+            raise ValueError("pack range exceeded: user_id<0 or day >= 2^20")
+        packed = (uid << 20) | day.astype(np.int64)
+        return pa.table(
+            {
+                "uday": pa.array(packed, pa.int64()),
+                "event_id": t["event_id"],
+            }
+        )
+
+    packed = ev.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    return group_size_window(packed, "uday", "event_id")
+
+
 HIT_KEYWORDS = ["key", "agg", "table", "scan", "zzz-absent"]
 
 
@@ -3382,6 +3417,11 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "event_same_day_count": (
+            "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id, "
+            "CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) "
+            "AS BIGINT) AS n_in_group FROM events"
+        ),
         "keyword_hits": (
             "SELECT * FROM ("
             + " UNION ALL ".join(
@@ -3830,6 +3870,7 @@ def build_queries() -> dict:
         "events_upsert": q_events_upsert,
         "user_key_skew": q_user_key_skew,
         "keyword_hits": q_keyword_hits,
+        "event_same_day_count": q_event_same_day_count,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -1383,3 +1383,22 @@ def test_key_skew_report_hot_key():
         assert got["n_keys"] == 11
         assert got["max_count"] == 90
         assert got["p50_count"] == 1  # the hot key dwarfs the median
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_size_window():
+    from news_crawler_ray.ops.window import group_size_window
+
+    tbl = pa.table(
+        {
+            "k": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    for blocks in (1, 3):
+        got = (
+            group_size_window(_ds(tbl, blocks), "k", "id")
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        assert got["n_in_group"].tolist() == [3, 3, 3, 2, 2]

@@ -503,3 +503,46 @@ def reference_pixels(k: int, seed: int = 42, sizes: tuple = SIZES) -> np.ndarray
     h = int(r.choice(sizes))
     r.random()  # fmt draw, consumed to stay stream-aligned
     return r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+# ------------------------------------------------------------- JSONL source
+
+
+def make_jsonl_docs(n: int = 400, seed: int = 42) -> list[dict]:
+    """Deterministic JSONL-source records — the raw-feed shape an
+    ingest pipeline receives before parquet lands (one JSON object per
+    line: id, kind, n_tokens, text). Pure Python so the expected
+    oracle can recompute the same rows without touching Ray or the
+    file (pipelines/expected.expected_jsonl_ingest)."""
+    import random
+
+    r = random.Random(f"jsonl-{seed}")
+    kinds = ["article", "advisory", "ioc", "misc"]
+    rows = []
+    for i in range(n):
+        kind = kinds[r.randrange(len(kinds))]
+        n_tokens = r.randrange(5, 200)
+        rows.append(
+            {
+                "rec_id": i,
+                "kind": kind,
+                "n_tokens": n_tokens,
+                "text": f"{kind} record {i} " + "tok " * min(n_tokens, 8),
+            }
+        )
+    return rows
+
+
+def write_jsonl_gz(rows: list[dict], path: str) -> str:
+    """Write records as gzip'd JSON-lines (atomic tmp+rename)."""
+    import gzip
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with gzip.open(tmp, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.replace(tmp, path)
+    return path

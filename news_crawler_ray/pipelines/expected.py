@@ -901,6 +901,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["semantic_dedup"] = values_sql(expected_semantic_dedup(sf_dir))
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))
+    sql["jsonl_ingest"] = values_sql(expected_jsonl_ingest())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (
@@ -1126,3 +1127,26 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         f"{pick} END AS lang_pred FROM m"
     )
     return sql
+
+
+def expected_jsonl_ingest() -> pa.Table:
+    """Independent recompute of the jsonl_ingest aggregate from the
+    same deterministic record generator — never touches the .gz file
+    or Ray, so the query's read→aggregate path is what's under test."""
+    from collections import defaultdict
+
+    from ..fixtures.synth import make_jsonl_docs
+
+    n: dict = defaultdict(int)
+    s: dict = defaultdict(int)
+    for r in make_jsonl_docs():
+        n[r["kind"]] += 1
+        s[r["kind"]] += r["n_tokens"]
+    kinds = sorted(n)
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "n_records": pa.array([n[k] for k in kinds], pa.int64()),
+            "sum_tokens": pa.array([s[k] for k in kinds], pa.int64()),
+        }
+    )

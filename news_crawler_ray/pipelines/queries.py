@@ -2514,6 +2514,30 @@ def q_event_same_day_count(sf_dir: str):
     return group_size_window(packed, "uday", "event_id")
 
 
+def q_jsonl_ingest(sf_dir: str):
+    """Raw-feed ingestion: gzip'd JSON-lines (the pre-parquet source
+    format) → sources/jsonl.read_jsonl → zero-exchange combiner
+    aggregate per kind. The oracle recomputes the same aggregate from
+    the record GENERATOR (never the file), so the reader path itself
+    is what's verified."""
+    from ..fixtures.synth import make_jsonl_docs, write_jsonl_gz
+    from ..ops.agg import partial_group_agg
+    from ..sources.jsonl import read_jsonl
+
+    path = "/tmp/nc_jsonl_fixture/docs.jsonl.gz"
+    write_jsonl_gz(make_jsonl_docs(), path)  # deterministic, idempotent
+    ds = read_jsonl(path)
+    return partial_group_agg(
+        ds.map_batches(
+            lambda t: t.select(["kind", "n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["kind"],
+        [("n_records", "count_all", None), ("sum_tokens", "sum", "n_tokens")],
+    )
+
+
 HIT_KEYWORDS = ["key", "agg", "table", "scan", "zzz-absent"]
 
 
@@ -3871,6 +3895,7 @@ def build_queries() -> dict:
         "user_key_skew": q_user_key_skew,
         "keyword_hits": q_keyword_hits,
         "event_same_day_count": q_event_same_day_count,
+        "jsonl_ingest": q_jsonl_ingest,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -57,3 +57,19 @@ def test_robots_and_ioc_pages():
     assert p.num_rows == 24
     assert all("999.1.1.1" in t for t in p["text"].to_pylist())
     assert len(synth.keywords()) == 28
+
+
+def test_jsonl_fixture_deterministic_and_readable(ray_session, tmp_path):
+    from news_crawler_ray.fixtures.synth import make_jsonl_docs, write_jsonl_gz
+    from news_crawler_ray.sources.jsonl import read_jsonl
+
+    a = make_jsonl_docs(50, seed=7)
+    b = make_jsonl_docs(50, seed=7)
+    assert a == b  # regeneration-stable
+    assert a != make_jsonl_docs(50, seed=8)
+    p = str(tmp_path / "docs.jsonl.gz")
+    write_jsonl_gz(a, p)
+    got = read_jsonl(p).to_pandas().sort_values("rec_id", ignore_index=True)
+    assert len(got) == 50
+    assert got["rec_id"].tolist() == list(range(50))
+    assert got.loc[0, "kind"] == a[0]["kind"]

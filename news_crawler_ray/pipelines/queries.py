@@ -2538,6 +2538,50 @@ def q_jsonl_ingest(sf_dir: str):
     )
 
 
+PART_KEEP_TYPES = ("click", "purchase")
+
+
+def q_partitioned_read(sf_dir: str):
+    """Partition-pruned read: events laid out hive-style by event_type
+    (one-time fixture write), then ONLY the click/purchase partitions
+    are read — unselected partitions cost zero I/O and zero tasks
+    (sources/partitioned.read_hive_partitioned; pruning at the path
+    level, the 'prune at the read' rule as a source primitive) —
+    followed by a combiner aggregate."""
+    import hashlib as _hl
+
+    from ..ops.agg import partial_group_agg
+    from ..sources.partitioned import read_hive_partitioned, write_hive_partitioned
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/nc_part_events_{tag}"
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id", "value"],
+    )
+    write_hive_partitioned(tbl, base, "event_type")
+    ds = read_hive_partitioned(
+        base, "event_type", lambda v: v in PART_KEEP_TYPES, columns=["value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], dtype=np.float64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pa.array(
+                    np.floor(v * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return partial_group_agg(
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        [("n_events", "count_all", None), ("sum_cents", "sum", "cents")],
+    )
+
+
 HIT_KEYWORDS = ["key", "agg", "table", "scan", "zzz-absent"]
 
 
@@ -3441,6 +3485,13 @@ ORACLE_SQL.update(
             "lead(value) OVER w AS next_value FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
+        "partitioned_read": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents FROM events "
+            "WHERE event_type IN ('click', 'purchase') "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
         "event_same_day_count": (
             "SELECT event_id, CAST(count(*) OVER (PARTITION BY user_id, "
             "CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) "
@@ -3896,6 +3947,7 @@ def build_queries() -> dict:
         "keyword_hits": q_keyword_hits,
         "event_same_day_count": q_event_same_day_count,
         "jsonl_ingest": q_jsonl_ingest,
+        "partitioned_read": q_partitioned_read,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -1,4 +1,5 @@
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from news_crawler_ray.fixtures import codec, synth
@@ -73,3 +74,35 @@ def test_jsonl_fixture_deterministic_and_readable(ray_session, tmp_path):
     assert len(got) == 50
     assert got["rec_id"].tolist() == list(range(50))
     assert got.loc[0, "kind"] == a[0]["kind"]
+
+
+def test_hive_partition_prune_reads_only_selected(ray_session, tmp_path):
+    import pyarrow.compute as pc
+
+    from news_crawler_ray.sources.partitioned import (
+        list_partitions,
+        read_hive_partitioned,
+        write_hive_partitioned,
+    )
+
+    tbl = pa.table(
+        {
+            "kind": ["a", "a", "b", "c"],
+            "x": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    base = str(tmp_path / "part")
+    write_hive_partitioned(tbl, base, "kind")
+    write_hive_partitioned(tbl, base, "kind")  # idempotent rerun
+    assert list_partitions(base, "kind") == ["a", "b", "c"]
+    got = (
+        read_hive_partitioned(base, "kind", lambda v: v != "b")
+        .to_pandas()
+        .sort_values("x", ignore_index=True)
+    )
+    assert got["x"].tolist() == [1, 2, 4]  # partition b never read
+    assert set(got["kind"]) == {"a", "c"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no partition"):
+        read_hive_partitioned(base, "kind", lambda v: False)

@@ -546,3 +546,26 @@ def write_jsonl_gz(rows: list[dict], path: str) -> str:
             f.write(json.dumps(r) + "\n")
     os.replace(tmp, path)
     return path
+
+
+def write_csv_gz(rows: list[dict], path: str) -> str:
+    """Write records as gzip'd CSV (atomic tmp+rename; header row).
+    Text fields must not contain commas/newlines — the JSONL fixture's
+    don't; quoting is deliberately not implemented."""
+    import gzip
+    import os
+
+    if not rows:
+        raise ValueError("write_csv_gz: empty rows")
+    cols = list(rows[0])
+    tmp = path + ".tmp"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with gzip.open(tmp, "wt") as f:
+        f.write(",".join(cols) + "\n")
+        for r in rows:
+            vals = [str(r[c]) for c in cols]
+            if any("," in v or "\n" in v for v in vals):
+                raise ValueError("write_csv_gz: field needs quoting")
+            f.write(",".join(vals) + "\n")
+    os.replace(tmp, path)
+    return path

@@ -902,6 +902,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["knn_ivf"] = values_sql(expected_knn_ivf(sf_dir))
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))
     sql["jsonl_ingest"] = values_sql(expected_jsonl_ingest())
+    sql["csv_ingest"] = values_sql(expected_jsonl_ingest())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

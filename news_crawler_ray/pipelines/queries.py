@@ -2538,6 +2538,29 @@ def q_jsonl_ingest(sf_dir: str):
     )
 
 
+def q_csv_ingest(sf_dir: str):
+    """Raw-feed ingestion, CSV flavor (sources/csvsrc.read_csv over the
+    same deterministic records as jsonl_ingest, same
+    generator-recomputed oracle) — proving the two raw-feed readers
+    land identical tables."""
+    from ..fixtures.synth import make_jsonl_docs, write_csv_gz
+    from ..ops.agg import partial_group_agg
+    from ..sources.csvsrc import read_csv
+
+    path = "/tmp/nc_csv_fixture/docs.csv.gz"
+    write_csv_gz(make_jsonl_docs(), path)
+    ds = read_csv(path)
+    return partial_group_agg(
+        ds.map_batches(
+            lambda t: t.select(["kind", "n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["kind"],
+        [("n_records", "count_all", None), ("sum_tokens", "sum", "n_tokens")],
+    )
+
+
 PART_KEEP_TYPES = ("click", "purchase")
 
 
@@ -3948,6 +3971,7 @@ def build_queries() -> dict:
         "event_same_day_count": q_event_same_day_count,
         "jsonl_ingest": q_jsonl_ingest,
         "partitioned_read": q_partitioned_read,
+        "csv_ingest": q_csv_ingest,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -728,24 +728,33 @@ def _rank_ties_block(
     # DENSE_RANK: tie-run ordinal within the key (no gaps)
     cord = np.cumsum(new_ord)
     dense = cord - cord[key_starts][key_run] + 1
+    # CUME_DIST: (# rows with order <= this row's) / key size — the
+    # tie run's END offset over the key run's size, one IEEE division
+    # of exact small ints (parallelism-proof float)
+    key_sizes = np.diff(np.concatenate([key_starts, [n]]))
+    ord_ends = np.concatenate([ord_starts[1:], [n]])
+    cume = (ord_ends[ord_run] - key_starts[key_run]) / key_sizes[key_run]
     return pa.table(
         {
             id_col: tbl[id_col],
             "rn": pa.array(pos + 1, pa.int64()),
             "rank": pa.array(rank, pa.int64()),
             "dense_rank": pa.array(dense, pa.int64()),
+            "cume_dist": pa.array(cume, pa.float64()),
         }
     )
 
 
 def rank_with_ties(ds, key_col: str, order_col: str, id_col: str):
-    """RANK() / DENSE_RANK() OVER (PARTITION BY key ORDER BY order) plus
-    ROW_NUMBER with the id tiebreak — the tie-aware half of the rank
-    window family (rank_window covers the total-order half). Ties in
-    ``order_col`` share a rank (gaps for RANK, none for DENSE_RANK),
-    so both are deterministic at any parallelism even without a total
-    order; only ``rn`` needs the tiebreak. Same key-complete exchange,
-    pure offset arithmetic per block."""
+    """RANK() / DENSE_RANK() / CUME_DIST() OVER (PARTITION BY key ORDER
+    BY order) plus ROW_NUMBER with the id tiebreak — the tie-aware half
+    of the rank window family (rank_window covers the total-order
+    half). Ties in ``order_col`` share a rank (gaps for RANK, none for
+    DENSE_RANK; CUME_DIST counts the whole tie run), so all three are
+    deterministic at any parallelism even without a total order; only
+    ``rn`` needs the tiebreak. Same key-complete exchange, pure offset
+    arithmetic per block; cume_dist is one IEEE division of exact
+    small ints."""
     from ..stages.index import key_complete_parts
 
     groups = key_complete_parts(ds, key_col, order=[order_col, id_col])
@@ -758,6 +767,7 @@ def rank_with_ties(ds, key_col: str, order_col: str, id_col: str):
                     "rn": pa.array([], pa.int64()),
                     "rank": pa.array([], pa.int64()),
                     "dense_rank": pa.array([], pa.int64()),
+                    "cume_dist": pa.array([], pa.float64()),
                 }
             )
         )

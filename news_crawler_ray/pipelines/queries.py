@@ -3752,7 +3752,8 @@ ORACLE_SQL.update(
             "SELECT event_id, row_number() OVER "
             "(PARTITION BY event_type ORDER BY user_id, event_id) AS rn, "
             'rank() OVER w AS "rank", '
-            'dense_rank() OVER w AS "dense_rank" FROM events '
+            'dense_rank() OVER w AS "dense_rank", '
+            'cume_dist() OVER w AS "cume_dist" FROM events '
             "WINDOW w AS (PARTITION BY event_type ORDER BY user_id)"
         ),
         "user_first_last": (

@@ -1043,6 +1043,8 @@ def test_rank_with_ties_known_values():
         assert got["rn"].tolist() == [1, 3, 2, 1, 2, 3]
         assert got["rank"].tolist() == [1, 3, 1, 1, 1, 1]
         assert got["dense_rank"].tolist() == [1, 2, 1, 1, 1, 1]
+        # cume_dist: key a orders [5,5,7] -> [2/3, 1, 2/3]; key b all ties -> 1
+        assert got["cume_dist"].tolist() == [2 / 3, 1.0, 2 / 3, 1.0, 1.0, 1.0]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -273,6 +273,11 @@ def _quantile_pick_block(
     Python over run boundaries; values are taken by direct index."""
     from ..stages.index import _run_boundaries
 
+    if key not in tbl.column_names:  # zero-column empty sort block
+        return pa.table(
+            {key: pa.array([], pa.string()), "pct": pa.array([], pa.int64()),
+             value_col: pa.array([], pa.float64())}
+        )
     out_k, out_p, out_i = [], [], []
     if tbl.num_rows:
         starts, values = _run_boundaries(tbl, key)
@@ -342,8 +347,11 @@ def group_quantiles(
         )
     picks = [
         _quantile_pick_block.remote(r, key, value_col, off, targets)
-        for r, off in zip(refs, per_block_offsets)
+        for r, off, counts in zip(refs, per_block_offsets, metas)
+        if counts  # skip empty (possibly zero-column-schema) sort blocks
     ]
+    if not picks:
+        return rd.from_arrow(empty)
     return rd.from_arrow_refs(picks)
 
 

@@ -32,10 +32,12 @@ def _run_boundaries(tbl: pa.Table, group_col: str):
     """
     import pyarrow.compute as pc
 
+    if tbl.num_rows == 0 or group_col not in tbl.column_names:
+        # Ray's sort can emit empty blocks with a ZERO-COLUMN schema;
+        # treat them as no runs instead of KeyError'ing on the column.
+        return np.zeros(0, np.int64), []
     keys = tbl[group_col].combine_chunks()
     n = len(keys)
-    if n == 0:
-        return np.zeros(0, np.int64), []
     if n == 1:
         return np.zeros(1, np.int64), [keys[0].as_py()]
     neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(zero_copy_only=False)

@@ -345,3 +345,56 @@ class SeenFilterStage:
         for res, idx in zip(ray.get(futs), idxs):  # all shards in parallel
             keep[idx] = res
         return batch.filter(pa.array(keep))
+
+
+def compact_checkpoints(
+    seen_dir: str, shard_id: int, up_to_epoch: int | None = None
+) -> int:
+    """Fold a shard's epoch DELTA files into one consolidated delta at
+    the highest epoch — bounding restore replay cost, which otherwise
+    grows one file per wave forever (at 10^10 cumulative keys the
+    replay chain, not the state, becomes the resume bottleneck).
+
+    Crash-safe by idempotence: the consolidated file is written as the
+    highest epoch (atomic tmp+rename) BEFORE the folded lower files are
+    unlinked, and it carries an explicit op per key that ever appeared
+    ('a' if net-present, 'r' if net-absent) — so a crash between the
+    two steps leaves replay(old deltas + consolidated) ≡
+    replay(consolidated): adds are set-idempotent and the explicit
+    'r' rows cancel any replayed stale adds. Returns the number of
+    files folded (0 = nothing to do)."""
+
+    def _epoch_of(p: str) -> int:
+        return int(os.path.basename(p)[len("epoch-") : -len(".parquet")])
+
+    d = os.path.join(seen_dir, f"part={shard_id}")
+    paths = sorted(glob.glob(os.path.join(d, "epoch-*.parquet")), key=_epoch_of)
+    if up_to_epoch is not None:
+        paths = [p for p in paths if _epoch_of(p) <= up_to_epoch]
+    if len(paths) < 2:
+        return 0
+    net: dict = {}
+    for p in paths:
+        t = pq.read_table(p)
+        keys = t["url_sha1"].to_pylist()
+        ops = (
+            t["op"].to_pylist()
+            if "op" in t.column_names
+            else ["a"] * len(keys)  # legacy full snapshot
+        )
+        for k, o in zip(keys, ops):
+            net[k] = o
+    items = sorted(net.items())
+    tbl = pa.table(
+        {
+            "url_sha1": pa.array([k for k, _ in items], pa.binary()),
+            "op": pa.array([o for _, o in items], pa.string()),
+        }
+    )
+    top = paths[-1]
+    tmp = top + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, top)  # atomic publish of the consolidated delta
+    for p in paths[:-1]:
+        os.unlink(p)
+    return len(paths)

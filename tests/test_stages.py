@@ -257,3 +257,51 @@ def test_parse_outlinks_and_filters(ray_session):
     ).take_all()
     assert all("ahnlab.com" not in r["value"] for r in ex)
     assert len(ex) < len(url_rows)
+
+
+def test_seen_checkpoint_compaction(ray_session, tmp_path):
+    import glob as _glob
+    import os as _os
+
+    import ray as _ray
+
+    from news_crawler_ray.stages.seen import SeenShard, compact_checkpoints
+
+    d = str(tmp_path)
+    sh = SeenShard.remote(0, capacity=256)
+    k = [hashlib.sha1(f"z{i}".encode()).digest() for i in range(30)]
+    _ray.get(sh.add.remote(k[:20]))
+    _ray.get(sh.checkpoint.remote(d, 0))
+    _ray.get(sh.remove.remote(k[:5]))          # net-absent keys
+    _ray.get(sh.add.remote(k[20:]))
+    _ray.get(sh.checkpoint.remote(d, 1))
+    _ray.get(sh.add.remote(k[:3]))             # re-add some removed
+    _ray.get(sh.checkpoint.remote(d, 2))
+
+    expect = set(k[20:]) | set(k[5:20]) | set(k[:3])
+    assert compact_checkpoints(d, 0) == 3
+    files = _glob.glob(_os.path.join(d, "part=0", "epoch-*.parquet"))
+    assert len(files) == 1  # folded into the highest epoch
+
+    fresh = SeenShard.remote(0, capacity=256)
+    _ray.get(fresh.restore.remote(d))
+    assert set(_ray.get(fresh.keys.remote())) == expect
+
+    # crash window: consolidated written but old deltas NOT yet deleted
+    sh2 = SeenShard.remote(1, capacity=256)
+    _ray.get(sh2.add.remote(k[:10]))
+    _ray.get(sh2.checkpoint.remote(d, 0))
+    _ray.get(sh2.remove.remote(k[:10]))
+    _ray.get(sh2.checkpoint.remote(d, 1))
+    import pyarrow.parquet as _pq
+
+    part = _os.path.join(d, "part=1")
+    # the consolidated file must carry explicit 'r' rows so a crash
+    # between publish and unlink still replays to the right state
+    n = compact_checkpoints(d, 1)
+    assert n == 2
+    t = _pq.read_table(_os.path.join(part, "epoch-00000001.parquet"))
+    assert set(t["op"].to_pylist()) == {"r"}  # all ten net-absent
+    fresh2 = SeenShard.remote(1, capacity=256)
+    _ray.get(fresh2.restore.remote(d))
+    assert _ray.get(fresh2.keys.remote()) == []

@@ -1248,3 +1248,99 @@ def key_skew_report(ds, key_col: str) -> pa.Table:
             "p99_count": pa.array([q.get(99, 0)], pa.int64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# group_pair_counts: distinct-value co-occurrence (market-basket pairs)
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _pair_block(key_col: str, val_col: str, max_vals: int, *parts: pa.Table) -> pa.Table:
+    """Kernel over one key-complete, (key, val)-sorted group: dedup
+    consecutive (key, val) rows, then enumerate every unordered distinct
+    value pair per key with offset arithmetic (repeat/arange — no
+    per-row Python). Sorted order guarantees val_a < val_b strictly."""
+    from ..stages.index import _run_boundaries
+
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table(
+            {"val_a": pa.array([], pa.string()), "val_b": pa.array([], pa.string())}
+        )
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    n = tbl.num_rows
+    keys = tbl[key_col].combine_chunks()
+    vals = tbl[val_col].combine_chunks()
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        same_key = pc.equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        same_val = pc.equal(vals.slice(1), vals.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        keep[1:] = ~(same_key & same_val)
+    idx = pa.array(np.flatnonzero(keep), pa.int64())
+    tbl = pa.table({key_col: keys.take(idx), val_col: vals.take(idx)})
+    n = tbl.num_rows
+    starts, _ = _run_boundaries(tbl, key_col)
+    ends = np.append(starts[1:], n)
+    lens = ends - starts
+    if lens.size and lens.max() > max_vals:
+        raise ValueError(
+            f"group_pair_counts: a key holds {int(lens.max())} distinct values "
+            f"(> max_vals={max_vals}); pair explosion is quadratic — prefilter "
+            "the value domain or raise max_vals deliberately"
+        )
+    run_end = np.repeat(ends, lens)  # per-row: end of its key run
+    cnt_i = run_end - np.arange(n) - 1  # pairs each row anchors as the left side
+    total = int(cnt_i.sum())
+    if total == 0:
+        return pa.table(
+            {"val_a": pa.array([], tbl[val_col].type), "val_b": pa.array([], tbl[val_col].type)}
+        )
+    i_rep = np.repeat(np.arange(n), cnt_i)
+    off = np.concatenate([[0], np.cumsum(cnt_i)[:-1]])
+    j = i_rep + 1 + (np.arange(total) - np.repeat(off, cnt_i))
+    v = tbl[val_col].combine_chunks()
+    return pa.table(
+        {
+            "val_a": v.take(pa.array(i_rep, pa.int64())),
+            "val_b": v.take(pa.array(j, pa.int64())),
+        }
+    )
+
+
+def group_pair_counts(ds, key_col: str, val_col: str, max_vals: int = 4096) -> pa.Table:
+    """Co-occurrence counts: for every unordered pair of DISTINCT values
+    (a < b) sharing a key, the number of keys where both appear — the
+    market-basket pair-support primitive (SQL: self-join of
+    SELECT DISTINCT key, val on key with val_a < val_b, then count).
+
+    Shape: one key-complete sort exchange co-locates each key's rows;
+    the per-group kernel dedups and pair-explodes vectorized; pair rows
+    (bounded by max_vals²/2 per key, guarded loudly) flow into
+    :func:`partial_group_agg` — per-block combiner counts, tiny
+    driver merge. No hash shuffle, no all-pairs across keys.
+
+    Returns a pyarrow Table (val_a, val_b, n_keys) sorted by the pair.
+    """
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[val_col])
+    empty = pa.table(
+        {
+            "val_a": pa.array([], pa.string()),
+            "val_b": pa.array([], pa.string()),
+            "n_keys": pa.array([], pa.int64()),
+        }
+    )
+    if not groups:
+        return empty
+    pair_refs = [
+        _pair_block.remote(key_col, val_col, max_vals, *parts) for parts in groups
+    ]
+    pairs = ray.data.from_arrow_refs(pair_refs)
+    out = partial_group_agg(pairs, ["val_a", "val_b"], [("n_keys", "count_all", None)])
+    return out if out.num_rows else empty

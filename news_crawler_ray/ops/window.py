@@ -1094,6 +1094,35 @@ def group_collect_list(ds, key_col: str, order_cols: list[str], val_col: str):
     )
 
 
+def group_string_agg(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    sep: str = ",",
+    out_col: str = "agg",
+):
+    """Ordered STRING_AGG: one delimited string per key, elements in
+    ``order_cols`` order — SQL's string_agg(val, sep ORDER BY ...)
+    GROUP BY key. Rides :func:`group_collect_list` (one key-complete
+    exchange, zero-copy ListArray assembly); the join itself is a
+    single vectorized ``pc.binary_join`` per block, no per-row Python.
+    Same hot-key contract as collect_list: a key's whole string
+    materializes in its owner task."""
+
+    lists = group_collect_list(ds, key_col, order_cols, val_col)
+
+    def join_block(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t[key_col],
+                out_col: pc.binary_join(t["values"].combine_chunks(), sep),
+            }
+        )
+
+    return lists.map_batches(join_block, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # session funnel
 # --------------------------------------------------------------------------

@@ -2370,6 +2370,34 @@ def q_user_event_type_list(sf_dir: str):
     return group_collect_list(ev, "user_id", ["ts", "event_id"], "event_type")
 
 
+def q_user_type_path(sf_dir: str):
+    """Ordered STRING_AGG: per user the event_type sequence in
+    (ts, id) order as one delimited string (ops/window.group_string_agg
+    — collect_list's zero-copy exchange plus a single vectorized
+    pc.binary_join per block). The sequence-as-token form sequence
+    miners and session-embedding featurizers ingest."""
+    from ..ops.window import group_string_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return group_string_agg(
+        ev, "user_id", ["ts", "event_id"], "event_type", sep=",", out_col="type_path"
+    )
+
+
+def q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket pair support: for each unordered pair of DISTINCT
+    event types, how many users exhibit both (ops/agg.group_pair_counts
+    — one key-complete exchange, vectorized per-key pair explosion with
+    a loud quadratic guard, combiner counts). The co-occurrence matrix
+    behind affinity / embedding-context features; complements
+    event_type_transitions (adjacent ordered pairs) with the set view."""
+    from ..ops.agg import group_pair_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = group_pair_counts(ev, "user_id", "event_type")
+    return out.rename_columns(["type_a", "type_b", "n_users"])
+
+
 def q_retention_cohorts(sf_dir: str):
     """Cohort retention: users grouped by first-activity day, counted
     as active per (cohort_day, day_offset) — the engagement matrix a
@@ -3588,6 +3616,16 @@ ORACLE_SQL.update(
             "SELECT user_id, list(event_type ORDER BY ts, event_id) "
             'AS "values" FROM events GROUP BY user_id'
         ),
+        "user_type_path": (
+            "SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) "
+            "AS type_path FROM events GROUP BY user_id"
+        ),
+        "event_type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS n_users FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2"
+        ),
         "value_mad": (
             "WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med "
             "FROM events GROUP BY event_type) "
@@ -3964,6 +4002,8 @@ def build_queries() -> dict:
         "value_mad": q_value_mad,
         "integrity_report": q_integrity_report,
         "user_event_type_list": q_user_event_type_list,
+        "user_type_path": q_user_type_path,
+        "event_type_cooccurrence": q_event_type_cooccurrence,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,

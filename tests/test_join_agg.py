@@ -1404,3 +1404,68 @@ def test_group_size_window():
             .sort_values("id", ignore_index=True)
         )
         assert got["n_in_group"].tolist() == [3, 3, 3, 2, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_string_agg_ordered():
+    from news_crawler_ray.ops.window import group_string_agg
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["a", "a", "b", "a", "b"], pa.string()),
+            "o": pa.array([3, 1, 2, 2, 1], pa.int64()),
+            "v": pa.array(["z", "x", "q", "y", "p"], pa.string()),
+        }
+    )
+    for blocks in (1, 3):
+        got = (
+            group_string_agg(_ds(tbl, blocks), "k", ["o"], "v", sep="|", out_col="s")
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert got["s"].tolist() == ["x|y|z", "p|q"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_pair_counts_matches_bruteforce():
+    import itertools
+
+    from news_crawler_ray.ops.agg import group_pair_counts
+
+    rng = __import__("random").Random(7)
+    keys, vals = [], []
+    for k in range(20):
+        for v in rng.sample("abcdefg", rng.randint(1, 6)):
+            # duplicates of (key, val) must not inflate counts
+            for _ in range(rng.randint(1, 2)):
+                keys.append(f"k{k}")
+                vals.append(v)
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    expect: dict = {}
+    per_key: dict = {}
+    for k, v in zip(keys, vals):
+        per_key.setdefault(k, set()).add(v)
+    for s in per_key.values():
+        for a, b in itertools.combinations(sorted(s), 2):
+            expect[(a, b)] = expect.get((a, b), 0) + 1
+    for blocks in (1, 4):
+        out = group_pair_counts(_ds(tbl, blocks), "k", "v")
+        got = {
+            (r["val_a"], r["val_b"]): r["n_keys"] for r in out.to_pylist()
+        }
+        assert got == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_pair_counts_quadratic_guard():
+    from news_crawler_ray.ops.agg import group_pair_counts
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["hot"] * 10, pa.string()),
+            "v": pa.array([f"v{i}" for i in range(10)], pa.string()),
+        }
+    )
+    with pytest.raises((ValueError, Exception)) as ei:
+        group_pair_counts(_ds(tbl, 2), "k", "v", max_vals=4)
+    assert "max_vals" in str(ei.value)

@@ -569,3 +569,34 @@ def write_csv_gz(rows: list[dict], path: str) -> str:
             f.write(",".join(vals) + "\n")
     os.replace(tmp, path)
     return path
+
+
+def make_trap_urls(n: int = 240, seed: int = 42) -> pa.Table:
+    """Deterministic URL-hygiene fixture: a mix of clean URLs, crawler
+    traps (repeated path segments — calendar/faceted loops), overly
+    deep paths, and session-id query-string bloat, in fixed proportion.
+    ASCII-only and globally unique so byte offsets == char offsets and
+    the SQL oracle can join on the url value. Pure Python; the trap
+    oracle re-derives the flags in SQL from these same strings."""
+    import random
+
+    r = random.Random(f"traps-{seed}")
+    segs = ["news", "world", "tech", "a", "b", "cal", "2025", "06", "page"]
+    urls = []
+    for i in range(n):
+        host = f"http://site{r.randrange(40)}.example.com"
+        mode = i % 4
+        if mode == 0:  # clean
+            path = "/".join(r.sample(segs, r.randint(1, 4)))
+        elif mode == 1:  # repeated-segment loop trap
+            s = r.choice(segs)
+            path = "/".join([s] * r.randint(3, 6) + [f"x{r.randrange(5)}"])
+        elif mode == 2:  # depth trap
+            path = "/".join(r.choices(segs, k=r.randint(9, 14)))
+        else:  # query-string bloat
+            path = "/".join(r.sample(segs, 2))
+            sid = "".join(r.choices("abcdef0123456789", k=r.randint(60, 90)))
+            urls.append(f"{host}/{path}/p{i}.html?session={sid}")
+            continue
+        urls.append(f"{host}/{path}/p{i}.html")
+    return pa.table({"url": pa.array(urls, pa.string())})

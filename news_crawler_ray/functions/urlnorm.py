@@ -124,3 +124,86 @@ def shard_array(keys: pa.Array | pa.ChunkedArray, num_shards: int) -> np.ndarray
         | buf[:, 3].astype(np.uint64)
     )
     return (head % np.uint64(num_shards)).astype(np.int64)
+
+
+def url_trap_flags(
+    batch: pa.Table,
+    url_col: str = "url",
+    max_depth: int = 8,
+    max_repeat: int = 2,
+    max_qs: int = 64,
+) -> pa.Table:
+    """Crawler-trap hygiene flags per URL — the frontier pre-filter a
+    web-scale crawl needs before spending fetch budget (calendar loops,
+    faceted-search explosions, session-id churn). Emits (url, depth,
+    max_seg_repeat, qs_len, is_trap): depth = non-empty path segments,
+    max_seg_repeat = occurrences of the most-repeated segment (loop
+    traps repeat a segment), qs_len = characters after '?'. is_trap
+    fires when any signal exceeds its bound.
+
+    Fully vectorized: one extract_regex for the path, one split, then
+    offset arithmetic (bincount / sort + reduceat) over the flattened
+    segments — no per-row Python. ASCII assumption: byte offsets ==
+    char offsets (canonicalize first for the general case)."""
+    urls = batch[url_col].combine_chunks()
+    n = len(urls)
+    if n == 0:
+        return pa.table(
+            {
+                url_col: pa.array([], pa.string()),
+                "depth": pa.array([], pa.int64()),
+                "max_seg_repeat": pa.array([], pa.int64()),
+                "qs_len": pa.array([], pa.int64()),
+                "is_trap": pa.array([], pa.bool_()),
+            }
+        )
+    ulen = pc.utf8_length(urls).to_numpy(zero_copy_only=False).astype(np.int64)
+    qpos = pc.find_substring(urls, "?").to_numpy(zero_copy_only=False).astype(np.int64)
+    qs_len = np.where(qpos >= 0, ulen - qpos - 1, 0)
+
+    ext = pc.extract_regex(urls, r"^https?://[^/?#]+(?P<p>[^?#]*)")
+    path = pc.fill_null(pc.struct_field(ext, "p"), "")
+    segs = pc.split_pattern(path, "/")
+    lens = pc.list_value_length(segs).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(segs)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_id = row_id[keep]
+    flat = flat.filter(pa.array(keep))
+    depth = np.bincount(row_id, minlength=n).astype(np.int64)
+
+    max_rep = np.zeros(n, np.int64)
+    m = len(row_id)
+    if m:
+        tmp = pa.table({"r": pa.array(row_id, pa.int64()), "s": flat})
+        order = pc.sort_indices(
+            tmp, sort_keys=[("r", "ascending"), ("s", "ascending")]
+        )
+        r_s = tmp["r"].take(order).to_numpy(zero_copy_only=False)
+        s_s = tmp["s"].take(order).combine_chunks()
+        new_run = np.empty(m, bool)
+        new_run[0] = True
+        if m > 1:
+            new_run[1:] = (r_s[1:] != r_s[:-1]) | ~pc.equal(
+                s_s.slice(1), s_s.slice(0, m - 1)
+            ).to_numpy(zero_copy_only=False)
+        run_starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.append(run_starts, m))
+        run_rows = r_s[run_starts]
+        new_row = np.empty(len(run_rows), bool)
+        new_row[0] = True
+        if len(run_rows) > 1:
+            new_row[1:] = run_rows[1:] != run_rows[:-1]
+        row_starts = np.flatnonzero(new_row)
+        max_rep[run_rows[row_starts]] = np.maximum.reduceat(run_counts, row_starts)
+
+    is_trap = (depth > max_depth) | (max_rep > max_repeat) | (qs_len > max_qs)
+    return pa.table(
+        {
+            url_col: urls,
+            "depth": pa.array(depth, pa.int64()),
+            "max_seg_repeat": pa.array(max_rep, pa.int64()),
+            "qs_len": pa.array(qs_len, pa.int64()),
+            "is_trap": pa.array(is_trap, pa.bool_()),
+        }
+    )

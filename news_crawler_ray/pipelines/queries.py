@@ -2398,6 +2398,23 @@ def q_event_type_cooccurrence(sf_dir: str):
     return out.rename_columns(["type_a", "type_b", "n_users"])
 
 
+def q_url_trap_flags(sf_dir: str):
+    """Crawler-trap frontier hygiene: per-URL depth / repeated-segment /
+    query-string-bloat flags (functions/urlnorm.url_trap_flags — one
+    extract_regex + split + offset arithmetic per block, no exchange at
+    all: the scale path is embarrassingly parallel). The pre-filter
+    that keeps calendar loops and session-id churn from eating the
+    fetch budget; oracled by REAL SQL re-deriving the flags in DuckDB
+    from the same inline URL strings."""
+    from ..fixtures import synth
+    from ..functions.urlnorm import url_trap_flags
+
+    ds = ray.data.from_arrow(synth.make_trap_urls()).repartition(4)
+    return ds.map_batches(
+        url_trap_flags, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_retention_cohorts(sf_dir: str):
     """Cohort retention: users grouped by first-activity day, counted
     as active per (cohort_day, day_offset) — the engagement matrix a
@@ -3882,6 +3899,34 @@ ORACLE_SQL.update(
 )
 
 
+def _trap_oracle_sql() -> str:
+    """Real-SQL trap oracle: the fixture URLs inlined as VALUES, the
+    depth/repeat/qs flags re-derived independently in DuckDB string
+    SQL (not a replayed expected table)."""
+    from ..fixtures.synth import make_trap_urls
+
+    urls = make_trap_urls()["url"].to_pylist()
+    vals = ", ".join(f"('{u}')" for u in urls)  # ASCII, no quotes inside
+    return (
+        f"WITH u(url) AS (VALUES {vals}), "
+        "p AS (SELECT url, "
+        "coalesce(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '') AS path, "
+        "CASE WHEN strpos(url, '?') > 0 THEN length(url) - strpos(url, '?') "
+        "ELSE 0 END AS qs_len FROM u), "
+        "ne AS (SELECT url, seg FROM (SELECT url, "
+        "unnest(string_split(path, '/')) AS seg FROM p) WHERE seg <> ''), "
+        "cnt AS (SELECT url, seg, count(*) AS c FROM ne GROUP BY url, seg), "
+        "agg AS (SELECT url, CAST(sum(c) AS BIGINT) AS depth, "
+        "CAST(max(c) AS BIGINT) AS max_seg_repeat FROM cnt GROUP BY url) "
+        "SELECT p.url, coalesce(agg.depth, 0) AS depth, "
+        "coalesce(agg.max_seg_repeat, 0) AS max_seg_repeat, "
+        "CAST(p.qs_len AS BIGINT) AS qs_len, "
+        "(coalesce(agg.depth, 0) > 8 OR coalesce(agg.max_seg_repeat, 0) > 2 "
+        "OR p.qs_len > 64) AS is_trap "
+        "FROM p LEFT JOIN agg USING (url)"
+    )
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Full oracle dict: static SQL over the sf views + the independent
     sequential-oracle statements (pipelines/expected.py) for the
@@ -3890,6 +3935,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from .expected import expected_oracle_sql
 
     out = dict(ORACLE_SQL)
+    out["url_trap_flags"] = _trap_oracle_sql()
     out.update(expected_oracle_sql(sf_dir))
     return out
 
@@ -4004,6 +4050,7 @@ def build_queries() -> dict:
         "user_event_type_list": q_user_event_type_list,
         "user_type_path": q_user_type_path,
         "event_type_cooccurrence": q_event_type_cooccurrence,
+        "url_trap_flags": q_url_trap_flags,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,

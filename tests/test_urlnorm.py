@@ -58,3 +58,33 @@ def test_host_and_shard():
 def test_refang():
     arr = pa.array(["1[.]2[.]3[.]4", "https[:]//a[.]b/c"])
     assert urlnorm.refang(arr).to_pylist() == ["1.2.3.4", "https://a.b/c"]
+
+
+def test_url_trap_flags_signals():
+    import pyarrow as pa
+
+    from news_crawler_ray.functions.urlnorm import url_trap_flags
+
+    t = pa.table(
+        {
+            "url": [
+                "http://a.com/x/y/p.html",                          # clean
+                "http://a.com/cal/cal/cal/p.html",                  # loop trap
+                "http://a.com/" + "/".join(f"s{i}" for i in range(10)) + "/p.html",
+                "http://a.com/x/p.html?session=" + "f" * 70,        # qs bloat
+                "http://a.com",                                     # no path
+            ]
+        }
+    )
+    got = {r["url"]: r for r in url_trap_flags(t).to_pylist()}
+    assert not got["http://a.com/x/y/p.html"]["is_trap"]
+    assert got["http://a.com/cal/cal/cal/p.html"]["max_seg_repeat"] == 3
+    assert got["http://a.com/cal/cal/cal/p.html"]["is_trap"]
+    deep = [r for r in got.values() if r["depth"] == 11]
+    assert deep and deep[0]["is_trap"]
+    qs = got["http://a.com/x/p.html?session=" + "f" * 70]
+    assert qs["qs_len"] == 78 and qs["is_trap"]
+    bare = got["http://a.com"]
+    assert bare["depth"] == 0 and bare["max_seg_repeat"] == 0 and not bare["is_trap"]
+    # empty batch keeps the schema
+    assert url_trap_flags(t.slice(0, 0)).num_rows == 0

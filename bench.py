@@ -263,6 +263,10 @@ QUERY_SUBSET = [
     "user_event_type_list",
     "retention_cohorts",
     "session_funnel",
+    # round-2 addendum-10 additions
+    "user_type_path",
+    "event_type_cooccurrence",
+    "url_trap_flags",
 ]
 
 

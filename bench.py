@@ -267,6 +267,8 @@ QUERY_SUBSET = [
     "user_type_path",
     "event_type_cooccurrence",
     "url_trap_flags",
+    "vocab_build",
+    "doc_rarity",
 ]
 
 

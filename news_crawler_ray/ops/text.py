@@ -337,15 +337,11 @@ def top_terms(ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id") -
     """
     from .agg import sorted_group_agg
 
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        tf = _doc_term_freqs(t, text_col, id_col)
-        g = tf.group_by(["term"]).aggregate([("tf", "sum")])
-        return pa.table({"term": g["term"], "n": pc.cast(g["tf_sum"], pa.int64())})
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(
+        _term_count_partial(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
     finalists = pa.concat_tables(
         ray.get(
@@ -995,4 +991,127 @@ def keyword_hit_counts(ds, keywords: list[str], text_col: str = "text") -> pa.Ta
             "keyword": pa.array(kws, pa.string()),
             "n_docs": pa.array([acc[k] for k in kws], pa.int64()),
         }
+    )
+
+
+def _term_count_partial(text_col: str, id_col: str):
+    """Per-block (term, n) combiner partial — shared by top_terms /
+    vocab_build: one exploded-kernel pass, O(vocab-per-block) rows out."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        g = tf.group_by(["term"]).aggregate([("tf", "sum")])
+        return pa.table({"term": g["term"], "n": pc.cast(g["tf_sum"], pa.int64())})
+
+    return partial
+
+
+def vocab_build(
+    ds, min_count: int = 2, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Tokenizer vocabulary: every term with corpus count >= min_count,
+    assigned a stable contiguous 0-based token_id in (count desc, term
+    asc) order — the word→id table a tokenizer/embedding trainer feeds
+    on. Combiner partials → task-based sorted group-agg over the
+    (data-scale) vocabulary → threshold filter → ONE global rank sort
+    (stages/index.zip_with_index). Deterministic at any parallelism:
+    the order key (n desc, term asc) is a total order."""
+    from ..stages.index import zip_with_index
+    from .agg import sorted_group_agg
+
+    partials = ds.map_batches(
+        _term_count_partial(text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return t.filter(pc.greater_equal(t["n"], min_count))
+
+    kept = totals.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return zip_with_index(kept, ["n", "term"], [True, False], rank_col="token_id")
+
+
+def doc_rarity(
+    ds,
+    rare_max: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-doc rare-token signal (exact integers): n_tokens, n_rare
+    (token occurrences whose GLOBAL corpus frequency <= rare_max), and
+    sum_term_freq (sum over occurrences of each token's corpus count —
+    low values = unusual vocabulary, the integer-exact cousin of
+    unigram-LM surprisal). The OOV/noise filter a pretraining curation
+    pass runs before tokenizer fitting.
+
+    Shape: exploded (doc, term, tf) pairs → corpus totals via the
+    sorted group-agg exchange → sort-merge join back on term (both
+    sides data-scale; no broadcast assumption) → per-doc sums on the
+    doc exchange. Three exchanges, all task-based, no driver
+    materialization."""
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type if id_col in t.column_names else pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        ids = t[id_col].take(tf["row_idx"])
+        return pa.table(
+            {id_col: ids, "term": tf["term"], "tf": pc.cast(tf["tf"], pa.int64())}
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(pair_ds, ["term"], [("n", "sum", "tf")])
+    joined = sort_merge_inner_join(
+        pair_ds, totals, "term", [id_col, "tf"], ["n"]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tf" not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_rare": pa.array([], pa.int64()),
+                    "sum_term_freq": pa.array([], pa.int64()),
+                }
+            )
+        tf = pc.cast(t["tf"], pa.int64())
+        n = pc.cast(t["n"], pa.int64())
+        rare = pc.if_else(pc.less_equal(n, rare_max), tf, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": tf,
+                "n_rare": rare,
+                "sum_term_freq": pc.multiply_checked(tf, n),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_group_agg(
+        scored,
+        [id_col],
+        [
+            ("n_tokens", "sum", "n_tokens"),
+            ("n_rare", "sum", "n_rare"),
+            ("sum_term_freq", "sum", "sum_term_freq"),
+        ],
     )

@@ -1186,6 +1186,8 @@ def q_politeness_audit(sf_dir: str):
 # --- corpus term statistics / windows: constants shared between the Ray
 # queries and their DuckDB oracles so the two sides cannot drift
 TOP_TERMS_K = 50
+VOCAB_MIN_COUNT = 3
+RARE_MAX = 2
 SEARCH_TERMS = ("spark", "join", "window", "stream", "vector")
 SEARCH_K = 10
 
@@ -1204,6 +1206,25 @@ def q_top_terms(sf_dir: str):
     (ops/text.top_terms)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return tx.top_terms(ds, k=TOP_TERMS_K)
+
+
+def q_vocab_build(sf_dir: str):
+    """Tokenizer vocabulary with stable contiguous ids: terms above a
+    count floor, ranked (count desc, term asc) → 0-based token_id
+    (ops/text.vocab_build — combiner partials, sorted group-agg over
+    the data-scale vocabulary, one global rank sort)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.vocab_build(ds, min_count=VOCAB_MIN_COUNT)
+
+
+def q_doc_rarity(sf_dir: str):
+    """Per-doc rare-token signal (exact integers): token count, rare
+    occurrences (global freq <= 2), and summed corpus frequency — the
+    integer-exact unigram-surprisal cousin used as an OOV/noise
+    curation filter (ops/text.doc_rarity: explode → totals → join back
+    on term → per-doc sums, three task-based exchanges)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.doc_rarity(ds, rare_max=RARE_MAX)
 
 
 def q_repetition_stats(sf_dir: str):
@@ -3300,6 +3321,22 @@ ORACLE_SQL.update(
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
         ),
+        "vocab_build": (
+            f"SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) - 1 "
+            f"AS BIGINT) AS token_id FROM ("
+            f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
+            f"GROUP BY term HAVING count(*) >= {VOCAB_MIN_COUNT})"
+        ),
+        "doc_rarity": (
+            f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) WHERE term <> ''), "
+            "tot AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
+            "GROUP BY term) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            f"CAST(coalesce(sum(CASE WHEN tot.n <= {RARE_MAX} THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_rare, "
+            "CAST(sum(tot.n) AS BIGINT) AS sum_term_freq "
+            "FROM tok t JOIN tot USING (term) GROUP BY t.doc_id"
+        ),
         "top_bigrams": (
             "WITH l AS (SELECT list_filter(regexp_split_to_array("
             "coalesce(text, ''), '\\s+'), x -> x <> '') AS toks FROM documents), "
@@ -3969,6 +4006,8 @@ def build_queries() -> dict:
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         "top_terms": q_top_terms,
+        "vocab_build": q_vocab_build,
+        "doc_rarity": q_doc_rarity,
         "repetition_stats": q_repetition_stats,
         "term_search": q_term_search,
         "events_hourly": q_events_hourly,

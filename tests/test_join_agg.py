@@ -1469,3 +1469,64 @@ def test_group_pair_counts_quadratic_guard():
     with pytest.raises((ValueError, Exception)) as ei:
         group_pair_counts(_ds(tbl, 2), "k", "v", max_vals=4)
     assert "max_vals" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_build_stable_ids():
+    from news_crawler_ray.ops.text import vocab_build
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(6)], pa.string()),
+            "text": pa.array(
+                [
+                    "apple banana apple",
+                    "banana cherry",
+                    "apple  banana",   # double space: empty token dropped
+                    "date",
+                    "cherry banana",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    # counts: banana 4, apple 3, cherry 2, date 1
+    for blocks in (1, 4):
+        got = (
+            vocab_build(_ds(docs, blocks), min_count=2)
+            .to_pandas()
+            .sort_values("token_id", ignore_index=True)
+        )
+        assert got["term"].tolist() == ["banana", "apple", "cherry"]
+        assert got["n"].tolist() == [4, 3, 2]
+        assert got["token_id"].tolist() == [0, 1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_rarity_exact():
+    from news_crawler_ray.ops.text import doc_rarity
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"], pa.string()),
+            "text": pa.array(
+                [
+                    "x x y",     # x global 3, y global 2
+                    "x y zz",    # zz global 1 (rare)
+                    "",          # tokenless: absent from output
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for blocks in (1, 3):
+        got = {
+            r["doc_id"]: r
+            for r in doc_rarity(_ds(docs, blocks), rare_max=1).take_all()
+        }
+        assert set(got) == {"a", "b"}
+        assert got["a"]["n_tokens"] == 3 and got["a"]["n_rare"] == 0
+        assert got["a"]["sum_term_freq"] == 3 + 3 + 2
+        assert got["b"]["n_tokens"] == 3 and got["b"]["n_rare"] == 1
+        assert got["b"]["sum_term_freq"] == 3 + 2 + 1

@@ -269,6 +269,7 @@ QUERY_SUBSET = [
     "url_trap_flags",
     "vocab_build",
     "doc_rarity",
+    "events_watermark",
 ]
 
 

@@ -2419,6 +2419,23 @@ def q_event_type_cooccurrence(sf_dir: str):
     return out.rename_columns(["type_a", "type_b", "n_users"])
 
 
+def q_events_watermark(sf_dir: str):
+    """Streaming late-data accounting: with arrival order = event_id,
+    the watermark before each event is the running max event-time;
+    events older than watermark − 1h are LATE. Per tumbling hour:
+    kept vs late counts (ops/window.watermark_window_counts — one sort
+    on arrival order, a 1-int-per-block carry chain, vectorized
+    prefix-max + combiner counts). The audit that sizes a streaming
+    pipeline's allowed-lateness budget."""
+    from ..ops.window import watermark_window_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts"])
+    return watermark_window_counts(
+        ev, ts_col="ts", arrival_col="event_id",
+        lateness_us=3_600_000_000, window_us=3_600_000_000,
+    )
+
+
 def q_url_trap_flags(sf_dir: str):
     """Crawler-trap frontier hygiene: per-URL depth / repeated-segment /
     query-string-bloat flags (functions/urlnorm.url_trap_flags — one
@@ -3321,6 +3338,17 @@ ORACLE_SQL.update(
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
         ),
+        "events_watermark": (
+            "WITH w AS (SELECT ts, max(ts) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
+            "FROM events) "
+            "SELECT date_trunc('hour', ts) AS window_start, "
+            "CAST(count(*) FILTER (WHERE wm IS NULL OR "
+            "ts >= wm - INTERVAL 1 HOUR) AS BIGINT) AS n_kept, "
+            "CAST(count(*) FILTER (WHERE wm IS NOT NULL AND "
+            "ts < wm - INTERVAL 1 HOUR) AS BIGINT) AS n_late "
+            "FROM w GROUP BY 1"
+        ),
         "vocab_build": (
             f"SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) - 1 "
             f"AS BIGINT) AS token_id FROM ("
@@ -4090,6 +4118,7 @@ def build_queries() -> dict:
         "user_type_path": q_user_type_path,
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "url_trap_flags": q_url_trap_flags,
+        "events_watermark": q_events_watermark,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,

@@ -200,3 +200,33 @@ def test_running_sum_per_key(ray_session):
     # event k is the (k//3 + 1)-th event of its user
     for k in (0, 1, 2, 3, 299, 897, 898, 899):
         assert out[k] == k // 3 + 1
+
+
+def test_watermark_window_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import watermark_window_counts
+
+    H = 3_600_000_000  # one hour in us
+    # arrival order (event_id) vs event time (us since epoch):
+    #  id 1: ts 10h     -> no watermark yet, kept
+    #  id 2: ts 10.5h   -> wm 10h, kept
+    #  id 3: ts 8h      -> wm 10.5h, 8h < 10.5h-1h  => LATE (window 8h)
+    #  id 4: ts 10.2h   -> wm 10.5h, >= 9.5h        => kept (window 10h)
+    #  id 5: ts 11h     -> kept
+    ts_us = [10 * H, 10 * H + H // 2, 8 * H, 10 * H + H // 5, 11 * H]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(ts_us, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    for blocks in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        out = watermark_window_counts(ds, "ts", "event_id")
+        rows = {
+            r["window_start"].hour: (r["n_kept"], r["n_late"])
+            for r in out.to_pylist()
+        }
+        assert rows == {8: (0, 1), 10: (3, 0), 11: (1, 0)}

@@ -270,6 +270,7 @@ QUERY_SUBSET = [
     "vocab_build",
     "doc_rarity",
     "events_watermark",
+    "resolve_redirects",
 ]
 
 

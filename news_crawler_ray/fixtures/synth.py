@@ -600,3 +600,28 @@ def make_trap_urls(n: int = 240, seed: int = 42) -> pa.Table:
             continue
         urls.append(f"{host}/{path}/p{i}.html")
     return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def make_redirects(n_chains: int = 50, seed: int = 42) -> pa.Table:
+    """Deterministic redirect mapping (src, dst): chains of 1-8 hops
+    ending at a terminal URL (never a src), plus a few pure cycles of
+    length 2-4 — the 3xx graph a fetch scheduler must canonicalize.
+    Functional (one dst per src), all URLs unique."""
+    import random
+
+    r = random.Random(f"redirects-{seed}")
+    src, dst = [], []
+    for c in range(n_chains):
+        length = r.randint(1, 8)
+        nodes = [f"http://r{c}.example.com/hop{j}" for j in range(length)]
+        nodes.append(f"http://final{c}.example.com/")  # terminal
+        for a, b in zip(nodes, nodes[1:]):
+            src.append(a)
+            dst.append(b)
+    for c in range(5):  # cycles
+        k = 2 + c % 3
+        nodes = [f"http://loop{c}.example.com/n{j}" for j in range(k)]
+        for j in range(k):
+            src.append(nodes[j])
+            dst.append(nodes[(j + 1) % k])
+    return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})

@@ -392,3 +392,126 @@ def triangle_count(edges, node_cap: int, max_adjacency: int = 65536) -> pa.Table
     )
     n = sort_merge_semi_join(wedges, ekeys, "wk").count()
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# redirect-chain resolution — pointer doubling over a functional mapping
+# --------------------------------------------------------------------------
+
+
+def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
+                      max_hops: int = 64):
+    """Resolve every redirect chain to its terminal URL in
+    O(log max_hops) rounds of pointer DOUBLING — the crawl-frontier
+    canonicalization a fetch scheduler runs before keying the seen-set
+    (a 3xx chain's members are one logical page). ``edges`` is a
+    functional mapping (one dst per src); a URL that never appears as
+    src is terminal. Chains longer than ``max_hops`` and true cycles
+    both come back as loops.
+
+    Each round self-joins the state on the task-based key-complete
+    exchange (ops/join.sort_merge_inner_join, how='left'): an unmatched
+    cur is terminal (done); a matched one jumps 2^k hops at once, so a
+    length-L chain resolves in ceil(log2 L)+1 rounds — vs L rounds for
+    the naive walk, the difference between 7 and 10^6 exchanges on
+    pathological chains. Output (src_url, final_url, n_hops, is_loop)
+    with final_url='' and n_hops=0 for loops (kept deliberately
+    non-null so the SQL oracle's coalesce matches bit-for-bit).
+
+    SQL equivalent: WITH RECURSIVE walk — the oracle in
+    pipelines/queries.py re-derives the closure in DuckDB."""
+    import math
+
+    from .join import sort_merge_inner_join
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_url": t[src_col],
+                "cur": t[dst_col],
+                "hops": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "done": pa.array(np.zeros(t.num_rows, bool), pa.bool_()),
+            }
+        )
+
+    state = edges.map_batches(init, batch_format="pyarrow", zero_copy_batch=True)
+    rounds = max(1, int(math.ceil(math.log2(max(2, max_hops))))) + 1
+
+    for _ in range(rounds):
+        def as_right(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "jkey": t["src_url"],
+                    "nxt": t["cur"],
+                    "hops2": t["hops"],
+                    "done2": t["done"],
+                }
+            )
+
+        right = state.map_batches(
+            as_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+        joined = sort_merge_inner_join(
+            state,
+            right,
+            "cur",
+            ["src_url", "hops", "done"],
+            ["nxt", "hops2", "done2"],
+            right_key="jkey",
+            how="left",
+        )
+
+        def advance(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "src_url": pa.array([], pa.string()),
+                        "cur": pa.array([], pa.string()),
+                        "hops": pa.array([], pa.int64()),
+                        "done": pa.array([], pa.bool_()),
+                    }
+                )
+            matched = pc.and_(pc.is_valid(t["nxt"]), pc.invert(t["done"]))
+            cur = pc.if_else(matched, t["nxt"], t["cur"])
+            hops = pc.add(
+                t["hops"],
+                pc.if_else(matched, pc.fill_null(t["hops2"], 0), 0),
+            )
+            # a cur with no mapping entry is terminal; jumping onto a
+            # resolved suffix (done2) finishes the whole chain at once
+            done = pc.or_(
+                t["done"],
+                pc.or_(
+                    pc.invert(pc.is_valid(t["nxt"])),
+                    pc.and_(matched, pc.fill_null(t["done2"], False)),
+                ),
+            )
+            return pa.table(
+                {"src_url": t["src_url"], "cur": cur, "hops": hops, "done": done}
+            )
+
+        state = joined.map_batches(
+            advance, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "src_url": pa.array([], pa.string()),
+                    "final_url": pa.array([], pa.string()),
+                    "n_hops": pa.array([], pa.int64()),
+                    "is_loop": pa.array([], pa.bool_()),
+                }
+            )
+        loop = pc.invert(t["done"])
+        return pa.table(
+            {
+                "src_url": t["src_url"],
+                "final_url": pc.if_else(loop, "", t["cur"]),
+                "n_hops": pc.if_else(loop, pa.scalar(0, pa.int64()), t["hops"]),
+                "is_loop": loop,
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

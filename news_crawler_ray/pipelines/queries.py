@@ -2419,6 +2419,22 @@ def q_event_type_cooccurrence(sf_dir: str):
     return out.rename_columns(["type_a", "type_b", "n_users"])
 
 
+def q_resolve_redirects(sf_dir: str):
+    """Redirect-chain canonicalization: every src URL resolved to its
+    terminal target in O(log max_hops) pointer-DOUBLING rounds, cycles
+    flagged as loops (ops/graph.resolve_redirects — each round one
+    key-complete self-join; a length-L chain needs ceil(log2 L)+1
+    exchanges, not L). Oracled by a genuinely recursive DuckDB
+    WITH RECURSIVE walk over the same inline edge VALUES."""
+    from ..fixtures import synth
+    from ..ops.graph import resolve_redirects
+
+    edges = ray.data.from_arrow(synth.make_redirects()).repartition(4)
+    # fixture chains are <= 9 hops: cap 16 → 5 doubling rounds (the SQL
+    # oracle's 64-hop walk cap is looser but agrees on chains this short)
+    return resolve_redirects(edges, "src", "dst", max_hops=16)
+
+
 def q_events_watermark(sf_dir: str):
     """Streaming late-data accounting: with arrival order = event_id,
     the watermark before each event is the running max event-time;
@@ -3992,6 +4008,34 @@ def _trap_oracle_sql() -> str:
     )
 
 
+def _redirects_oracle_sql() -> str:
+    """Recursive-CTE redirect oracle: the fixture edges inlined as
+    VALUES, the chain closure re-derived independently by DuckDB's
+    WITH RECURSIVE (terminal = a cur that is never a src; a src with
+    no terminal row within the hop cap is a loop)."""
+    from ..fixtures.synth import make_redirects
+
+    t = make_redirects()
+    vals = ", ".join(
+        f"('{s}', '{d}')"
+        for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist())
+    )
+    return (
+        f"WITH RECURSIVE edges(src, dst) AS (VALUES {vals}), "
+        "walk(src, cur, hops) AS ("
+        "SELECT src, dst, CAST(1 AS BIGINT) FROM edges "
+        "UNION ALL SELECT w.src, e.dst, w.hops + 1 FROM walk w "
+        "JOIN edges e ON w.cur = e.src WHERE w.hops < 64), "
+        "t AS (SELECT w.*, w.cur NOT IN (SELECT src FROM edges) AS terminal "
+        "FROM walk w) "
+        "SELECT src AS src_url, "
+        "coalesce(min(cur) FILTER (WHERE terminal), '') AS final_url, "
+        "coalesce(min(hops) FILTER (WHERE terminal), 0) AS n_hops, "
+        "(count(*) FILTER (WHERE terminal) = 0) AS is_loop "
+        "FROM t GROUP BY src"
+    )
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Full oracle dict: static SQL over the sf views + the independent
     sequential-oracle statements (pipelines/expected.py) for the
@@ -4001,6 +4045,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
 
     out = dict(ORACLE_SQL)
     out["url_trap_flags"] = _trap_oracle_sql()
+    out["resolve_redirects"] = _redirects_oracle_sql()
     out.update(expected_oracle_sql(sf_dir))
     return out
 
@@ -4119,6 +4164,7 @@ def build_queries() -> dict:
         "event_type_cooccurrence": q_event_type_cooccurrence,
         "url_trap_flags": q_url_trap_flags,
         "events_watermark": q_events_watermark,
+        "resolve_redirects": q_resolve_redirects,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,

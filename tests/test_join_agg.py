@@ -1530,3 +1530,26 @@ def test_doc_rarity_exact():
         assert got["a"]["sum_term_freq"] == 3 + 3 + 2
         assert got["b"]["n_tokens"] == 3 and got["b"]["n_rare"] == 1
         assert got["b"]["sum_term_freq"] == 3 + 2 + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resolve_redirects_chains_and_loops():
+    from news_crawler_ray.ops.graph import resolve_redirects
+
+    # chain a0->a1->a2->T (3 hops), single b0->T2 (1 hop), loop c0<->c1
+    src = ["a0", "a1", "a2", "b0", "c0", "c1"]
+    dst = ["a1", "a2", "T", "T2", "c1", "c0"]
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for blocks in (1, 3):
+        got = {
+            r["src_url"]: r
+            for r in resolve_redirects(_ds(tbl, blocks), max_hops=8).take_all()
+        }
+        assert got["a0"]["final_url"] == "T" and got["a0"]["n_hops"] == 3
+        assert got["a1"]["final_url"] == "T" and got["a1"]["n_hops"] == 2
+        assert got["a2"]["final_url"] == "T" and got["a2"]["n_hops"] == 1
+        assert got["b0"]["final_url"] == "T2" and got["b0"]["n_hops"] == 1
+        for c in ("c0", "c1"):
+            assert got[c]["is_loop"] and got[c]["final_url"] == ""
+            assert got[c]["n_hops"] == 0
+        assert not got["a0"]["is_loop"]

@@ -271,6 +271,7 @@ QUERY_SUBSET = [
     "doc_rarity",
     "events_watermark",
     "resolve_redirects",
+    "sitemap_urls",
 ]
 
 

@@ -625,3 +625,29 @@ def make_redirects(n_chains: int = 50, seed: int = 42) -> pa.Table:
             src.append(nodes[j])
             dst.append(nodes[(j + 1) % k])
     return pa.table({"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())})
+
+
+def make_sitemaps(n: int = 30, seed: int = 42) -> pa.Table:
+    """Deterministic sitemap-XML fixture: each document holds 0-6
+    ``<url>`` blocks (mandatory <loc>, optional <lastmod>), single
+    quotes avoided so the oracle can inline the XML as SQL VALUES."""
+    import random
+
+    r = random.Random(f"sitemaps-{seed}")
+    ids, xmls = [], []
+    for i in range(n):
+        blocks = []
+        for j in range(r.randint(0, 6)):
+            loc = f"http://sm{i}.example.com/page{j}"
+            if r.random() < 0.6:
+                d = f"2025-0{r.randint(1, 6)}-{r.randint(10, 28)}"
+                blocks.append(f"<url><loc>{loc}</loc><lastmod>{d}</lastmod></url>")
+            else:
+                blocks.append(f"<url><loc>{loc}</loc></url>")
+        xmls.append(
+            '<?xml version="1.0"?><urlset>' + "".join(blocks) + "</urlset>"
+        )
+        ids.append(f"sm{i}")
+    return pa.table(
+        {"sitemap_id": pa.array(ids, pa.string()), "xml": pa.array(xmls, pa.string())}
+    )

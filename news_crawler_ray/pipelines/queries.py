@@ -2419,6 +2419,19 @@ def q_event_type_cooccurrence(sf_dir: str):
     return out.rename_columns(["type_a", "type_b", "n_users"])
 
 
+def q_sitemap_urls(sf_dir: str):
+    """Sitemap-XML frontier seeding: every <loc> (with its paired
+    optional <lastmod>) exploded out of sitemap documents
+    (stages/rss.parse_sitemaps — split on <url> + one extract_regex per
+    field, zero exchange). The standard crawl seed source next to RSS;
+    real-SQL oracle re-derives the explode in DuckDB."""
+    from ..fixtures import synth
+    from ..stages.rss import parse_sitemaps
+
+    ds = ray.data.from_arrow(synth.make_sitemaps()).repartition(3)
+    return parse_sitemaps(ds)
+
+
 def q_resolve_redirects(sf_dir: str):
     """Redirect-chain canonicalization: every src URL resolved to its
     terminal target in O(log max_hops) pointer-DOUBLING rounds, cycles
@@ -4036,6 +4049,26 @@ def _redirects_oracle_sql() -> str:
     )
 
 
+def _sitemap_oracle_sql() -> str:
+    """Real-SQL sitemap oracle: fixture XML inlined as VALUES, the
+    <url>-block explode re-derived with DuckDB string_split + regex."""
+    from ..fixtures.synth import make_sitemaps
+
+    t = make_sitemaps()
+    vals = ", ".join(
+        f"('{i}', '{x}')"
+        for i, x in zip(t["sitemap_id"].to_pylist(), t["xml"].to_pylist())
+    )
+    return (
+        f"WITH s(sitemap_id, xml) AS (VALUES {vals}), "
+        "f AS (SELECT sitemap_id, unnest(string_split(xml, '<url>')) AS frag "
+        "FROM s) "
+        "SELECT sitemap_id, regexp_extract(frag, '<loc>([^<]*)</loc>', 1) AS url, "
+        "coalesce(regexp_extract(frag, '<lastmod>([^<]*)</lastmod>', 1), '') "
+        "AS lastmod FROM f WHERE regexp_matches(frag, '<loc>[^<]*</loc>')"
+    )
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Full oracle dict: static SQL over the sf views + the independent
     sequential-oracle statements (pipelines/expected.py) for the
@@ -4046,6 +4079,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["url_trap_flags"] = _trap_oracle_sql()
     out["resolve_redirects"] = _redirects_oracle_sql()
+    out["sitemap_urls"] = _sitemap_oracle_sql()
     out.update(expected_oracle_sql(sf_dir))
     return out
 
@@ -4165,6 +4199,7 @@ def build_queries() -> dict:
         "url_trap_flags": q_url_trap_flags,
         "events_watermark": q_events_watermark,
         "resolve_redirects": q_resolve_redirects,
+        "sitemap_urls": q_sitemap_urls,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,

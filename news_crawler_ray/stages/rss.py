@@ -69,3 +69,49 @@ def parse_rss_entries(
             zero_copy_batch=True,
         )
     return out
+
+
+def extract_sitemap_urls_batch(batch: pa.Table, xml_col: str = "xml") -> pa.Table:
+    """Sitemap-XML frontier seeding: explode every ``<loc>`` entry (and
+    its optional sibling ``<lastmod>``) out of sitemap documents — the
+    standard seed source a news crawler polls alongside RSS
+    (reference scope: seed-list fetch, news.py feed loop). One
+    vectorized ``extract_all_regex`` per column, offsets become the
+    explode index; no per-row Python, no XML library (sitemaps are flat
+    enough that the <url> block regex is exact on well-formed files).
+
+    Output (sitemap_id, url, lastmod) — lastmod '' when the block has
+    none."""
+    import numpy as np
+
+    ids = batch["sitemap_id"].combine_chunks()
+    xml = pc.coalesce(batch[xml_col], "")
+    # split on '<url>' so each fragment holds at most ONE block — loc
+    # and its optional lastmod stay paired inside the same fragment
+    frags = pc.split_pattern(xml, "<url>")
+    frags = frags.combine_chunks() if isinstance(frags, pa.ChunkedArray) else frags
+    lens = pc.list_value_length(frags).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    flat = pc.list_flatten(frags)
+    loc = pc.extract_regex(flat, r"<loc>(?P<u>[^<]*)</loc>")
+    keep = pc.is_valid(loc).to_numpy(zero_copy_only=False)
+    lm = pc.extract_regex(flat, r"<lastmod>(?P<d>[^<]*)</lastmod>")
+    sel = pa.array(np.flatnonzero(keep), pa.int64())
+    return pa.table(
+        {
+            "sitemap_id": ids.take(pa.array(row_idx[keep], pa.int64())),
+            "url": pc.struct_field(loc, "u").take(sel),
+            "lastmod": pc.fill_null(pc.struct_field(lm, "d"), "").take(sel),
+        }
+    )
+
+
+def parse_sitemaps(ds, xml_col: str = "xml"):
+    """Dataset form of :func:`extract_sitemap_urls_batch` — the frontier
+    seed stage: sitemap docs in, one (sitemap_id, url, lastmod) row per
+    <loc> out, embarrassingly parallel (zero exchange)."""
+    return ds.map_batches(
+        lambda t: extract_sitemap_urls_batch(t, xml_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

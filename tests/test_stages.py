@@ -305,3 +305,33 @@ def test_seen_checkpoint_compaction(ray_session, tmp_path):
     fresh2 = SeenShard.remote(1, capacity=256)
     _ray.get(fresh2.restore.remote(d))
     assert _ray.get(fresh2.keys.remote()) == []
+
+
+def test_sitemap_extract(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.stages.rss import (
+        extract_sitemap_urls_batch,
+        parse_sitemaps,
+    )
+
+    t = pa.table(
+        {
+            "sitemap_id": ["a", "b", "c"],
+            "xml": [
+                "<urlset><url><loc>http://x/1</loc><lastmod>2025-01-02</lastmod>"
+                "</url><url><loc>http://x/2</loc></url></urlset>",
+                "<urlset></urlset>",  # empty sitemap: zero rows out
+                "<url><loc>http://y/1</loc></url>",
+            ],
+        }
+    )
+    out = extract_sitemap_urls_batch(t)
+    assert out.to_pylist() == [
+        {"sitemap_id": "a", "url": "http://x/1", "lastmod": "2025-01-02"},
+        {"sitemap_id": "a", "url": "http://x/2", "lastmod": ""},
+        {"sitemap_id": "c", "url": "http://y/1", "lastmod": ""},
+    ]
+    ds_out = parse_sitemaps(rd.from_arrow(t).repartition(3)).take_all()
+    assert len(ds_out) == 3

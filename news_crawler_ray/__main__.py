@@ -155,6 +155,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         curate_image_corpus(ps, min_clip_score=args.min_clip_score),
         args.out,
         num_shards=args.shards,
+        fmt=args.format,
     )
     print(json.dumps(manifest))
     return 0
@@ -196,6 +197,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--out", required=True, help="shard output dir")
     ex.add_argument("--shards", type=int, default=16)
     ex.add_argument("--min-clip-score", type=float, default=0.0)
+    ex.add_argument(
+        "--format", choices=("parquet", "jsonl"), default="parquet",
+        help="shard file format (jsonl = gzip NDJSON, binary base64-encoded)",
+    )
     ex.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)

@@ -187,6 +187,7 @@ def write_training_shards(
     out_dir: str,
     key_col: str = "image_id",
     num_shards: int = 16,
+    fmt: str = "parquet",
 ) -> dict:
     """WebDataset-style resumable shard export for a training corpus:
     rows land in ``shard-{k:05d}/`` by content-stable hash of
@@ -199,12 +200,18 @@ def write_training_shards(
     rerun over a directory whose manifest is already complete SKIPS the
     write entirely — the kill-and-rerun contract of the reference's
     merge-don't-rewrite sinks (suricata.py:139-195) applied to corpus
-    export. Returns the manifest dict."""
+    export. ``fmt="jsonl"`` writes gzip NDJSON parts instead (the
+    LLM-training delivery format): binary columns are base64-encoded
+    via polars' vectorized ``bin.encode`` — no per-row Python. Returns
+    the manifest dict."""
     import json
 
     import numpy as np
     import polars as pl
     import pyarrow.parquet as pq
+
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"fmt must be 'parquet' or 'jsonl', got {fmt!r}")
 
     manifest_path = os.path.join(out_dir, "_manifest.json")
     if os.path.exists(manifest_path):
@@ -246,8 +253,23 @@ def write_training_shards(
                 "\x1f".join(str(v) for v in part[key_col].to_pylist()).encode()
             ).hexdigest()
             tmp_part = os.path.join(d, f".part-{digest}.tmp")
-            pq.write_table(part, tmp_part)
-            os.replace(tmp_part, os.path.join(d, f"part-{digest}.parquet"))
+            if fmt == "jsonl":
+                import gzip
+
+                df = pl.from_arrow(part)
+                df = df.with_columns(
+                    [
+                        pl.col(c).bin.encode("base64")
+                        for c, dt in zip(df.columns, df.dtypes)
+                        if dt == pl.Binary
+                    ]
+                )
+                with open(tmp_part, "wb") as f:
+                    f.write(gzip.compress(df.write_ndjson().encode()))
+                os.replace(tmp_part, os.path.join(d, f"part-{digest}.jsonl.gz"))
+            else:
+                pq.write_table(part, tmp_part)
+                os.replace(tmp_part, os.path.join(d, f"part-{digest}.parquet"))
             out_s.append(int(s))
             out_n.append(part.num_rows)
         return pa.table({"shard": pa.array(out_s, pa.int64()),
@@ -263,6 +285,7 @@ def write_training_shards(
         "complete": True,
         "num_shards": num_shards,
         "key_col": key_col,
+        "fmt": fmt,
         "rows": sum(per_shard.values()),
         "per_shard": {str(k): per_shard[k] for k in sorted(per_shard)},
     }

@@ -177,3 +177,42 @@ def test_write_training_shards_interrupted_rerun(tmp_path):
         assert d["image_id"].to_pandas().is_unique  # no duplicated rows
         total += d.num_rows
     assert total == 200
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_write_training_shards_jsonl_roundtrip(tmp_path):
+    """jsonl shards round-trip exactly: every row comes back once,
+    binary columns base64-decode to the original bytes."""
+    import base64
+    import glob
+    import gzip
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.stages.sinks import write_training_shards
+
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"img{i}" for i in range(60)]),
+            "bytes": pa.array([f"payload-{i}".encode() for i in range(60)], pa.binary()),
+            "caption": pa.array([f"cap {i}" for i in range(60)]),
+        }
+    )
+    out = str(tmp_path / "j")
+    m = write_training_shards(
+        rd.from_arrow(tbl).repartition(5), out, num_shards=4, fmt="jsonl"
+    )
+    assert m["fmt"] == "jsonl" and m["rows"] == 60
+    rows = []
+    for p in glob.glob(os.path.join(out, "shard-*", "part-*.jsonl.gz")):
+        with gzip.open(p, "rt") as f:
+            rows.extend(json.loads(line) for line in f)
+    assert len(rows) == 60
+    got = {r["image_id"]: r for r in rows}
+    assert base64.b64decode(got["img7"]["bytes"]) == b"payload-7"
+    assert got["img7"]["caption"] == "cap 7"
+    with pytest.raises(ValueError):
+        write_training_shards(rd.from_arrow(tbl), str(tmp_path / "x"), fmt="csvx")

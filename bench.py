@@ -272,6 +272,7 @@ QUERY_SUBSET = [
     "events_watermark",
     "resolve_redirects",
     "sitemap_urls",
+    "value_zscore",
 ]
 
 

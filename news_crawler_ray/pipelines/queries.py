@@ -2419,6 +2419,67 @@ def q_event_type_cooccurrence(sf_dir: str):
     return out.rename_columns(["type_a", "type_b", "n_users"])
 
 
+def q_value_zscore(sf_dir: str):
+    """Per-group z-score normalization (the ML feature-prep classic):
+    z = (c − mean)/std per event against its type's moments, computed
+    PARALLELISM-PROOF — integer cents moments (group_var_stats'
+    zero-exchange combiner), then one float expression per row shaped
+    exactly like the SQL oracle's: CAST(exact_int AS DOUBLE) /
+    (n·sqrt(exact_ratio)), so the doubles match DuckDB bit-for-bit.
+    Broadcast of the 5-row stats table; zero exchange end-to-end.
+    Constant groups (std = 0) are dropped on both sides."""
+    from ..ops.agg import group_var_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    evc = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    stats = group_var_stats(evc, ["event_type"], "c")
+    lut = {
+        r["event_type"]: (r["n_values"], r["sum_v"], r["std_v"])
+        for r in stats.to_pylist()
+        if r["std_v"] > 0.0
+    }
+    for n, s, _ in lut.values():
+        if abs(s) * 2 > (1 << 62) or n > (1 << 31):
+            raise ValueError("value_zscore: c*n - s may overflow int64")
+
+    def z(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()), "z": pa.array([], pa.float64())}
+            )
+        d = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        idx = np.asarray(d.indices)
+        types = d.dictionary.to_pylist()
+        known = np.array([x in lut for x in types], bool)[idx]
+        n_arr = np.array([lut.get(x, (1, 0, 0.0))[0] for x in types], np.int64)[idx]
+        s_arr = np.array([lut.get(x, (1, 0, 0.0))[1] for x in types], np.int64)[idx]
+        std_arr = np.array([lut.get(x, (1, 0, 1.0))[2] for x in types], np.float64)[idx]
+        c = np.asarray(t["c"])
+        numer = (c * n_arr - s_arr).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zv = numer / (n_arr.astype(np.float64) * std_arr)
+        sel = pa.array(known)
+        return pa.table(
+            {
+                "event_id": t["event_id"].filter(sel),
+                "z": pa.array(zv, pa.float64()).filter(sel),
+            }
+        )
+
+    return evc.map_batches(z, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sitemap_urls(sf_dir: str):
     """Sitemap-XML frontier seeding: every <loc> (with its paired
     optional <lastmod>) exploded out of sitemap documents
@@ -3367,6 +3428,18 @@ ORACLE_SQL.update(
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
         ),
+        "value_zscore": (
+            "WITH v AS (SELECT event_id, event_type, "
+            "CAST(round(value*100) AS BIGINT) AS c FROM events), "
+            "m AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s, SUM(c*c) AS ss "
+            "FROM v GROUP BY event_type) "
+            "SELECT v.event_id, "
+            "CAST(CAST(v.c AS HUGEINT)*m.n - m.s AS DOUBLE) / "
+            "(CAST(m.n AS DOUBLE) * "
+            "sqrt(CAST(m.ss*m.n - m.s*m.s AS DOUBLE)/CAST(m.n*m.n AS DOUBLE))) "
+            "AS z FROM v JOIN m USING (event_type) "
+            "WHERE m.ss*m.n - m.s*m.s > 0"
+        ),
         "events_watermark": (
             "WITH w AS (SELECT ts, max(ts) OVER (ORDER BY event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
@@ -4200,6 +4273,7 @@ def build_queries() -> dict:
         "events_watermark": q_events_watermark,
         "resolve_redirects": q_resolve_redirects,
         "sitemap_urls": q_sitemap_urls,
+        "value_zscore": q_value_zscore,
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,

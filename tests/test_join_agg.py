@@ -1553,3 +1553,34 @@ def test_resolve_redirects_chains_and_loops():
             assert got[c]["is_loop"] and got[c]["final_url"] == ""
             assert got[c]["n_hops"] == 0
         assert not got["a0"]["is_loop"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_zscore_bit_exact_vs_numpy():
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_value_zscore
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_id"]: r["z"] for r in q_value_zscore(sf).take_all()}
+    ev = pq.read_table(sf + "/events.parquet", columns=["event_id", "event_type", "value"])
+    c = np.rint(np.asarray(ev["value"], np.float64) * 100).astype(np.int64)
+    types = np.asarray(ev["event_type"].to_pylist())
+    ids = np.asarray(ev["event_id"])
+    import math
+
+    n_match = 0
+    for ty in set(types.tolist()):
+        m = types == ty
+        cv = c[m]
+        n, s, ss = len(cv), int(cv.sum()), int((cv.astype(object) ** 2).sum())
+        var = float(ss * n - s * s) / float(n * n)
+        if var <= 0:
+            continue
+        std = math.sqrt(var)
+        for i, v in zip(ids[m], cv):
+            expect = float(int(v) * n - s) / (float(n) * std)
+            assert got[int(i)] == expect  # exact, not approx
+            n_match += 1
+    assert n_match == len(got) > 0

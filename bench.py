@@ -273,6 +273,7 @@ QUERY_SUBSET = [
     "resolve_redirects",
     "sitemap_urls",
     "value_zscore",
+    "ipc_ingest",
 ]
 
 

@@ -903,6 +903,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["kmeans_clusters"] = values_sql(expected_kmeans(sf_dir))
     sql["jsonl_ingest"] = values_sql(expected_jsonl_ingest())
     sql["csv_ingest"] = values_sql(expected_jsonl_ingest())
+    sql["ipc_ingest"] = values_sql(expected_jsonl_ingest())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -900,6 +900,32 @@ def q_rss_advisories(sf_dir: str):
     )
 
 
+def q_ipc_ingest(sf_dir: str):
+    """Raw-feed ingestion from Arrow IPC (Feather v2) shards — the
+    zero-parse interchange format (sources/ipc.read_ipc: one decode
+    task per file, the 'decode' is buffer slicing). Same records and
+    generator-recomputed oracle as jsonl/csv_ingest, so all three
+    readers are pinned to land the identical table."""
+    from ..fixtures.synth import make_jsonl_docs
+    from ..ops.agg import partial_group_agg
+    from ..sources.ipc import read_ipc, write_ipc_shards
+
+    out = "/tmp/nc_ipc_fixture"
+    rows = make_jsonl_docs()
+    tbl = pa.Table.from_pylist(rows)
+    write_ipc_shards(tbl, out, num_shards=4)  # deterministic, idempotent
+    ds = read_ipc(out)
+    return partial_group_agg(
+        ds.map_batches(
+            lambda t: t.select(["kind", "n_tokens"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["kind"],
+        [("n_records", "count_all", None), ("sum_tokens", "sum", "n_tokens")],
+    )
+
+
 SESSION_GAP_MIN = 30.0
 
 
@@ -4283,6 +4309,7 @@ def build_queries() -> dict:
         "jsonl_ingest": q_jsonl_ingest,
         "partitioned_read": q_partitioned_read,
         "csv_ingest": q_csv_ingest,
+        "ipc_ingest": q_ipc_ingest,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -335,3 +335,26 @@ def test_sitemap_extract(ray_session):
     ]
     ds_out = parse_sitemaps(rd.from_arrow(t).repartition(3)).take_all()
     assert len(ds_out) == 3
+
+
+def test_ipc_source_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from news_crawler_ray.sources.ipc import read_ipc, write_ipc_shards
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(97)), pa.int64()),
+            "s": pa.array([f"v{i}" for i in range(97)], pa.string()),
+            "b": pa.array([bytes([i])*3 for i in range(97)], pa.binary()),
+        }
+    )
+    paths = write_ipc_shards(t, str(tmp_path), num_shards=5)
+    assert len(paths) == 5
+    got = read_ipc(str(tmp_path)).take_all()
+    assert len(got) == 97
+    by_k = {r["k"]: r for r in got}
+    assert by_k[42]["s"] == "v42" and by_k[42]["b"] == bytes([42]) * 3
+    # re-write is idempotent (atomic replace), re-read identical
+    write_ipc_shards(t, str(tmp_path), num_shards=5)
+    assert len(read_ipc(str(tmp_path)).take_all()) == 97

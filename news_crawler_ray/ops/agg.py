@@ -1092,22 +1092,17 @@ def group_quantiles_cont(
 # ----------------------------------------------------- exact correlation
 
 
-def group_corr(
-    ds, keys: list[str], x_col: str, y_col: str, max_groups: int = 65536
-) -> pa.Table:
-    """Exact per-group Pearson correlation over two INTEGER-valued
-    columns — the :func:`group_var_stats` recipe extended to cross
-    moments: each block emits integer partials (n, Σx, Σy, Σx², Σy²,
-    Σxy) per group (zero-exchange combiner), the driver merges them in
-    arbitrary-precision Python ints, and the ONLY floats are the final
-    corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ₜ) · √(n·Σy² − Σy²ₜ))
-    computed as one cast per exact integer plus IEEE sqrt/div — so the
-    result is bit-identical at any block layout and equals the SQL
-    HUGEINT-sum formula to the last bit. Per-block Σxy overflow is
-    guarded loudly (max|x|·max|y|·rows ≤ 2⁶²). Output:
-    [*keys, n_values, corr_xy] sorted by keys; groups with zero
-    variance on either side emit null."""
-    import math
+def _group_cross_moments(
+    ds, keys: list[str], x_col: str, y_col: str, max_groups: int, opname: str
+) -> dict:
+    """Shared combiner for the exact two-column moment family
+    (:func:`group_corr`, :func:`group_linreg`): each block emits integer
+    partials (n, Σx, Σy, Σx², Σy², Σxy) per group via a zero-exchange
+    ``group_by`` inside ``map_batches``; the driver merges them in
+    arbitrary-precision Python ints. Per-block Σxy overflow is guarded
+    loudly (max|x|·max|y|·rows ≤ 2⁶²). Returns {key_tuple: [n, sx, sy,
+    sxx, syy, sxy]} — group cardinality is config-scale (≤max_groups),
+    the merge never sees row-scale data."""
 
     def partial(t: pa.Table) -> pa.Table:
         key_cols = {k: t[k] for k in keys}
@@ -1129,7 +1124,7 @@ def group_corr(
         my = pc.max(pc.abs(y)).as_py() or 0
         if max(mx * mx, my * my, mx * my) * t.num_rows > (1 << 62):
             raise ValueError(
-                f"group_corr: per-block moment may overflow int64 "
+                f"{opname}: per-block moment may overflow int64 "
                 f"(max|x|={mx}, max|y|={my}, rows={t.num_rows}); scale "
                 "the value columns down or shrink the block size"
             )
@@ -1169,9 +1164,27 @@ def group_corr(
             a[i] += r[f]
     if len(acc) > max_groups:
         raise ValueError(
-            f"group_corr: {len(acc)} groups > max_groups={max_groups}; "
+            f"{opname}: {len(acc)} groups > max_groups={max_groups}; "
             "use sorted_group_agg partials for data-scale cardinalities"
         )
+    return acc
+
+
+def group_corr(
+    ds, keys: list[str], x_col: str, y_col: str, max_groups: int = 65536
+) -> pa.Table:
+    """Exact per-group Pearson correlation over two INTEGER-valued
+    columns — the :func:`group_var_stats` recipe extended to cross
+    moments via :func:`_group_cross_moments`, and the ONLY floats are
+    the final corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ₜ) · √(n·Σy² −
+    Σy²ₜ)) computed as one cast per exact integer plus IEEE sqrt/div —
+    so the result is bit-identical at any block layout and equals the
+    SQL HUGEINT-sum formula to the last bit. Output:
+    [*keys, n_values, corr_xy] sorted by keys; groups with zero
+    variance on either side emit null."""
+    import math
+
+    acc = _group_cross_moments(ds, keys, x_col, y_col, max_groups, "group_corr")
     rows = []
     for key in sorted(acc):
         n, sx, sy, sxx, syy, sxy = acc[key]
@@ -1194,6 +1207,68 @@ def group_corr(
                 **{k: pa.array([], types[k]) for k in keys},
                 "n_values": pa.array([], pa.int64()),
                 "corr_xy": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def group_linreg(
+    ds, keys: list[str], x_col: str, y_col: str, max_groups: int = 65536
+) -> pa.Table:
+    """Exact per-group ordinary-least-squares line fit y = slope·x +
+    intercept over two INTEGER-valued columns (SQL REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2) on the same zero-exchange integer
+    cross-moment combiner as :func:`group_corr`
+    (:func:`_group_cross_moments`). The only float operations are the
+    final
+
+        slope     = f(n·Σxy − Σx·Σy) / f(n·Σxx − Σx²)
+        intercept = (f(Σy) − slope·f(Σx)) / f(n)
+        r2        = (f(num)·f(num)) / (f(dx)·f(dy))
+
+    where f() is one correctly-rounded int→float64 cast per EXACT
+    arbitrary-precision integer — bit-identical at any block layout and
+    equal to the DuckDB HUGEINT-sum formula oracle to the last bit.
+    Output: [*keys, n_values, slope, intercept, r2] sorted by keys.
+    Zero x-variance groups emit null slope/intercept/r2; zero
+    y-variance groups emit slope/intercept with null r2 (0/0), matching
+    NULLIF in the oracle."""
+    acc = _group_cross_moments(ds, keys, x_col, y_col, max_groups, "group_linreg")
+    rows = []
+    for key in sorted(acc):
+        n, sx, sy, sxx, syy, sxy = acc[key]
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx == 0:
+            slope = intercept = r2 = None
+        else:
+            slope = float(num) / float(dx)
+            intercept = (float(sy) - slope * float(sx)) / float(n)
+            r2 = (
+                None
+                if dy == 0
+                else (float(num) * float(num)) / (float(dx) * float(dy))
+            )
+        rows.append(
+            {
+                **dict(zip(keys, key)),
+                "n_values": n,
+                "slope": slope,
+                "intercept": intercept,
+                "r2": r2,
+            }
+        )
+    if not rows:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table(
+            {
+                **{k: pa.array([], types[k]) for k in keys},
+                "n_values": pa.array([], pa.int64()),
+                "slope": pa.array([], pa.float64()),
+                "intercept": pa.array([], pa.float64()),
+                "r2": pa.array([], pa.float64()),
             }
         )
     return pa.Table.from_pylist(rows)

@@ -2923,6 +2923,41 @@ def q_quantity_price_corr(sf_dir: str):
     )
 
 
+def q_value_trend(sf_dir: str):
+    """Exact per-type OLS trend of event value over time
+    (ops/agg.group_linreg): y = value in integer cents regressed on
+    x = epoch day — integer cross-moment partials per block
+    (zero-exchange combiner), arbitrary-precision driver merge, one
+    correctly-rounded cast per float — bit-identical to the oracle's
+    HUGEINT-sum REGR_SLOPE/INTERCEPT/R2 formulas at any block layout."""
+    from ..ops.agg import group_linreg
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def xy(t: pa.Table) -> pa.Table:
+        # epoch day = floor(epoch_us / 86400e6); all ts are post-1970 so
+        # integer floor-division == the oracle's CAST(ts AS DATE) diff
+        us = pc.cast(t["ts"].combine_chunks(), pa.int64())
+        day = pc.divide(us, pa.scalar(86_400_000_000, pa.int64()))
+        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": day,
+                "y": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return group_linreg(
+        ev.map_batches(xy, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        "x",
+        "y",
+    )
+
+
 def q_max_value_event_per_type(sf_dir: str):
     """MAX_BY / ARG_MAX: per event_type the event carrying the maximum
     value (event_id tiebreak) — group_top_k with k=1, one key-complete
@@ -3930,6 +3965,25 @@ ORACLE_SQL.update(
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
         ),
+        "value_trend": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
+            "AS HUGEINT) AS x, "
+            "CAST(round(value*100) AS HUGEINT) AS y FROM events), "
+            "m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, "
+            "sum(y*y) AS syy, sum(x*y) AS sxy FROM v GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n_values, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0) AS slope, "
+            "(CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0)) * CAST(sx AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) AS intercept, "
+            "(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) "
+            "/ NULLIF(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE), 0) AS r2 "
+            "FROM m ORDER BY event_type"
+        ),
         "max_value_event_per_type": (
             "SELECT event_type, event_id, value FROM ("
             "SELECT event_type, event_id, value, row_number() OVER ("
@@ -4285,6 +4339,7 @@ def build_queries() -> dict:
         "users_both_halves": q_users_both_halves,
         "users_first_half_only": q_users_first_half_only,
         "quantity_price_corr": q_quantity_price_corr,
+        "value_trend": q_value_trend,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,
         "event_range_window": q_event_range_window,

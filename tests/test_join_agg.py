@@ -1241,6 +1241,54 @@ def test_group_corr_bit_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_group_linreg_bit_exact():
+    from news_crawler_ray.ops.agg import group_linreg
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 100, 600)
+    y = 5 * x + rng.integers(-30, 30, 600)
+    tbl = pa.table(
+        {
+            "k": ["g"] * 600,
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+
+    def expect():
+        n = 600
+        sx, sy = int(x.sum()), int(y.sum())
+        sxx = int((x.astype(object) * x).sum())
+        syy = int((y.astype(object) * y).sum())
+        sxy = int((x.astype(object) * y).sum())
+        num, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        slope = float(num) / float(dx)
+        inter = (float(sy) - slope * float(sx)) / float(n)
+        r2 = (float(num) * float(num)) / (float(dx) * float(dy))
+        return slope, inter, r2
+
+    ws, wi, wr = expect()
+    for nblocks in (1, 7):
+        row = group_linreg(_ds(tbl, nblocks), ["k"], "x", "y").to_pylist()[0]
+        # bit-exact at any layout, and ~= the planted line y = 5x + noise
+        assert (row["slope"], row["intercept"], row["r2"]) == (ws, wi, wr)
+    assert abs(ws - 5.0) < 0.1 and wr > 0.95
+
+    # zero x-variance -> all null; zero y-variance -> slope 0, r2 null
+    edge = pa.table(
+        {
+            "k": ["flatx"] * 3 + ["flaty"] * 3,
+            "x": pa.array([7, 7, 7, 1, 2, 3], pa.int64()),
+            "y": pa.array([1, 2, 3, 9, 9, 9], pa.int64()),
+        }
+    )
+    rows = {r["k"]: r for r in group_linreg(_ds(edge, 2), ["k"], "x", "y").to_pylist()}
+    assert rows["flatx"]["slope"] is None and rows["flatx"]["r2"] is None
+    assert rows["flaty"]["slope"] == 0.0 and rows["flaty"]["intercept"] == 9.0
+    assert rows["flaty"]["r2"] is None
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_budget_allocate_largest_remainder():
     from news_crawler_ray.ops.sampling import budget_allocate
 

@@ -1274,6 +1274,122 @@ def group_linreg(
     return pa.Table.from_pylist(rows)
 
 
+def group_entropy(
+    ds,
+    keys: list[str],
+    value_col: str,
+    scale_bits: int = 20,
+    max_groups: int = 65536,
+) -> pa.Table:
+    """Per-group Shannon entropy (bits) of a categorical column's
+    distribution — e.g. audience diversity: how evenly a type's events
+    spread over users. Two stages, both data-scale safe:
+
+    1. exact per-(key, value) counts on the sorted exchange
+       (:func:`sorted_group_agg` — value cardinality may be row-scale);
+    2. each count row contributes the INTEGER term
+       ``round(c·log2(c)·2^scale_bits)`` — fixed-point quantization is
+       part of the operator's definition, so the per-key sum is an
+       ORDER-INVARIANT integer combiner (block partials via one
+       ``group_by`` per block, arbitrary-precision driver merge), not a
+       float reduction whose value depends on block layout.
+
+    The only float math is elementwise ``c·log2(c)`` (np.log2 is
+    bitwise position-independent — verified: SIMD body == scalar tail)
+    plus the final ``H = log2(n) − (S/2^scale_bits)/n``; quantization
+    error is ≤ |values|·2^-(scale_bits+1)/n bits (~1e-12 for defaults).
+    Per-block overflow is guarded loudly like :func:`group_corr`
+    (max_term·rows ≤ 2⁶²). KEY cardinality is config-scale
+    (≤max_groups); output [*keys, n_events, n_values, entropy_bits]
+    sorted by keys; a single-value group is pinned to exactly 0.0
+    (quantization would otherwise leave a ~2^-scale_bits/n residue)."""
+    scale = np.float64(1 << scale_bits)
+    counts = sorted_group_agg(ds, [*keys, value_col], [("c", "count_all", None)])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    **{k: t[k] for k in keys},
+                    "n": pa.array([], pa.int64()),
+                    "nd": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        c = np.asarray(t["c"], dtype=np.int64)
+        cf = c.astype(np.float64)
+        term = np.rint(cf * np.log2(cf) * scale)
+        m = float(term.max()) if len(term) else 0.0
+        if m * t.num_rows > float(1 << 62):
+            raise ValueError(
+                f"group_entropy: per-block term sum may overflow int64 "
+                f"(max term={m:.3g}, rows={t.num_rows}); lower scale_bits "
+                "or shrink the block size"
+            )
+        tt = pa.table(
+            {
+                **{k: t[k] for k in keys},
+                "_c": t["c"],
+                "_t": pa.array(term.astype(np.int64), pa.int64()),
+            }
+        )
+        g = tt.group_by(keys).aggregate(
+            [("_c", "sum"), ([], "count_all"), ("_t", "sum")]
+        )
+        return pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": g["_c_sum"],
+                "nd": g["count_all"],
+                "s": g["_t_sum"],
+            }
+        )
+
+    parts = counts.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        a = acc.setdefault(tuple(r[k] for k in keys), [0, 0, 0])
+        for i, f in enumerate(("n", "nd", "s")):
+            a[i] += r[f]
+    if len(acc) > max_groups:
+        raise ValueError(
+            f"group_entropy: {len(acc)} groups > max_groups={max_groups}; "
+            "shard the driver merge for config-scale-violating key domains"
+        )
+    rows = []
+    for key in sorted(acc):
+        n, nd, s = acc[key]
+        if nd == 1:
+            # a single-value group is exactly 0 bits by definition —
+            # don't let fixed-point quantization leave a ~2^-20/n residue
+            h = 0.0
+        else:
+            nf = np.float64(n)
+            h = float(np.log2(nf) - (np.float64(s) / scale) / nf)
+        rows.append(
+            {
+                **dict(zip(keys, key)),
+                "n_events": n,
+                "n_values": nd,
+                "entropy_bits": h,
+            }
+        )
+    if not rows:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table(
+            {
+                **{k: pa.array([], types[k]) for k in keys},
+                "n_events": pa.array([], pa.int64()),
+                "n_values": pa.array([], pa.int64()),
+                "entropy_bits": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 # -------------------------------------------------------- skew diagnostics
 
 

@@ -875,6 +875,46 @@ def expected_kmeans(sf_dir: str) -> pa.Table:
 
 
 @lru_cache(maxsize=4)
+def expected_user_entropy(sf_dir: str, scale_bits: int = 20) -> pa.Table:
+    """Sequential re-derivation of ops/agg.group_entropy over events:
+    plain dict-of-Counters, per-type fixed-point term sum in Python
+    ints (order-free), the same final float expression. Shares only the
+    elementary np.log2 kernel (bitwise position-independent) with the
+    engine — counting and summation are structurally independent."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    cnt: dict[str, Counter] = {}
+    for k, u in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        cnt.setdefault(k, Counter())[u] += 1
+    scale = np.float64(1 << scale_bits)
+    rows = []
+    for k in sorted(cnt):
+        c = np.array(sorted(cnt[k].values()), dtype=np.int64)
+        cf = c.astype(np.float64)
+        terms = np.rint(cf * np.log2(cf) * scale).astype(np.int64)
+        s = sum(int(x) for x in terms)
+        n = int(c.sum())
+        if len(c) == 1:
+            h = 0.0
+        else:
+            nf = np.float64(n)
+            h = float(np.log2(nf) - (np.float64(s) / scale) / nf)
+        rows.append(
+            {
+                "event_type": k,
+                "n_events": n,
+                "n_values": len(c),
+                "entropy_bits": h,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -886,6 +926,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
 
     sql: dict[str, str] = {}
     sql["ioc_extract"] = values_sql(expected_iocs())
+    sql["user_entropy_by_type"] = values_sql(expected_user_entropy(sf_dir))
     sql["minhash_dedup_pairs"] = values_sql(expected_minhash_pairs(sf_dir))
     sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))

@@ -2958,6 +2958,20 @@ def q_value_trend(sf_dir: str):
     )
 
 
+def q_user_entropy_by_type(sf_dir: str):
+    """Per-type Shannon entropy (bits) of the user-id distribution —
+    audience diversity (ops/agg.group_entropy): exact (type,user)
+    counts on the sorted exchange, then ORDER-INVARIANT integer
+    fixed-point term sums (round(c·log2 c·2²⁰) — quantization is part
+    of the operator definition) so the float appears only in the final
+    per-type expression; bit-identical at any block layout and to the
+    sequential oracle (expected.expected_user_entropy)."""
+    from ..ops.agg import group_entropy
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return group_entropy(ev, ["event_type"], "user_id")
+
+
 def q_max_value_event_per_type(sf_dir: str):
     """MAX_BY / ARG_MAX: per event_type the event carrying the maximum
     value (event_id tiebreak) — group_top_k with k=1, one key-complete
@@ -4340,6 +4354,7 @@ def build_queries() -> dict:
         "users_first_half_only": q_users_first_half_only,
         "quantity_price_corr": q_quantity_price_corr,
         "value_trend": q_value_trend,
+        "user_entropy_by_type": q_user_entropy_by_type,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,
         "event_range_window": q_event_range_window,

@@ -1289,6 +1289,37 @@ def test_group_linreg_bit_exact():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_group_entropy_layouts_and_values():
+    from news_crawler_ray.ops.agg import group_entropy
+
+    # counts {a:1, b:1, c:2} -> H = log2(4) - (2*1*2^20/2^20)/4 = 1.5 exact
+    tbl = pa.table(
+        {
+            "k": ["g"] * 4 + ["solo"] * 5,
+            "v": ["a", "b", "c", "c", "x", "x", "x", "x", "x"],
+        }
+    )
+    for nblocks in (1, 4):
+        rows = {
+            r["k"]: r
+            for r in group_entropy(_ds(tbl, nblocks), ["k"], "v").to_pylist()
+        }
+        assert rows["g"]["entropy_bits"] == 1.5
+        assert rows["g"]["n_events"] == 4 and rows["g"]["n_values"] == 3
+        # single-value group: log2(5) - (5 log2 5)/5 == 0 exactly
+        assert rows["solo"]["entropy_bits"] == 0.0
+
+    # uniform over 8 values ~ 3 bits; layout invariance bit-exact
+    rng = np.random.default_rng(5)
+    vals = rng.permutation(np.repeat(np.arange(8), 25))
+    big = pa.table({"k": ["u"] * 200, "v": pa.array(vals, pa.int64())})
+    h1 = group_entropy(_ds(big, 1), ["k"], "v")["entropy_bits"][0].as_py()
+    h7 = group_entropy(_ds(big, 7), ["k"], "v")["entropy_bits"][0].as_py()
+    assert h1 == h7
+    assert abs(h1 - 3.0) < 1e-6  # fixed-point quantization ~1e-8
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_budget_allocate_largest_remainder():
     from news_crawler_ray.ops.sampling import budget_allocate
 

@@ -334,3 +334,96 @@ def knn_ivf(
         pruned, query_ids, query_matrix, k=k, vec_col=vec_col,
         id_col=id_col, exclude_self=exclude_self,
     )
+
+
+# ------------------------------------------------------------------ PCA
+
+
+def pca_fit(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    k: int = 4,
+    scale_bits: int = 20,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Exact distributed PCA over an embedding column via an
+    ORDER-INVARIANT integer combiner: each block quantizes its vectors
+    to ``Q = rint(X·2^scale_bits)`` (quantization is part of the
+    operator definition, like ops/agg.group_entropy) and emits the
+    integer partials ``(n, ΣQ, QᵀQ)``; the driver merges them in
+    arbitrary-precision Python ints, so the covariance matrix
+
+        C = Gf/(N·2^(2·scale_bits)) − outer(m, m),  m = Sf/(N·2^scale_bits)
+
+    is built from EXACT integers with one correctly-rounded cast each —
+    bit-identical at any block layout — and ``np.linalg.eigh`` runs
+    driver-side on the (d×d, config-scale) matrix. ONE streaming pass
+    over the corpus, no shuffle; the d×d partial per block is the only
+    thing that moves. Eigenvector signs are pinned (largest-|·| element
+    positive). Per-block overflow is guarded loudly
+    ((2^scale_bits·max|x|)²·rows ≤ 2⁶²).
+
+    Returns (eigvals_desc[:k], components[k, d] rows=components,
+    explained_variance_ratio[:k], n_rows).
+    """
+    scale = np.float64(1 << scale_bits)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.int64())),
+                    "g": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        X = _as_matrix(t[vec_col], n)
+        Qf = np.rint(X * scale)
+        mq = float(np.abs(Qf).max())
+        if mq * mq * n > float(1 << 62):
+            raise ValueError(
+                f"pca_fit: per-block Gram may overflow int64 "
+                f"(max|q|={mq:.3g}, rows={n}); lower scale_bits or "
+                "shrink the block size"
+            )
+        Q = Qf.astype(np.int64)
+        g = Q.T @ Q  # (d, d) int64, exact under the guard
+        s = Q.sum(axis=0)
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+                "g": pa.array([g.ravel().tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not parts:
+        raise ValueError("pca_fit: empty dataset")
+    d = len(parts[0]["s"])
+    N = 0
+    S = [0] * d
+    G = [0] * (d * d)
+    for r in parts:  # arbitrary-precision, order-free integer merge
+        N += r["n"]
+        for i, v in enumerate(r["s"]):
+            S[i] += v
+        for i, v in enumerate(r["g"]):
+            G[i] += v
+    Sf = np.array([float(x) for x in S], dtype=np.float64)
+    Gf = np.array([float(x) for x in G], dtype=np.float64).reshape(d, d)
+    Nf = np.float64(N)
+    m = Sf / (Nf * scale)
+    C = Gf / (Nf * scale * scale) - np.outer(m, m)
+    eigvals, eigvecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T  # (k, d)
+    for i in range(comps.shape[0]):  # pin the sign convention
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = vals / np.float64(np.trace(C))
+    return vals, comps, ratio, N

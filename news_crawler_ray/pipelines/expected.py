@@ -915,6 +915,50 @@ def expected_user_entropy(sf_dir: str, scale_bits: int = 20) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_embedding_pca(sf_dir: str, scale_bits: int = 20) -> pa.Table:
+    """Sequential re-derivation of ops/similarity.pca_fit: quantize the
+    WHOLE embedding matrix at once, one exact int64 Gram matmul (no
+    block partials), Python-int sums, the identical covariance
+    expression and eigh + sign-pinning — the distributed integer
+    combiner must reproduce these exact integers at any layout."""
+    from .queries import PCA_K
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    n, d = X.shape
+    scale = np.float64(1 << scale_bits)
+    Q = np.rint(X * scale).astype(np.int64)
+    assert float(np.abs(Q).max()) ** 2 * n < float(1 << 62)
+    S = [int(x) for x in Q.sum(axis=0)]
+    G = [int(x) for x in (Q.T @ Q).ravel()]
+    Sf = np.array([float(x) for x in S], dtype=np.float64)
+    Gf = np.array([float(x) for x in G], dtype=np.float64).reshape(d, d)
+    Nf = np.float64(n)
+    m = Sf / (Nf * scale)
+    C = Gf / (Nf * scale * scale) - np.outer(m, m)
+    eigvals, eigvecs = np.linalg.eigh(C)
+    order = np.argsort(eigvals)[::-1][:PCA_K]
+    vals = eigvals[order]
+    comps = eigvecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = vals / np.float64(np.trace(C))
+    k = comps.shape[0]
+    return pa.table(
+        {
+            "component": pa.array(np.repeat(np.arange(k), d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d), k), pa.int64()),
+            "loading": pa.array(comps.ravel(), pa.float64()),
+            "eigval": pa.array(np.repeat(vals, d), pa.float64()),
+            "var_ratio": pa.array(np.repeat(ratio, d), pa.float64()),
+        }
+    )
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -927,6 +971,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql: dict[str, str] = {}
     sql["ioc_extract"] = values_sql(expected_iocs())
     sql["user_entropy_by_type"] = values_sql(expected_user_entropy(sf_dir))
+    sql["embedding_pca"] = values_sql(expected_embedding_pca(sf_dir))
     sql["minhash_dedup_pairs"] = values_sql(expected_minhash_pairs(sf_dir))
     sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))

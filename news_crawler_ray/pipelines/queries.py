@@ -1054,6 +1054,37 @@ def q_kmeans_clusters(sf_dir: str):
     )
 
 
+PCA_K = 4
+
+
+def q_embedding_pca(sf_dir: str):
+    """Exact distributed PCA over the embeddings table
+    (ops/similarity.pca_fit): per-block integer partials (n, ΣQ, QᵀQ)
+    of the 2²⁰-quantized vectors — an order-invariant combiner, one
+    streaming pass, no shuffle — then the covariance eigendecomposition
+    driver-side on the d×d matrix. Output: one row per
+    (component, dim) loading plus the component's eigenvalue and
+    explained-variance ratio; bit-identical to the sequential oracle
+    (expected.expected_embedding_pca)."""
+    from ..ops.similarity import pca_fit
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    ds = _ds_from_table(tbl, target_blocks=KMEANS_BLOCKS)
+    vals, comps, ratio, _n = pca_fit(ds, "embedding", k=PCA_K)
+    k, d = comps.shape
+    return pa.table(
+        {
+            "component": pa.array(np.repeat(np.arange(k), d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d), k), pa.int64()),
+            "loading": pa.array(comps.ravel(), pa.float64()),
+            "eigval": pa.array(np.repeat(vals, d), pa.float64()),
+            "var_ratio": pa.array(np.repeat(ratio, d), pa.float64()),
+        }
+    )
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic stratified sampling: content-stable Bernoulli by
     md5(doc_id) with per-language fractions (downsample dominant
@@ -4355,6 +4386,7 @@ def build_queries() -> dict:
         "quantity_price_corr": q_quantity_price_corr,
         "value_trend": q_value_trend,
         "user_entropy_by_type": q_user_entropy_by_type,
+        "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,
         "event_range_window": q_event_range_window,

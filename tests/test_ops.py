@@ -1278,3 +1278,35 @@ def test_keyword_hit_counts(ray_session):
     assert got["beta"] == 2  # case-insensitive, doc-level
     assert got["alpha"] == 1
     assert got["zzz"] == 0
+
+
+def test_pca_fit_layout_invariant_and_recovers_direction(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.similarity import pca_fit
+
+    rng = np.random.default_rng(9)
+    d = 16
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    # dominant variance along u, small isotropic noise
+    X = np.outer(rng.normal(scale=3.0, size=400), u) + rng.normal(
+        scale=0.1, size=(400, d)
+    )
+    tbl = pa.table({"embedding": pa.array(X.tolist(), pa.list_(pa.float32()))})
+
+    def run(nblocks):
+        parts = [tbl.slice(i * 400 // nblocks, 400 // nblocks) for i in range(nblocks)]
+        ds = rd.from_arrow_refs([__import__("ray").put(p) for p in parts])
+        return pca_fit(ds, "embedding", k=2)
+
+    v1, c1, r1, n1 = run(1)
+    v5, c5, r5, n5 = run(5)
+    assert n1 == n5 == 400
+    # bit-exact at any layout (integer combiner)
+    assert np.array_equal(v1, v5) and np.array_equal(c1, c5)
+    assert np.array_equal(r1, r5)
+    # top component aligns with the planted direction
+    assert abs(float(np.dot(c1[0], u))) > 0.99
+    # explained-variance ratios are sane and ordered
+    assert r1[0] > 0.9 and v1[0] > v1[1] > 0

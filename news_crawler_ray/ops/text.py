@@ -1115,3 +1115,49 @@ def doc_rarity(
             ("sum_term_freq", "sum", "sum_term_freq"),
         ],
     )
+
+
+# --------------------------------------------------------- inverted index
+
+
+def posting_lists(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Inverted-index build: one row per term with its document
+    frequency and the SORTED posting list (SQL ``list(doc_id ORDER BY
+    doc_id)`` over distinct (term, doc) pairs) — the search-index /
+    retrieval primitive over a tokenized corpus.
+
+    Shape: the shared exploded kernel (:func:`_doc_term_freqs`, one
+    regex split + one vectorized group_by per block — distinctness is
+    free) → ONE key-complete exchange on ``term``
+    (ops/window.group_collect_list: run starts become the ListArray
+    offsets, zero-copy) → df = list length, block-local. Hot-term
+    caveat inherited from collect_list: a stop-word's full posting list
+    materializes in its owner task — prune a stopword/DF-ceiling list
+    upstream at corpus scale (same contract as vocab_build's floor)."""
+    from .window import group_collect_list
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                }
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        ids = pc.cast(t[id_col].take(tf["row_idx"]), pa.int64())
+        return pa.table({"term": tf["term"], id_col: ids})
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    lists = group_collect_list(pair_ds, "term", [id_col], id_col)
+    return lists.map_batches(
+        lambda t: pa.table(
+            {
+                "term": t["term"],
+                "df": pc.cast(pc.list_value_length(t["values"]), pa.int64()),
+                "postings": t["values"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

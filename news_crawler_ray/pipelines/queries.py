@@ -1274,6 +1274,15 @@ def q_vocab_build(sf_dir: str):
     return tx.vocab_build(ds, min_count=VOCAB_MIN_COUNT)
 
 
+def q_posting_lists(sf_dir: str):
+    """Inverted-index build (ops/text.posting_lists): per term the
+    document frequency and SORTED posting list over distinct
+    (term, doc) pairs — exploded kernel per block, ONE key-complete
+    exchange on term, zero-copy ListArray assembly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.posting_lists(ds)
+
+
 def q_doc_rarity(sf_dir: str):
     """Per-doc rare-token signal (exact integers): token count, rare
     occurrences (global freq <= 2), and summed corpus frequency — the
@@ -3576,6 +3585,13 @@ ORACLE_SQL.update(
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term HAVING count(*) >= {VOCAB_MIN_COUNT})"
         ),
+        "posting_lists": (
+            f"WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL}) "
+            "WHERE term <> '') "
+            "SELECT term, CAST(count(*) AS BIGINT) AS df, "
+            "list(doc_id ORDER BY doc_id) AS postings "
+            "FROM tok GROUP BY term ORDER BY term"
+        ),
         "doc_rarity": (
             f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) WHERE term <> ''), "
             "tot AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
@@ -4334,6 +4350,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
+        "posting_lists": q_posting_lists,
         "doc_rarity": q_doc_rarity,
         "repetition_stats": q_repetition_stats,
         "term_search": q_term_search,

@@ -1310,3 +1310,32 @@ def test_pca_fit_layout_invariant_and_recovers_direction(ray_session):
     assert abs(float(np.dot(c1[0], u))) > 0.99
     # explained-variance ratios are sane and ordered
     assert r1[0] > 0.9 and v1[0] > v1[1] > 0
+
+
+def test_posting_lists_sorted_and_distinct(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import posting_lists
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "text": [
+                "apple banana apple",  # tf>1 must still post once
+                "banana cherry",
+                "apple",
+                "  ",  # whitespace-only doc posts nothing
+            ],
+        }
+    )
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        got = {
+            r["term"]: (r["df"], r["postings"])
+            for r in posting_lists(ds).take_all()
+        }
+        assert got == {
+            "apple": (2, [2, 3]),
+            "banana": (2, [1, 3]),
+            "cherry": (1, [1]),
+        }

@@ -1377,81 +1377,3 @@ def watermark_window_counts(
             "n_late": merged["n_late_sum"].cast(pa.int64()),
         }
     )
-
-
-# ------------------------------------------------- hopping (sliding) windows
-
-
-def hopping_window_counts(
-    ds,
-    ts_col: str = "ts",
-    key_col: str = "event_type",
-    width_s: int = 7200,
-    step_s: int = 3600,
-) -> pa.Table:
-    """Hopping-window (sliding) aggregate: count per ``key_col`` in each
-    window [win_start, win_start + width) with starts every ``step``
-    seconds — width must be an integer multiple of step, so every event
-    belongs to exactly m = width/step consecutive windows.
-
-    Plan: each block vectorizes slot = epoch // step and emits the m
-    shifted copies ALREADY pre-aggregated by one ``group_by`` per block
-    (the explode never leaves the task); a zero-exchange combiner merge
-    (ops/agg-style partials) produces the final counts. Nothing
-    shuffles row-scale data — the exchange payload is the distinct
-    (window, key) domain per block, bounded by time-span/step · keys.
-    For second-granularity steps over years of data route the partials
-    through sorted_group_agg instead; counts are exact integers either
-    way. Output: (win_start epoch-seconds, key, n) sorted."""
-    if width_s % step_s != 0:
-        raise ValueError("hopping_window_counts: width must be k·step")
-    m = width_s // step_s
-    step_us = step_s * 1_000_000
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "win_start": pa.array([], pa.int64()),
-                    key_col: pa.array([], t.schema.field(key_col).type),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        us = np.asarray(pc.cast(t[ts_col].combine_chunks(), pa.int64()))
-        slot = us // step_us  # floor for post-1970 timestamps
-        keys = t[key_col]
-        shifted = pa.concat_tables(
-            pa.table({"slot": pa.array(slot - i, pa.int64()), key_col: keys})
-            for i in range(m)
-        )
-        g = shifted.group_by(["slot", key_col]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "win_start": pc.multiply(
-                    g["slot"], pa.scalar(step_s, pa.int64())
-                ),
-                key_col: g[key_col],
-                "n": g["count_all"],
-            }
-        )
-
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-    acc: dict = {}
-    for r in parts:
-        k = (r["win_start"], r[key_col])
-        acc[k] = acc.get(k, 0) + r["n"]
-    rows = [
-        {"win_start": w, key_col: kc, "n": n}
-        for (w, kc), n in sorted(acc.items())
-    ]
-    if not rows:
-        return pa.table(
-            {
-                "win_start": pa.array([], pa.int64()),
-                key_col: pa.array([], ds.schema().field(key_col).type),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-    return pa.Table.from_pylist(rows)

@@ -2998,19 +2998,6 @@ def q_value_trend(sf_dir: str):
     )
 
 
-def q_events_hopping(sf_dir: str):
-    """Hopping-window counts per type — 2 h windows sliding every 1 h
-    (ops/window.hopping_window_counts): the m=2 shifted copies are
-    pre-aggregated INSIDE each block's task (the explode never leaves
-    the map), then a zero-exchange combiner merge; exact integer
-    counts. Oracle: the same semantics as real SQL — each event lands
-    in the tumbling slot and its predecessor via UNION ALL."""
-    from ..ops.window import hopping_window_counts
-
-    ev = _read(sf_dir, "events", ["ts", "event_type"])
-    return hopping_window_counts(ev, "ts", "event_type", 7200, 3600)
-
-
 def q_user_entropy_by_type(sf_dir: str):
     """Per-type Shannon entropy (bits) of the user-id distribution —
     audience diversity (ops/agg.group_entropy): exact (type,user)
@@ -4039,15 +4026,6 @@ ORACLE_SQL.update(
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
         ),
-        "events_hopping": (
-            "WITH e AS (SELECT event_type, "
-            "CAST(floor(epoch(ts)/3600) AS BIGINT) AS slot FROM events), "
-            "x AS (SELECT event_type, slot FROM e "
-            "UNION ALL SELECT event_type, slot - 1 FROM e) "
-            "SELECT slot*3600 AS win_start, event_type, "
-            "count(*) AS n FROM x GROUP BY slot, event_type "
-            "ORDER BY win_start, event_type"
-        ),
         "value_trend": (
             "WITH v AS (SELECT event_type, "
             "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
@@ -4426,7 +4404,6 @@ def build_queries() -> dict:
         "value_trend": q_value_trend,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
-        "events_hopping": q_events_hopping,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,
         "event_range_window": q_event_range_window,

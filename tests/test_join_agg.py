@@ -1663,46 +1663,3 @@ def test_value_zscore_bit_exact_vs_numpy():
             assert got[int(i)] == expect  # exact, not approx
             n_match += 1
     assert n_match == len(got) > 0
-
-
-@pytest.mark.usefixtures("ray_session")
-def test_hopping_window_counts_brute_force():
-    from news_crawler_ray.ops.window import hopping_window_counts
-
-    rng = np.random.default_rng(13)
-    n = 300
-    us = rng.integers(0, 10 * 3600, n) * 1_000_000
-    keys = rng.choice(["a", "b"], n)
-    tbl = pa.table(
-        {
-            "ts": pa.array(us, pa.timestamp("us")),
-            "event_type": pa.array(keys),
-        }
-    )
-    width, step = 3 * 3600, 3600  # m = 3
-
-    def brute():
-        from collections import Counter
-
-        c = Counter()
-        for t_us, k in zip(us, keys):
-            sec = int(t_us // 1_000_000)
-            top = (sec // step) * step
-            for w in range(top, top - width, -step):
-                c[(w, k)] += 1
-        return dict(c)
-
-    want = brute()
-    for nblocks in (1, 6):
-        out = hopping_window_counts(
-            _ds(tbl, nblocks), "ts", "event_type", width, step
-        )
-        got = {
-            (r["win_start"], r["event_type"]): r["n"] for r in out.to_pylist()
-        }
-        assert got == want
-    # every event appears in exactly m windows
-    assert sum(want.values()) == 3 * n
-    # width must divide into steps
-    with pytest.raises(ValueError):
-        hopping_window_counts(_ds(tbl, 1), "ts", "event_type", 5000, 3600)

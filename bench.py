@@ -274,6 +274,11 @@ QUERY_SUBSET = [
     "sitemap_urls",
     "value_zscore",
     "ipc_ingest",
+    # round-2 addendum-11 additions
+    "value_trend",
+    "user_entropy_by_type",
+    "embedding_pca",
+    "posting_lists",
 ]
 
 

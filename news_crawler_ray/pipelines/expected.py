@@ -990,6 +990,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["jsonl_ingest"] = values_sql(expected_jsonl_ingest())
     sql["csv_ingest"] = values_sql(expected_jsonl_ingest())
     sql["ipc_ingest"] = values_sql(expected_jsonl_ingest())
+    sql["orc_ingest"] = values_sql(expected_jsonl_ingest())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

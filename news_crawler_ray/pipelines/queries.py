@@ -926,6 +926,28 @@ def q_ipc_ingest(sf_dir: str):
     )
 
 
+def q_orc_ingest(sf_dir: str):
+    """Raw-feed ingestion from ORC shards (sources/orcsrc.read_orc:
+    one decode task per file, column pruning pushed into the ORC
+    reader). Same records and generator-recomputed oracle as
+    jsonl/csv/ipc_ingest — all FOUR readers pinned to land the
+    identical table."""
+    from ..fixtures.synth import make_jsonl_docs
+    from ..ops.agg import partial_group_agg
+    from ..sources.orcsrc import read_orc, write_orc_shards
+
+    out = "/tmp/nc_orc_fixture"
+    rows = make_jsonl_docs()
+    tbl = pa.Table.from_pylist(rows)
+    write_orc_shards(tbl, out, num_shards=4)  # deterministic, idempotent
+    ds = read_orc(out, columns=["kind", "n_tokens"])
+    return partial_group_agg(
+        ds,
+        ["kind"],
+        [("n_records", "count_all", None), ("sum_tokens", "sum", "n_tokens")],
+    )
+
+
 SESSION_GAP_MIN = 30.0
 
 
@@ -4429,6 +4451,7 @@ def build_queries() -> dict:
         "partitioned_read": q_partitioned_read,
         "csv_ingest": q_csv_ingest,
         "ipc_ingest": q_ipc_ingest,
+        "orc_ingest": q_orc_ingest,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -358,3 +358,29 @@ def test_ipc_source_roundtrip(ray_session, tmp_path):
     # re-write is idempotent (atomic replace), re-read identical
     write_ipc_shards(t, str(tmp_path), num_shards=5)
     assert len(read_ipc(str(tmp_path)).take_all()) == 97
+
+
+def test_orc_source_roundtrip_and_pruning(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from news_crawler_ray.sources.orcsrc import read_orc, write_orc_shards
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(83)), pa.int64()),
+            "s": pa.array([f"v{i}" for i in range(83)], pa.string()),
+            "x": pa.array([i * 1.5 for i in range(83)], pa.float64()),
+        }
+    )
+    paths = write_orc_shards(t, str(tmp_path), num_shards=4)
+    assert len(paths) == 4
+    got = read_orc(str(tmp_path)).take_all()
+    assert len(got) == 83
+    by_k = {r["k"]: r for r in got}
+    assert by_k[17]["s"] == "v17" and by_k[17]["x"] == 25.5
+    # column pruning: unselected columns never surface
+    pruned = read_orc(str(tmp_path), columns=["k"]).take_all()
+    assert set(pruned[0].keys()) == {"k"}
+    # idempotent re-write (atomic replace), identical re-read
+    write_orc_shards(t, str(tmp_path), num_shards=4)
+    assert len(read_orc(str(tmp_path)).take_all()) == 83

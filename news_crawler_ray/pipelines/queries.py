@@ -3034,6 +3034,132 @@ def q_user_entropy_by_type(sf_dir: str):
     return group_entropy(ev, ["event_type"], "user_id")
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 analog — per-nation revenue where customer and supplier
+    share the nation, region-filtered, one-year order window. The
+    6-table join matrix in ONE composition, each side handled at its
+    honest scale: nation⋈region resolved driver-side (config-scale
+    dims), the two data-scale joins (orders⋈customer on custkey,
+    lineitem⋈on orderkey) on the task-based key-complete exchange, the
+    supplier→nation probe BROADCAST once (pool-scale dim; vectorized
+    searchsorted per block, no third exchange), revenue in exact
+    integer cents via a zero-exchange combiner."""
+    from ..ops.agg import partial_group_agg
+    from ..ops.join import sort_merge_inner_join
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    asia = {
+        r["r_regionkey"] for r in reg.to_pylist() if r["r_name"] == "ASIA"
+    }
+    nkey_to_name = {
+        r["n_nationkey"]: r["n_name"]
+        for r in nat.to_pylist()
+        if r["n_regionkey"] in asia
+    }
+    asia_keys = pa.array(sorted(nkey_to_name), pa.int64())
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}
+        ).filter(pc.is_in(t["c_nationkey"], value_set=asia_keys)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
+    ord_f = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], lo),
+                pc.less(t["o_orderdate"], hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    oc = sort_merge_inner_join(
+        ord_f, cust, "o_custkey", ["o_orderkey"], ["c_nationkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "c_nationkey": t["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def li_cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        d = np.asarray(t["l_discount"], dtype=np.float64)
+        cents = np.floor(p * (1.0 - d) * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_cents, batch_format="pyarrow", zero_copy_batch=True)
+    lioc = sort_merge_inner_join(
+        li, oc, "l_orderkey", ["l_suppkey", "cents"], ["c_nationkey"]
+    )
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    s_order = np.argsort(np.asarray(sup["s_suppkey"], dtype=np.int64))
+    s_keys = ray.put(np.asarray(sup["s_suppkey"], dtype=np.int64)[s_order])
+    s_nats = ray.put(np.asarray(sup["s_nationkey"], dtype=np.int64)[s_order])
+
+    def local_only(t: pa.Table) -> pa.Table:
+        keys, nats = ray.get(s_keys), ray.get(s_nats)
+        sk = np.asarray(t["l_suppkey"], dtype=np.int64)
+        ix = np.searchsorted(keys, sk)
+        ix = np.clip(ix, 0, len(keys) - 1)
+        s_nat = np.where(keys[ix] == sk, nats[ix], -1)
+        keep = s_nat == np.asarray(t["c_nationkey"], dtype=np.int64)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(s_nat[keep], pa.int64()),
+                "cents": t["cents"].combine_chunks().filter(pa.array(keep)),
+            }
+        )
+
+    local = lioc.map_batches(
+        local_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partial_group_agg(
+        local, ["n_nationkey"], [("revenue_cents", "sum", "cents")]
+    )
+    rows = sorted(
+        (
+            {"n_name": nkey_to_name[r["n_nationkey"]],
+             "revenue_cents": r["revenue_cents"]}
+            for r in agg.to_pylist()
+        ),
+        key=lambda r: (-r["revenue_cents"], r["n_name"]),
+    )
+    if not rows:
+        return pa.table(
+            {
+                "n_name": pa.array([], pa.string()),
+                "revenue_cents": pa.array([], pa.int64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def q_max_value_event_per_type(sf_dir: str):
     """MAX_BY / ARG_MAX: per event_type the event carrying the maximum
     value (event_id tiebreak) — group_top_k with k=1, one key-complete
@@ -4048,6 +4174,19 @@ ORACLE_SQL.update(
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
         ),
+        "local_supplier_revenue": (
+            "SELECT n_name, CAST(sum(CAST(round("
+            "l_extendedprice*(1-l_discount)*100) AS HUGEINT)) AS BIGINT) "
+            "AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
+        ),
         "value_trend": (
             "WITH v AS (SELECT event_type, "
             "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
@@ -4424,6 +4563,7 @@ def build_queries() -> dict:
         "users_first_half_only": q_users_first_half_only,
         "quantity_price_corr": q_quantity_price_corr,
         "value_trend": q_value_trend,
+        "local_supplier_revenue": q_local_supplier_revenue,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

@@ -1663,3 +1663,27 @@ def test_value_zscore_bit_exact_vs_numpy():
             assert got[int(i)] == expect  # exact, not approx
             n_match += 1
     assert n_match == len(got) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_local_supplier_revenue_vs_duckdb(sf_dir):
+    import duckdb
+
+    from news_crawler_ray.pipelines.queries import (
+        build_oracle_sql,
+        q_local_supplier_revenue,
+    )
+
+    got = q_local_supplier_revenue(sf_dir).to_pylist()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    sql = build_oracle_sql(sf_dir)["local_supplier_revenue"]
+    want = con.execute(sql).arrow().to_pylist()
+    assert got == want
+    assert len(got) >= 1 and all(r["revenue_cents"] > 0 for r in got)
+    # descending revenue order
+    revs = [r["revenue_cents"] for r in got]
+    assert revs == sorted(revs, reverse=True)

@@ -959,6 +959,33 @@ def expected_embedding_pca(sf_dir: str, scale_bits: int = 20) -> pa.Table:
     )
 
 
+def expected_evolving_ingest() -> pa.Table:
+    """Independent recompute of the evolving_ingest aggregate straight
+    from the shared generator — same generation split as the query's
+    fixture writer (first 200 rows = gen-0 with n_tokens, rest = gen-1
+    with lang), plain dict accumulation."""
+    from ..fixtures.synth import make_jsonl_docs
+
+    agg: dict[str, list[int]] = {}
+    for i, r in enumerate(make_jsonl_docs()):
+        a = agg.setdefault(r["kind"], [0, 0, 0])
+        a[0] += 1
+        if i < 200:
+            a[1] += r["n_tokens"]
+        else:
+            a[2] += 1
+    rows = [
+        {
+            "kind": k,
+            "n_records": a[0],
+            "sum_tokens": a[1],
+            "n_lang_known": a[2],
+        }
+        for k, a in sorted(agg.items())
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -991,6 +1018,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["csv_ingest"] = values_sql(expected_jsonl_ingest())
     sql["ipc_ingest"] = values_sql(expected_jsonl_ingest())
     sql["orc_ingest"] = values_sql(expected_jsonl_ingest())
+    sql["evolving_ingest"] = values_sql(expected_evolving_ingest())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -948,6 +948,61 @@ def q_orc_ingest(sf_dir: str):
     )
 
 
+def q_evolving_ingest(sf_dir: str):
+    """Schema-evolution ingest (sources/evolving.read_union_by_name):
+    two shard generations — gen-0 carries n_tokens, gen-1 dropped it
+    and added lang — land as ONE union-by-name Dataset (typed-null
+    fills, footer-only schema resolution), then a zero-exchange
+    combiner aggregate over the unified columns. Oracle recomputes the
+    same generations from the shared deterministic generator."""
+    from ..fixtures.synth import make_jsonl_docs
+    from ..ops.agg import partial_group_agg
+    from ..sources.evolving import read_union_by_name
+
+    out = "/tmp/nc_evolving_fixture"
+    rows = make_jsonl_docs()
+    os.makedirs(out, exist_ok=True)
+    g0 = pa.Table.from_pylist(
+        [{k: r[k] for k in ("rec_id", "kind", "n_tokens")} for r in rows[:200]]
+    )
+    g1 = pa.Table.from_pylist(
+        [
+            {
+                "rec_id": r["rec_id"],
+                "kind": r["kind"],
+                "lang": ["en", "ko", "de"][r["rec_id"] % 3],
+            }
+            for r in rows[200:]
+        ]
+    )
+    for name, t in (("gen-0", g0), ("gen-1", g1)):
+        p = os.path.join(out, f"{name}.parquet")
+        pq.write_table(t, p + ".tmp")
+        os.replace(p + ".tmp", p)
+
+    def indicators(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": t["kind"],
+                "tok0": pc.coalesce(t["n_tokens"], pa.scalar(0, pa.int64())),
+                "has_lang": pc.cast(pc.is_valid(t["lang"]), pa.int64()),
+            }
+        )
+
+    ds = read_union_by_name(out).map_batches(
+        indicators, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial_group_agg(
+        ds,
+        ["kind"],
+        [
+            ("n_records", "count_all", None),
+            ("sum_tokens", "sum", "tok0"),
+            ("n_lang_known", "sum", "has_lang"),
+        ],
+    )
+
+
 SESSION_GAP_MIN = 30.0
 
 
@@ -3020,6 +3075,59 @@ def q_value_trend(sf_dir: str):
     )
 
 
+def q_daily_growth(sf_dir: str):
+    """Period-over-period report: per type the day-over-day event-count
+    delta and percent change. Counts via the zero-exchange combiner
+    (ops/window.tumbling_window_agg, unit=day); the series itself is
+    config-scale (days × types) by construction, so the lag/delta pass
+    runs driver-side vectorized — the same altitude call as
+    events_hourly_dense's dense grid. pct_change is ONE float division
+    of exact ints, bit-identical to the oracle's CAST division; first
+    day per type is null like SQL LAG."""
+    from ..ops.window import tumbling_window_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    counts = tumbling_window_agg(
+        ev, "ts", ["event_type"], [("n", "count_all", None)], unit="day"
+    )
+    idx = pc.sort_indices(
+        counts,
+        sort_keys=[("event_type", "ascending"), ("window_start", "ascending")],
+    )
+    s = counts.take(idx)
+    types = np.asarray(s["event_type"].to_pylist())
+    n = np.asarray(s["n"], dtype=np.int64)
+    same = np.zeros(len(n), dtype=bool)
+    same[1:] = types[1:] == types[:-1]
+    prev = np.zeros_like(n)
+    prev[1:] = n[:-1]
+    delta = n - prev
+    pct = np.zeros(len(n), dtype=np.float64)
+    nz = same & (prev != 0)
+    pct[nz] = (n[nz] - prev[nz]).astype(np.float64) / prev[nz].astype(
+        np.float64
+    )
+    return pa.table(
+        {
+            "event_type": s["event_type"],
+            "day": pc.cast(s["window_start"], pa.date32()),
+            "n": pa.array(n, pa.int64()),
+            "prev_n": pa.array(
+                [int(p) if ok else None for p, ok in zip(prev, same)],
+                pa.int64(),
+            ),
+            "delta": pa.array(
+                [int(d) if ok else None for d, ok in zip(delta, same)],
+                pa.int64(),
+            ),
+            "pct_change": pa.array(
+                [float(x) if ok else None for x, ok in zip(pct, nz)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
 def q_user_entropy_by_type(sf_dir: str):
     """Per-type Shannon entropy (bits) of the user-id distribution —
     audience diversity (ops/agg.group_entropy): exact (type,user)
@@ -4174,6 +4282,17 @@ ORACLE_SQL.update(
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
         ),
+        "daily_growth": (
+            "WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type, CAST(ts AS DATE)), "
+            "l AS (SELECT event_type, day, n, "
+            "lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n "
+            "FROM c) "
+            "SELECT event_type, day, n, prev_n, n - prev_n AS delta, "
+            "CAST(n - prev_n AS DOUBLE)/CAST(prev_n AS DOUBLE) AS pct_change "
+            "FROM l ORDER BY event_type, day"
+        ),
         "local_supplier_revenue": (
             "SELECT n_name, CAST(sum(CAST(round("
             "l_extendedprice*(1-l_discount)*100) AS HUGEINT)) AS BIGINT) "
@@ -4564,6 +4683,7 @@ def build_queries() -> dict:
         "quantity_price_corr": q_quantity_price_corr,
         "value_trend": q_value_trend,
         "local_supplier_revenue": q_local_supplier_revenue,
+        "daily_growth": q_daily_growth,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
@@ -4592,6 +4712,7 @@ def build_queries() -> dict:
         "csv_ingest": q_csv_ingest,
         "ipc_ingest": q_ipc_ingest,
         "orc_ingest": q_orc_ingest,
+        "evolving_ingest": q_evolving_ingest,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

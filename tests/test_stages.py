@@ -384,3 +384,38 @@ def test_orc_source_roundtrip_and_pruning(ray_session, tmp_path):
     # idempotent re-write (atomic replace), identical re-read
     write_orc_shards(t, str(tmp_path), num_shards=4)
     assert len(read_orc(str(tmp_path)).take_all()) == 83
+
+
+def test_union_by_name_source(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from news_crawler_ray.sources.evolving import (
+        read_union_by_name,
+        union_schema,
+    )
+
+    g0 = pa.table(
+        {
+            "id": pa.array([0, 1], pa.int64()),
+            "a": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    g1 = pa.table(
+        {
+            "id": pa.array([2, 3], pa.int64()),
+            "b": pa.array([7, 8], pa.int64()),
+        }
+    )
+    pq.write_table(g0, str(tmp_path / "gen-0.parquet"))
+    pq.write_table(g1, str(tmp_path / "gen-1.parquet"))
+    got = sorted(read_union_by_name(str(tmp_path)).take_all(), key=lambda r: r["id"])
+    assert [set(r.keys()) for r in got] == [{"id", "a", "b"}] * 4
+    assert got[0]["a"] == "x" and got[0]["b"] is None
+    assert got[3]["a"] is None and got[3]["b"] == 8
+    # type drift raises loudly, naming the column
+    bad = pa.table({"id": pa.array([4], pa.int64()), "a": pa.array([1.5], pa.float64())})
+    pq.write_table(bad, str(tmp_path / "gen-2.parquet"))
+    with _pytest.raises(TypeError, match="'a' drifted"):
+        union_schema([str(tmp_path / f"gen-{i}.parquet") for i in range(3)])

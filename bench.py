@@ -279,6 +279,10 @@ QUERY_SUBSET = [
     "user_entropy_by_type",
     "embedding_pca",
     "posting_lists",
+    "orc_ingest",
+    "evolving_ingest",
+    "local_supplier_revenue",
+    "daily_growth",
 ]
 
 

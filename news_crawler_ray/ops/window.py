@@ -1377,3 +1377,108 @@ def watermark_window_counts(
             "n_late": merged["n_late_sum"].cast(pa.int64()),
         }
     )
+
+
+# ----------------------------------------------------- time-weighted mean
+
+
+@ray.remote
+def _twap_block(
+    key_col: str, ts_col: str, id_col: str, val_col: str, *parts: pa.Table
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    # parts arrive key-complete and sorted by (key, ts, id)
+    keys = t[key_col].combine_chunks()
+    ts = np.asarray(pc.cast(t[ts_col].combine_chunks(), pa.int64()))
+    c = np.asarray(t[val_col], dtype=np.int64)
+    n = t.num_rows
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(
+            keys.slice(1), keys.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    # LOCF integral: each sample holds until the next one; the key's
+    # last sample carries no weight (the window closes at max ts)
+    w = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        w[:-1] = ts[1:] - ts[:-1]
+    w[np.roll(new_key, -1)] = 0  # zero the weight at each key's end
+    # overflow guard on the ACTUAL terms (float64 bound, 2^-52 rel
+    # error is irrelevant at the 2^62 margin): every |c·Δ| product and
+    # the running |Σ| must stay inside int64
+    prod = np.abs(c).astype(np.float64) * w.astype(np.float64)
+    if n and (prod.max() > float(1 << 62) or prod.sum() > float(1 << 62)):
+        raise ValueError(
+            f"time_weighted_avg: per-block Σ|c·Δ| ≈ {prod.sum():.3g} "
+            f"may overflow int64 (rows={n}); scale the value down or "
+            "narrow the time window"
+        )
+    term = c * w
+    starts = np.flatnonzero(new_key)
+    ends = np.concatenate([starts[1:], [n]])
+    cs = np.concatenate([[0], np.cumsum(term)])
+    num = cs[ends] - cs[starts]
+    return pa.table(
+        {
+            key_col: keys.take(pa.array(starts)),
+            "n_events": pa.array(ends - starts, pa.int64()),
+            "dur_us": pa.array(ts[ends - 1] - ts[starts], pa.int64()),
+            "num": pa.array(num, pa.int64()),
+        }
+    )
+
+
+def time_weighted_avg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+) -> pa.Table:
+    """Per-key TIME-weighted mean (TWAP) of an integer value column:
+    each sample holds (LOCF) until the key's next sample, so
+
+        twap = Σ value_i · (t_{i+1} − t_i)  /  (t_last − t_first)
+
+    — the irregular-sampling average a last-price/sensor series needs,
+    where the plain mean over-weights bursts. ONE key-complete exchange
+    (sort by (key, ts, id), boundary-run donation), vectorized
+    cumsum-diff per block, integer-exact numerator/denominator with a
+    loud per-block overflow guard; the ONLY float is the final
+    num/dur division (one correctly-rounded cast each) — bit-identical
+    at any layout and to a SQL HUGEINT lead()-weighted formula.
+    Single-sample keys (zero duration) emit null."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col, order=[ts_col, id_col])
+    if not groups:
+        return pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "twap": pa.array([], pa.float64()),
+            }
+        )
+    parts = ray.get(
+        [
+            _twap_block.remote(key_col, ts_col, id_col, val_col, *p)
+            for p in groups
+        ]
+    )
+    merged = pa.concat_tables(parts)
+    idx = pc.sort_indices(merged, sort_keys=[(key_col, "ascending")])
+    merged = merged.take(idx)
+    num = merged["num"].to_pylist()
+    dur = merged["dur_us"].to_pylist()
+    twap = [
+        (float(a) / float(d)) if d else None for a, d in zip(num, dur)
+    ]
+    return pa.table(
+        {
+            key_col: merged[key_col],
+            "n_events": merged["n_events"],
+            "twap": pa.array(twap, pa.float64()),
+        }
+    )

@@ -3075,6 +3075,38 @@ def q_value_trend(sf_dir: str):
     )
 
 
+def q_user_twap(sf_dir: str):
+    """Per-user TIME-weighted mean of value in cents
+    (ops/window.time_weighted_avg): LOCF integral over irregular
+    samples — Σ c·Δt / total-duration on ONE key-complete exchange,
+    integer-exact numerator/denominator, one float division at the
+    end; bit-identical to the SQL lead()-weighted HUGEINT oracle."""
+    from ..ops.window import time_weighted_avg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    return time_weighted_avg(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "ts",
+        "event_id",
+        "c",
+    )
+
+
 def q_daily_growth(sf_dir: str):
     """Period-over-period report: per type the day-over-day event-count
     delta and percent change. Counts via the zero-exchange combiner
@@ -4282,6 +4314,19 @@ ORACLE_SQL.update(
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
         ),
+        "user_twap": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
+            "CAST(round(value*100) AS BIGINT) AS c, event_id FROM events), "
+            "w AS (SELECT user_id, c, t, lead(t) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id) AS nxt FROM s), "
+            "m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "sum(CAST(c AS HUGEINT) * CAST(coalesce(nxt - t, 0) AS HUGEINT)) "
+            "AS num, CAST(max(t) - min(t) AS HUGEINT) AS dur "
+            "FROM w GROUP BY user_id) "
+            "SELECT user_id, n_events, "
+            "CAST(num AS DOUBLE)/CAST(nullif(dur, 0) AS DOUBLE) AS twap "
+            "FROM m ORDER BY user_id"
+        ),
         "daily_growth": (
             "WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, "
             "CAST(count(*) AS BIGINT) AS n FROM events "
@@ -4684,6 +4729,7 @@ def build_queries() -> dict:
         "value_trend": q_value_trend,
         "local_supplier_revenue": q_local_supplier_revenue,
         "daily_growth": q_daily_growth,
+        "user_twap": q_user_twap,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

@@ -1687,3 +1687,57 @@ def test_local_supplier_revenue_vs_duckdb(sf_dir):
     # descending revenue order
     revs = [r["revenue_cents"] for r in got]
     assert revs == sorted(revs, reverse=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_weighted_avg_brute_force():
+    from news_crawler_ray.ops.window import time_weighted_avg
+
+    # hand case: user 1 holds 100 cents for 3 s then 400 for 1 s
+    # twap = (100*3 + 400*1)/4 = 175; user 2 single sample -> null
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 3_000_000, 4_000_000, 5], pa.timestamp("us")),
+            "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "c": pa.array([100, 400, 999, 7], pa.int64()),
+        }
+    )
+    for nblocks in (1, 3):
+        rows = {r["user_id"]: r for r in time_weighted_avg(
+            _ds(tbl, nblocks), "user_id", "ts", "event_id", "c"
+        ).to_pylist()}
+        assert rows[1]["twap"] == 175.0 and rows[1]["n_events"] == 3
+        assert rows[2]["twap"] is None
+
+    # random multi-user case vs brute force, layout invariant
+    rng = np.random.default_rng(17)
+    n = 400
+    users = rng.integers(0, 20, n)
+    ts = rng.integers(0, 10**9, n)
+    c = rng.integers(-500, 500, n)
+    big = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "c": pa.array(c, pa.int64()),
+        }
+    )
+
+    def brute(u):
+        m = users == u
+        order = np.lexsort((np.arange(n)[m], ts[m]))
+        t_s, c_s = ts[m][order], c[m][order]
+        if len(t_s) < 2 or t_s[-1] == t_s[0]:
+            return None
+        num = int(np.sum(c_s[:-1].astype(object) * np.diff(t_s).astype(object)))
+        return float(num) / float(int(t_s[-1] - t_s[0]))
+
+    out1 = {r["user_id"]: r["twap"] for r in time_weighted_avg(
+        _ds(big, 1), "user_id", "ts", "event_id", "c").to_pylist()}
+    out7 = {r["user_id"]: r["twap"] for r in time_weighted_avg(
+        _ds(big, 7), "user_id", "ts", "event_id", "c").to_pylist()}
+    assert out1 == out7
+    for u in set(users.tolist()):
+        assert out1[u] == brute(u)

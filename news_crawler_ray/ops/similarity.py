@@ -83,12 +83,15 @@ def knn_brute_force(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exclude_self: bool = True,
-    concurrency: int | tuple = 2,
+    concurrency: int | tuple = (1, 4),
 ):
     """Exact cosine top-k neighbors for each query vector.
 
     Output: (query_id, neighbor_id, score) — k rows per query, ties
     broken by smaller neighbor_id (deterministic at any parallelism).
+    The scorer pool AUTOSCALES from 1: a fixed min of 2 actors per pool
+    deadlocks a 4-CPU host once two pools chain in one plan (ivf assign
+    + brute verify reserve every CPU and the read tasks starve).
     """
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
     partial = ds.map_batches(
@@ -315,7 +318,7 @@ def knn_ivf(
         fn_constructor_kwargs={"centroids_ref": c_ref, "vec_col": vec_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 4),  # autoscale: see knn_brute_force's pool note
     )
     Cn = _normalize(np.asarray(centroids, dtype=np.float64))
     Qn = _normalize(np.asarray(query_matrix, dtype=np.float64))

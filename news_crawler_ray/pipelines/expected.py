@@ -875,6 +875,47 @@ def expected_kmeans(sf_dir: str) -> pa.Table:
 
 
 @lru_cache(maxsize=4)
+def expected_knn_recall(sf_dir: str) -> pa.Table:
+    """Sequential recall@10 of the IVF path vs an exact scan: the IVF
+    side reuses expected_knn_ivf (same centroids/probe pruning); the
+    exact side is one dense matmul with the same (score desc, id) tie
+    rule as knn_brute_force."""
+    approx = expected_knn_ivf(sf_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+
+    def norm(M):
+        return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+    En, Qn = norm(E), norm(E[:5])
+    q_ids = ids[:5]
+    ap: dict[int, set] = {}
+    for q, nbr in zip(
+        approx["query_id"].to_pylist(), approx["neighbor_id"].to_pylist()
+    ):
+        ap.setdefault(q, set()).add(nbr)
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        scores = En @ Qn[qi]
+        order = sorted(
+            range(len(E)), key=lambda r: (-scores[r], ids[r])
+        )
+        picked = [r for r in order if ids[r] != qid][:10]
+        exact = {int(ids[r]) for r in picked}
+        hits = len(exact & ap.get(int(qid), set()))
+        rows.append(
+            {
+                "query_id": int(qid),
+                "n_hits": hits,
+                "recall": float(hits) / float(len(exact)),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_user_entropy(sf_dir: str, scale_bits: int = 20) -> pa.Table:
     """Sequential re-derivation of ops/agg.group_entropy over events:
     plain dict-of-Counters, per-type fixed-point term sum in Python
@@ -1019,6 +1060,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["ipc_ingest"] = values_sql(expected_jsonl_ingest())
     sql["orc_ingest"] = values_sql(expected_jsonl_ingest())
     sql["evolving_ingest"] = values_sql(expected_evolving_ingest())
+    sql["knn_recall"] = values_sql(expected_knn_recall(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

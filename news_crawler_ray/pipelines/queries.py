@@ -1162,6 +1162,51 @@ def q_embedding_pca(sf_dir: str):
     )
 
 
+def q_knn_recall(sf_dir: str):
+    """ANN quality evaluation — recall@10 of the IVF scale path against
+    the exact brute-force scan, SAME queries/centroids as knn_ivf: both
+    sides run distributed (broadcast queries, per-block partial top-k),
+    the Q×k result tables land driver-side (config-scale), recall is
+    one integer intersection per query + one float division. The eval
+    harness an ANN deployment gates on before swapping in a pruned
+    index."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    head_schema = pa.schema(
+        [pf.schema_arrow.field("vec_id"), pf.schema_arrow.field("embedding")]
+    )
+    batches, need = [], 2000
+    for b in pf.iter_batches(batch_size=2048, columns=["vec_id", "embedding"]):
+        batches.append(b)
+        need -= b.num_rows
+        if need <= 0:
+            break
+    tbl = pa.Table.from_batches(batches, schema=head_schema).slice(0, 2000)
+    E = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    C = sim.train_centroids(E, nlist=16)
+    q_ids = np.asarray(tbl["vec_id"], dtype=np.int64)[:5]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    approx = sim.knn_ivf(ds, q_ids, E[:5], C, k=10, nprobe=8).take_all()
+    exact = sim.knn_brute_force(ds, q_ids, E[:5], k=10).take_all()
+    ap: dict[int, set] = {}
+    ex: dict[int, set] = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rows = []
+    for qid in sorted(ex):
+        hits = len(ex[qid] & ap.get(qid, set()))
+        k = len(ex[qid])
+        rows.append(
+            {
+                "query_id": qid,
+                "n_hits": hits,
+                "recall": float(hits) / float(k),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic stratified sampling: content-stable Bernoulli by
     md5(doc_id) with per-language fractions (downsample dominant
@@ -4730,6 +4775,7 @@ def build_queries() -> dict:
         "local_supplier_revenue": q_local_supplier_revenue,
         "daily_growth": q_daily_growth,
         "user_twap": q_user_twap,
+        "knn_recall": q_knn_recall,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

@@ -1339,3 +1339,15 @@ def test_posting_lists_sorted_and_distinct(ray_session):
             "banana": (2, [1, 3]),
             "cherry": (1, [1]),
         }
+
+
+def test_knn_recall_eval(ray_session):
+    from news_crawler_ray.pipelines.queries import q_knn_recall
+
+    rows = q_knn_recall("/root/testdata/sf0.001").to_pylist()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["recall"] == r["n_hits"] / 10
+    # IVF with nprobe=8 of nlist=16 should find most true neighbors
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.6

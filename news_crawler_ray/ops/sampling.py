@@ -252,3 +252,40 @@ def budget_allocate(
             "quota": pa.array(quota, pa.int64()),
         }
     )
+
+
+# ------------------------------------------- per-row weighted sampling
+
+
+def weight_sample_batch(
+    batch: pa.Table, key_col: str, p: np.ndarray
+) -> pa.Table:
+    """Keep row i with probability ``p[i]`` (importance sampling),
+    content-stable: the keep decision is md5(key) < p-scaled cutoff, so
+    the same row keeps the same fate across reruns/parallelism and the
+    DuckDB oracle reproduces the exact sample (weight_sample_sql). The
+    per-row cutoff is the same int(f·16⁸) quantization as
+    :func:`fraction_threshold_hex`; ``p >= 1`` always keeps."""
+    if batch.num_rows == 0:
+        return batch
+    prefixes = _digest_prefixes(batch[key_col])
+    cut = np.array(
+        [
+            "g" if x >= 1.0 else format(min(int(x * _HEX_SPAN), _HEX_SPAN - 1), "08x")
+            for x in p
+        ],
+        dtype="U8",
+    )
+    return batch.filter(pa.array(prefixes < cut))
+
+
+def weight_sample_sql(key_col: str, p_expr: str) -> str:
+    """The oracle-side predicate: identical quantization, hex-string
+    comparison (lower(to_hex(..)) — DuckDB hex is uppercase, md5 is
+    lowercase)."""
+    return (
+        f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 8) < "
+        f"CASE WHEN ({p_expr}) >= 1 THEN 'g' ELSE "
+        f"lpad(lower(to_hex(CAST(least(floor(({p_expr}) * {_HEX_SPAN}), "
+        f"{_HEX_SPAN - 1}) AS BIGINT))), 8, '0') END"
+    )

@@ -1218,6 +1218,25 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+def q_value_weighted_sample(sf_dir: str):
+    """Per-row IMPORTANCE sampling: each event kept with probability
+    ∝ its value (p = cents/20000, clamped) — the upweight-the-rare
+    selection a curation pass uses for high-signal rows. Content-stable
+    md5 decision per row (ops/sampling.weight_sample_batch), one
+    streaming filter, no shuffle; the oracle reproduces the exact
+    sample via the shared quantized-cutoff predicate."""
+    from ..ops.sampling import weight_sample_batch
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100)
+        p = np.minimum(c / 20000.0, 1.0)
+        return weight_sample_batch(t, "event_id", p)
+
+    return ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 SAMPLED_Q_FRACTION = 0.25
 
 
@@ -4359,6 +4378,13 @@ ORACLE_SQL.update(
             "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * "
             "sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy FROM m"
         ),
+        "value_weighted_sample": (
+            "SELECT event_id, value FROM events WHERE "
+            + sp.weight_sample_sql(
+                "event_id",
+                "least(CAST(round(value*100) AS DOUBLE)/20000, 1.0)",
+            )
+        ),
         "user_twap": (
             "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
             "CAST(round(value*100) AS BIGINT) AS c, event_id FROM events), "
@@ -4776,6 +4802,7 @@ def build_queries() -> dict:
         "daily_growth": q_daily_growth,
         "user_twap": q_user_twap,
         "knn_recall": q_knn_recall,
+        "value_weighted_sample": q_value_weighted_sample,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

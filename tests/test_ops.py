@@ -1351,3 +1351,40 @@ def test_knn_recall_eval(ray_session):
         assert r["recall"] == r["n_hits"] / 10
     # IVF with nprobe=8 of nlist=16 should find most true neighbors
     assert sum(r["recall"] for r in rows) / len(rows) >= 0.6
+
+
+def test_weight_sample_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from news_crawler_ray.ops.sampling import weight_sample_batch, weight_sample_sql
+
+    n = 2000
+    ids = np.arange(n)
+    w = (ids % 100).astype(np.float64) / 50.0  # p in [0, 2): exercises clamp
+    tbl = pa.table({"k": pa.array(ids, pa.int64()), "w": pa.array(w, pa.float64())})
+
+    def keep(t):
+        return weight_sample_batch(t, "k", np.asarray(t["w"], np.float64))
+
+    got = sorted(
+        r["k"]
+        for r in rd.from_arrow(tbl).repartition(4).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    pred = weight_sample_sql("k", "w")
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT k FROM tbl WHERE {pred}"
+        ).fetchall()
+    )
+    assert got == want
+    # p >= 1 rows (w in [1,2)) are ALL kept; p == 0 rows never
+    kept = set(got)
+    assert all(i in kept for i in ids if w[i] >= 1.0)
+    assert all(i not in kept for i in ids if w[i] == 0.0)
+    # keep rate tracks the mean probability
+    exp = np.minimum(w, 1.0).mean()
+    assert abs(len(got) / n - exp) < 0.05

@@ -916,6 +916,45 @@ def expected_knn_recall(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_type_drift(sf_dir: str) -> pa.Table:
+    """Sequential re-derivation of q_type_drift: one pass for the ts
+    range, Counter per half, identical float expressions."""
+    from collections import Counter
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+    us = np.asarray(t["ts"].cast(pa.int64()))
+    mid = (int(us.min()) + int(us.max())) // 2
+    types = t["event_type"].to_pylist()
+    first: Counter = Counter()
+    second: Counter = Counter()
+    for u, ty in zip(us, types):
+        (second if u >= mid else first)[ty] += 1
+    ta, tb = sum(first.values()), sum(second.values())
+    rows = []
+    for ty in sorted(set(first) | set(second)):
+        a, b = first.get(ty, 0), second.get(ty, 0)
+        sa = float(np.float64(a) / np.float64(ta)) if ta else None
+        sb = float(np.float64(b) / np.float64(tb)) if tb else None
+        kl = (
+            float(np.float64(sa) * np.log2(np.float64(sa) / np.float64(sb)))
+            if a and b
+            else None
+        )
+        rows.append(
+            {
+                "event_type": ty,
+                "n_first": a,
+                "n_second": b,
+                "share_first": sa,
+                "share_second": sb,
+                "kl_term": kl,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_user_entropy(sf_dir: str, scale_bits: int = 20) -> pa.Table:
     """Sequential re-derivation of ops/agg.group_entropy over events:
     plain dict-of-Counters, per-type fixed-point term sum in Python
@@ -1061,6 +1100,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["orc_ingest"] = values_sql(expected_jsonl_ingest())
     sql["evolving_ingest"] = values_sql(expected_evolving_ingest())
     sql["knn_recall"] = values_sql(expected_knn_recall(sf_dir))
+    sql["type_drift"] = values_sql(expected_type_drift(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

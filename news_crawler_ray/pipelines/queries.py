@@ -3224,6 +3224,80 @@ def q_daily_growth(sf_dir: str):
     )
 
 
+def q_type_drift(sf_dir: str):
+    """Distribution-drift audit: the event-type mix of the data's first
+    time-half vs its second (corpus drift detection before a training
+    refresh). ONE combiner pass finds the global (min,max) ts, the
+    split point is exact integer midpoint; a second combiner pass
+    counts per (type, half) — zero exchanges. Shares and the per-type
+    KL contribution p·log2(p/q) are floats computed from EXACT integer
+    counts in one fixed expression — bit-identical to the sequential
+    Counter oracle (expected.expected_type_drift); a type absent from
+    either half yields null kl_term."""
+    from ..ops.agg import partial_group_agg
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def ts_range(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())}
+            )
+        us = pc.cast(t["ts"].combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "mn": pa.array([pc.min(us).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(us).as_py()], pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(
+        ts_range, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    mid = (min(r["mn"] for r in parts) + max(r["mx"] for r in parts)) // 2
+
+    def with_half(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(t["ts"].combine_chunks(), pa.int64()))
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "half": pa.array((us >= mid).astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = partial_group_agg(
+        ev.map_batches(with_half, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "half"],
+        [("n", "count_all", None)],
+    )
+    first: dict[str, int] = {}
+    second: dict[str, int] = {}
+    for r in counts.to_pylist():
+        (second if r["half"] else first)[r["event_type"]] = r["n"]
+    ta, tb = sum(first.values()), sum(second.values())
+    rows = []
+    for ty in sorted(set(first) | set(second)):
+        a, b = first.get(ty, 0), second.get(ty, 0)
+        sa = float(np.float64(a) / np.float64(ta)) if ta else None
+        sb = float(np.float64(b) / np.float64(tb)) if tb else None
+        kl = (
+            float(np.float64(sa) * np.log2(np.float64(sa) / np.float64(sb)))
+            if a and b
+            else None
+        )
+        rows.append(
+            {
+                "event_type": ty,
+                "n_first": a,
+                "n_second": b,
+                "share_first": sa,
+                "share_second": sb,
+                "kl_term": kl,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def q_user_entropy_by_type(sf_dir: str):
     """Per-type Shannon entropy (bits) of the user-id distribution —
     audience diversity (ops/agg.group_entropy): exact (type,user)
@@ -4803,6 +4877,7 @@ def build_queries() -> dict:
         "user_twap": q_user_twap,
         "knn_recall": q_knn_recall,
         "value_weighted_sample": q_value_weighted_sample,
+        "type_drift": q_type_drift,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

@@ -1741,3 +1741,19 @@ def test_time_weighted_avg_brute_force():
     assert out1 == out7
     for u in set(users.tolist()):
         assert out1[u] == brute(u)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_type_drift_terms(sf_dir):
+    from news_crawler_ray.pipelines.expected import expected_type_drift
+    from news_crawler_ray.pipelines.queries import q_type_drift
+
+    got = q_type_drift(sf_dir).to_pylist()
+    want = expected_type_drift(sf_dir).to_pylist()
+    assert got == want  # bit-exact vs the sequential Counter oracle
+    # shares sum to 1 on each side, KL terms are finite where defined
+    assert abs(sum(r["share_first"] for r in got) - 1.0) < 1e-12
+    assert abs(sum(r["share_second"] for r in got) - 1.0) < 1e-12
+    for r in got:
+        if r["kl_term"] is not None:
+            assert np.isfinite(r["kl_term"])

@@ -283,6 +283,10 @@ QUERY_SUBSET = [
     "evolving_ingest",
     "local_supplier_revenue",
     "daily_growth",
+    "user_twap",
+    "knn_recall",
+    "value_weighted_sample",
+    "type_drift",
 ]
 
 

@@ -3224,6 +3224,76 @@ def q_daily_growth(sf_dir: str):
     )
 
 
+def q_value_gini(sf_dir: str):
+    """Concentration audit — Gini coefficient of per-user total value:
+    the one-number skew check (is 1% of users 90% of the volume?) a
+    curation/crawl-budget pass runs before partitioning by that key.
+    Per-user totals on the sorted exchange → ONE global rank sort
+    (stages/index.zip_with_index) → per-block integer partials of
+    Σ(2i−1)·c with a loud overflow guard, arbitrary-precision driver
+    merge; gini = (w − n·s)/(n·s) with one correctly-rounded cast per
+    float — bit-identical to the SQL HUGEINT row_number oracle."""
+    from ..ops.agg import sorted_group_agg
+    from ..stages.index import zip_with_index
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {"user_id": t["user_id"], "cents": pa.array(c, pa.int64())}
+        )
+
+    totals = sorted_group_agg(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("c", "sum", "cents")],
+    )
+    ranked = zip_with_index(totals, ["c", "user_id"], [False, False], rank_col="i0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        c = np.asarray(t["c"], dtype=np.int64)
+        i0 = np.asarray(t["i0"], dtype=np.int64)
+        coef = 2 * i0 + 1
+        prod = np.abs(c).astype(np.float64) * coef.astype(np.float64)
+        if prod.max() * t.num_rows > float(1 << 62):
+            raise ValueError(
+                "value_gini: per-block Σ(2i−1)·c may overflow int64; "
+                "shrink the block size or scale the value down"
+            )
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "w": pa.array([int((coef * c).sum())], pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts)
+    w = sum(r["w"] for r in parts)
+    gini = float(w - n * s) / float(n * s) if n and s else None
+    return pa.table(
+        {
+            "n_users": pa.array([n], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
 def q_type_drift(sf_dir: str):
     """Distribution-drift audit: the event-type mix of the data's first
     time-half vs its second (corpus drift detection before a training
@@ -4459,6 +4529,19 @@ ORACLE_SQL.update(
                 "least(CAST(round(value*100) AS DOUBLE)/20000, 1.0)",
             )
         ),
+        "value_gini": (
+            "WITH u AS (SELECT user_id, "
+            "sum(CAST(round(value*100) AS BIGINT)) AS c FROM events "
+            "GROUP BY user_id), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c, user_id) AS i "
+            "FROM u), "
+            "m AS (SELECT CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(c AS HUGEINT)) AS s, "
+            "sum((2*CAST(i AS HUGEINT) - 1) * CAST(c AS HUGEINT)) AS w "
+            "FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_users, "
+            "CAST(w - n*s AS DOUBLE) / CAST(n*s AS DOUBLE) AS gini FROM m"
+        ),
         "user_twap": (
             "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
             "CAST(round(value*100) AS BIGINT) AS c, event_id FROM events), "
@@ -4878,6 +4961,7 @@ def build_queries() -> dict:
         "knn_recall": q_knn_recall,
         "value_weighted_sample": q_value_weighted_sample,
         "type_drift": q_type_drift,
+        "value_gini": q_value_gini,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

@@ -1757,3 +1757,19 @@ def test_type_drift_terms(sf_dir):
     for r in got:
         if r["kl_term"] is not None:
             assert np.isfinite(r["kl_term"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_gini_properties(sf_dir):
+    from news_crawler_ray.pipelines.queries import q_value_gini
+
+    row = q_value_gini(sf_dir).to_pylist()[0]
+    assert 0.0 <= row["gini"] < 1.0 and row["n_users"] > 0
+
+    # hand case via the same kernel: perfectly equal totals -> gini 0
+    import numpy as np
+
+    c = np.array([5, 5, 5, 5], dtype=np.int64)
+    i = np.arange(1, 5)
+    n, s, w = 4, int(c.sum()), int(((2 * i - 1) * c).sum())
+    assert (w - n * s) == 0

@@ -3224,6 +3224,38 @@ def q_daily_growth(sf_dir: str):
     )
 
 
+def q_shuffle_positions(sf_dir: str):
+    """Seeded DETERMINISTIC global shuffle — training-order
+    randomization that is reproducible across reruns and cluster
+    shapes: order = md5(doc_id || seed), realized as ONE range-partition
+    sort on the digest + zip_with_index; no RNG state, so resharding or
+    resuming an epoch reproduces byte-identical order. Output:
+    (shuffle_pos, doc_id)."""
+    from ..stages.index import zip_with_index
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    seed = "ep0"
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_pylist()
+        h = [
+            hashlib.md5(f"{i}-{seed}".encode()).hexdigest() for i in ids
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "h": pa.array(h, pa.string())}
+        )
+
+    hashed = ds.map_batches(digest, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = zip_with_index(hashed, ["h", "doc_id"], [False, False], rank_col="shuffle_pos")
+    return ranked.map_batches(
+        lambda t: t.select(["shuffle_pos", "doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_value_gini(sf_dir: str):
     """Concentration audit — Gini coefficient of per-user total value:
     the one-number skew check (is 1% of users 90% of the volume?) a
@@ -3412,36 +3444,52 @@ def q_local_supplier_revenue(sf_dir: str):
     }
     asia_keys = pa.array(sorted(nkey_to_name), pa.int64())
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-        lambda t: pa.table(
-            {"o_custkey": t["c_custkey"], "c_nationkey": t["c_nationkey"]}
-        ).filter(pc.is_in(t["c_nationkey"], value_set=asia_keys)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # customer is a DIMENSION (TPC-H: SF·150k rows of two ints) —
+    # broadcast the custkey→nationkey probe once instead of a third
+    # key-complete exchange, with the engine's standard ≤1 GiB bound;
+    # past the bound fall back to sort_merge_inner_join(ord_f, cust).
+    cust_tbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
     )
+    if cust_tbl.nbytes > (1 << 30):
+        raise ValueError(
+            "q_local_supplier_revenue: customer dim exceeds the 1 GiB "
+            "broadcast bound — route through sort_merge_inner_join"
+        )
+    c_order = np.argsort(np.asarray(cust_tbl["c_custkey"], dtype=np.int64))
+    c_keys = ray.put(np.asarray(cust_tbl["c_custkey"], dtype=np.int64)[c_order])
+    c_nats = ray.put(
+        np.asarray(cust_tbl["c_nationkey"], dtype=np.int64)[c_order]
+    )
+    asia_np = np.asarray(asia_keys)
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), pa.timestamp("us"))
     hi = pa.scalar(np.datetime64("1997-01-01", "us"), pa.timestamp("us"))
-    ord_f = _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(
-        lambda t: t.filter(
+
+    def orders_probe(t: pa.Table) -> pa.Table:
+        f = t.filter(
             pc.and_(
                 pc.greater_equal(t["o_orderdate"], lo),
                 pc.less(t["o_orderdate"], hi),
             )
-        ).select(["o_orderkey", "o_custkey"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    oc = sort_merge_inner_join(
-        ord_f, cust, "o_custkey", ["o_orderkey"], ["c_nationkey"]
-    ).map_batches(
-        lambda t: pa.table(
-            {"l_orderkey": t["o_orderkey"], "c_nationkey": t["c_nationkey"]}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+        )
+        keys, nats = ray.get(c_keys), ray.get(c_nats)
+        ck = np.asarray(f["o_custkey"], dtype=np.int64)
+        ix = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        nat = np.where(keys[ix] == ck, nats[ix], -1)
+        keep = np.isin(nat, asia_np)
+        return pa.table(
+            {
+                "l_orderkey": f["o_orderkey"].combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "c_nationkey": pa.array(nat[keep], pa.int64()),
+            }
+        )
+
+    oc = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_probe, batch_format="pyarrow", zero_copy_batch=True)
 
     def li_cents(t: pa.Table) -> pa.Table:
         p = np.asarray(t["l_extendedprice"], dtype=np.float64)
@@ -4529,6 +4577,11 @@ ORACLE_SQL.update(
                 "least(CAST(round(value*100) AS DOUBLE)/20000, 1.0)",
             )
         ),
+        "shuffle_positions": (
+            "SELECT CAST(row_number() OVER (ORDER BY "
+            "md5(CAST(doc_id AS VARCHAR) || '-ep0'), doc_id) - 1 AS BIGINT) "
+            "AS shuffle_pos, doc_id FROM documents"
+        ),
         "value_gini": (
             "WITH u AS (SELECT user_id, "
             "sum(CAST(round(value*100) AS BIGINT)) AS c FROM events "
@@ -4962,6 +5015,7 @@ def build_queries() -> dict:
         "value_weighted_sample": q_value_weighted_sample,
         "type_drift": q_type_drift,
         "value_gini": q_value_gini,
+        "shuffle_positions": q_shuffle_positions,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

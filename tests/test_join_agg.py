@@ -1773,3 +1773,21 @@ def test_value_gini_properties(sf_dir):
     i = np.arange(1, 5)
     n, s, w = 4, int(c.sum()), int(((2 * i - 1) * c).sum())
     assert (w - n * s) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_positions_deterministic(sf_dir):
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_shuffle_positions
+
+    a = {r["doc_id"]: r["shuffle_pos"] for r in q_shuffle_positions(sf_dir).take_all()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in q_shuffle_positions(sf_dir).take_all()}
+    assert a == b  # rerun-reproducible
+    ids = pq.read_table(sf_dir + "/documents.parquet", columns=["doc_id"])["doc_id"].to_pylist()
+    order = sorted(ids, key=lambda i: (hashlib.md5(f"{i}-ep0".encode()).hexdigest(), i))
+    assert a == {i: p for p, i in enumerate(order)}
+    # positions are a permutation
+    assert sorted(a.values()) == list(range(len(ids)))

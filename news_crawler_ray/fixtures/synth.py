@@ -651,3 +651,33 @@ def make_sitemaps(n: int = 30, seed: int = 42) -> pa.Table:
     return pa.table(
         {"sitemap_id": pa.array(ids, pa.string()), "xml": pa.array(xmls, pa.string())}
     )
+
+
+def make_entity_names(n: int = 120, seed: int = 42) -> tuple[list[dict], list[dict]]:
+    """Deterministic record-linkage fixture: canonical entity names and
+    a dirty variant list (swapped interior chars / one dropped char —
+    edit distance 1-2, first byte untouched so blocking keeps every
+    true pair). Pure Python so the oracle re-renders the same rows as
+    inline SQL VALUES."""
+    import random
+
+    r = random.Random(f"entities-{seed}")
+    adjs = ["amber", "brisk", "coral", "dusky", "ember", "frost", "gale", "husk"]
+    nouns = ["anchor", "beacon", "cairn", "delta", "ridge", "spire", "vale", "wharf"]
+    canon = [
+        {"id": i, "s": f"{adjs[i % 8]}-{nouns[(i * 3) % 8]}-{i:04d}"}
+        for i in range(n)
+    ]
+    dirty = []
+    for i in range(n):
+        s = canon[i]["s"]
+        k = r.randrange(3)
+        if k == 0:  # swap chars 2,3
+            s2 = s[:2] + s[3] + s[2] + s[4:]
+        elif k == 1:  # drop char 4
+            s2 = s[:4] + s[5:]
+        else:  # swap 2,3 AND drop 6 -> distance 2-3
+            t = s[:2] + s[3] + s[2] + s[4:]
+            s2 = t[:6] + t[7:]
+        dirty.append({"id": 10_000 + i, "s": s2})
+    return canon, dirty

@@ -3256,6 +3256,22 @@ def q_shuffle_positions(sf_dir: str):
     )
 
 
+def q_fuzzy_entity_join(sf_dir: str):
+    """Record-linkage fuzzy join (ops/text.fuzzy_match_join): dirty
+    entity names matched to canonical ones at Levenshtein ≤ 2 after
+    first-character blocking — candidate generation is ONE
+    key-complete exchange on the block, verify is the bit-parallel
+    Myers kernel. Oracle: REAL SQL (same blocking predicate + DuckDB
+    levenshtein) over the shared deterministic fixture."""
+    from ..fixtures.synth import make_entity_names
+    from ..ops.text import fuzzy_match_join
+
+    canon, dirty = make_entity_names()
+    left = ray.data.from_arrow(pa.Table.from_pylist(dirty))
+    right = ray.data.from_arrow(pa.Table.from_pylist(canon))
+    return fuzzy_match_join(left, right, id_col="id", s_col="s", max_dist=2)
+
+
 def q_value_gini(sf_dir: str):
     """Concentration audit — Gini coefficient of per-user total value:
     the one-number skew check (is 1% of users 90% of the volume?) a
@@ -4889,6 +4905,25 @@ def _sitemap_oracle_sql() -> str:
     )
 
 
+def _fuzzy_entity_oracle_sql() -> str:
+    """REAL SQL re-derivation of q_fuzzy_entity_join: the same
+    first-character block predicate + DuckDB levenshtein over the
+    shared fixture rendered as inline VALUES."""
+    from ..fixtures.synth import make_entity_names
+    from .expected import values_sql
+
+    canon, dirty = make_entity_names()
+    l_sql = values_sql(pa.Table.from_pylist(dirty))
+    r_sql = values_sql(pa.Table.from_pylist(canon))
+    return (
+        f"WITH L AS ({l_sql}), R AS ({r_sql}) "
+        "SELECT L.id AS left_id, R.id AS right_id, "
+        "CAST(levenshtein(L.s, R.s) AS BIGINT) AS dist "
+        "FROM L JOIN R ON substr(L.s, 1, 1) = substr(R.s, 1, 1) "
+        "WHERE levenshtein(L.s, R.s) <= 2 ORDER BY left_id, right_id"
+    )
+
+
 def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Full oracle dict: static SQL over the sf views + the independent
     sequential-oracle statements (pipelines/expected.py) for the
@@ -4900,6 +4935,7 @@ def build_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     out["url_trap_flags"] = _trap_oracle_sql()
     out["resolve_redirects"] = _redirects_oracle_sql()
     out["sitemap_urls"] = _sitemap_oracle_sql()
+    out["fuzzy_entity_join"] = _fuzzy_entity_oracle_sql()
     out.update(expected_oracle_sql(sf_dir))
     return out
 
@@ -5016,6 +5052,7 @@ def build_queries() -> dict:
         "type_drift": q_type_drift,
         "value_gini": q_value_gini,
         "shuffle_positions": q_shuffle_positions,
+        "fuzzy_entity_join": q_fuzzy_entity_join,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

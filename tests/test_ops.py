@@ -1388,3 +1388,34 @@ def test_weight_sample_matches_duckdb(ray_session):
     # keep rate tracks the mean probability
     exp = np.minimum(w, 1.0).mean()
     assert abs(len(got) / n - exp) < 0.05
+
+
+def test_fuzzy_match_join_blocking_and_verify(ray_session):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import fuzzy_match_join
+
+    left = pa.Table.from_pylist(
+        [
+            {"id": 1, "s": "amber-cairn-0001"},   # exact -> dist 0
+            {"id": 2, "s": "ambre-cairn-0001"},   # swap -> dist 2
+            {"id": 3, "s": "Xmber-cairn-0001"},   # first byte differs: BLOCKED out
+            {"id": 4, "s": "zzzzzz"},             # same block as nothing
+        ]
+    )
+    right = pa.Table.from_pylist(
+        [
+            {"id": 100, "s": "amber-cairn-0001"},
+            {"id": 101, "s": "amber-beacon-0002"},
+        ]
+    )
+    for nblocks in (1, 2):
+        got = sorted(
+            (r["left_id"], r["right_id"], r["dist"])
+            for r in fuzzy_match_join(
+                rd.from_arrow(left).repartition(nblocks),
+                rd.from_arrow(right),
+                max_dist=2,
+            ).take_all()
+        )
+        assert got == [(1, 100, 0), (2, 100, 2)]

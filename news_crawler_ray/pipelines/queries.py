@@ -3342,6 +3342,56 @@ def q_value_gini(sf_dir: str):
     )
 
 
+def q_cumulative_users(sf_dir: str):
+    """Running audience growth: per day the number of NEW users (first
+    touch) and the CUMULATIVE distinct users to date. First-touch =
+    min(day) per user on the sorted exchange; the per-day series is
+    config-scale, so the running sum is one driver-side cumsum of
+    exact ints — the standard two-phase shape for running COUNT
+    (DISTINCT) OVER, which no streaming aggregate can do directly."""
+    from ..ops.agg import sorted_group_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(t["ts"].combine_chunks(), pa.int64()))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pa.array(us // 86_400_000_000, pa.int64()),
+            }
+        )
+
+    first = sorted_group_agg(
+        ev.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("first_day", "min", "day")],
+    )
+    counts: dict[int, int] = {}
+    for r in first.map_batches(
+        lambda t: pa.table(
+            {
+                "first_day": t["first_day"],
+                "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        ).group_by(["first_day"]).aggregate([("n", "sum")]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all():
+        counts[r["first_day"]] = counts.get(r["first_day"], 0) + r["n_sum"]
+    rows, cum = [], 0
+    for day in sorted(counts):
+        cum += counts[day]
+        rows.append(
+            {
+                "day": day,
+                "n_new_users": counts[day],
+                "cum_users": cum,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def q_type_drift(sf_dir: str):
     """Distribution-drift audit: the event-type mix of the data's first
     time-half vs its second (corpus drift detection before a training
@@ -4598,6 +4648,16 @@ ORACLE_SQL.update(
             "md5(CAST(doc_id AS VARCHAR) || '-ep0'), doc_id) - 1 AS BIGINT) "
             "AS shuffle_pos, doc_id FROM documents"
         ),
+        "cumulative_users": (
+            "WITH f AS (SELECT user_id, "
+            "min(CAST(floor(epoch(ts)/86400) AS BIGINT)) AS first_day "
+            "FROM events GROUP BY user_id), "
+            "d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS "
+            "n_new_users FROM f GROUP BY first_day) "
+            "SELECT day, n_new_users, CAST(sum(n_new_users) OVER ("
+            "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
+            "FROM d ORDER BY day"
+        ),
         "value_gini": (
             "WITH u AS (SELECT user_id, "
             "sum(CAST(round(value*100) AS BIGINT)) AS c FROM events "
@@ -5053,6 +5113,7 @@ def build_queries() -> dict:
         "value_gini": q_value_gini,
         "shuffle_positions": q_shuffle_positions,
         "fuzzy_entity_join": q_fuzzy_entity_join,
+        "cumulative_users": q_cumulative_users,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

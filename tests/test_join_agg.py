@@ -1791,3 +1791,27 @@ def test_shuffle_positions_deterministic(sf_dir):
     assert a == {i: p for p, i in enumerate(order)}
     # positions are a permutation
     assert sorted(a.values()) == list(range(len(ids)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cumulative_users_hand_case(monkeypatch, tmp_path):
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_cumulative_users
+
+    day = 86_400_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3, 1, 4], pa.int64()),
+            "ts": pa.array(
+                [0, day, day, day, 2 * day, 2 * day + 5], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = q_cumulative_users(str(tmp_path)).to_pylist()
+    assert got == [
+        {"day": 0, "n_new_users": 1, "cum_users": 1},
+        {"day": 1, "n_new_users": 2, "cum_users": 3},
+        {"day": 2, "n_new_users": 1, "cum_users": 4},
+    ]

@@ -992,3 +992,118 @@ def upsert(base, changes, key: str, version_col: str, value_cols: list[str]):
     return top.map_batches(
         lambda t: t.select(cols), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------- interval overlap join
+
+
+@ray.remote
+def _interval_block(
+    key: str, max_pairs_per_key: int, *parts: pa.Table
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    keys = t[key].combine_chunks()
+    side = np.asarray(t["_side"], dtype=np.int64)
+    start = np.asarray(t["_s"], dtype=np.int64)
+    end = np.asarray(t["_e"], dtype=np.int64)
+    iid = np.asarray(t["_id"], dtype=np.int64)
+    n = t.num_rows
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(
+            keys.slice(1), keys.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    runs = np.flatnonzero(new_key).tolist() + [n]
+    out_k, out_l, out_r = [], [], []
+    for s0, s1 in zip(runs, runs[1:]):
+        seg = np.arange(s0, s1)
+        li = seg[side[s0:s1] == 0]
+        ri = seg[side[s0:s1] == 1]
+        if not len(li) or not len(ri):
+            continue
+        order = np.argsort(start[ri], kind="stable")
+        rs, re_, rid = start[ri][order], end[ri][order], iid[ri][order]
+        emitted = 0
+        for i in li:
+            hi = int(np.searchsorted(rs, end[i], side="left"))  # rs < le
+            if not hi:
+                continue
+            mask = re_[:hi] > start[i]  # re > ls
+            hits = np.flatnonzero(mask)
+            emitted += len(hits)
+            if emitted > max_pairs_per_key:
+                raise ValueError(
+                    f"interval_overlap_join: key {keys[s0]!r} exceeds "
+                    f"{max_pairs_per_key} pairs — cap interval spans or "
+                    "pre-bucket time upstream"
+                )
+            out_k.extend([s0] * len(hits))
+            out_l.extend([int(iid[i])] * len(hits))
+            out_r.extend(int(rid[j]) for j in hits)
+    return pa.table(
+        {
+            key: keys.take(pa.array(out_k, pa.int64())),
+            "left_id": pa.array(out_l, pa.int64()),
+            "right_id": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+def interval_overlap_join(
+    left,
+    right,
+    key: str,
+    max_pairs_per_key: int = 1 << 20,
+):
+    """Interval-overlap join: all (left, right) pairs of the same
+    ``key`` whose half-open intervals intersect
+    (``l.start < r.end AND r.start < l.end``) — the sessions×campaigns
+    / readings×outages primitive the equi/as-of/range family can't
+    express. Both sides carry columns (key, _s, _e, _id); ONE
+    key-complete exchange on the tagged union, then per key run the
+    right side sorts by start and each left interval takes a
+    searchsorted prefix (start < l.end) filtered by end > l.start —
+    no all-pairs; a loud per-key pair cap guards pathological spans.
+    Output: (key, left_id, right_id)."""
+    import ray.data
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: t[key],
+                    "_side": pa.array(
+                        np.full(t.num_rows, side, np.int64), pa.int64()
+                    ),
+                    "_s": pc.cast(t["_s"], pa.int64()),
+                    "_e": pc.cast(t["_e"], pa.int64()),
+                    "_id": pc.cast(t["_id"], pa.int64()),
+                }
+            )
+
+        return fn
+
+    from ..stages.index import key_complete_parts
+
+    both = left.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    groups = key_complete_parts(both, key, order=["_side", "_s", "_id"])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _interval_block.remote(key, max_pairs_per_key, *p)
+            for p in groups
+        ]
+    )

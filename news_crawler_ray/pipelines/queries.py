@@ -3342,6 +3342,37 @@ def q_value_gini(sf_dir: str):
     )
 
 
+def q_view_click_overlap(sf_dir: str):
+    """Interval-overlap join (ops/join.interval_overlap_join): per user
+    every (view, click) pair whose 30-minute activity windows
+    intersect — the overlap predicate the equi/as-of/range family
+    can't express. ONE key-complete exchange; per-key searchsorted
+    prefix + end-mask, no all-pairs."""
+    from ..ops.join import interval_overlap_join
+
+    W = 1_800_000_000  # 30 min in us
+
+    def side(event_type: str):
+        def fn(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.equal(t["event_type"], event_type))
+            us = pc.cast(f["ts"].combine_chunks(), pa.int64())
+            return pa.table(
+                {
+                    "user_id": f["user_id"],
+                    "_s": us,
+                    "_e": pc.add(us, pa.scalar(W, pa.int64())),
+                    "_id": f["event_id"],
+                }
+            )
+
+        return fn
+
+    ev = lambda: _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    left = ev().map_batches(side("view"), batch_format="pyarrow", zero_copy_batch=True)
+    right = ev().map_batches(side("click"), batch_format="pyarrow", zero_copy_batch=True)
+    return interval_overlap_join(left, right, "user_id")
+
+
 def q_cumulative_users(sf_dir: str):
     """Running audience growth: per day the number of NEW users (first
     touch) and the CUMULATIVE distinct users to date. First-touch =
@@ -4648,6 +4679,17 @@ ORACLE_SQL.update(
             "md5(CAST(doc_id AS VARCHAR) || '-ep0'), doc_id) - 1 AS BIGINT) "
             "AS shuffle_pos, doc_id FROM documents"
         ),
+        "view_click_overlap": (
+            "WITH v AS (SELECT user_id, event_id AS left_id, "
+            "epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e "
+            "FROM events WHERE event_type = 'view'), "
+            "c AS (SELECT user_id, event_id AS right_id, "
+            "epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT v.user_id, v.left_id, c.right_id FROM v JOIN c "
+            "ON v.user_id = c.user_id AND v.s < c.e AND c.s < v.e "
+            "ORDER BY v.user_id, v.left_id, c.right_id"
+        ),
         "cumulative_users": (
             "WITH f AS (SELECT user_id, "
             "min(CAST(floor(epoch(ts)/86400) AS BIGINT)) AS first_day "
@@ -5114,6 +5156,7 @@ def build_queries() -> dict:
         "shuffle_positions": q_shuffle_positions,
         "fuzzy_entity_join": q_fuzzy_entity_join,
         "cumulative_users": q_cumulative_users,
+        "view_click_overlap": q_view_click_overlap,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

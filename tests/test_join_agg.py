@@ -1815,3 +1815,63 @@ def test_cumulative_users_hand_case(monkeypatch, tmp_path):
         {"day": 1, "n_new_users": 2, "cum_users": 3},
         {"day": 2, "n_new_users": 1, "cum_users": 4},
     ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_interval_overlap_join_brute_force():
+    import ray.data as rd
+
+    from news_crawler_ray.ops.join import interval_overlap_join
+
+    rng = np.random.default_rng(23)
+    def mk(n, base):
+        s = rng.integers(0, 1000, n)
+        return pa.table(
+            {
+                "k": pa.array(rng.integers(0, 5, n), pa.int64()),
+                "_s": pa.array(s, pa.int64()),
+                "_e": pa.array(s + rng.integers(1, 50, n), pa.int64()),
+                "_id": pa.array(np.arange(n) + base, pa.int64()),
+            }
+        )
+
+    L, R = mk(120, 0), mk(150, 10_000)
+
+    def brute():
+        out = set()
+        for i in range(120):
+            for j in range(150):
+                if (
+                    L["k"][i].as_py() == R["k"][j].as_py()
+                    and L["_s"][i].as_py() < R["_e"][j].as_py()
+                    and R["_s"][j].as_py() < L["_e"][i].as_py()
+                ):
+                    out.add((L["k"][i].as_py(), i, 10_000 + j))
+        return out
+
+    want = brute()
+    for nblocks in (1, 4):
+        got = {
+            (r["k"], r["left_id"], r["right_id"])
+            for r in interval_overlap_join(
+                rd.from_arrow(L).repartition(nblocks),
+                rd.from_arrow(R).repartition(max(1, nblocks - 1)),
+                "k",
+            ).take_all()
+        }
+        assert got == want
+    assert len(want) > 50  # fixture actually exercises overlaps
+
+    # pair cap raises loudly
+    big_s = pa.table(
+        {
+            "k": pa.array([1] * 40, pa.int64()),
+            "_s": pa.array([0] * 40, pa.int64()),
+            "_e": pa.array([100] * 40, pa.int64()),
+            "_id": pa.array(np.arange(40), pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="exceeds"):
+        interval_overlap_join(
+            rd.from_arrow(big_s), rd.from_arrow(big_s), "k", max_pairs_per_key=100
+        ).take_all()

@@ -287,6 +287,11 @@ QUERY_SUBSET = [
     "knn_recall",
     "value_weighted_sample",
     "type_drift",
+    "value_gini",
+    "shuffle_positions",
+    "fuzzy_entity_join",
+    "cumulative_users",
+    "view_click_overlap",
 ]
 
 

@@ -1218,18 +1218,22 @@ def fuzzy_match_join(
     id_col: str = "id",
     s_col: str = "s",
     max_dist: int = 2,
+    block_chars: int = 1,
 ):
     """Record-linkage fuzzy join: (left_id, right_id, dist) for every
     cross-side pair with byte-level Levenshtein ≤ ``max_dist`` whose
-    strings share a BLOCK (first character) — the classic
-    blocking+verify shape: candidate generation is an equi-exchange on
-    the block key, never an all-pairs; the verify is the bit-parallel
-    Myers kernel (one vectorized pass per left string per block, no
-    per-pair DP). Blocking is part of the operator contract (a typo in
-    byte 0 moves a record to another block and is NOT matched) — the
-    oracle applies the identical block predicate. Strings are truncated
-    to 64 bytes (Myers word width); byte distance == character distance
-    for ASCII inputs."""
+    strings share a BLOCK (first ``block_chars`` characters) — the
+    classic blocking+verify shape: candidate generation is an
+    equi-exchange on the block key, never an all-pairs; the verify is
+    the bit-parallel Myers kernel (one vectorized pass per left string
+    per block, no per-pair DP). Blocking is part of the operator
+    contract (a typo inside the block prefix moves a record to another
+    block and is NOT matched) — the oracle applies the identical block
+    predicate. SCALE: block granularity is the skew knob — 1 char ≈
+    tens of blocks (fine for dimension-sized sides), corpus scale wants
+    2-3 chars (or prefix+length) so no single block outgrows one task's
+    L×R verify. Strings are truncated to 64 bytes (Myers word width);
+    byte distance == character distance for ASCII inputs."""
     import ray.data
 
     from ..stages.index import key_complete_parts
@@ -1237,7 +1241,7 @@ def fuzzy_match_join(
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
             s = t[s_col].combine_chunks()
-            blk = pc.utf8_slice_codeunits(s, 0, 1)
+            blk = pc.utf8_slice_codeunits(s, 0, block_chars)
             return pa.table(
                 {
                     "_blk": blk,

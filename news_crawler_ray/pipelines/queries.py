@@ -3269,7 +3269,9 @@ def q_fuzzy_entity_join(sf_dir: str):
     canon, dirty = make_entity_names()
     left = ray.data.from_arrow(pa.Table.from_pylist(dirty))
     right = ray.data.from_arrow(pa.Table.from_pylist(canon))
-    return fuzzy_match_join(left, right, id_col="id", s_col="s", max_dist=2)
+    return fuzzy_match_join(
+        left, right, id_col="id", s_col="s", max_dist=2, block_chars=2
+    )
 
 
 def q_value_gini(sf_dir: str):
@@ -5021,7 +5023,7 @@ def _fuzzy_entity_oracle_sql() -> str:
         f"WITH L AS ({l_sql}), R AS ({r_sql}) "
         "SELECT L.id AS left_id, R.id AS right_id, "
         "CAST(levenshtein(L.s, R.s) AS BIGINT) AS dist "
-        "FROM L JOIN R ON substr(L.s, 1, 1) = substr(R.s, 1, 1) "
+        "FROM L JOIN R ON substr(L.s, 1, 2) = substr(R.s, 1, 2) "
         "WHERE levenshtein(L.s, R.s) <= 2 ORDER BY left_id, right_id"
     )
 

@@ -3344,6 +3344,39 @@ def q_value_gini(sf_dir: str):
     )
 
 
+def q_price_qty_skyline(sf_dir: str):
+    """Skyline / Pareto-preference query (ops/agg.skyline2d): lineitems
+    not dominated on (price_cents MAX, qty MIN) — the preference-query
+    operator (VLDB'21 taxonomic-preference family; PAPERS.md). Two
+    phases, ZERO exchanges: block-local skylines are a correctness-safe
+    prune (a row dominated within one block cannot be global), only the
+    per-block Pareto frontiers reach the driver for the final pass."""
+    from ..ops.agg import skyline2d
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64)
+        p = np.asarray(t["l_extendedprice"], dtype=np.float64)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "qty": pa.array(qty, pa.int64()),
+                "price_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return skyline2d(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "price_cents",
+        "qty",
+    )
+
+
 def q_view_click_overlap(sf_dir: str):
     """Interval-overlap join (ops/join.interval_overlap_join): per user
     every (view, click) pair whose 30-minute activity windows
@@ -4681,6 +4714,21 @@ ORACLE_SQL.update(
             "md5(CAST(doc_id AS VARCHAR) || '-ep0'), doc_id) - 1 AS BIGINT) "
             "AS shuffle_pos, doc_id FROM documents"
         ),
+        "price_qty_skyline": (
+            "WITH s AS (SELECT l_orderkey, l_linenumber, "
+            "CAST(l_quantity AS BIGINT) AS qty, "
+            "CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents "
+            "FROM lineitem), "
+            "levels AS (SELECT price_cents, min(qty) AS lvl_min FROM s "
+            "GROUP BY price_cents), "
+            "lm AS (SELECT price_cents, lvl_min, min(lvl_min) OVER ("
+            "ORDER BY price_cents DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m "
+            "FROM levels) "
+            "SELECT s.l_orderkey, s.l_linenumber, s.qty, s.price_cents "
+            "FROM s JOIN lm USING (price_cents) "
+            "WHERE s.qty = lm.lvl_min AND (lm.m IS NULL OR lm.lvl_min < lm.m)"
+        ),
         "view_click_overlap": (
             "WITH v AS (SELECT user_id, event_id AS left_id, "
             "epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e "
@@ -5159,6 +5207,7 @@ def build_queries() -> dict:
         "fuzzy_entity_join": q_fuzzy_entity_join,
         "cumulative_users": q_cumulative_users,
         "view_click_overlap": q_view_click_overlap,
+        "price_qty_skyline": q_price_qty_skyline,
         "user_entropy_by_type": q_user_entropy_by_type,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,

@@ -1875,3 +1875,43 @@ def test_interval_overlap_join_brute_force():
         interval_overlap_join(
             rd.from_arrow(big_s), rd.from_arrow(big_s), "k", max_pairs_per_key=100
         ).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_skyline2d_brute_force():
+    from news_crawler_ray.ops.agg import skyline2d
+
+    rng = np.random.default_rng(29)
+    n = 500
+    x = rng.integers(0, 60, n)
+    y = rng.integers(0, 60, n)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(n), pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        }
+    )
+
+    def dominated(i):
+        return bool(
+            np.any(
+                (x >= x[i]) & (y <= y[i]) & ((x > x[i]) | (y < y[i]))
+            )
+        )
+
+    want = {i for i in range(n) if not dominated(i)}
+    for nblocks in (1, 5):
+        got = {r["id"] for r in skyline2d(_ds(tbl, nblocks), "x", "y").to_pylist()}
+        assert got == want
+    assert 0 < len(want) < n
+    # equal-vector duplicates on the frontier are all kept
+    dup = pa.table(
+        {
+            "id": pa.array([0, 1, 2], pa.int64()),
+            "x": pa.array([9, 9, 1], pa.int64()),
+            "y": pa.array([1, 1, 0], pa.int64()),
+        }
+    )
+    got = {r["id"] for r in skyline2d(_ds(dup, 1), "x", "y").to_pylist()}
+    assert got == {0, 1, 2}

@@ -1415,6 +1415,40 @@ def q_vocab_build(sf_dir: str):
     return tx.vocab_build(ds, min_count=VOCAB_MIN_COUNT)
 
 
+def q_top_terms_per_lang(sf_dir: str):
+    """Trending/top-k terms PER SEGMENT: the 3 most frequent terms per
+    language — exploded counts on the sorted exchange (shared
+    _doc_term_freqs kernel) chained into group_top_k on the lang
+    exchange; (count desc, term asc) deterministic ties."""
+    from ..ops.agg import group_top_k, sorted_group_agg
+    from ..ops.text import _doc_term_freqs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "term": pa.array([], pa.string())}
+            )
+        tf = _doc_term_freqs(t, "text", "doc_id")
+        # occurrences, not distinct docs: repeat each (doc,term) tf times
+        reps = np.asarray(tf["tf"], dtype=np.int64)
+        idx = np.repeat(np.arange(len(reps)), reps)
+        return pa.table(
+            {
+                "lang": t["lang"].take(tf["row_idx"].take(pa.array(idx))),
+                "term": tf["term"].take(pa.array(idx)),
+            }
+        )
+
+    counts = sorted_group_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "term"],
+        [("n", "count_all", None)],
+    )
+    return group_top_k(counts, "lang", ["n", "term"], [True, False], k=3)
+
+
 def q_posting_lists(sf_dir: str):
     """Inverted-index build (ops/text.posting_lists): per term the
     document frequency and SORTED posting list over distinct
@@ -4248,6 +4282,16 @@ ORACLE_SQL.update(
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term HAVING count(*) >= {VOCAB_MIN_COUNT})"
         ),
+        "top_terms_per_lang": (
+            "WITH tok AS (SELECT lang, unnest(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+')) AS term FROM documents), "
+            "c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS n "
+            "FROM tok WHERE term <> '' GROUP BY lang, term) "
+            "SELECT lang, term, n, CAST(rn AS BIGINT) AS rn FROM ("
+            "SELECT *, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, term) AS rn FROM c) "
+            "WHERE rn <= 3 ORDER BY lang, n DESC, term"
+        ),
         "posting_lists": (
             f"WITH tok AS (SELECT DISTINCT doc_id, term FROM ({_TOK_SQL}) "
             "WHERE term <> '') "
@@ -5123,6 +5167,7 @@ def build_queries() -> dict:
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "doc_rarity": q_doc_rarity,
         "repetition_stats": q_repetition_stats,
         "term_search": q_term_search,

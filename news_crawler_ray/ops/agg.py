@@ -1594,3 +1594,89 @@ def skyline2d(ds, x_col: str, y_col: str) -> pa.Table:
         )
     merged = pa.Table.from_pylist(parts)
     return _skyline2d_block(merged, x_col, y_col)
+
+
+# ------------------------------------- bitmap exact distinct (bounded domain)
+
+
+def group_bitmap_distinct(
+    ds,
+    key_col: str,
+    value_col: str,
+    domain_size: int,
+    max_groups: int = 4096,
+) -> pa.Table:
+    """EXACT per-group COUNT(DISTINCT value) with ZERO exchange for
+    BOUNDED integer domains: each block emits one packed bitmap
+    (domain_size bits as uint64 words) per group — the combiner is
+    bitwise OR, fully order-invariant — and the driver pops counts.
+    The alternate scale path to :func:`group_count_distinct`'s sorted
+    exchange: right when values are dense ints (user ids, shard ids)
+    and groups are config-scale — a 10^8 domain is a 12.5 MB bitmap
+    per (group, block), moved once, vs shuffling every row. Values
+    outside [0, domain_size) raise loudly."""
+    words = (domain_size + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "bm": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        keys = t[key_col]
+        v = np.asarray(t[value_col], dtype=np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= domain_size):
+            raise ValueError(
+                f"group_bitmap_distinct: value outside [0, {domain_size}) "
+                f"(min={v.min()}, max={v.max()}) — raise domain_size or "
+                "densify ids first"
+            )
+        enc = keys.combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        uniq = enc.dictionary
+        bms = np.zeros((len(uniq), words), dtype=np.uint64)
+        np.bitwise_or.at(
+            bms, (codes, v // 64), np.uint64(1) << (v % 64).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                key_col: uniq,
+                "bm": pa.array(list(bms), pa.list_(pa.uint64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        bm = np.asarray(r["bm"], dtype=np.uint64)
+        cur = acc.get(r[key_col])
+        acc[r[key_col]] = bm if cur is None else (cur | bm)
+    if len(acc) > max_groups:
+        raise ValueError(
+            f"group_bitmap_distinct: {len(acc)} groups × {words * 8} B "
+            f"bitmaps exceed max_groups={max_groups} — use "
+            "group_count_distinct's sorted exchange instead"
+        )
+    rows = [
+        {
+            key_col: k,
+            "n_distinct": int(
+                np.unpackbits(bm.view(np.uint8)).sum()
+            ),
+        }
+        for k, bm in sorted(acc.items())
+    ]
+    if not rows:
+        sch = ds.schema()
+        types = dict(zip(sch.names, sch.types))
+        return pa.table(
+            {
+                key_col: pa.array([], types[key_col]),
+                "n_distinct": pa.array([], pa.int64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)

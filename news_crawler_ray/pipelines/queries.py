@@ -3566,6 +3566,18 @@ def q_type_drift(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def q_bitmap_distinct_users(sf_dir: str):
+    """Exact distinct users per type via the ZERO-exchange bitmap
+    combiner (ops/agg.group_bitmap_distinct) — the bounded-int-domain
+    alternate to distinct_users_per_type's sorted exchange: per-block
+    OR-able bitmaps move once, rows never shuffle. Same answer as SQL
+    COUNT(DISTINCT), different (cheaper) plan for dense id spaces."""
+    from ..ops.agg import group_bitmap_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return group_bitmap_distinct(ev, "event_type", "user_id", domain_size=1 << 20)
+
+
 def q_user_entropy_by_type(sf_dir: str):
     """Per-type Shannon entropy (bits) of the user-id distribution —
     audience diversity (ops/agg.group_entropy): exact (type,user)
@@ -4844,6 +4856,11 @@ ORACLE_SQL.update(
             "AND o_orderdate < DATE '1997-01-01' "
             "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
         ),
+        "bitmap_distinct_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type "
+            "ORDER BY event_type"
+        ),
         "value_trend": (
             "WITH v AS (SELECT event_type, "
             "CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) "
@@ -5254,6 +5271,7 @@ def build_queries() -> dict:
         "view_click_overlap": q_view_click_overlap,
         "price_qty_skyline": q_price_qty_skyline,
         "user_entropy_by_type": q_user_entropy_by_type,
+        "bitmap_distinct_users": q_bitmap_distinct_users,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,

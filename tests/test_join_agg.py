@@ -1915,3 +1915,29 @@ def test_skyline2d_brute_force():
     )
     got = {r["id"] for r in skyline2d(_ds(dup, 1), "x", "y").to_pylist()}
     assert got == {0, 1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_bitmap_distinct():
+    from news_crawler_ray.ops.agg import group_bitmap_distinct
+
+    rng = np.random.default_rng(31)
+    k = rng.choice(["a", "b"], 500)
+    v = rng.integers(0, 300, 500)
+    tbl = pa.table({"k": pa.array(k), "v": pa.array(v, pa.int64())})
+    want = {
+        "a": len(set(v[k == "a"].tolist())),
+        "b": len(set(v[k == "b"].tolist())),
+    }
+    for nblocks in (1, 6):
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in group_bitmap_distinct(
+                _ds(tbl, nblocks), "k", "v", domain_size=300
+            ).to_pylist()
+        }
+        assert got == want
+    # out-of-domain raises loudly
+    bad = pa.table({"k": ["a"], "v": pa.array([300], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        group_bitmap_distinct(_ds(bad, 1), "k", "v", domain_size=300)

@@ -1680,3 +1680,107 @@ def group_bitmap_distinct(
             }
         )
     return pa.Table.from_pylist(rows)
+
+
+# --------------------------------------------- KMV theta sketch (set ops)
+
+
+def _kmv_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """md5-based 64-bit hashes (first 16 hex chars) — the engine's
+    reproducible-outside-the-engine hash convention (ops/sampling)."""
+    import hashlib
+
+    vals = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+            for v in vals.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+
+
+def kmv_sketches(
+    ds, key_col: str, value_col: str, k: int = 64, max_groups: int = 4096
+) -> dict:
+    """K-minimum-values (theta) sketch per group: the k smallest
+    DISTINCT 64-bit hashes of ``value_col``. The combiner is
+    merge-sorted-keep-k-smallest — fully order-invariant — so one
+    streaming pass builds every group's sketch with zero exchange and
+    k·8 bytes per (group, block) of driver traffic. Sketches support
+    SET OPERATIONS downstream (:func:`kmv_estimate_intersections`):
+    distinct-of-union/intersection estimates that exact counting would
+    need a full shuffle for. Returns {group: sorted uint64 array}."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    "h": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        enc = t[key_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        h = _kmv_hash(t[value_col])
+        uniq = enc.dictionary
+        lists = []
+        for g in range(len(uniq)):
+            hs = np.unique(h[codes == g])
+            lists.append(hs[:k].tolist())
+        return pa.table(
+            {key_col: uniq, "h": pa.array(lists, pa.list_(pa.uint64()))}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        hs = np.asarray(r["h"], dtype=np.uint64)
+        cur = acc.get(r[key_col])
+        merged = hs if cur is None else np.concatenate([cur, hs])
+        acc[r[key_col]] = np.unique(merged)[:k]
+    if len(acc) > max_groups:
+        raise ValueError(
+            f"kmv_sketches: {len(acc)} groups > max_groups={max_groups}"
+        )
+    return acc
+
+
+def kmv_estimate_intersections(sketches: dict, k: int = 64) -> pa.Table:
+    """Pairwise distinct-intersection estimates from KMV sketches —
+    the standard theta-sketch combine: θ = min of the two sketches'
+    normalized kth minima, intersect the hash sets below θ, estimate
+    |A∩B| ≈ |∩ below θ| / θ. Deterministic: exact integer set ops plus
+    one float expression per pair (the oracle recomputes identically).
+    A sketch with fewer than k hashes is EXACT (θ = 1)."""
+    span = np.float64(2.0) ** 64
+    rows = []
+    names = sorted(sketches)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            ha, hb = sketches[a], sketches[b]
+            tha = (
+                np.float64(1.0)
+                if len(ha) < k
+                else (np.float64(ha[k - 1]) + 1.0) / span
+            )
+            thb = (
+                np.float64(1.0)
+                if len(hb) < k
+                else (np.float64(hb[k - 1]) + 1.0) / span
+            )
+            th = min(tha, thb)
+            cut = np.uint64(min(int(th * span) - 1, (1 << 64) - 1))
+            inter = np.intersect1d(ha[ha <= cut], hb[hb <= cut])
+            est = float(np.float64(len(inter)) / th)
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": b,
+                    "n_common_hashes": len(inter),
+                    "est_intersection": est,
+                }
+            )
+    return pa.Table.from_pylist(rows)

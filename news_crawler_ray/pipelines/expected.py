@@ -916,6 +916,34 @@ def expected_knn_recall(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_audience_overlap(sf_dir: str) -> pa.Table:
+    """Sequential KMV re-derivation: per-type DISTINCT user md5-64
+    hashes via plain Python sets, k smallest by sorted(), the same
+    θ-combine expression — shares only the md5 convention with the
+    engine's np.unique/merge combiner."""
+    import hashlib
+
+    from .queries import KMV_K
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    by_type: dict[str, set] = {}
+    for ty, u in zip(
+        t["event_type"].to_pylist(), t["user_id"].to_pylist()
+    ):
+        by_type.setdefault(ty, set()).add(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:16], 16)
+        )
+    sketches = {
+        ty: np.array(sorted(hs)[:KMV_K], dtype=np.uint64)
+        for ty, hs in by_type.items()
+    }
+    from ..ops.agg import kmv_estimate_intersections
+
+    return kmv_estimate_intersections(sketches, k=KMV_K)
+
+
 def expected_type_drift(sf_dir: str) -> pa.Table:
     """Sequential re-derivation of q_type_drift: one pass for the ts
     range, Counter per half, identical float expressions."""
@@ -1101,6 +1129,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["evolving_ingest"] = values_sql(expected_evolving_ingest())
     sql["knn_recall"] = values_sql(expected_knn_recall(sf_dir))
     sql["type_drift"] = values_sql(expected_type_drift(sf_dir))
+    sql["audience_overlap"] = values_sql(expected_audience_overlap(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -3566,6 +3566,23 @@ def q_type_drift(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+KMV_K = 64
+
+
+def q_audience_overlap(sf_dir: str):
+    """Pairwise audience-overlap estimates between event types via KMV
+    theta sketches (ops/agg.kmv_sketches → kmv_estimate_intersections):
+    k smallest distinct user-hashes per type build in ONE zero-exchange
+    streaming pass (order-invariant merge-k combiner), then the
+    standard θ-combine estimates |A∩B| — the scale answer to "how many
+    users did BOTH" that exact counting needs a shuffle for."""
+    from ..ops.agg import kmv_estimate_intersections, kmv_sketches
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = kmv_sketches(ev, "event_type", "user_id", k=KMV_K)
+    return kmv_estimate_intersections(sk, k=KMV_K)
+
+
 def q_bitmap_distinct_users(sf_dir: str):
     """Exact distinct users per type via the ZERO-exchange bitmap
     combiner (ops/agg.group_bitmap_distinct) — the bounded-int-domain
@@ -5272,6 +5289,7 @@ def build_queries() -> dict:
         "price_qty_skyline": q_price_qty_skyline,
         "user_entropy_by_type": q_user_entropy_by_type,
         "bitmap_distinct_users": q_bitmap_distinct_users,
+        "audience_overlap": q_audience_overlap,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,

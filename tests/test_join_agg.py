@@ -1941,3 +1941,37 @@ def test_group_bitmap_distinct():
     bad = pa.table({"k": ["a"], "v": pa.array([300], pa.int64())})
     with pytest.raises(Exception, match="outside"):
         group_bitmap_distinct(_ds(bad, 1), "k", "v", domain_size=300)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sketch_estimates():
+    from news_crawler_ray.ops.agg import kmv_estimate_intersections, kmv_sketches
+
+    rng = np.random.default_rng(37)
+    # two segments sharing exactly 200 of 500 members each
+    a_vals = np.arange(0, 500)
+    b_vals = np.arange(300, 800)
+    tbl = pa.table(
+        {
+            "k": pa.array(["a"] * 500 + ["b"] * 500),
+            "v": pa.array(np.concatenate([a_vals, b_vals]), pa.int64()),
+        }
+    )
+    for nblocks in (1, 5):
+        sk = kmv_sketches(_ds(tbl, nblocks), "k", "v", k=128)
+        est = kmv_estimate_intersections(sk, k=128).to_pylist()
+        assert len(est) == 1
+        # true intersection 200; KMV k=128 of 500 -> ~25% rel error band
+        assert 100 <= est[0]["est_intersection"] <= 320
+    # layout invariance: the sketch itself is identical at any layout
+    s1 = kmv_sketches(_ds(tbl, 1), "k", "v", k=128)
+    s5 = kmv_sketches(_ds(tbl, 5), "k", "v", k=128)
+    assert all(np.array_equal(s1[g], s5[g]) for g in s1)
+    # under-full sketch (n < k) is EXACT
+    small = pa.table(
+        {"k": pa.array(["x"] * 30 + ["y"] * 30),
+         "v": pa.array(list(range(30)) + list(range(20, 50)), pa.int64())}
+    )
+    sk = kmv_sketches(_ds(small, 2), "k", "v", k=128)
+    est = kmv_estimate_intersections(sk, k=128).to_pylist()[0]
+    assert est["est_intersection"] == 10.0 and est["n_common_hashes"] == 10

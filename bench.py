@@ -292,6 +292,10 @@ QUERY_SUBSET = [
     "fuzzy_entity_join",
     "cumulative_users",
     "view_click_overlap",
+    "price_qty_skyline",
+    "top_terms_per_lang",
+    "bitmap_distinct_users",
+    "audience_overlap",
 ]
 
 

@@ -3583,6 +3583,72 @@ def q_audience_overlap(sf_dir: str):
     return kmv_estimate_intersections(sk, k=KMV_K)
 
 
+def q_ab_lift(sf_dir: str):
+    """Experiment-analysis report: purchase-conversion lift between the
+    two deterministic user-parity cohorts, with the two-proportion
+    z-score — the A/B readout an eval pass runs on engagement data.
+    Per-user conversion on the sorted exchange, cohort counts via the
+    zero-exchange combiner; every float is one fixed expression over
+    exact ints (rate, lift, pooled-p z) matching the SQL oracle's op
+    order to the bit."""
+    from ..ops.agg import partial_group_agg, sorted_group_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def conv_ind(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "is_conv": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int64()
+                ),
+            }
+        )
+
+    per_user = sorted_group_agg(
+        ev.map_batches(conv_ind, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        [("conv", "max", "is_conv")],
+    )
+
+    def grp(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(uid % 2, pa.int64()),
+                "one": pa.array(np.ones(len(uid), np.int64), pa.int64()),
+                "conv": t["conv"],
+            }
+        )
+
+    agg = partial_group_agg(
+        per_user.map_batches(grp, batch_format="pyarrow", zero_copy_batch=True),
+        ["grp"],
+        [("n", "sum", "one"), ("c", "sum", "conv")],
+    )
+    rows = {r["grp"]: r for r in agg.to_pylist()}
+    na, ca = rows[0]["n"], rows[0]["c"]
+    nb, cb = rows[1]["n"], rows[1]["c"]
+    f = np.float64
+    rate_a = f(ca) / f(na)
+    rate_b = f(cb) / f(nb)
+    lift = rate_b - rate_a
+    p = f(ca + cb) / f(na + nb)
+    z = lift / np.sqrt(p * (f(1.0) - p) * (f(1.0) / f(na) + f(1.0) / f(nb)))
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "conv_a": pa.array([ca], pa.int64()),
+            "conv_b": pa.array([cb], pa.int64()),
+            "rate_a": pa.array([float(rate_a)], pa.float64()),
+            "rate_b": pa.array([float(rate_b)], pa.float64()),
+            "lift": pa.array([float(lift)], pa.float64()),
+            "z_score": pa.array([float(z)], pa.float64()),
+        }
+    )
+
+
 def q_bitmap_distinct_users(sf_dir: str):
     """Exact distinct users per type via the ZERO-exchange bitmap
     combiner (ops/agg.group_bitmap_distinct) — the bounded-int-domain
@@ -4873,6 +4939,26 @@ ORACLE_SQL.update(
             "AND o_orderdate < DATE '1997-01-01' "
             "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
         ),
+        "ab_lift": (
+            "WITH u AS (SELECT user_id, user_id % 2 AS grp, "
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS conv FROM events GROUP BY user_id), "
+            "m AS (SELECT "
+            "CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+            "CAST(sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a, "
+            "CAST(sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b "
+            "FROM u), "
+            "r AS (SELECT *, CAST(conv_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS rate_a, "
+            "CAST(conv_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS rate_b, "
+            "CAST(conv_a + conv_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE) AS p "
+            "FROM m) "
+            "SELECT n_a, n_b, conv_a, conv_b, rate_a, rate_b, "
+            "rate_b - rate_a AS lift, "
+            "(rate_b - rate_a) / sqrt(p * (1.0 - p) * "
+            "(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS z_score "
+            "FROM r"
+        ),
         "bitmap_distinct_users": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type "
@@ -5290,6 +5376,7 @@ def build_queries() -> dict:
         "user_entropy_by_type": q_user_entropy_by_type,
         "bitmap_distinct_users": q_bitmap_distinct_users,
         "audience_overlap": q_audience_overlap,
+        "ab_lift": q_ab_lift,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,

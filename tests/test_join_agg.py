@@ -1975,3 +1975,25 @@ def test_kmv_sketch_estimates():
     sk = kmv_sketches(_ds(small, 2), "k", "v", k=128)
     est = kmv_estimate_intersections(sk, k=128).to_pylist()[0]
     assert est["est_intersection"] == 10.0 and est["n_common_hashes"] == 10
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ab_lift_hand_case(tmp_path):
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_ab_lift
+
+    # group A (even uid): users 0,2 -> 1 converts; group B (odd): 1,3 -> both
+    rows = []
+    for uid, types in [(0, ["view", "purchase"]), (2, ["view"]),
+                       (1, ["purchase"]), (3, ["click", "purchase"])]:
+        rows += [{"user_id": uid, "event_type": t} for t in types]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    r = q_ab_lift(str(tmp_path)).to_pylist()[0]
+    assert (r["n_a"], r["n_b"], r["conv_a"], r["conv_b"]) == (2, 2, 1, 2)
+    assert r["rate_a"] == 0.5 and r["rate_b"] == 1.0 and r["lift"] == 0.5
+    import math
+
+    p = 3 / 4
+    want_z = 0.5 / math.sqrt(p * (1 - p) * (1 / 2 + 1 / 2))
+    assert abs(r["z_score"] - want_z) < 1e-12

@@ -3649,6 +3649,74 @@ def q_ab_lift(sf_dir: str):
     )
 
 
+def q_value_ranksum(sf_dir: str):
+    """Mann-Whitney U rank-sum test: do the two user-parity cohorts
+    draw event values from the same distribution? (The nonparametric
+    sibling of ab_lift's proportion z.) Exact integer machinery end to
+    end: per-(value, cohort) counts via the zero-exchange combiner
+    (value domain in cents is config-scale — for unbounded domains
+    route through sorted_group_agg), min-ranks by prefix sums over the
+    sorted domain, doubled midranks (2·mn + t − 1) stay integers under
+    ties, tie-corrected σ from Σ(t³−t); floats are one fixed
+    expression matching the SQL oracle bit-for-bit."""
+    from ..ops.agg import partial_group_agg
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "c": pa.array(c, pa.int64()),
+                "grp": pa.array(uid % 2, pa.int64()),
+            }
+        )
+
+    counts = partial_group_agg(
+        ev.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        ["c", "grp"],
+        [("t", "count_all", None)],
+        max_groups=1 << 20,
+    )
+    by_c: dict[int, list[int]] = {}
+    for r in counts.to_pylist():
+        a = by_c.setdefault(r["c"], [0, 0])
+        a[r["grp"]] += r["t"]
+    n_a = n_b = 0
+    r2a = 0  # Σ over cohort-A rows of 2·midrank (exact int)
+    tie3 = 0  # Σ (t³ − t)
+    seen = 0
+    for c in sorted(by_c):
+        ta, tb = by_c[c]
+        t = ta + tb
+        mn = seen + 1  # min-rank of this value
+        r2a += ta * (2 * mn + t - 1)
+        tie3 += t * t * t - t
+        n_a += ta
+        n_b += tb
+        seen += t
+    N = n_a + n_b
+    f = np.float64
+    u_a = (f(r2a) - f(n_a * (n_a + 1))) / f(2.0)  # R_a − n_a(n_a+1)/2
+    mean_u = f(n_a) * f(n_b) / f(2.0)
+    var_u = (
+        f(n_a) * f(n_b) / f(12.0)
+        * (f(N + 1) - f(tie3) / (f(N) * f(N - 1)))
+    )
+    z = (u_a - mean_u) / np.sqrt(var_u)
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "u_a": pa.array([float(u_a)], pa.float64()),
+            "z_score": pa.array([float(z)], pa.float64()),
+        }
+    )
+
+
 def q_bitmap_distinct_users(sf_dir: str):
     """Exact distinct users per type via the ZERO-exchange bitmap
     combiner (ops/agg.group_bitmap_distinct) — the bounded-int-domain
@@ -4959,6 +5027,29 @@ ORACLE_SQL.update(
             "(1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS z_score "
             "FROM r"
         ),
+        "value_ranksum": (
+            "WITH s AS (SELECT user_id % 2 AS grp, "
+            "CAST(round(value*100) AS BIGINT) AS c FROM events), "
+            "r AS (SELECT grp, CAST(rank() OVER (ORDER BY c) AS HUGEINT) "
+            "AS mn, CAST(count(*) OVER (PARTITION BY c) AS HUGEINT) AS t "
+            "FROM s), "
+            "m AS (SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) "
+            "AS HUGEINT) AS n_a, "
+            "CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) "
+            "AS n_b, "
+            "sum(CASE WHEN grp = 0 THEN 2*mn + t - 1 ELSE 0 END) AS r2a "
+            "FROM r), "
+            "ties AS (SELECT sum(t*t*t - t) AS tie3 FROM ("
+            "SELECT CAST(count(*) AS HUGEINT) AS t FROM s GROUP BY c)) "
+            "SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, "
+            "(CAST(r2a AS DOUBLE) - CAST(n_a*(n_a+1) AS DOUBLE))/2.0 AS u_a, "
+            "((CAST(r2a AS DOUBLE) - CAST(n_a*(n_a+1) AS DOUBLE))/2.0 - "
+            "CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/2.0) / "
+            "sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/12.0 * "
+            "(CAST(n_a+n_b+1 AS DOUBLE) - CAST(tie3 AS DOUBLE)/"
+            "(CAST(n_a+n_b AS DOUBLE)*CAST(n_a+n_b-1 AS DOUBLE)))) "
+            "AS z_score FROM m, ties"
+        ),
         "bitmap_distinct_users": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
             "AS n_distinct FROM events GROUP BY event_type "
@@ -5377,6 +5468,7 @@ def build_queries() -> dict:
         "bitmap_distinct_users": q_bitmap_distinct_users,
         "audience_overlap": q_audience_overlap,
         "ab_lift": q_ab_lift,
+        "value_ranksum": q_value_ranksum,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,

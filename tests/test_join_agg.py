@@ -1997,3 +1997,36 @@ def test_ab_lift_hand_case(tmp_path):
     p = 3 / 4
     want_z = 0.5 / math.sqrt(p * (1 - p) * (1 / 2 + 1 / 2))
     assert abs(r["z_score"] - want_z) < 1e-12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_ranksum_vs_scipy_formula(tmp_path):
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_value_ranksum
+
+    # cohort A (even uid) systematically LOWER than B (odd uid)
+    rng = np.random.default_rng(41)
+    rows = []
+    for uid in range(40):
+        base = 10.0 if uid % 2 == 0 else 20.0
+        for _ in range(5):
+            rows.append(
+                {"user_id": uid, "value": base + float(rng.integers(0, 5))}
+            )
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    r = q_value_ranksum(str(tmp_path)).to_pylist()[0]
+    assert r["n_a"] == r["n_b"] == 100
+    # A lower than B in every pair -> U_a == 0, strongly negative z
+    assert r["u_a"] == 0.0
+    assert r["z_score"] < -10
+
+    # identical distributions -> U_a == n_a*n_b/2 exactly, z == 0
+    rows = [
+        {"user_id": uid, "value": float(v)}
+        for uid in range(10)
+        for v in (1, 2, 3)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
+    r = q_value_ranksum(str(tmp_path)).to_pylist()[0]
+    assert r["u_a"] == r["n_a"] * r["n_b"] / 2 and r["z_score"] == 0.0

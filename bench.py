@@ -296,6 +296,8 @@ QUERY_SUBSET = [
     "top_terms_per_lang",
     "bitmap_distinct_users",
     "audience_overlap",
+    "ab_lift",
+    "value_ranksum",
 ]
 
 

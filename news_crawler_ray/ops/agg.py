@@ -1784,3 +1784,112 @@ def kmv_estimate_intersections(sketches: dict, k: int = 64) -> pa.Table:
                 }
             )
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------- Poisson bootstrap CI
+
+
+_SM_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — pure uint64 integer ops, so
+    bitwise identical at any position/layout (unlike float kernels,
+    nothing here depends on SIMD rounding)."""
+    z = (x + _SM_GAMMA).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+# P(Poisson(1) <= k) for k = 0..12 — inverse-CDF table for weights
+_POIS1_CDF = np.cumsum(
+    np.exp(-1.0) / np.cumprod(np.concatenate([[1.0], np.arange(1.0, 13.0)]))
+)
+
+
+def poisson_bootstrap_mean(
+    ds,
+    id_col: str,
+    value_col: str,
+    reps: int = 50,
+    seed: int = 7,
+) -> pa.Table:
+    """Distributed bootstrap CI for the mean of an integer column via
+    the POISSON bootstrap — the resampling scheme that works when data
+    never fits one machine: resample weights w ~ Poisson(1) are drawn
+    PER ROW from a content-stable hash (splitmix64(id, rep, seed) →
+    inverse CDF), so every replicate's weighted sums are exact-int
+    combiner partials (2 ints per (rep, block)) and the whole B-replicate
+    bootstrap is ONE streaming pass, reproducible at any layout.
+    Driver: B weighted means, percentile CI by sorted pick. Output one
+    row: (n_rows, mean, ci_lo, ci_hi, reps) with mean = exact-int
+    division and CI bounds exact replicate means."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "rep": pa.array([], pa.int64()),
+                    "sw": pa.array([], pa.int64()),
+                    "swc": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sc": pa.array([], pa.int64()),
+                }
+            )
+        ids = np.asarray(t[id_col], dtype=np.int64).view(np.uint64)
+        c = np.asarray(t[value_col], dtype=np.int64)
+        base = _splitmix64(ids ^ np.uint64(seed))
+        rep_ids, sws, swcs, ns, scs = [], [], [], [], []
+        for r in range(reps):
+            h = _splitmix64(base + np.uint64(r + 1))
+            u = (h >> np.uint64(11)).astype(np.float64) / np.float64(1 << 53)
+            w = np.searchsorted(_POIS1_CDF, u).astype(np.int64)
+            rep_ids.append(r)
+            sws.append(int(w.sum()))
+            swcs.append(int((w * c).sum()))
+            ns.append(n if r == 0 else 0)
+            scs.append(int(c.sum()) if r == 0 else 0)
+        return pa.table(
+            {
+                "rep": pa.array(rep_ids, pa.int64()),
+                "sw": pa.array(sws, pa.int64()),
+                "swc": pa.array(swcs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "sc": pa.array(scs, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    agg = {r: [0, 0] for r in range(reps)}
+    n_rows = 0
+    sc = 0
+    for row in parts:
+        a = agg[row["rep"]]
+        a[0] += row["sw"]
+        a[1] += row["swc"]
+        n_rows += row["n"]
+        sc += row["sc"]
+    means = sorted(
+        float(np.float64(agg[r][1]) / np.float64(agg[r][0]))
+        for r in range(reps)
+        if agg[r][0]
+    )
+    lo = means[int(np.floor(0.025 * len(means)))]
+    hi = means[min(len(means) - 1, int(np.ceil(0.975 * len(means))) - 1)]
+    mean = float(np.float64(sc) / np.float64(n_rows)) if n_rows else None
+    return pa.table(
+        {
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "mean_cents": pa.array([mean], pa.float64()),
+            "ci_lo": pa.array([lo], pa.float64()),
+            "ci_hi": pa.array([hi], pa.float64()),
+            "reps": pa.array([reps], pa.int64()),
+        }
+    )

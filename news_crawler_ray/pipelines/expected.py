@@ -944,6 +944,42 @@ def expected_audience_overlap(sf_dir: str) -> pa.Table:
     return kmv_estimate_intersections(sketches, k=KMV_K)
 
 
+def expected_value_mean_ci(sf_dir: str) -> pa.Table:
+    """Sequential Poisson-bootstrap re-derivation: the same splitmix64 /
+    inverse-CDF kernels over the WHOLE column at once (no blocks), plain
+    Python sums — partials being exact ints, the distributed combiner
+    must reproduce these replicates exactly."""
+    from ..ops.agg import _POIS1_CDF, _splitmix64
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    ids = np.asarray(t["event_id"], dtype=np.int64).view(np.uint64)
+    c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+    base = _splitmix64(ids ^ np.uint64(7))
+    means = []
+    for r in range(50):
+        h = _splitmix64(base + np.uint64(r + 1))
+        u = (h >> np.uint64(11)).astype(np.float64) / np.float64(1 << 53)
+        w = np.searchsorted(_POIS1_CDF, u).astype(np.int64)
+        sw, swc = int(w.sum()), int((w * c).sum())
+        if sw:
+            means.append(float(np.float64(swc) / np.float64(sw)))
+    means.sort()
+    lo = means[int(np.floor(0.025 * len(means)))]
+    hi = means[min(len(means) - 1, int(np.ceil(0.975 * len(means))) - 1)]
+    mean = float(np.float64(int(c.sum())) / np.float64(len(c)))
+    return pa.table(
+        {
+            "n_rows": pa.array([len(c)], pa.int64()),
+            "mean_cents": pa.array([mean], pa.float64()),
+            "ci_lo": pa.array([lo], pa.float64()),
+            "ci_hi": pa.array([hi], pa.float64()),
+            "reps": pa.array([50], pa.int64()),
+        }
+    )
+
+
 def expected_type_drift(sf_dir: str) -> pa.Table:
     """Sequential re-derivation of q_type_drift: one pass for the ts
     range, Counter per half, identical float expressions."""
@@ -1130,6 +1166,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["knn_recall"] = values_sql(expected_knn_recall(sf_dir))
     sql["type_drift"] = values_sql(expected_type_drift(sf_dir))
     sql["audience_overlap"] = values_sql(expected_audience_overlap(sf_dir))
+    sql["value_mean_ci"] = values_sql(expected_value_mean_ci(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

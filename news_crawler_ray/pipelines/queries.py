@@ -3649,6 +3649,33 @@ def q_ab_lift(sf_dir: str):
     )
 
 
+def q_value_mean_ci(sf_dir: str):
+    """Poisson-bootstrap 95% CI for the mean event value in cents
+    (ops/agg.poisson_bootstrap_mean): content-stable splitmix64 per-row
+    Poisson(1) replicate weights → exact-int combiner partials, the
+    whole B=50-replicate bootstrap in ONE streaming pass — the
+    resampling scheme that works when data never fits one machine.
+    Sequential oracle recomputes the identical replicates."""
+    from ..ops.agg import poisson_bootstrap_mean
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "c": pa.array(c, pa.int64())}
+        )
+
+    return poisson_bootstrap_mean(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_id",
+        "c",
+        reps=50,
+    )
+
+
 def q_value_ranksum(sf_dir: str):
     """Mann-Whitney U rank-sum test: do the two user-parity cohorts
     draw event values from the same distribution? (The nonparametric
@@ -5469,6 +5496,7 @@ def build_queries() -> dict:
         "audience_overlap": q_audience_overlap,
         "ab_lift": q_ab_lift,
         "value_ranksum": q_value_ranksum,
+        "value_mean_ci": q_value_mean_ci,
         "embedding_pca": q_embedding_pca,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,

@@ -2030,3 +2030,25 @@ def test_value_ranksum_vs_scipy_formula(tmp_path):
     pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "events.parquet"))
     r = q_value_ranksum(str(tmp_path)).to_pylist()[0]
     assert r["u_a"] == r["n_a"] * r["n_b"] / 2 and r["z_score"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_poisson_bootstrap_mean():
+    from news_crawler_ray.ops.agg import poisson_bootstrap_mean
+
+    rng = np.random.default_rng(43)
+    c = rng.integers(900, 1100, 2000)
+    tbl = pa.table(
+        {
+            "id": pa.array(np.arange(2000), pa.int64()),
+            "c": pa.array(c, pa.int64()),
+        }
+    )
+    r1 = poisson_bootstrap_mean(_ds(tbl, 1), "id", "c", reps=40).to_pylist()[0]
+    r6 = poisson_bootstrap_mean(_ds(tbl, 6), "id", "c", reps=40).to_pylist()[0]
+    assert r1 == r6  # replicate weights are content-stable: layout-proof
+    true_mean = c.mean()
+    assert r1["ci_lo"] < true_mean < r1["ci_hi"]
+    # CI width ~ 2*1.96*sd*sqrt(2/n) for Poisson bootstrap; sanity band
+    assert (r1["ci_hi"] - r1["ci_lo"]) < 20
+    assert r1["mean_cents"] == float(c.sum()) / 2000

@@ -4398,6 +4398,128 @@ def q_top_bigrams(sf_dir: str):
     return tx.top_ngrams(ds, n=2, k=TOP_TERMS_K)
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 30
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: top bigrams by pointwise mutual information
+    (PMI) with a support floor — the phrase detector a tokenizer/
+    vocab pipeline runs before merging multiword units. Exact integer
+    counts end to end (bigram + unigram counts on the sorted exchange,
+    unigram counts joined BACK per side via sort-merge — no broadcast-
+    vocab assumption), PMI = log2 of ONE exact-int ratio per surviving
+    bigram (DuckDB log2 verified bit-equal to np.log2 on this host)."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_inner_join
+    from ..ops.text import _doc_term_freqs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        # vectorized adjacency (ops/text.top_ngrams kernel shape):
+        # a bigram starts at i iff token rows i, i+1 share one doc
+        empty = pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.coalesce(t["text"], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        row_idx = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(offsets)
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        f = flat.filter(pa.array(keep))
+        f = f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+        r = row_idx[keep]
+        m = len(f)
+        if m < 2:
+            return empty
+        same = pa.array(r[1:] == r[:-1])
+        return pa.table(
+            {
+                "w1": f.slice(0, m - 1).filter(same),
+                "w2": f.slice(1, m - 1).filter(same),
+            }
+        )
+
+    def term_rows(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string())})
+        tf = _doc_term_freqs(t, "text", "doc_id")
+        reps = np.asarray(tf["tf"], dtype=np.int64)
+        idx = np.repeat(np.arange(len(reps)), reps)
+        return pa.table({"term": tf["term"].take(pa.array(idx))})
+
+    pair_ds = ds.map_batches(
+        bigram_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    big = sorted_group_agg(
+        pair_ds, ["w1", "w2"], [("c_xy", "count_all", None)]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["c_xy"], PMI_MIN_COUNT)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    uni = sorted_group_agg(
+        ds.map_batches(term_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"],
+        [("c", "count_all", None)],
+    )
+    j1 = sort_merge_inner_join(
+        big.map_batches(
+            lambda t: pa.table(
+                {"term": t["w1"], "w2": t["w2"], "c_xy": t["c_xy"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        uni,
+        "term",
+        ["w2", "c_xy"],
+        ["c"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"term": t["w2"], "w1_c": t["c"], "c_xy": t["c_xy"], "w1": t["term"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = sort_merge_inner_join(j1, uni, "term", ["w1", "w1_c", "c_xy"], ["c"])
+    rows = j2.take_all()  # post-floor collocation set: config-scale
+    n_uni = sum(
+        r["c"] for r in uni.map_batches(
+            lambda t: pa.table({"c": pa.array([pc.sum(t["c"]).as_py() or 0], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    n_bi = sum(
+        r["n"] for r in pair_ds.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    out = []
+    for r in rows:
+        num = r["c_xy"] * n_uni * n_uni
+        den = n_bi * r["w1_c"] * r["c"]
+        pmi = float(np.log2(np.float64(num) / np.float64(den)))
+        out.append(
+            {
+                "bigram": f"{r['w1']} {r['term']}",
+                "c_xy": r["c_xy"],
+                "pmi": pmi,
+            }
+        )
+    out.sort(key=lambda x: (-x["pmi"], x["bigram"]))
+    return pa.Table.from_pylist(out[:PMI_TOP_K])
+
+
 def q_normalize_text(sf_dir: str):
     """C4-style cleaning: NFC → lowercase → collapse whitespace → trim,
     dialect-identical pyarrow/DuckDB kernels (ops/text.normalize_text)."""
@@ -4506,6 +4628,27 @@ ORACLE_SQL.update(
             "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM l) "
             f"SELECT term, count(*) AS n FROM b GROUP BY term "
             f"ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
+        ),
+        "bigram_pmi": (
+            "WITH l AS (SELECT list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "b AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM l), "
+            f"cb AS (SELECT term, CAST(count(*) AS HUGEINT) AS c_xy FROM b "
+            f"GROUP BY term HAVING count(*) >= {PMI_MIN_COUNT}), "
+            "u AS (SELECT unnest(toks) AS w FROM l), "
+            "cu AS (SELECT w, CAST(count(*) AS HUGEINT) AS c FROM u "
+            "GROUP BY w), "
+            "tot AS (SELECT (SELECT CAST(count(*) AS HUGEINT) FROM u) AS "
+            "n_uni, (SELECT CAST(count(*) AS HUGEINT) FROM b) AS n_bi) "
+            "SELECT term AS bigram, CAST(c_xy AS BIGINT) AS c_xy, "
+            "log2(CAST(c_xy * n_uni * n_uni AS DOUBLE) / "
+            "CAST(n_bi * u1.c * u2.c AS DOUBLE)) AS pmi "
+            "FROM cb CROSS JOIN tot "
+            "JOIN cu u1 ON u1.w = split_part(term, ' ', 1) "
+            "JOIN cu u2 ON u2.w = split_part(term, ' ', 2) "
+            f"ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}"
         ),
         "normalize_text": (
             "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize("
@@ -5413,6 +5556,7 @@ def build_queries() -> dict:
         "value_quantiles": q_value_quantiles,
         "value_quantiles_cont": q_value_quantiles_cont,
         "top_bigrams": q_top_bigrams,
+        "bigram_pmi": q_bigram_pmi,
         "normalize_text": q_normalize_text,
         "dedup_corpus": q_dedup_corpus,
         # rows-only (non-SQL-expressible)

@@ -1419,3 +1419,30 @@ def test_fuzzy_match_join_blocking_and_verify(ray_session):
             ).take_all()
         )
         assert got == [(1, 100, 0), (2, 100, 2)]
+
+
+def test_bigram_pmi_hand_corpus(ray_session, monkeypatch, tmp_path):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines import queries as Q
+
+    # "new york" always collocated; "the cat"/"the dog" split "the"'s mass
+    docs = ["new york " * 5, "the cat " * 5, "the dog " * 5]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([0, 1, 2], pa.int64()), "text": docs}
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["bigram"]: r for r in Q.q_bigram_pmi(str(tmp_path)).to_pylist()}
+    assert "new york" in got
+    # hand PMI: c_xy=5, N_uni=30, N_bi=12(4 within-doc bigrams/doc... )
+    ny = got["new york"]
+    n_uni, n_bi = 30, 27  # 9 bigrams per 10-token doc
+    want = math.log2((ny["c_xy"] * n_uni * n_uni) / (n_bi * 5 * 5))
+    assert abs(ny["pmi"] - want) < 1e-12
+    # "york new" (wrap inside repetition) is less collocated than pairs
+    # that always co-occur exclusively
+    assert got["new york"]["pmi"] > got["the cat"]["pmi"]

@@ -1275,3 +1275,102 @@ def fuzzy_match_join(
             for p in groups
         ]
     )
+
+
+# ----------------------------------------------- unigram-LM surprisal
+
+
+def doc_surprisal(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+):
+    """Per-doc unigram-LM surprisal in bits — the float cousin of
+    :func:`doc_rarity`: each token contributes −log2(c_w / N) where c_w
+    is its corpus count and N the corpus token total. Every token's
+    term is QUANTIZED to an integer (floor(log2(c_w/N)·2^scale_bits
+    + 0.5) — quantization is part of the operator definition, the
+    ops/agg.group_entropy trick), so the per-doc reduction is an exact
+    integer sum: order-free, layout-proof, and expressible in REAL SQL
+    (DuckDB's log2/floor are bit-equal to numpy's on this host —
+    verified). Same three task-based exchanges as doc_rarity (explode →
+    totals → join back → per-doc sums); floats only in the final
+    bits = −S/2^scale_bits and bits_per_token division. Output:
+    (doc_id, n_tokens, surprisal_bits, bits_per_token)."""
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    scale = np.float64(1 << scale_bits)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        ids = pc.cast(t[id_col].take(tf["row_idx"]), pa.int64())
+        return pa.table(
+            {id_col: ids, "term": tf["term"], "tf": pc.cast(tf["tf"], pa.int64())}
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(pair_ds, ["term"], [("n", "sum", "tf")])
+    n_total = sum(
+        r["s"]
+        for r in totals.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    joined = sort_merge_inner_join(pair_ds, totals, "term", [id_col, "tf"], ["n"])
+    nf = np.float64(n_total)
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tf" not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        tf = np.asarray(t["tf"], dtype=np.int64)
+        n = np.asarray(t["n"], dtype=np.int64)
+        qterm = np.floor(
+            np.log2(n.astype(np.float64) / nf) * scale + np.float64(0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(tf, pa.int64()),
+                "q": pa.array(qterm * tf, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    agg = sorted_group_agg(
+        scored, [id_col], [("n_tokens", "sum", "n_tokens"), ("s", "sum", "q")]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.int64).astype(np.float64)
+        nt = np.asarray(t["n_tokens"], dtype=np.int64).astype(np.float64)
+        bits = -(s / scale)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "surprisal_bits": pa.array(bits, pa.float64()),
+                "bits_per_token": pa.array(bits / nt, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1458,6 +1458,17 @@ def q_posting_lists(sf_dir: str):
     return tx.posting_lists(ds)
 
 
+def q_doc_surprisal(sf_dir: str):
+    """Per-doc unigram-LM surprisal in bits (ops/text.doc_surprisal):
+    every token's −log2(c_w/N) term is quantized to an integer, so the
+    per-doc reduction is an exact order-free integer sum — REAL-SQL
+    oracled to the bit (DuckDB log2/floor == numpy's on this host).
+    The LM-quality curation signal doc_rarity approximates with pure
+    integers."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.doc_surprisal(ds)
+
+
 def q_doc_rarity(sf_dir: str):
     """Per-doc rare-token signal (exact integers): token count, rare
     occurrences (global freq <= 2), and summed corpus frequency — the
@@ -4611,6 +4622,20 @@ ORACLE_SQL.update(
             "list(doc_id ORDER BY doc_id) AS postings "
             "FROM tok GROUP BY term ORDER BY term"
         ),
+        "doc_surprisal": (
+            f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) "
+            "WHERE term <> ''), "
+            "tot AS (SELECT term, CAST(count(*) AS HUGEINT) AS n FROM tok "
+            "GROUP BY term), "
+            "nt AS (SELECT CAST(sum(n) AS DOUBLE) AS nf FROM tot), "
+            "q AS (SELECT term, CAST(floor(log2(CAST(n AS DOUBLE)/nf) "
+            "* 1048576.0 + 0.5) AS HUGEINT) AS qterm FROM tot, nt) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "-(CAST(sum(q.qterm) AS DOUBLE)/1048576.0) AS surprisal_bits, "
+            "(-(CAST(sum(q.qterm) AS DOUBLE)/1048576.0)) / "
+            "CAST(count(*) AS DOUBLE) AS bits_per_token "
+            "FROM tok t JOIN q USING (term) GROUP BY t.doc_id"
+        ),
         "doc_rarity": (
             f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) WHERE term <> ''), "
             "tot AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
@@ -5548,6 +5573,7 @@ def build_queries() -> dict:
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,
+        "doc_surprisal": q_doc_surprisal,
         "top_terms_per_lang": q_top_terms_per_lang,
         "doc_rarity": q_doc_rarity,
         "repetition_stats": q_repetition_stats,

@@ -1446,3 +1446,30 @@ def test_bigram_pmi_hand_corpus(ray_session, monkeypatch, tmp_path):
     # "york new" (wrap inside repetition) is less collocated than pairs
     # that always co-occur exclusively
     assert got["new york"]["pmi"] > got["the cat"]["pmi"]
+
+
+def test_doc_surprisal_properties(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import doc_surprisal
+
+    # corpus: 'common' appears 9x, 'rare' once -> rare doc more surprising
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": ["common common common", "common common common", "common common common rare"],
+        }
+    )
+    for nblocks in (1, 3):
+        got = {
+            r["doc_id"]: r
+            for r in doc_surprisal(rd.from_arrow(tbl).repartition(nblocks)).take_all()
+        }
+        # doc 0 == doc 1 exactly (identical token multisets)
+        assert got[0]["surprisal_bits"] == got[1]["surprisal_bits"]
+        assert got[2]["bits_per_token"] > got[0]["bits_per_token"]
+        # hand value: N=10, common 9x -> -log2(9/10) per token, doc0 = 3 tokens
+        want = 3 * -(math.floor(math.log2(9 / 10) * (1 << 20) + 0.5) / (1 << 20))
+        assert abs(got[0]["surprisal_bits"] - want) < 1e-9

@@ -430,3 +430,50 @@ def pca_fit(
             comps[i] = -comps[i]
     ratio = vals / np.float64(np.trace(C))
     return vals, comps, ratio, N
+
+
+def pca_transform(
+    ds: "ray.data.Dataset",
+    components: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "proj",
+    scale_bits: int = 20,
+) -> "ray.data.Dataset":
+    """Project every vector onto fitted principal components (the apply
+    half of :func:`pca_fit` — dimensionality reduction before ANN /
+    clustering): the (k, d) component matrix broadcasts ONCE via
+    ``ray.put``; both the vectors and the components are quantized to
+    ints (rint(·2^scale_bits), pca_fit's convention) so the per-block
+    matmul is EXACT INTEGER arithmetic — BLAS dgemm is measurably NOT
+    row-slice deterministic in float64, an int matmul is, so the
+    projection is bitwise layout-proof. Overflow is impossible under
+    |x|,|c| ≤ 2^scale_bits·8 and d ≤ 2^(62-2·scale_bits-6). Output:
+    (id, proj list<double>[k]) with proj = P_int/2^(2·scale_bits)."""
+    Cq = np.rint(
+        np.ascontiguousarray(components, dtype=np.float64)
+        * np.float64(1 << scale_bits)
+    ).astype(np.int64)
+    comp_ref = ray.put(Cq)
+    down = np.float64(1 << scale_bits) * np.float64(1 << scale_bits)
+
+    def project(t: pa.Table) -> pa.Table:
+        C = ray.get(comp_ref)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    out_col: pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        X = _as_matrix(t[vec_col], t.num_rows)
+        Q = np.rint(X * np.float64(1 << scale_bits)).astype(np.int64)
+        P = (Q @ C.T).astype(np.float64) / down
+        return pa.table(
+            {
+                id_col: t[id_col],
+                out_col: pa.array(P.tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

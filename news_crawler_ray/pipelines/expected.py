@@ -980,6 +980,35 @@ def expected_value_mean_ci(sf_dir: str) -> pa.Table:
     )
 
 
+def expected_embedding_pca_proj(sf_dir: str, scale_bits: int = 20) -> pa.Table:
+    """Sequential fit→transform: components from
+    expected_embedding_pca's path, then ONE whole-matrix INTEGER matmul
+    (exact, so block layout cannot matter) and the same /2^(2k)
+    down-scale."""
+    from .queries import PCA_K
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    exp = expected_embedding_pca(sf_dir, scale_bits=scale_bits)
+    d = int(np.asarray(exp["dim"]).max()) + 1
+    comps = np.asarray(exp["loading"]).reshape(PCA_K, d)
+    X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    s = np.float64(1 << scale_bits)
+    Q = np.rint(X * s).astype(np.int64)
+    Cq = np.rint(comps * s).astype(np.int64)
+    P = (Q @ Cq.T).astype(np.float64) / (s * s)
+    k = P.shape[1]
+    return pa.table(
+        {
+            "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+            "component": pa.array(np.tile(np.arange(k), len(ids)), pa.int64()),
+            "coord": pa.array(P.ravel(), pa.float64()),
+        }
+    )
+
+
 def expected_type_drift(sf_dir: str) -> pa.Table:
     """Sequential re-derivation of q_type_drift: one pass for the ts
     range, Counter per half, identical float expressions."""
@@ -1167,6 +1196,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["type_drift"] = values_sql(expected_type_drift(sf_dir))
     sql["audience_overlap"] = values_sql(expected_audience_overlap(sf_dir))
     sql["value_mean_ci"] = values_sql(expected_value_mean_ci(sf_dir))
+    sql["embedding_pca_proj"] = values_sql(expected_embedding_pca_proj(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

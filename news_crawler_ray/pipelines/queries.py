@@ -1207,6 +1207,49 @@ def q_knn_recall(sf_dir: str):
     return pa.Table.from_pylist(rows)
 
 
+def q_embedding_pca_proj(sf_dir: str):
+    """PCA fit→transform pipeline (ops/similarity.pca_fit +
+    pca_transform): fit the top-4 components from integer Gram partials,
+    then project EVERY vector via broadcast quantized components and an
+    exact integer matmul (BLAS float dgemm is not row-slice
+    deterministic; the int matmul is bitwise layout-proof). Output one
+    row per (vec_id, component) coordinate."""
+    from ..ops.similarity import pca_fit, pca_transform
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ds = _ds_from_table(tbl, target_blocks=KMEANS_BLOCKS)
+    _vals, comps, _ratio, _n = pca_fit(ds, "embedding", k=PCA_K)
+    proj = pca_transform(ds, comps)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                    "coord": pa.array([], pa.float64()),
+                }
+            )
+        ids = np.asarray(t["vec_id"], dtype=np.int64)
+        P = np.asarray(
+            t["proj"].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(ids), -1)
+        k = P.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "component": pa.array(
+                    np.tile(np.arange(k), len(ids)), pa.int64()
+                ),
+                "coord": pa.array(P.ravel(), pa.float64()),
+            }
+        )
+
+    return proj.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sample_docs(sf_dir: str):
     """Deterministic stratified sampling: content-stable Bernoulli by
     md5(doc_id) with per-language fractions (downsample dominant
@@ -5668,6 +5711,7 @@ def build_queries() -> dict:
         "value_ranksum": q_value_ranksum,
         "value_mean_ci": q_value_mean_ci,
         "embedding_pca": q_embedding_pca,
+        "embedding_pca_proj": q_embedding_pca_proj,
         "max_value_event_per_type": q_max_value_event_per_type,
         "crawl_budget": q_crawl_budget,
         "event_range_window": q_event_range_window,

@@ -1473,3 +1473,26 @@ def test_doc_surprisal_properties(ray_session):
         # hand value: N=10, common 9x -> -log2(9/10) per token, doc0 = 3 tokens
         want = 3 * -(math.floor(math.log2(9 / 10) * (1 << 20) + 0.5) / (1 << 20))
         assert abs(got[0]["surprisal_bits"] - want) < 1e-9
+
+
+def test_pca_transform_layout_proof(ray_session, emb_tbl):
+    import ray.data as rd
+
+    from news_crawler_ray.ops.similarity import pca_fit, pca_transform
+
+    _v, comps, _r, _n = pca_fit(rd.from_arrow(emb_tbl), "embedding", k=3)
+    p1 = {
+        r["vec_id"]: r["proj"]
+        for r in pca_transform(rd.from_arrow(emb_tbl).repartition(1), comps).take_all()
+    }
+    p7 = {
+        r["vec_id"]: r["proj"]
+        for r in pca_transform(rd.from_arrow(emb_tbl).repartition(7), comps).take_all()
+    }
+    assert p1 == p7  # integer matmul: bitwise layout-proof
+    # projection approximates the float dot product
+    E = np.array(emb_tbl["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb_tbl["vec_id"], dtype=np.int64)
+    want = E @ comps.T
+    got = np.array([p1[i] for i in ids])
+    assert np.abs(got - want).max() < 1e-4  # 2^-20 quantization bound

@@ -298,6 +298,10 @@ QUERY_SUBSET = [
     "audience_overlap",
     "ab_lift",
     "value_ranksum",
+    "value_mean_ci",
+    "bigram_pmi",
+    "doc_surprisal",
+    "embedding_pca_proj",
 ]
 
 

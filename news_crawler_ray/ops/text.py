@@ -1374,3 +1374,126 @@ def doc_surprisal(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heldout_cross_entropy(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale_bits: int = 20,
+):
+    """Held-out LM evaluation: train an add-one-smoothed unigram model
+    on the EVEN-id half of the corpus, score every ODD-id doc's
+    bits-per-token under it — the train/eval drift check a corpus
+    refresh runs before swapping data in. Same quantized-integer-term
+    trick as :func:`doc_surprisal` (each token contributes
+    floor(log2((c_w+1)/(N+V+1))·2^k + 0.5) — an exact order-free int),
+    held-out terms LEFT-join the train totals so OOV tokens get the
+    smoothed floor probability. Output per held-out doc:
+    (doc_id, n_tokens, heldout_bits, bits_per_token)."""
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    scale = np.float64(1 << scale_bits)
+
+    def pairs(train: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "term": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64()),
+                    }
+                )
+            ids64 = pc.cast(t[id_col], pa.int64())
+            want = pc.equal(
+                pc.bit_wise_and(ids64, pa.scalar(1, pa.int64())),
+                pa.scalar(0 if train else 1, pa.int64()),
+            )
+            f = t.filter(want)
+            if f.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "term": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64()),
+                    }
+                )
+            tf = _doc_term_freqs(f, text_col, id_col)
+            ids = pc.cast(f[id_col].take(tf["row_idx"]), pa.int64())
+            return pa.table(
+                {
+                    id_col: ids,
+                    "term": tf["term"],
+                    "tf": pc.cast(tf["tf"], pa.int64()),
+                }
+            )
+
+        return fn
+
+    train_ds = ds.map_batches(pairs(True), batch_format="pyarrow", zero_copy_batch=True)
+    ho_ds = ds.map_batches(pairs(False), batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(train_ds, ["term"], [("c", "sum", "tf")])
+    stats = totals.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array([pc.sum(t["c"]).as_py() or 0], pa.int64()),
+                "v": pa.array([t.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    n_train = sum(r["n"] for r in stats)
+    v_train = sum(r["v"] for r in stats)
+    denom = np.float64(n_train + v_train + 1)
+    joined = sort_merge_inner_join(
+        ho_ds, totals, "term", [id_col, "tf"], ["c"], how="left"
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tf" not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        tf = np.asarray(t["tf"], dtype=np.int64)
+        c = np.asarray(
+            pc.coalesce(t["c"], pa.scalar(0, t.schema.field("c").type)),
+            dtype=np.int64,
+        )
+        qterm = np.floor(
+            np.log2((c + 1).astype(np.float64) / denom) * scale
+            + np.float64(0.5)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(tf, pa.int64()),
+                "q": pa.array(qterm * tf, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    agg = sorted_group_agg(
+        scored, [id_col], [("n_tokens", "sum", "n_tokens"), ("s", "sum", "q")]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"], dtype=np.int64).astype(np.float64)
+        nt = np.asarray(t["n_tokens"], dtype=np.int64).astype(np.float64)
+        bits = -(s / scale)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "heldout_bits": pa.array(bits, pa.float64()),
+                "bits_per_token": pa.array(bits / nt, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

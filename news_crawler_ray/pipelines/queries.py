@@ -1512,6 +1512,15 @@ def q_doc_surprisal(sf_dir: str):
     return tx.doc_surprisal(ds)
 
 
+def q_heldout_entropy(sf_dir: str):
+    """Held-out LM eval (ops/text.heldout_cross_entropy): add-one
+    unigram model trained on even-id docs scores the odd-id half —
+    bits-per-token under the train distribution. Quantized integer
+    terms keep the per-doc sum exact and order-free; REAL SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.heldout_cross_entropy(ds)
+
+
 def q_doc_rarity(sf_dir: str):
     """Per-doc rare-token signal (exact integers): token count, rare
     occurrences (global freq <= 2), and summed corpus frequency — the
@@ -4679,6 +4688,24 @@ ORACLE_SQL.update(
             "CAST(count(*) AS DOUBLE) AS bits_per_token "
             "FROM tok t JOIN q USING (term) GROUP BY t.doc_id"
         ),
+        "heldout_entropy": (
+            f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) "
+            "WHERE term <> ''), "
+            "tr AS (SELECT term, CAST(count(*) AS HUGEINT) AS c FROM tok "
+            "WHERE doc_id % 2 = 0 GROUP BY term), "
+            "m AS (SELECT CAST(sum(c) AS HUGEINT) AS n, "
+            "CAST(count(*) AS HUGEINT) AS v FROM tr), "
+            "ho AS (SELECT doc_id, term FROM tok WHERE doc_id % 2 = 1), "
+            "q AS (SELECT ho.doc_id, CAST(floor(log2("
+            "CAST(coalesce(tr.c, 0) + 1 AS DOUBLE) / "
+            "CAST(m.n + m.v + 1 AS DOUBLE)) * 1048576.0 + 0.5) AS HUGEINT) "
+            "AS qt FROM ho LEFT JOIN tr USING (term) CROSS JOIN m) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "-(CAST(sum(qt) AS DOUBLE)/1048576.0) AS heldout_bits, "
+            "(-(CAST(sum(qt) AS DOUBLE)/1048576.0)) / "
+            "CAST(count(*) AS DOUBLE) AS bits_per_token "
+            "FROM q GROUP BY doc_id"
+        ),
         "doc_rarity": (
             f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) WHERE term <> ''), "
             "tot AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok "
@@ -5617,6 +5644,7 @@ def build_queries() -> dict:
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,
         "doc_surprisal": q_doc_surprisal,
+        "heldout_entropy": q_heldout_entropy,
         "top_terms_per_lang": q_top_terms_per_lang,
         "doc_rarity": q_doc_rarity,
         "repetition_stats": q_repetition_stats,

@@ -1496,3 +1496,32 @@ def test_pca_transform_layout_proof(ray_session, emb_tbl):
     want = E @ comps.T
     got = np.array([p1[i] for i in ids])
     assert np.abs(got - want).max() < 1e-4  # 2^-20 quantization bound
+
+
+def test_heldout_cross_entropy_oov(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import heldout_cross_entropy
+
+    # train (even ids): "alpha beta" x2; held-out doc 1 has an OOV token
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 1], pa.int64()),
+            "text": ["alpha beta", "alpha beta", "alpha zulu"],
+        }
+    )
+    for nblocks in (1, 3):
+        got = heldout_cross_entropy(
+            rd.from_arrow(tbl).repartition(nblocks)
+        ).take_all()
+        assert len(got) == 1 and got[0]["doc_id"] == 1
+        r = got[0]
+        # N=4 train tokens, V=2 -> denom 7; alpha c=2, zulu OOV c=0
+        k = 1 << 20
+        q_alpha = math.floor(math.log2(3 / 7) * k + 0.5)
+        q_zulu = math.floor(math.log2(1 / 7) * k + 0.5)
+        want = -((q_alpha + q_zulu) / k)
+        assert abs(r["heldout_bits"] - want) < 1e-9
+        assert r["n_tokens"] == 2

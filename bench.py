@@ -302,6 +302,8 @@ QUERY_SUBSET = [
     "bigram_pmi",
     "doc_surprisal",
     "embedding_pca_proj",
+    "heldout_entropy",
+    "value_trimmed_mean",
 ]
 
 

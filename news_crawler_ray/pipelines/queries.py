@@ -3371,6 +3371,67 @@ def q_fuzzy_entity_join(sf_dir: str):
     )
 
 
+TRIM_PCT = 5
+
+
+def q_value_trimmed_mean(sf_dir: str):
+    """Robust (trimmed) mean of event value: drop the lowest and
+    highest 5% BY GLOBAL RANK (exact integer cutoffs — floor(n·p/100)
+    rows each side), average the kept middle in integer cents. ONE
+    range-partition sort + zip_with_index; the kept-range filter and
+    partial sums are block-local. Bit-identical to the SQL row_number
+    oracle."""
+    from ..stages.index import zip_with_index
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {"event_id": t["event_id"], "c": pa.array(c, pa.int64())}
+        )
+
+    cds = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = zip_with_index(cds, ["c", "event_id"], [False, False], rank_col="i0")
+    n_rows = sum(
+        r["n"]
+        for r in cds.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    k = n_rows * TRIM_PCT // 100
+    lo, hi = k, n_rows - k  # keep ranks [lo, hi)
+
+    def partial(t: pa.Table) -> pa.Table:
+        i0 = np.asarray(t["i0"], dtype=np.int64)
+        keep = (i0 >= lo) & (i0 < hi)
+        c = np.asarray(t["c"], dtype=np.int64)[keep]
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    nk = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts)
+    mean = float(np.float64(s) / np.float64(nk)) if nk else None
+    return pa.table(
+        {
+            "n_total": pa.array([n_rows], pa.int64()),
+            "n_kept": pa.array([nk], pa.int64()),
+            "trimmed_mean_cents": pa.array([mean], pa.float64()),
+        }
+    )
+
+
 def q_value_gini(sf_dir: str):
     """Concentration audit — Gini coefficient of per-user total value:
     the one-number skew check (is 1% of users 90% of the volume?) a
@@ -5222,6 +5283,19 @@ ORACLE_SQL.update(
             "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
             "FROM d ORDER BY day"
         ),
+        "value_trimmed_mean": (
+            "WITH s AS (SELECT event_id, "
+            "CAST(round(value*100) AS BIGINT) AS c FROM events), "
+            "r AS (SELECT c, row_number() OVER (ORDER BY c, event_id) - 1 "
+            "AS i0, (SELECT count(*) FROM s) AS n FROM s), "
+            f"k AS (SELECT n, n * {TRIM_PCT} // 100 AS k FROM r LIMIT 1) "
+            "SELECT CAST(k.n AS BIGINT) AS n_total, "
+            "CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(CAST(r.c AS HUGEINT)) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE) AS trimmed_mean_cents "
+            "FROM r CROSS JOIN k "
+            "WHERE r.i0 >= k.k AND r.i0 < k.n - k.k GROUP BY k.n"
+        ),
         "value_gini": (
             "WITH u AS (SELECT user_id, "
             "sum(CAST(round(value*100) AS BIGINT)) AS c FROM events "
@@ -5727,6 +5801,7 @@ def build_queries() -> dict:
         "value_weighted_sample": q_value_weighted_sample,
         "type_drift": q_type_drift,
         "value_gini": q_value_gini,
+        "value_trimmed_mean": q_value_trimmed_mean,
         "shuffle_positions": q_shuffle_positions,
         "fuzzy_entity_join": q_fuzzy_entity_join,
         "cumulative_users": q_cumulative_users,

@@ -2052,3 +2052,23 @@ def test_poisson_bootstrap_mean():
     # CI width ~ 2*1.96*sd*sqrt(2/n) for Poisson bootstrap; sanity band
     assert (r1["ci_hi"] - r1["ci_lo"]) < 20
     assert r1["mean_cents"] == float(c.sum()) / 2000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_value_trimmed_mean_hand_case(tmp_path):
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_value_trimmed_mean
+
+    # 100 values 1..100 cents (0.01..1.00 dollars); 5% trim drops 5 each
+    # side -> mean of 6..95 == 50.5 cents exactly
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(100), pa.int64()),
+            "value": pa.array((np.arange(100) + 1) / 100.0, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    r = q_value_trimmed_mean(str(tmp_path)).to_pylist()[0]
+    assert r["n_total"] == 100 and r["n_kept"] == 90
+    assert r["trimmed_mean_cents"] == 50.5

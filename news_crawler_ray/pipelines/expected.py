@@ -1009,6 +1009,45 @@ def expected_embedding_pca_proj(sf_dir: str, scale_bits: int = 20) -> pa.Table:
     )
 
 
+def expected_caption_pixel_corr() -> pa.Table:
+    """Sequential big-int re-derivation of q_caption_pixel_corr: plain
+    Python sums over the shared deterministic store fixture, the same
+    one-cast-per-float Pearson formula as the SQL HUGEINT oracles."""
+    import math
+
+    from ..fixtures import synth
+    from .queries import PHASH_DUP_N, PHASH_DUP_POOL
+
+    t = synth.make_pagestore(PHASH_DUP_N, seed=42, image_pool=PHASH_DUP_POOL)
+    agg: dict[str, list[int]] = {}
+    for fmt, w, h, cap in zip(
+        t["fmt"].to_pylist(),
+        t["w"].to_pylist(),
+        t["h"].to_pylist(),
+        t["caption"].to_pylist(),
+    ):
+        x, y = len(cap), int(w) * int(h)
+        a = agg.setdefault(fmt, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * x
+        a[4] += y * y
+        a[5] += x * y
+    rows = []
+    for fmt in sorted(agg):
+        n, sx, sy, sxx, syy, sxy = agg[fmt]
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        corr = (
+            None
+            if dx == 0 or dy == 0
+            else float(n * sxy - sx * sy)
+            / (math.sqrt(float(dx)) * math.sqrt(float(dy)))
+        )
+        rows.append({"fmt": fmt, "n_values": n, "corr_xy": corr})
+    return pa.Table.from_pylist(rows)
+
+
 def expected_type_drift(sf_dir: str) -> pa.Table:
     """Sequential re-derivation of q_type_drift: one pass for the ts
     range, Counter per half, identical float expressions."""
@@ -1197,6 +1236,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["audience_overlap"] = values_sql(expected_audience_overlap(sf_dir))
     sql["value_mean_ci"] = values_sql(expected_value_mean_ci(sf_dir))
     sql["embedding_pca_proj"] = values_sql(expected_embedding_pca_proj(sf_dir))
+    sql["caption_pixel_corr"] = values_sql(expected_caption_pixel_corr())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -2187,6 +2187,40 @@ def q_curate_image_corpus(sf_dir: str):
     return mm.curate_image_corpus(ps)
 
 
+def q_caption_pixel_corr(sf_dir: str):
+    """Image-store metadata analytics: per-format Pearson correlation
+    between caption length and pixel count (do bigger images carry
+    longer captions?) — ops/agg.group_corr's integer cross-moment
+    combiner over the store's METADATA columns only (bytes never
+    load). Bit-identical to the sequential big-int oracle."""
+    from ..fixtures import synth
+    from ..ops.agg import group_corr
+
+    ps = ray.data.from_arrow(
+        synth.make_pagestore(PHASH_DUP_N, seed=42, image_pool=PHASH_DUP_POOL).select(
+            ["fmt", "w", "h", "caption"]
+        )
+    )
+
+    def xy(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fmt": t["fmt"],
+                "cap_len": pc.cast(pc.utf8_length(t["caption"]), pa.int64()),
+                "pixels": pc.multiply(
+                    pc.cast(t["w"], pa.int64()), pc.cast(t["h"], pa.int64())
+                ),
+            }
+        )
+
+    return group_corr(
+        ps.map_batches(xy, batch_format="pyarrow", zero_copy_batch=True),
+        ["fmt"],
+        "cap_len",
+        "pixels",
+    )
+
+
 def q_exact_phash_dups(sf_dir: str):
     """Exact perceptual-hash dup groups over STORE METADATA: the
     input_hint schema ships phash as a column, so byte-identical
@@ -5762,6 +5796,7 @@ def build_queries() -> dict:
         "aspect_buckets": q_aspect_buckets,
         "politeness_audit": q_politeness_audit,
         "exact_phash_dups": q_exact_phash_dups,
+        "caption_pixel_corr": q_caption_pixel_corr,
         "sampled_quantiles": q_sampled_quantiles,
         "caption_consistency": q_caption_consistency,
         "outlink_degrees": q_outlink_degrees,

@@ -1105,6 +1105,26 @@ def test_exact_phash_dups_and_sampled_quantiles(ray_session):
     assert (abs(m["value_s"] - m["value_e"]) <= 0.25 * spread).all()
 
 
+def test_caption_pixel_corr_bit_exact(ray_session):
+    """Store-metadata correlation query matches the sequential big-int
+    oracle bit-for-bit (integer cross moments → one float cast each)."""
+    from news_crawler_ray.pipelines.expected import expected_caption_pixel_corr
+    from news_crawler_ray.pipelines.queries import q_caption_pixel_corr
+
+    got = (
+        q_caption_pixel_corr("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("fmt", ignore_index=True)
+    )
+    exp = expected_caption_pixel_corr().to_pandas().sort_values("fmt", ignore_index=True)
+    assert list(got["fmt"]) == list(exp["fmt"])
+    assert list(got["n_values"]) == list(exp["n_values"])
+    assert [
+        (a, b) for a, b in zip(got["corr_xy"], exp["corr_xy"]) if a != b
+    ] == []  # bit-exact float64, including any NULLs
+    assert got["corr_xy"].abs().max() <= 1.0
+
+
 def test_caption_consistency_batching_invariant(ray_session):
     """clip_score is bit-identical across batch sizes (integer feature
     accumulation + shared float64 conversion point), scores are in

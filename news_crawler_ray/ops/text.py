@@ -1117,6 +1117,90 @@ def doc_rarity(
     )
 
 
+def remove_boilerplate_lines(
+    ds,
+    min_count: int = 20,
+    min_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet/RefinedWeb-style corpus-level boilerplate line removal:
+    drop every newline-delimited line of length >= ``min_len`` that
+    occurs at least ``min_count`` times across the WHOLE corpus (nav
+    menus, cookie banners, copyright footers), preserving the order of
+    surviving lines. Returns (id, clean_text, n_removed).
+
+    Scale shape: (1) one vectorized partial line-count per block —
+    the only full pass over the text; (2) ``sorted_group_agg`` merges
+    the (line, n) partials on the task-based exchange; (3) the
+    threshold filter leaves the hot set, bounded above by
+    total_lines/min_count and in practice tiny (it IS the boilerplate
+    vocabulary), collected on the driver and broadcast ONCE via
+    ``ray.put``; (4) one rebuild pass per block: split → ``is_in``
+    membership mask → prefix-sum offset re-stitch → ``binary_join``.
+    No per-row Python anywhere. If the hot set ever outgrew the
+    broadcast bound, step 4 swaps for explode + ``sort_merge_anti_join``
+    on line + ordered reassembly on the key-complete exchange (the
+    stages/sinks ordered-concat pattern)."""
+    from .agg import sorted_group_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"line": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        parts = pc.split_pattern(pc.coalesce(t[text_col], ""), "\n")
+        flat = pc.list_flatten(parts)
+        flat = flat.filter(pc.greater_equal(pc.utf8_length(flat), min_len))
+        if len(flat) == 0:
+            return empty
+        g = pa.table({"line": flat}).group_by(["line"]).aggregate([("line", "count")])
+        return pa.table(
+            {"line": g["line"], "n": pc.cast(g["line_count"], pa.int64())}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(partials, ["line"], [("n", "sum", "n")])
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.table({"line": pa.array([], pa.string())})
+        return t.filter(pc.greater_equal(t["n"], min_count)).select(["line"])
+
+    hot_rows = totals.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    hot_ref = ray.put(pa.array(sorted(r["line"] for r in hot_rows), pa.string()))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)  # zero-copy from the local object store
+        parts = pc.split_pattern(pc.coalesce(t[text_col], ""), "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)
+        # hot lines all have len >= min_len by construction — membership
+        # alone decides the drop; short/rare lines pass untouched
+        drop = pc.is_in(flat, value_set=hot).to_numpy(zero_copy_only=False)
+        offsets = np.asarray(parts.offsets, dtype=np.int64)
+        csum = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(drop, out=csum[1:])
+        removed = csum[offsets[1:]] - csum[offsets[:-1]]
+        kept_off = (offsets - csum[offsets]).astype(np.int32)
+        lst = pa.ListArray.from_arrays(
+            pa.array(kept_off, pa.int32()), flat.filter(pa.array(~drop))
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean_text": pc.binary_join(lst, "\n"),
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------- inverted index
 
 

@@ -461,6 +461,19 @@ _PII_PLANT_SQL = (
     "'@mail.example.com tel 555-0142 ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)"
 )
 
+# --- corpus boilerplate-line removal: thresholds + plant shared between
+# the Ray query and its oracle so the two sides cannot drift. The plant
+# gives every doc a universal header (always hot), docs % 3 a mod-7
+# footer family (count ~N/21 each, >= threshold at every sf), and docs
+# % 2 a SHORT repeated line ('ok', below min_len — must SURVIVE).
+BOILER_MIN_COUNT, BOILER_MIN_LEN = 20, 4
+_BOILER_PLANT_SQL = (
+    "'subscribe to our newsletter' || chr(10) || text || "
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved form ' "
+    "|| CAST(doc_id % 7 AS VARCHAR) ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'ok' ELSE '' END"
+)
+
 ORACLE_SQL.update(
     {
         "sample_docs": (
@@ -476,6 +489,18 @@ ORACLE_SQL.update(
         "pii_redact": (
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
+        ),
+        "remove_boilerplate": (
+            f"WITH planted AS (SELECT doc_id, {_BOILER_PLANT_SQL} AS text FROM documents), "
+            "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line, "
+            "          generate_subscripts(string_split(text, chr(10)), 1) AS ord FROM planted), "
+            f"hot AS (SELECT line FROM lines WHERE length(line) >= {BOILER_MIN_LEN} "
+            f"        GROUP BY line HAVING count(*) >= {BOILER_MIN_COUNT}) "
+            "SELECT l.doc_id, "
+            "  coalesce(string_agg(CASE WHEN h.line IS NULL THEN l.line END, chr(10) "
+            "                      ORDER BY l.ord), '') AS clean_text, "
+            "  count(h.line) AS n_removed "
+            "FROM lines l LEFT JOIN hot h USING (line) GROUP BY l.doc_id"
         ),
         "clicks_prior_view": (
             "WITH v AS ("
@@ -1350,6 +1375,47 @@ def q_pii_redact(sf_dir: str):
 
     return tx.redact_pii(
         ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_remove_boilerplate(sf_dir: str):
+    """Corpus-level boilerplate line removal (the CCNet/RefinedWeb
+    line-dedup curation pass): plant a universal header line, a mod-7
+    footer family, and a short repeated line identically to the SQL
+    oracle, then strip every line of length >= BOILER_MIN_LEN occurring
+    >= BOILER_MIN_COUNT times corpus-wide
+    (ops/text.remove_boilerplate_lines — combiner partials → sorted
+    exchange → tiny hot-set broadcast → one vectorized rebuild pass)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        footer_txt = pc.binary_join_element_wise(
+            "\nall rights reserved form ",
+            pc.cast(pa.array(did % 7), pa.string()),
+            "",
+        )
+        footer = pc.if_else(
+            pa.array(did % 3 == 0), footer_txt, pa.scalar("", pa.string())
+        )
+        okline = pc.if_else(
+            pa.array(did % 2 == 0),
+            pa.scalar("\nok", pa.string()),
+            pa.scalar("", pa.string()),
+        )
+        planted = pc.binary_join_element_wise(
+            "subscribe to our newsletter\n",
+            pc.coalesce(t["text"], ""),
+            footer,
+            okline,
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": planted})
+
+    return tx.remove_boilerplate_lines(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True),
+        min_count=BOILER_MIN_COUNT,
+        min_len=BOILER_MIN_LEN,
     )
 
 
@@ -5748,6 +5814,7 @@ def build_queries() -> dict:
         "dup_components": q_dup_components,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
+        "remove_boilerplate": q_remove_boilerplate,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

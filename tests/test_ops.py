@@ -1125,6 +1125,45 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_remove_boilerplate_lines(ray_session):
+    """Hot lines (>= min_count occurrences, >= min_len chars) are
+    stripped, short repeated lines survive the min_len gate, surviving
+    line order is preserved, and output is block-layout invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import remove_boilerplate_lines
+
+    docs = [
+        {"doc_id": i, "text": f"HEADER LINE\nbody {i} unique words\nok\nFOOT {i % 2}"}
+        for i in range(30)
+    ]
+    tbl = pa.Table.from_pylist(docs)
+
+    def run(nblocks):
+        out = remove_boilerplate_lines(
+            rd.from_arrow(tbl).repartition(nblocks), min_count=10, min_len=4
+        ).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    a, b = run(1), run(7)
+    assert a.equals(b)  # layout-proof
+    # header (30x) and FOOT 0/1 (15x each) are hot; 'ok' is short → kept
+    assert list(a["n_removed"]) == [2] * 30
+    assert a.loc[0, "clean_text"] == "body 0 unique words\nok"
+    # doc whose every eligible line is hot but keeps the short line
+    one = remove_boilerplate_lines(
+        rd.from_arrow(
+            pa.Table.from_pylist(
+                docs + [{"doc_id": 99, "text": "HEADER LINE\nFOOT 0"}]
+            )
+        ),
+        min_count=10,
+        min_len=4,
+    ).to_pandas()
+    row = one[one["doc_id"] == 99].iloc[0]
+    assert row["clean_text"] == "" and row["n_removed"] == 2
+
+
 def test_caption_consistency_batching_invariant(ray_session):
     """clip_score is bit-identical across batch sizes (integer feature
     accumulation + shared float64 conversion point), scores are in

@@ -304,6 +304,58 @@ def running_sum(
 
 
 @ray.remote
+def _block_int_sum(tbl: pa.Table, val_col: str) -> int:
+    if not tbl.num_rows:
+        return 0
+    s = pc.sum(pc.cast(tbl[val_col], pa.int64())).as_py()
+    return int(s or 0)
+
+
+@ray.remote
+def _add_exclusive_scan(tbl: pa.Table, val_col: str, base: int, out_col: str) -> pa.Table:
+    v = np.asarray(tbl[val_col], dtype=np.int64)
+    excl = np.empty(len(v), np.int64)
+    if len(v):
+        excl[0] = base
+        np.cumsum(v[:-1], out=excl[1:])
+        excl[1:] += base
+    return tbl.append_column(out_col, pa.array(excl, pa.int64()))
+
+
+def global_scan_sum(
+    ds,
+    order: list[str],
+    descending: list[bool],
+    val_col: str,
+    out_col: str = "scan",
+) -> "ray.data.Dataset":
+    """EXCLUSIVE global prefix sum of int64 ``val_col`` over a total
+    order — the classic distributed scan. Shape: one range-partition
+    sort, a ONE-INT-per-block metadata pass (the only driver traffic),
+    then an embarrassingly parallel per-block cumsum-plus-base task.
+    Integer arithmetic makes the result exact and layout-proof at any
+    parallelism (a float scan would depend on summation order).
+
+    The engine uses it for the GPT-style sequence-packing manifest
+    (every doc's absolute token offset in the concatenated corpus
+    stream); it is the same offset-stitch as stages/index.zip_with_index
+    generalized from row counts to value sums."""
+    mat = ds.sort(order, descending=descending).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs or mat.count() == 0:
+        return mat
+    sums = ray.get([_block_int_sum.remote(r, val_col) for r in refs])
+    bases = np.zeros(len(sums), np.int64)
+    np.cumsum(np.asarray(sums[:-1], dtype=np.int64), out=bases[1:])
+    return ray.data.from_arrow_refs(
+        [
+            _add_exclusive_scan.remote(r, val_col, int(b), out_col)
+            for r, b in zip(refs, bases)
+        ]
+    )
+
+
+@ray.remote
 def _rolling_block(
     key_col: str,
     ts_col: str,

@@ -467,6 +467,9 @@ _PII_PLANT_SQL = (
 # footer family (count ~N/21 each, >= threshold at every sf), and docs
 # % 2 a SHORT repeated line ('ok', below min_len — must SURVIVE).
 BOILER_MIN_COUNT, BOILER_MIN_LEN = 20, 4
+
+# --- GPT-style sequence packing: window length shared with the oracle
+PACK_SEQ_LEN = 512
 _BOILER_PLANT_SQL = (
     "'subscribe to our newsletter' || chr(10) || text || "
     "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved form ' "
@@ -489,6 +492,18 @@ ORACLE_SQL.update(
         "pii_redact": (
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
+        ),
+        "pack_sequences": (
+            r"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens"
+            "  FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM t) "
+            "SELECT doc_id, n_tokens, tok_start, "
+            f"  tok_start // {PACK_SEQ_LEN} AS first_seq, "
+            f"  CASE WHEN n_tokens = 0 THEN tok_start // {PACK_SEQ_LEN} "
+            f"       ELSE (tok_start + n_tokens - 1) // {PACK_SEQ_LEN} END AS last_seq "
+            "FROM s"
         ),
         "remove_boilerplate": (
             f"WITH planted AS (SELECT doc_id, {_BOILER_PLANT_SQL} AS text FROM documents), "
@@ -1376,6 +1391,44 @@ def q_pii_redact(sf_dir: str):
     return tx.redact_pii(
         ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence-packing manifest: treat the corpus as one
+    token stream concatenated in doc_id order, cut it into fixed
+    PACK_SEQ_LEN-token training sequences, and emit each doc's absolute
+    token offset and first/last sequence index. The scan is
+    ops/window.global_scan_sum — one sort + a one-int-per-block
+    metadata pass + parallel per-block integer cumsum (exact,
+    layout-proof). Token counts share token_stats' \\S+ semantics with
+    the SQL oracle."""
+    from ..ops.window import global_scan_sum
+
+    counts = tx.token_stats(_read(sf_dir, "documents", ["doc_id", "text"])).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    scanned = global_scan_sum(
+        counts, ["doc_id"], [False], "n_tokens", out_col="tok_start"
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ns = np.asarray(t["n_tokens"], np.int64)
+        start = np.asarray(t["tok_start"], np.int64)
+        first = start // PACK_SEQ_LEN
+        last = np.where(ns == 0, first, (start + ns - 1) // PACK_SEQ_LEN)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "tok_start": t["tok_start"],
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_remove_boilerplate(sf_dir: str):
@@ -5815,6 +5868,7 @@ def build_queries() -> dict:
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         "remove_boilerplate": q_remove_boilerplate,
+        "pack_sequences": q_pack_sequences,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

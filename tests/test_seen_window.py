@@ -202,6 +202,30 @@ def test_running_sum_per_key(ray_session):
         assert out[k] == k // 3 + 1
 
 
+def test_global_scan_sum_layout_proof(ray_session):
+    """Exclusive prefix sum over the total order is exact and identical
+    at every block layout, including zero-valued rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import global_scan_sum
+
+    n = 500
+    vals = (np.arange(n) * 7) % 13  # includes zeros
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n), pa.int64()),
+         "n_tokens": pa.array(vals, pa.int64())}
+    )
+    exp = np.concatenate([[0], np.cumsum(vals)[:-1]])
+
+    for layout in ([t], [t.slice(i, 37) for i in range(0, n, 37)]):
+        out = global_scan_sum(
+            rd.from_arrow(layout), ["doc_id"], [False], "n_tokens", "tok_start"
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        assert (out["tok_start"].to_numpy() == exp).all()
+
+
 def test_watermark_window_counts(ray_session):
     import pyarrow as pa
     import ray.data as rd

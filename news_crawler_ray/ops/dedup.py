@@ -502,6 +502,99 @@ def hash64_near_dup_pairs(
 # ------------------------------------------------- n-gram jaccard verify
 
 
+def winnow_fingerprint_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> pa.Table:
+    """Per-batch MOSS winnowing explode: (id, fp) pairs, value-deduped
+    per doc. Winnowing is per-doc, so the output is block-layout proof.
+    fp is the uint64 shingle hash stored as int64 (bit view)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+        )
+    th, off = H.tokenize_batch(batch[text_col])
+    sh, soff = H.shingle_hashes(th, off, k)
+    doc_of, fp = H.winnow_select(sh, soff, w)
+    ids = np.asarray(batch[id_col], dtype=np.int64)[doc_of]
+    return pa.table(
+        {id_col: pa.array(ids, pa.int64()),
+         "fp": pa.array(fp.view(np.int64), pa.int64())}
+    )
+
+
+def winnow_dup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 4096,
+):
+    """Winnowing near-dup candidate pairs (the MOSS plagiarism-detection
+    scheme — a LOCAL fingerprint family complementing MinHash/SimHash):
+    docs sharing >= ``min_shared`` winnowed fingerprints. Any shared run
+    of ``w + k - 1`` tokens guarantees a shared fingerprint, so long
+    verbatim overlaps cannot be missed (the property MinHash lacks).
+
+    Shape: per-batch winnow explode (narrow (id, fp) rows — tens of
+    bytes, never the texts) → ONE fp-colocating sorted exchange with
+    per-run pairing → sorted group-agg on (id_a, id_b) summing shared
+    counts → threshold. Over-cap fp buckets (a fingerprint shared by
+    >``max_bucket`` docs, i.e. corpus boilerplate) emit a min-id star
+    and log, like the other LSH families.
+
+    Output (id_a < id_b, n_shared), globally distinct."""
+    from .agg import sorted_group_agg
+
+    def empty() -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+
+    def fp_run_pairs(t: pa.Table, a: int, b: int) -> pa.Table:
+        n = b - a
+        if n < 2:
+            return empty()
+        ids = np.sort(np.asarray(t[id_col].slice(a, n), dtype=np.int64))
+        if len(ids) > max_bucket:
+            _log_truncated_bucket("winnow", len(ids), max_bucket)
+            iu = np.zeros(len(ids) - 1, dtype=np.int64)
+            ju = np.arange(1, len(ids), dtype=np.int64)
+        else:
+            iu, ju = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu], pa.int64()),
+                "id_b": pa.array(ids[ju], pa.int64()),
+                "n": pa.array(np.ones(len(iu), np.int64), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(
+        lambda b: winnow_fingerprint_batch(b, text_col, id_col, k, w),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = _bucketed_pairs(exploded, ["fp"], fp_run_pairs)
+    shared = sorted_group_agg(pairs, ["id_a", "id_b"], [("n_shared", "sum", "n")])
+    return shared.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared))
+        if t.num_rows
+        else t,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def ngram_jaccard_verify(
     pairs_ds,
     docs_ds,

@@ -176,6 +176,52 @@ def simhash64(token_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return packed.view(np.uint64).ravel()
 
 
+def winnow_select(
+    shingles: np.ndarray, offsets: np.ndarray, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """MOSS winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03): for
+    every window of ``w`` consecutive shingle hashes select the minimum
+    value, RIGHTMOST occurrence on ties; a doc's fingerprint is the
+    resulting value SET. Docs with fewer than ``w`` shingles (but at
+    least one) contribute their minimum value — short docs still
+    fingerprint. Guarantee: any shared run of ``w + k - 1`` tokens
+    between two docs shares at least one selected fingerprint.
+
+    Vectorized across the flat shingle array: one sliding_window_view +
+    one reversed argmin; windows straddling doc boundaries are masked
+    out via searchsorted. Only sub-window docs fall to a per-doc loop
+    (rare: docs shorter than w+k-1 tokens).
+
+    Returns (doc_idx, fp) exploded pairs, value-deduped per doc,
+    ordered by (doc_idx, fp).
+    """
+    n_docs = len(offsets) - 1
+    m = len(shingles)
+    sel = np.zeros(m, dtype=bool)
+    lens = offsets[1:] - offsets[:-1]
+    if m >= w:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        v = sliding_window_view(shingles, w)
+        rm = (w - 1) - np.argmin(v[:, ::-1], axis=1).astype(np.int64)
+        starts = np.arange(len(v), dtype=np.int64)
+        doc_idx = np.searchsorted(offsets, starts, side="right") - 1
+        valid = starts + w <= offsets[doc_idx + 1]
+        sel[starts[valid] + rm[valid]] = True
+    for d in np.flatnonzero((lens > 0) & (lens < w)):
+        seg = shingles[offsets[d] : offsets[d + 1]]
+        sel[offsets[d] + int(np.flatnonzero(seg == seg.min())[-1])] = True
+    pos = np.flatnonzero(sel)
+    doc_of = (np.searchsorted(offsets, pos, side="right") - 1).astype(np.int64)
+    fp = shingles[pos]
+    order = np.lexsort((fp, doc_of))
+    doc_of, fp = doc_of[order], fp[order]
+    keep = np.ones(len(fp), dtype=bool)
+    if len(fp) > 1:
+        keep[1:] = (doc_of[1:] != doc_of[:-1]) | (fp[1:] != fp[:-1])
+    return doc_of[keep], fp[keep]
+
+
 def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Popcount of XOR between two uint64 arrays (vectorized)."""
     x = np.bitwise_xor(a, b)

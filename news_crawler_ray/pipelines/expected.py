@@ -158,6 +158,57 @@ def expected_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_winnow_pairs(sf_dir: str) -> pa.Table:
+    """Independent plain-Python winnowing (per-doc window loops, explicit
+    rightmost-min tie rule) + all-pairs shared-fingerprint counting over
+    the planted near-dup corpus. Shares only the low-level tokenize/
+    shingle hash kernels with the engine; the selection and pairing
+    logic is re-derived from the MOSS spec."""
+    from collections import Counter, defaultdict as dd_
+
+    from .queries import WINNOW_K, WINNOW_MIN_SHARED, WINNOW_W, _drop_word3
+
+    tbl = _planted(sf_dir, _drop_word3)
+    th, off = H.tokenize_batch(tbl["text"])
+    sh, soff = H.shingle_hashes(th, off, WINNOW_K)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    inv: dict[int, list[int]] = dd_(list)
+    for d in range(len(ids)):
+        seg = [int(x) for x in sh[soff[d] : soff[d + 1]]]
+        if not seg:
+            continue
+        sel: set[int] = set()
+        if len(seg) < WINNOW_W:
+            sel.add(min(seg))
+        else:
+            for i in range(len(seg) - WINNOW_W + 1):
+                win = seg[i : i + WINNOW_W]
+                m = min(win)
+                sel.add(win[len(win) - 1 - win[::-1].index(m)])
+        for f in sorted(sel):
+            inv[f].append(int(ids[d]))
+    cnt: Counter[tuple[int, int]] = Counter()
+    for docs in inv.values():
+        docs = sorted(set(docs))
+        for x in range(len(docs)):
+            for y in range(x + 1, len(docs)):
+                cnt[(docs[x], docs[y])] += 1
+    rows = [
+        {"id_a": a, "id_b": b, "n_shared": n}
+        for (a, b), n in sorted(cnt.items())
+        if n >= WINNOW_MIN_SHARED
+    ]
+    if not rows:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_ngram_pairs(sf_dir: str, threshold: float = 0.6) -> pa.Table:
     """Exact shingle-jaccard filter over the expected minhash pairs."""
     from .queries import _drop_word3
@@ -1237,6 +1288,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["value_mean_ci"] = values_sql(expected_value_mean_ci(sf_dir))
     sql["embedding_pca_proj"] = values_sql(expected_embedding_pca_proj(sf_dir))
     sql["caption_pixel_corr"] = values_sql(expected_caption_pixel_corr())
+    sql["winnow_dup_pairs"] = values_sql(expected_winnow_pairs(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -470,6 +470,10 @@ BOILER_MIN_COUNT, BOILER_MIN_LEN = 20, 4
 
 # --- GPT-style sequence packing: window length shared with the oracle
 PACK_SEQ_LEN = 512
+
+# --- MOSS winnowing: shingle k, window w, pair threshold — shared with
+# the sequential-replica oracle (pipelines/expected.expected_winnow_pairs)
+WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 5, 4, 2
 _BOILER_PLANT_SQL = (
     "'subscribe to our newsletter' || chr(10) || text || "
     "CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved form ' "
@@ -620,6 +624,19 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
     ver = dd.ngram_jaccard_verify(pairs, _ds_from_table(planted_tbl), threshold=0.6)
     return ver.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    """MOSS winnowing near-dup pairs over documents + planted one-word-
+    drop mutations: docs sharing >= WINNOW_MIN_SHARED winnowed local
+    fingerprints (ops/dedup.winnow_dup_pairs — guarantees a shared
+    fingerprint for any verbatim run of w+k-1 tokens, the property the
+    probabilistic MinHash family lacks). Non-SQL: sequential-replica
+    oracle (pipelines/expected.expected_winnow_pairs)."""
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _drop_word3))
+    return dd.winnow_dup_pairs(
+        planted, k=WINNOW_K, w=WINNOW_W, min_shared=WINNOW_MIN_SHARED
+    )
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -5869,6 +5886,7 @@ def build_queries() -> dict:
         "pii_redact": q_pii_redact,
         "remove_boilerplate": q_remove_boilerplate,
         "pack_sequences": q_pack_sequences,
+        "winnow_dup_pairs": q_winnow_dup_pairs,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

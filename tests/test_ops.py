@@ -1125,6 +1125,49 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_winnow_select_and_dup_pairs(ray_session):
+    """winnow_select follows the MOSS spec (min per window, RIGHTMOST on
+    ties; sub-window docs contribute their min), and winnow_dup_pairs
+    finds verbatim-overlap docs layout-independently."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops import hashing as H
+    from news_crawler_ray.ops.dedup import winnow_dup_pairs
+
+    sh = np.array([5, 3, 3, 7, 2, 9, 4, 4], dtype=np.uint64)
+    doc_of, fp = H.winnow_select(sh, np.array([0, 5, 8]), w=3)
+    assert list(doc_of) == [0, 0, 1] and sorted(fp[:2]) == [2, 3] and fp[2] == 4
+    # rightmost tie: window [3,3,7] selects position 2, not 1 — both map
+    # to value 3, and the value set is what's fingerprinted
+    short_doc, short_fp = H.winnow_select(
+        np.array([9, 4, 4], dtype=np.uint64), np.array([0, 3]), w=4
+    )
+    assert list(short_doc) == [0] and list(short_fp) == [4]
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [{"doc_id": i, "text": f"{base} tail{i} end{i} x{i} y{i} z{i}"} for i in range(4)]
+    docs += [
+        {
+            "doc_id": 10 + i,
+            "text": " ".join(f"w{i}_{j}" for j in range(10)),  # fully disjoint
+        }
+        for i in range(3)
+    ]
+    tbl = pa.Table.from_pylist(docs)
+
+    def run(nblocks):
+        out = winnow_dup_pairs(
+            rd.from_arrow(tbl).repartition(nblocks), k=3, w=2, min_shared=2
+        ).to_pandas()
+        return set(zip(out["id_a"], out["id_b"]))
+
+    a, b = run(1), run(5)
+    assert a == b
+    # all docs sharing the 10-token verbatim prefix pair up; solo docs don't
+    assert {(i, j) for i in range(4) for j in range(i + 1, 4)} <= a
+    assert all(x < 10 and y < 10 for x, y in a)
+
+
 def test_remove_boilerplate_lines(ray_session):
     """Hot lines (>= min_count occurrences, >= min_len chars) are
     stripped, short repeated lines survive the min_len gate, surviving

@@ -304,6 +304,10 @@ QUERY_SUBSET = [
     "embedding_pca_proj",
     "heldout_entropy",
     "value_trimmed_mean",
+    "caption_pixel_corr",
+    "remove_boilerplate",
+    "pack_sequences",
+    "winnow_dup_pairs",
 ]
 
 

@@ -1117,6 +1117,50 @@ def doc_rarity(
     )
 
 
+# Ordered HTML→text extraction patterns — the single source of truth
+# shared with the DuckDB oracle (pipelines/queries builds the identical
+# nested regexp_replace chain), like PII_PATTERNS. RE2-safe (no
+# backtracking), dotall via inline (?s) so <script> bodies spanning
+# newlines strip. Reference analog: the listing parser strips markup
+# before item extraction (/root/reference/src/secbot/parsers via
+# BeautifulSoup get_text); this is the engine's vectorized form.
+HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"\s+", " "),
+    (r"^ | $", ""),
+]
+
+
+def html_to_text_batch(
+    batch: pa.Table, html_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Vectorized HTML→text extraction (the fetch→parse step of every
+    web corpus pipeline): drop script/style/comment blocks, strip tags,
+    unescape the common entities, collapse whitespace. One compiled RE2
+    pass per pattern over the whole column — no per-row Python."""
+    s = pc.coalesce(batch[html_col], "")
+    for pat, repl in HTML_STRIP_PATTERNS:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=repl)
+    return pa.table({id_col: batch[id_col], "text_extracted": s})
+
+
+def html_to_text(ds, html_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: html_to_text_batch(b, html_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def remove_boilerplate_lines(
     ds,
     min_count: int = 20,

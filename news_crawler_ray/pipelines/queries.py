@@ -456,6 +456,24 @@ def _pii_replace_sql(expr: str) -> str:
     return expr
 
 
+def _html_strip_sql(expr: str) -> str:
+    """Nested DuckDB regexp_replace over the SAME ordered pattern list
+    the Ray op applies (ops/text.HTML_STRIP_PATTERNS)."""
+    for pat, repl in tx.HTML_STRIP_PATTERNS:
+        p, r = pat.replace("'", "''"), repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+_HTML_PLANT_SQL = (
+    "'<html><head><script>var x = 1;' || chr(10) || 'if (x) { x += 2; }"
+    "</script><style>.nav {color: red}</style><title>Doc ' "
+    "|| CAST(doc_id AS VARCHAR) || '</title></head><body><!-- hidden' "
+    "|| chr(10) || 'comment --><p>' || text "
+    "|| ' &amp; more &lt;tags&gt;</p><div>menu&nbsp;item</div></body></html>'"
+)
+
+
 _PII_PLANT_SQL = (
     "text || ' reach user' || CAST(doc_id AS VARCHAR) || "
     "'@mail.example.com tel 555-0142 ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)"
@@ -496,6 +514,10 @@ ORACLE_SQL.update(
         "pii_redact": (
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
+        ),
+        "html_extract": (
+            f"SELECT doc_id, {_html_strip_sql('(' + _HTML_PLANT_SQL + ')')} "
+            "AS text_extracted FROM documents"
         ),
         "pack_sequences": (
             r"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens"
@@ -1406,6 +1428,32 @@ def q_pii_redact(sf_dir: str):
         return pa.table({"doc_id": t["doc_id"], "text": planted})
 
     return tx.redact_pii(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_html_extract(sf_dir: str):
+    """HTML→text extraction (the parse step after fetch in every web
+    corpus pipeline): wrap each doc's text in a deterministic HTML
+    shell (script/style/comment blocks, tags, entities) identically to
+    the SQL oracle, then extract with the shared ordered RE2 chain
+    (ops/text.HTML_STRIP_PATTERNS → html_to_text)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        html = pc.binary_join_element_wise(
+            "<html><head><script>var x = 1;\nif (x) { x += 2; }</script>"
+            "<style>.nav {color: red}</style><title>Doc ",
+            did,
+            "</title></head><body><!-- hidden\ncomment --><p>",
+            pc.coalesce(t["text"], ""),
+            " &amp; more &lt;tags&gt;</p><div>menu&nbsp;item</div></body></html>",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": html})
+
+    return tx.html_to_text(
         ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
 
@@ -5887,6 +5935,7 @@ def build_queries() -> dict:
         "remove_boilerplate": q_remove_boilerplate,
         "pack_sequences": q_pack_sequences,
         "winnow_dup_pairs": q_winnow_dup_pairs,
+        "html_extract": q_html_extract,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

@@ -1125,6 +1125,22 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_html_to_text_batch():
+    """Script/style/comment blocks (multi-line) strip, tags become
+    spaces, entities unescape, whitespace collapses, edges trim."""
+    from news_crawler_ray.ops.text import html_to_text_batch
+
+    html = (
+        "<html><head><script>\nvar a = 1;\n</script><style>p{x:1}</style>"
+        "</head><body><!-- note\n -->  <p>A &amp; B&nbsp;&lt;ok&gt;</p>"
+        "<div>it&#39;s &quot;q\"</div>\n</body></html>"
+    )
+    out = html_to_text_batch(
+        pa.table({"doc_id": [1], "text": [html]})
+    )["text_extracted"][0].as_py()
+    assert out == "A & B <ok> it's \"q\""
+
+
 def test_winnow_select_and_dup_pairs(ray_session):
     """winnow_select follows the MOSS spec (min per window, RIGHTMOST on
     ties; sub-window docs contribute their min), and winnow_dup_pairs

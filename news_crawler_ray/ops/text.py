@@ -1117,6 +1117,90 @@ def doc_rarity(
     )
 
 
+def _char_pair_explode(terms: pa.Array, weights, max_len: int) -> pa.Table:
+    """Adjacent-codepoint pairs of each term, weighted: O(max word
+    length) vectorized slice kernels, no per-row Python."""
+    tl = pc.utf8_length(terms)
+    outs = []
+    for i in range(max(0, max_len - 1)):
+        mask = pc.greater(tl, i + 1)
+        sub_t = terms.filter(mask)
+        if len(sub_t) == 0:
+            break
+        outs.append(
+            pa.table(
+                {
+                    "l": pc.utf8_slice_codeunits(sub_t, start=i, stop=i + 1),
+                    "r": pc.utf8_slice_codeunits(sub_t, start=i + 1, stop=i + 2),
+                    "n": weights.filter(mask),
+                }
+            )
+        )
+    if not outs:
+        return pa.table(
+            {"l": pa.array([], pa.string()), "r": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    flat = pa.concat_tables(outs)
+    g = flat.group_by(["l", "r"]).aggregate([("n", "sum")])
+    return pa.table(
+        {"l": g["l"], "r": g["r"], "n": pc.cast(g["n_sum"], pa.int64())}
+    )
+
+
+@ray.remote
+def _pair_topk_block(t: pa.Table, k: int) -> pa.Table:
+    empty = pa.table(
+        {"l": pa.array([], pa.string()), "r": pa.array([], pa.string()),
+         "n_pairs": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "n_pairs" not in t.column_names:
+        return empty
+    order = [("n_pairs", "descending"), ("l", "ascending"), ("r", "ascending")]
+    return t.sort_by(order).slice(0, k).select(["l", "r", "n_pairs"])
+
+
+def bpe_merge_candidates(
+    ds, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """One iteration of BPE tokenizer training, distributed: the global
+    top-``k`` adjacent character pairs by occurrence count across all
+    token occurrences (Sennrich et al. 2016's merge-candidate step —
+    the highest-count pair is the next merge rule).
+
+    Scale shape: each block (1) counts its DISTINCT tokens first (the
+    sentencepiece trick — pair-explode work scales with block
+    vocabulary, not token count), (2) explodes adjacent codepoint
+    pairs weighted by the local counts via O(max word length)
+    vectorized slice kernels, and emits a (l, r, n) combiner partial;
+    ONE sorted group-agg exchange merges partials; per-block top-k +
+    driver merge finishes exactly (each (l,r) exists in one row after
+    the agg). Ties (n desc, l, r)."""
+    from .agg import sorted_group_agg
+
+    term_partial = _term_count_partial(text_col, id_col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = term_partial(t)
+        if w.num_rows == 0:
+            return _char_pair_explode(pa.array([], pa.string()), pa.array([], pa.int64()), 0)
+        max_len = pc.max(pc.utf8_length(w["term"])).as_py() or 0
+        return _char_pair_explode(
+            w["term"].combine_chunks(), w["n"].combine_chunks(), int(max_len)
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(partials, ["l", "r"], [("n_pairs", "sum", "n")])
+    finalists = pa.concat_tables(
+        ray.get(
+            [_pair_topk_block.remote(r, k) for r in totals.materialize().to_arrow_refs()]
+        )
+    )
+    return finalists.sort_by(
+        [("n_pairs", "descending"), ("l", "ascending"), ("r", "ascending")]
+    ).slice(0, k)
+
+
 # Ordered HTML→text extraction patterns — the single source of truth
 # shared with the DuckDB oracle (pipelines/queries builds the identical
 # nested regexp_replace chain), like PII_PATTERNS. RE2-safe (no

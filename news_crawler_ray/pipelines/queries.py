@@ -515,6 +515,16 @@ ORACLE_SQL.update(
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
         ),
+        "bpe_merges": (
+            r"WITH w AS (SELECT term, count(*) AS n FROM ("
+            r"  SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents)"
+            "  GROUP BY term), "
+            "p AS (SELECT substr(term, i, 1) AS l, substr(term, i + 1, 1) AS r, n "
+            "  FROM w, LATERAL (SELECT unnest(generate_series(1, length(term) - 1)) AS i) "
+            "  WHERE length(term) >= 2) "
+            "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
+            "ORDER BY n_pairs DESC, l, r LIMIT 50"
+        ),
         "html_extract": (
             f"SELECT doc_id, {_html_strip_sql('(' + _HTML_PLANT_SQL + ')')} "
             "AS text_extracted FROM documents"
@@ -1429,6 +1439,16 @@ def q_pii_redact(sf_dir: str):
 
     return tx.redact_pii(
         ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE merge-candidate counting (one tokenizer-training
+    iteration): global top-50 adjacent character pairs by weighted
+    occurrence over all tokens (ops/text.bpe_merge_candidates — block
+    vocab dedup → vectorized codepoint-pair explode → one exchange)."""
+    return tx.bpe_merge_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=50
     )
 
 
@@ -5936,6 +5956,7 @@ def build_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "html_extract": q_html_extract,
+        "bpe_merges": q_bpe_merges,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

@@ -1125,6 +1125,25 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_bpe_merge_candidates(ray_session):
+    """Hand-checkable corpus: pair counts are weighted by token
+    occurrences and layout-invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import bpe_merge_candidates
+
+    docs = [{"doc_id": i, "text": "aab aab ab xy"} for i in range(5)]
+    tbl = pa.Table.from_pylist(docs)
+    # per doc: 'aab'x2 → (a,a)x2 (a,b)x2; 'ab' → (a,b); 'xy' → (x,y)
+    for nblocks in (1, 3):
+        out = bpe_merge_candidates(
+            rd.from_arrow(tbl).repartition(nblocks), k=10
+        ).to_pylist()
+        assert out[0] == {"l": "a", "r": "b", "n_pairs": 15}
+        assert out[1] == {"l": "a", "r": "a", "n_pairs": 10}
+        assert out[2] == {"l": "x", "r": "y", "n_pairs": 5}
+
+
 def test_html_to_text_batch():
     """Script/style/comment blocks (multi-line) strip, tags become
     spaces, entities unescape, whitespace collapses, edges trim."""

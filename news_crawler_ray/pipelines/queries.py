@@ -465,6 +465,14 @@ def _html_strip_sql(expr: str) -> str:
     return expr
 
 
+def _part1by1_sql(expr: str) -> str:
+    """SQL mirror of ops/hashing.morton_interleave16's bit spread."""
+    e = f"(({expr}) & 65535)"
+    for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+        e = f"((({e}) | (({e}) << {shift})) & {mask})"
+    return e
+
+
 _HTML_PLANT_SQL = (
     "'<html><head><script>var x = 1;' || chr(10) || 'if (x) { x += 2; }"
     "</script><style>.nav {color: red}</style><title>Doc ' "
@@ -514,6 +522,15 @@ ORACLE_SQL.update(
         "pii_redact": (
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
+        ),
+        "zorder_layout": (
+            "WITH k AS (SELECT event_id, "
+            + _part1by1_sql("CAST(user_id AS BIGINT)")
+            + " | ("
+            + _part1by1_sql("CAST(round(value * 100) AS BIGINT)")
+            + " << 1) AS zkey FROM events) "
+            "SELECT event_id, zkey, "
+            "row_number() OVER (ORDER BY zkey, event_id) - 1 AS zrank FROM k"
         ),
         "bpe_merges": (
             r"WITH w AS (SELECT term, count(*) AS n FROM ("
@@ -1440,6 +1457,32 @@ def q_pii_redact(sf_dir: str):
     return tx.redact_pii(
         ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order clustering layout over events: Morton-interleave
+    (user_id, value-cents) low 16 bits into a space-filling key, then
+    rank globally by (zkey, event_id) — the write order that gives
+    partitioned parquet min/max pruning on BOTH columns (Delta/Iceberg
+    OPTIMIZE ZORDER). Key kernel: ops/hashing.morton_interleave16;
+    rank: the one-sort offset-stitch (stages/index.zip_with_index)."""
+    from ..ops.hashing import morton_interleave16
+    from ..stages.index import zip_with_index
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def key(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"], dtype=np.int64)
+        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        z = morton_interleave16(uid, cents)
+        return pa.table(
+            {"event_id": t["event_id"], "zkey": pa.array(z, pa.int64())}
+        )
+
+    keyed = ev.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    return zip_with_index(keyed, ["zkey", "event_id"], [False, False], rank_col="zrank")
 
 
 def q_bpe_merges(sf_dir: str):
@@ -5957,6 +6000,7 @@ def build_queries() -> dict:
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "html_extract": q_html_extract,
         "bpe_merges": q_bpe_merges,
+        "zorder_layout": q_zorder_layout,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

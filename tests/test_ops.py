@@ -1125,6 +1125,26 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_morton_interleave16():
+    """Known interleavings, 16-bit masking, and the locality property
+    (nearby 2-D points sort near each other)."""
+    from news_crawler_ray.ops.hashing import morton_interleave16
+
+    x = np.array([3, 0, 65535, 65536 + 3], dtype=np.int64)
+    y = np.array([5, 1, 65535, 5], dtype=np.int64)
+    z = morton_interleave16(x, y)
+    assert z[0] == 39  # x=0b11 even bits, y=0b101 odd bits → 0b100111
+    assert z[1] == 2
+    assert z[2] == (1 << 32) - 1
+    assert z[3] == 39  # low-16 masking wraps x
+    # locality: points in the same 2x2 cell are adjacent in z order
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    zz = morton_interleave16(xs.ravel(), ys.ravel())
+    order = np.argsort(zz)
+    first4 = {(int(xs.ravel()[i]), int(ys.ravel()[i])) for i in order[:4]}
+    assert first4 == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
 def test_bpe_merge_candidates(ray_session):
     """Hand-checkable corpus: pair counts are weighted by token
     occurrences and layout-invariant."""

@@ -308,6 +308,9 @@ QUERY_SUBSET = [
     "remove_boilerplate",
     "pack_sequences",
     "winnow_dup_pairs",
+    "html_extract",
+    "bpe_merges",
+    "zorder_layout",
 ]
 
 

@@ -230,6 +230,44 @@ def make_neardup_pagestore(
     )
 
 
+def make_letterbox_store(n: int, seed: int = 42, sizes: tuple = (32, 48)) -> pa.Table:
+    """Image store with PLANTED letterbox/pillarbox bars: row i gets
+    black top+bottom bars (i%3==0, h//8 rows each), black left+right
+    bars (i%3==1, w//8 cols each), or no bars (i%3==2). Interior pixels
+    draw from [16,256) so lossy 6-bit quantization can never alias an
+    interior pixel to the bar color — bar counts are exact for both
+    codecs."""
+    rows = []
+    for i in range(n):
+        r = np.random.default_rng((seed, 9, i))
+        w, h = int(r.choice(sizes)), int(r.choice(sizes))
+        fmt = "png" if r.random() < 0.5 else "jpeg"
+        px = r.integers(16, 256, size=(h, w, 3), dtype=np.uint8)
+        if i % 3 == 0:
+            k = max(2, h // 8)
+            px[:k] = 0
+            px[h - k :] = 0
+        elif i % 3 == 1:
+            m = max(2, w // 8)
+            px[:, :m] = 0
+            px[:, w - m :] = 0
+        rows.append(
+            {
+                "iid": i,
+                "bytes": codec.encode(px, fmt),
+                "fmt": fmt,
+                "w": w,
+                "h": h,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.set_column(
+        t.column_names.index("bytes"),
+        "bytes",
+        pa.array([r["bytes"] for r in rows], pa.large_binary()),
+    )
+
+
 def make_frontier(
     n: int, seed: int = 42, dup_frac: float = 0.05, noise_frac: float = 0.05
 ) -> pa.Table:

@@ -260,6 +260,90 @@ def image_features(ds, concurrency=2, batch_size: int = 256):
     )
 
 
+def _border_runs(P: np.ndarray):
+    """Leading/trailing uniform-border runs per image in a (k,h,w,3)
+    stack: a row/col is 'bar' if every pixel equals the top-left pixel.
+    Fully-uniform images report (h, 0) / (w, 0) — the whole frame is one
+    bar. All vectorized boolean reduces, no per-image Python."""
+    color = P[:, :1, :1, :]
+    eq = (P == color).all(axis=3)
+    rowu, colu = eq.all(axis=2), eq.all(axis=1)
+    h, w = P.shape[1], P.shape[2]
+    all_r, all_c = rowu.all(axis=1), colu.all(axis=1)
+    top = np.where(all_r, h, rowu.argmin(axis=1)).astype(np.int64)
+    bottom = np.where(all_r, 0, rowu[:, ::-1].argmin(axis=1)).astype(np.int64)
+    left = np.where(all_c, w, colu.argmin(axis=1)).astype(np.int64)
+    right = np.where(all_c, 0, colu[:, ::-1].argmin(axis=1)).astype(np.int64)
+    return top, bottom, left, right
+
+
+def letterbox_stats_batch(
+    batch: pa.Table, bytes_col: str = "bytes", fmt_col: str = "fmt",
+    id_col: str = "iid",
+) -> pa.Table:
+    """Letterbox/pillarbox bar detection (the cropped/padded-media
+    filter of a LAION-style image curation pass): per image, the number
+    of leading/trailing rows and columns uniformly equal to the
+    top-left border color. Same-(fmt,w,h) payloads decode into ONE
+    stack (only zlib stays per row, like decode_feature_arrays); the
+    bar counts are four vectorized reduces per stack."""
+    data = batch[bytes_col].to_pylist()
+    fmts = batch[fmt_col].to_pylist()
+    n = batch.num_rows
+    res = np.zeros((4, n), np.int64)
+    ok = np.ones(n, dtype=bool)
+    groups: dict[tuple, tuple[list, list]] = {}
+    singles: list[int] = []
+    for i, (buf, fmt) in enumerate(zip(data, fmts)):
+        if buf is None:
+            ok[i] = False
+            continue
+        dims = _parse_dims(buf, fmt)
+        if dims is None:
+            singles.append(i)
+            continue
+        idxs, bufs = groups.setdefault((fmt, *dims), ([], []))
+        idxs.append(i)
+        bufs.append(buf)
+    for (fmt, w, h), (idxs, bufs) in groups.items():
+        stack, gok = _decode_group_stack(bufs, fmt, w, h)
+        ix = np.asarray(idxs)
+        ok[ix[~gok]] = False
+        if gok.any():
+            runs = _border_runs(np.ascontiguousarray(stack[gok]))
+            for a, r in zip(res, runs):
+                a[ix[gok]] = r
+    for i in singles:
+        try:
+            px = codec.decode(data[i], fmts[i])
+        except Exception:
+            ok[i] = False
+            continue
+        for a, r in zip(res, _border_runs(px[None])):
+            a[i] = r[0]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_top": pa.array(res[0], pa.int64()),
+            "n_bottom": pa.array(res[1], pa.int64()),
+            "n_left": pa.array(res[2], pa.int64()),
+            "n_right": pa.array(res[3], pa.int64()),
+            "decode_ok": pa.array(ok),
+        }
+    )
+
+
+def detect_letterbox(ds, batch_size: int = 128):
+    """Task-form stage (pure zlib+numpy, no per-actor state — same
+    rationale as decode_features_batch)."""
+    return ds.map_batches(
+        letterbox_stats_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 class ImageResizeStage:
     """binary → resized binary (nearest-neighbor, re-encoded same fmt).
 

@@ -158,6 +158,58 @@ def expected_minhash_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_letterbox() -> pa.Table:
+    """Sequential per-image replica of q_letterbox_stats: decode each
+    payload with the scalar codec and count bar rows/cols with explicit
+    Python loops over the same spec (leading/trailing rows/cols equal to
+    the top-left pixel; fully-uniform → (h,0)/(w,0))."""
+    from ..fixtures import codec, synth
+    from .queries import LETTERBOX_N
+
+    t = synth.make_letterbox_store(LETTERBOX_N, seed=42)
+    rows = []
+    for iid, buf, fmt in zip(
+        t["iid"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        px = codec.decode(buf, fmt)
+        h, w = px.shape[0], px.shape[1]
+        color = px[0, 0]
+
+        def bar_rows(rng):
+            c = 0
+            for y in rng:
+                if (px[y] == color).all():
+                    c += 1
+                else:
+                    break
+            return c
+
+        def bar_cols(rng):
+            c = 0
+            for x in rng:
+                if (px[:, x] == color).all():
+                    c += 1
+                else:
+                    break
+            return c
+
+        top = bar_rows(range(h))
+        bottom = 0 if top == h else bar_rows(range(h - 1, -1, -1))
+        left = bar_cols(range(w))
+        right = 0 if left == w else bar_cols(range(w - 1, -1, -1))
+        rows.append(
+            {
+                "iid": iid,
+                "n_top": top,
+                "n_bottom": bottom,
+                "n_left": left,
+                "n_right": right,
+                "decode_ok": True,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_winnow_pairs(sf_dir: str) -> pa.Table:
     """Independent plain-Python winnowing (per-doc window loops, explicit
     rightmost-min tie rule) + all-pairs shared-fingerprint counting over
@@ -1289,6 +1341,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["embedding_pca_proj"] = values_sql(expected_embedding_pca_proj(sf_dir))
     sql["caption_pixel_corr"] = values_sql(expected_caption_pixel_corr())
     sql["winnow_dup_pairs"] = values_sql(expected_winnow_pairs(sf_dir))
+    sql["letterbox_stats"] = values_sql(expected_letterbox())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

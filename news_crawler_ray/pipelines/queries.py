@@ -1459,6 +1459,21 @@ def q_pii_redact(sf_dir: str):
     )
 
 
+LETTERBOX_N = 120
+
+
+def q_letterbox_stats(sf_dir: str):
+    """Letterbox/pillarbox bar detection over a planted image store
+    (ops/multimodal.detect_letterbox — stacked group decode, vectorized
+    border reduces). Non-SQL (binary decode): sequential-replica oracle
+    pipelines/expected.expected_letterbox."""
+    from ..fixtures import synth
+    from ..ops.multimodal import detect_letterbox
+
+    ps = ray.data.from_arrow(synth.make_letterbox_store(LETTERBOX_N, seed=42))
+    return detect_letterbox(ps)
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order clustering layout over events: Morton-interleave
     (user_id, value-cents) low 16 bits into a space-filling key, then
@@ -6001,6 +6016,7 @@ def build_queries() -> dict:
         "html_extract": q_html_extract,
         "bpe_merges": q_bpe_merges,
         "zorder_layout": q_zorder_layout,
+        "letterbox_stats": q_letterbox_stats,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

@@ -1125,6 +1125,40 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_letterbox_detection(ray_session):
+    """Planted bars are recovered exactly for both codecs; bar-free and
+    fully-uniform images hit the documented edge conventions."""
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import codec, synth
+    from news_crawler_ray.ops.multimodal import detect_letterbox, letterbox_stats_batch
+
+    out = (
+        detect_letterbox(rd.from_arrow(synth.make_letterbox_store(30, seed=1)))
+        .to_pandas()
+        .sort_values("iid", ignore_index=True)
+    )
+    assert out["decode_ok"].all()
+    for i, row in out.iterrows():
+        if i % 3 == 0:
+            assert row["n_top"] >= 2 and row["n_bottom"] >= 2 and row["n_left"] == 0
+        elif i % 3 == 1:
+            assert row["n_left"] >= 2 and row["n_right"] >= 2 and row["n_top"] == 0
+        else:
+            assert (
+                row[["n_top", "n_bottom", "n_left", "n_right"]].sum() == 0
+            )
+    # fully-uniform image → (h, 0) / (w, 0)
+    px = np.full((8, 16, 3), 7, np.uint8)
+    t = pa.table(
+        {"iid": pa.array([0], pa.int64()),
+         "bytes": pa.array([codec.encode(px, "png")], pa.large_binary()),
+         "fmt": pa.array(["png"])}
+    )
+    r = letterbox_stats_batch(t).to_pylist()[0]
+    assert (r["n_top"], r["n_bottom"], r["n_left"], r["n_right"]) == (8, 0, 16, 0)
+
+
 def test_morton_interleave16():
     """Known interleavings, 16-bit masking, and the locality property
     (nearby 2-D points sort near each other)."""

@@ -342,6 +342,109 @@ def knn_ivf(
 # ------------------------------------------------------------------ PCA
 
 
+def contrastive_negatives(
+    ds,
+    n_total: int,
+    k_neg: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_scale: int = 1024,
+):
+    """Contrastive-training negative sampling over a dense-id embedding
+    corpus (the pair-prep step of CLIP/SimCLR-style training): for each
+    anchor, ``k_neg`` content-stable pseudo-random negatives via an
+    integer map — ``neg = (id·2654435761 + (slot+1)·40503) mod n_total``
+    with a +1 skip on self-collision — the very formula the SQL oracle
+    evaluates, so the sample is exactly reproducible anywhere with no
+    RNG state. Ids must be dense 0..n_total-1 (the export convention;
+    re-key with stages/index.zip_with_index otherwise).
+
+    Shape: each anchor row explodes to ``k_neg`` narrow rows carrying
+    the anchor's QUANTIZED vector (floor(x·q+0.5) int64), then ONE
+    neg_id-colocating sort-merge join gathers the negative's vector and
+    a vectorized integer dot scores the pair — exact and layout-proof
+    (a float dot depends on reduction order). Output
+    (id, slot, neg_id, dot_q int64) with similarity dot_q/q²."""
+    from .join import sort_merge_inner_join
+
+    A, B = 2654435761, 40503
+    qf = np.float64(q_scale)
+
+    def quant(t: pa.Table) -> np.ndarray:
+        X = _as_matrix(t[vec_col], t.num_rows)
+        return np.floor(X * qf + 0.5).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                    "qa": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        rid = np.repeat(ids, k_neg)
+        slot = np.tile(np.arange(k_neg, dtype=np.int64), t.num_rows)
+        raw = (rid * A + (slot + 1) * B) % n_total
+        neg = np.where(raw == rid, (raw + 1) % n_total, raw)
+        qa = np.repeat(quant(t), k_neg, axis=0)
+        return pa.table(
+            {
+                id_col: pa.array(rid, pa.int64()),
+                "slot": pa.array(slot, pa.int64()),
+                "neg_id": pa.array(neg, pa.int64()),
+                "qa": pa.array(qa.tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    def right(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "qb": pa.array([], pa.list_(pa.int64()))}
+            )
+        return pa.table(
+            {id_col: t[id_col],
+             "qb": pa.array(quant(t).tolist(), pa.list_(pa.int64()))}
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    negs = ds.map_batches(right, batch_format="pyarrow", zero_copy_batch=True)
+    joined = sort_merge_inner_join(
+        pairs, negs, "neg_id", [id_col, "slot", "qa"], ["qb"], right_key=id_col
+    )
+
+    def dot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "qa" not in t.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "slot": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                    "dot_q": pa.array([], pa.int64()),
+                }
+            )
+        qa = np.asarray(
+            t["qa"].combine_chunks().flatten(), dtype=np.int64
+        ).reshape(t.num_rows, -1)
+        qb = np.asarray(
+            t["qb"].combine_chunks().flatten(), dtype=np.int64
+        ).reshape(t.num_rows, -1)
+        d = (qa * qb).sum(axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "slot": t["slot"],
+                "neg_id": t["neg_id"],
+                "dot_q": pa.array(d, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(dot, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pca_fit(
     ds: "ray.data.Dataset",
     vec_col: str = "embedding",

@@ -497,6 +497,9 @@ BOILER_MIN_COUNT, BOILER_MIN_LEN = 20, 4
 # --- GPT-style sequence packing: window length shared with the oracle
 PACK_SEQ_LEN = 512
 
+# --- contrastive negative sampling: slots + quantization shared with SQL
+CONTRAST_K, CONTRAST_Q = 4, 1024
+
 # --- MOSS winnowing: shingle k, window w, pair threshold — shared with
 # the sequential-replica oracle (pipelines/expected.expected_winnow_pairs)
 WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 5, 4, 2
@@ -522,6 +525,22 @@ ORACLE_SQL.update(
         "pii_redact": (
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
+        ),
+        "contrastive_negatives": (
+            "WITH p AS (SELECT a.vec_id, s.slot, "
+            f"  (a.vec_id * 2654435761 + (s.slot + 1) * 40503) % "
+            "  (SELECT count(*) FROM embeddings) AS raw "
+            f"  FROM embeddings a, LATERAL (SELECT unnest(generate_series(0, {CONTRAST_K - 1})) AS slot) s), "
+            "pr AS (SELECT vec_id, slot, CASE WHEN raw = vec_id THEN "
+            "  (raw + 1) % (SELECT count(*) FROM embeddings) ELSE raw END AS neg_id FROM p), "
+            "z AS (SELECT pr.vec_id, pr.slot, pr.neg_id, "
+            "  unnest(a.embedding) AS xa, unnest(b.embedding) AS xb "
+            "  FROM pr JOIN embeddings a ON a.vec_id = pr.vec_id "
+            "  JOIN embeddings b ON b.vec_id = pr.neg_id) "
+            "SELECT vec_id, slot, neg_id, "
+            f"SUM(CAST(floor(CAST(xa AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT) * "
+            f"    CAST(floor(CAST(xb AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT)) AS dot_q "
+            "FROM z GROUP BY vec_id, slot, neg_id"
         ),
         "zorder_layout": (
             "WITH k AS (SELECT event_id, "
@@ -1460,6 +1479,19 @@ def q_pii_redact(sf_dir: str):
 
 
 LETTERBOX_N = 120
+
+
+def q_contrastive_negatives(sf_dir: str):
+    """Contrastive negative sampling + exact integer-quantized scoring
+    over the embeddings table (ops/similarity.contrastive_negatives:
+    content-stable LCG negatives, one neg_id-colocating join, int dot).
+    REAL SQL oracle: same integer formula, unnest-zip dot."""
+    from ..ops.similarity import contrastive_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return contrastive_negatives(
+        ds, n_total=ds.count(), k_neg=CONTRAST_K, q_scale=CONTRAST_Q
+    )
 
 
 def q_letterbox_stats(sf_dir: str):
@@ -6017,6 +6049,7 @@ def build_queries() -> dict:
         "bpe_merges": q_bpe_merges,
         "zorder_layout": q_zorder_layout,
         "letterbox_stats": q_letterbox_stats,
+        "contrastive_negatives": q_contrastive_negatives,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

@@ -1125,6 +1125,38 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_contrastive_negatives(ray_session):
+    """Negative ids follow the shared integer map (self-collisions skip
+    +1), every anchor gets exactly k slots, dots are exact integer
+    products, and output is block-layout invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.similarity import contrastive_negatives
+
+    n, d, k = 12, 4, 3
+    vecs = [[float(i + 1)] * d for i in range(n)]
+    tbl = pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array(vecs, pa.list_(pa.float32()))}
+    )
+
+    def run(nblocks):
+        out = contrastive_negatives(
+            rd.from_arrow(tbl).repartition(nblocks), n_total=n, k_neg=k, q_scale=8
+        ).to_pandas().sort_values(["vec_id", "slot"], ignore_index=True)
+        return out
+
+    a, b = run(1), run(4)
+    assert a.equals(b)
+    assert len(a) == n * k
+    for _, r in a.iterrows():
+        raw = (r["vec_id"] * 2654435761 + (r["slot"] + 1) * 40503) % n
+        assert r["neg_id"] == ((raw + 1) % n if raw == r["vec_id"] else raw)
+        assert r["neg_id"] != r["vec_id"]
+        # quantized dot of constant vectors: d * (8(i+1)) * (8(j+1))
+        assert r["dot_q"] == d * 8 * (r["vec_id"] + 1) * 8 * (r["neg_id"] + 1)
+
+
 def test_letterbox_detection(ray_session):
     """Planted bars are recovered exactly for both codecs; bar-free and
     fully-uniform images hit the documented edge conventions."""

@@ -355,6 +355,97 @@ def group_quantiles(
     return rd.from_arrow_refs(picks)
 
 
+@ray.remote
+def _block_group_weights(tbl: pa.Table, key: str, weight_col: str):
+    """Per-(key-run) int64 weight sums of a sorted-within-block table —
+    the weighted generalization of stages/index._block_group_counts."""
+    import numpy as np
+
+    from ..stages.index import _run_boundaries
+
+    if tbl.num_rows == 0:
+        return []
+    starts, values = _run_boundaries(tbl, key)
+    if not len(starts):
+        return []
+    w = np.asarray(tbl[weight_col], dtype=np.int64)
+    csum = np.concatenate([[0], np.cumsum(w)])
+    ends = np.concatenate([starts[1:], [tbl.num_rows]])
+    return [(v, int(csum[e] - csum[s])) for v, s, e in zip(values, starts, ends)]
+
+
+@ray.remote
+def _wmedian_pick_block(
+    tbl: pa.Table, key: str, val_col: str, weight_col: str,
+    base: dict, totals: dict, out_col: str,
+):
+    import numpy as np
+
+    from ..stages.index import _run_boundaries
+
+    key_type = tbl.schema.field(key).type
+    out_k, out_v = [], []
+    if tbl.num_rows:
+        starts, values = _run_boundaries(tbl, key)
+        ends = np.concatenate([starts[1:], [tbl.num_rows]])
+        w = np.asarray(tbl[weight_col], dtype=np.int64)
+        vals = np.asarray(tbl[val_col], dtype=np.int64)
+        for v, s, e in zip(values, starts, ends):
+            cw = np.cumsum(w[s:e]) + base.get(v, 0)
+            tw = totals[v]
+            m = (2 * cw >= tw) & (2 * (cw - w[s:e]) < tw)
+            hit = np.flatnonzero(m)
+            if len(hit):
+                out_k.append(v)
+                out_v.append(int(vals[s + hit[0]]))
+    return pa.table(
+        {key: pa.array(out_k, key_type), out_col: pa.array(out_v, pa.int64())}
+    )
+
+
+def weighted_group_median(
+    ds, key: str, val_col: str, weight_col: str, out_col: str = "wmedian"
+):
+    """EXACT per-group lower weighted median (smallest v with cumulative
+    weight ≥ half the group total) without materializing groups: the
+    :func:`group_quantiles` shape generalized to weights — one
+    range-partition sort by ``(key, value)``, a per-block (key,
+    weight-sum) metadata pass, then each block emits only its BOUNDARY
+    rows (first row where 2·cumweight crosses the total; at most one
+    per key per block). A group spanning many blocks still works —
+    crossing detection is offset arithmetic on int64 weight prefix
+    sums, exact at any parallelism. ``val_col``/``weight_col`` must be
+    int64 (cents/counts); weights ≥ 0. Output ``[key, out_col]``."""
+    import ray.data as rd
+
+    mat = ds.sort([key, val_col]).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs or mat.count() == 0:
+        return rd.from_arrow(
+            pa.table({key: pa.array([], pa.string()),
+                      out_col: pa.array([], pa.int64())})
+        )
+    metas = ray.get([_block_group_weights.remote(r, key, weight_col) for r in refs])
+    running: dict = {}
+    per_block_base = []
+    for weights in metas:
+        base = {g: running.get(g, 0) for g, _ in weights}
+        for g, tw in weights:
+            running[g] = running.get(g, 0) + tw
+        per_block_base.append(base)
+    picks = [
+        _wmedian_pick_block.remote(r, key, val_col, weight_col, base, running, out_col)
+        for r, base, weights in zip(refs, per_block_base, metas)
+        if weights
+    ]
+    # a key's boundary can appear in multiple blocks only at exact
+    # half-total block edges — resolve to the smallest value, the SQL
+    # MIN-over-satisfying-rows convention
+    return sorted_group_agg(
+        rd.from_arrow_refs(picks), [key], [(out_col, "min", out_col)]
+    )
+
+
 # ------------------------------------------------ approximate distinct (HLL)
 
 

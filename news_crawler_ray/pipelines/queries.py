@@ -526,6 +526,17 @@ ORACLE_SQL.update(
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
         ),
+        "weighted_median": (
+            "WITH s AS (SELECT l_returnflag, "
+            "  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, "
+            "  CAST(l_quantity AS BIGINT) AS qty FROM lineitem), "
+            "c AS (SELECT l_returnflag, price_c, "
+            "  SUM(qty) OVER (PARTITION BY l_returnflag ORDER BY price_c "
+            "    ROWS UNBOUNDED PRECEDING) AS cw, "
+            "  SUM(qty) OVER (PARTITION BY l_returnflag) AS tw FROM s) "
+            "SELECT l_returnflag, MIN(price_c) AS wmedian_cents FROM c "
+            "WHERE 2 * cw >= tw GROUP BY l_returnflag"
+        ),
         "contrastive_negatives": (
             "WITH p AS (SELECT a.vec_id, s.slot, "
             f"  (a.vec_id * 2654435761 + (s.slot + 1) * 40503) % "
@@ -1479,6 +1490,37 @@ def q_pii_redact(sf_dir: str):
 
 
 LETTERBOX_N = 120
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted median extended price per return flag — the
+    exact distributed weighted median (ops/agg.weighted_group_median:
+    sort exchange + per-block weight-prefix boundary pick; no group
+    materializes in one task). REAL SQL window-cumsum oracle."""
+    from ..ops.agg import weighted_group_median
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        price_c = np.rint(
+            np.asarray(t["l_extendedprice"], dtype=np.float64) * 100
+        ).astype(np.int64)
+        qty = np.asarray(t["l_quantity"], dtype=np.float64).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "price_c": pa.array(price_c, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+            }
+        )
+
+    return weighted_group_median(
+        li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "l_returnflag",
+        "price_c",
+        "qty",
+        out_col="wmedian_cents",
+    )
 
 
 def q_contrastive_negatives(sf_dir: str):
@@ -6050,6 +6092,7 @@ def build_queries() -> dict:
         "zorder_layout": q_zorder_layout,
         "letterbox_stats": q_letterbox_stats,
         "contrastive_negatives": q_contrastive_negatives,
+        "weighted_median": q_weighted_median,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "posting_lists": q_posting_lists,

@@ -1195,6 +1195,35 @@ def test_set_ops_distinct_semantics():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_weighted_group_median(ray_session):
+    """Lower weighted median (2·cum >= total) with ties, zero weights,
+    and exact-half boundaries; layout-invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import weighted_group_median
+
+    rows = (
+        # key a: weights 1,1,1,1 over 10,20,30,40 → total 4, cum@20=2 → 20
+        [{"k": "a", "v": 10 * m, "w": 1} for m in (1, 2, 3, 4)]
+        # key b: heavy tail — 5@100 crosses half of 8 at value 100
+        + [{"k": "b", "v": 1, "w": 3}, {"k": "b", "v": 100, "w": 5}]
+        # key c: zero-weight rows never selected; crossing at 7
+        + [{"k": "c", "v": 5, "w": 0}, {"k": "c", "v": 7, "w": 2},
+           {"k": "c", "v": 9, "w": 0}]
+    )
+    tbl = pa.Table.from_pylist(rows).cast(
+        pa.schema([("k", pa.string()), ("v", pa.int64()), ("w", pa.int64())])
+    )
+    for nblocks in (1, 4):
+        out = {
+            r["k"]: r["m"]
+            for r in weighted_group_median(
+                rd.from_arrow(tbl).repartition(nblocks), "k", "v", "w", out_col="m"
+            ).take_all()
+        }
+        assert out == {"a": 20, "b": 100, "c": 7}
+
+
 def test_group_corr_bit_exact():
     import math
 

@@ -1329,6 +1329,104 @@ def remove_boilerplate_lines(
     return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
 
 
+@ray.remote
+def _assemble_tokens_block(id_col: str, *parts: pa.Table) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.sort_by([(id_col, "ascending"), ("ord", "ascending")]).combine_chunks()
+    tid = pc.cast(pc.fill_null(tbl["token_id"], -1), pa.int64())
+    tid = tid.combine_chunks() if isinstance(tid, pa.ChunkedArray) else tid
+    ids = tbl[id_col].combine_chunks()
+    n = tbl.num_rows
+    new_doc = np.empty(n, dtype=bool)
+    new_doc[0] = True
+    if n > 1:
+        new_doc[1:] = pc.not_equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_doc)
+    bounds = np.concatenate([starts, [n]]).astype(np.int64)
+    strs = pc.cast(tid, pa.string())
+    lists = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), strs)
+    oov = np.asarray(pc.equal(tid, -1), dtype=np.int64)
+    csum = np.concatenate([[0], np.cumsum(oov)])
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(starts)),
+            "token_ids": pc.binary_join(lists, " "),
+            "n_oov": pa.array(csum[bounds[1:]] - csum[bounds[:-1]], pa.int64()),
+        }
+    )
+
+
+def tokenize_with_vocab(
+    docs, vocab, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Apply a trained word-level vocabulary (``vocab_build``'s
+    (term, token_id) table) to a corpus: per doc, the space-joined
+    token-id sequence in original token order, OOV as -1, plus the OOV
+    count — the encode step between tokenizer training and sequence
+    packing.
+
+    Shape: vectorized (doc, ord, term) explode (prefix-sum ordinals,
+    empties dropped with the \\S+ convention) → one sort-merge LEFT
+    join against the DATA-SCALE vocab on term (no broadcast assumption
+    — a web-corpus vocab is millions of rows) → ordered per-doc
+    reassembly on the key-complete exchange (ListArray re-stitch +
+    binary_join, no per-row Python). Docs with zero tokens are absent
+    from the output (the SQL GROUP BY convention)."""
+    from ..stages.index import key_complete_parts
+    from .join import sort_merge_inner_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "ord": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                }
+            )
+        toks = pc.split_pattern_regex(pc.coalesce(t[text_col], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_kept = row_of[keep]
+        kept_per_row = np.bincount(row_kept, minlength=t.num_rows)
+        off_kept = np.concatenate([[0], np.cumsum(kept_per_row)])
+        ords = np.arange(len(row_kept), dtype=np.int64) - np.repeat(
+            off_kept[:-1], kept_per_row
+        )
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(row_kept)),
+                "ord": pa.array(ords + 1, pa.int64()),  # 1-based like SQL
+                "term": flat.filter(pa.array(keep)),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    joined = sort_merge_inner_join(
+        exploded, vocab, "term", [id_col, "ord"], ["token_id"], how="left"
+    )
+    groups = key_complete_parts(joined, id_col, order=["ord"])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token_ids": pa.array([], pa.string()),
+                    "n_oov": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [_assemble_tokens_block.remote(id_col, *parts) for parts in groups]
+    )
+
+
 # --------------------------------------------------------- inverted index
 
 

@@ -1785,6 +1785,18 @@ def q_top_terms(sf_dir: str):
     return tx.top_terms(ds, k=TOP_TERMS_K)
 
 
+def q_tokenize_vocab(sf_dir: str):
+    """Tokenizer APPLY step: encode every doc with the trained
+    vocabulary (ops/text.tokenize_with_vocab — explode with prefix-sum
+    ordinals → LEFT join the data-scale vocab → ordered reassembly on
+    the key-complete exchange). OOV → -1; output is the space-joined id
+    string + OOV count per doc. REAL SQL oracle (vocab CTE + ordered
+    string_agg)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = tx.vocab_build(ds, min_count=VOCAB_MIN_COUNT)
+    return tx.tokenize_with_vocab(ds, vocab)
+
+
 def q_vocab_build(sf_dir: str):
     """Tokenizer vocabulary with stable contiguous ids: terms above a
     count floor, ranked (count desc, term asc) → 0-based token_id
@@ -5088,6 +5100,20 @@ ORACLE_SQL.update(
             f"SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
             f"GROUP BY term HAVING count(*) >= {VOCAB_MIN_COUNT})"
         ),
+        "tokenize_vocab": (
+            "WITH v AS (SELECT term, CAST(row_number() OVER (ORDER BY n DESC, term) - 1 "
+            "  AS BIGINT) AS token_id FROM ("
+            f"  SELECT term, count(*) AS n FROM ({_TOK_SQL}) WHERE term <> '' "
+            f"  GROUP BY term HAVING count(*) >= {VOCAB_MIN_COUNT})), "
+            r"tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term, "
+            r"  generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS ord "
+            "  FROM documents) "
+            "SELECT tk.doc_id, "
+            "  string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ' ' ORDER BY tk.ord) "
+            "    AS token_ids, "
+            "  CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov "
+            "FROM tk LEFT JOIN v USING (term) GROUP BY tk.doc_id"
+        ),
         "top_terms_per_lang": (
             "WITH tok AS (SELECT lang, unnest(regexp_split_to_array("
             "coalesce(text, ''), '\\s+')) AS term FROM documents), "
@@ -6095,6 +6121,7 @@ def build_queries() -> dict:
         "weighted_median": q_weighted_median,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
+        "tokenize_vocab": q_tokenize_vocab,
         "posting_lists": q_posting_lists,
         "doc_surprisal": q_doc_surprisal,
         "heldout_entropy": q_heldout_entropy,

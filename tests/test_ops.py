@@ -1125,6 +1125,30 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_tokenize_with_vocab(ray_session):
+    """Encoded id order matches token order, OOV maps to -1 and is
+    counted, empty-token docs drop out, layout-invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import tokenize_with_vocab, vocab_build
+
+    docs = [{"doc_id": i, "text": "red blue red rare" + str(i)} for i in range(6)]
+    docs.append({"doc_id": 99, "text": "   "})  # whitespace-only → dropped
+    tbl = pa.Table.from_pylist(docs)
+
+    def run(nblocks):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = tokenize_with_vocab(ds, vocab_build(ds, min_count=2)).to_pandas()
+        return out.sort_values("doc_id", ignore_index=True)
+
+    a, b = run(1), run(4)
+    assert a.equals(b)
+    assert list(a["doc_id"]) == list(range(6))  # doc 99 dropped
+    # vocab: red (12x) id 0, blue (6x) id 1; rareN unique → OOV
+    assert (a["token_ids"] == "0 1 0 -1").all()
+    assert (a["n_oov"] == 1).all()
+
+
 def test_contrastive_negatives(ray_session):
     """Negative ids follow the shared integer map (self-collisions skip
     +1), every anchor gets exactly k slots, dots are exact integer

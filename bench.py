@@ -311,6 +311,12 @@ QUERY_SUBSET = [
     "html_extract",
     "bpe_merges",
     "zorder_layout",
+    "letterbox_stats",
+    "contrastive_negatives",
+    "hard_negatives",
+    "weighted_median",
+    "tokenize_vocab",
+    "dedup_spans",
 ]
 
 

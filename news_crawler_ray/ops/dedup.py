@@ -595,6 +595,203 @@ def winnow_dup_pairs(
     )
 
 
+@ray.remote
+def _merge_spans_block(id_col: str, n: int, *parts: pa.Table) -> pa.Table:
+    """Per-doc interval union of [pos, pos+n) removal windows over one
+    key-complete, pos-sorted group run. O(docs) Python, numpy per doc."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.sort_by([(id_col, "ascending"), ("pos", "ascending")])
+    ids = tbl[id_col].combine_chunks()
+    pos = np.asarray(tbl["pos"], dtype=np.int64)
+    m = tbl.num_rows
+    new_doc = np.empty(m, dtype=bool)
+    new_doc[0] = True
+    if m > 1:
+        new_doc[1:] = pc.not_equal(ids.slice(1), ids.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    bounds = np.concatenate([np.flatnonzero(new_doc), [m]])
+    out_id, out_starts, out_ends = [], [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        p = pos[a:b]
+        ends = p + n
+        # merged-interval boundaries: a window starts a new interval when
+        # it begins past the running max end of all earlier windows
+        run_end = np.maximum.accumulate(ends)
+        brk = np.concatenate([[True], p[1:] > run_end[:-1]])
+        s_idx = np.flatnonzero(brk)
+        e_idx = np.concatenate([s_idx[1:], [len(p)]]) - 1
+        out_id.append(ids[int(a)].as_py())
+        out_starts.append(p[s_idx].tolist())
+        out_ends.append(run_end[e_idx].tolist())
+    return pa.table(
+        {
+            id_col: pa.array(out_id, ids.type),
+            "rm_starts": pa.array(out_starts, pa.list_(pa.int64())),
+            "rm_ends": pa.array(out_ends, pa.list_(pa.int64())),
+        }
+    )
+
+
+def dedup_span_removal(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    pos_bits: int = 20,
+):
+    """EXACT duplicate-substring removal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every n-token window
+    whose token sequence occurs more than once corpus-wide is removed
+    from ALL BUT its owner occurrence — the globally smallest
+    (doc_id, pos) — with overlapping removed windows merged. Output
+    (id, clean_text, n_tokens_removed).
+
+    Shape: (1) per-block shingle-hash explode → narrow (ghash, doc,
+    pos) rows (tokenize/shingle kernels shared with MinHash — never the
+    texts); (2) ONE sorted group-agg on ghash → occurrence count + min
+    packed(doc·2^pos_bits + pos) owner; (3) sort-merge join back on
+    ghash, keep count>1 non-owner rows; (4) per-doc interval union on
+    the key-complete exchange; (5) LEFT sort-merge join docs⋈spans +
+    one vectorized token re-stitch (mask, ListArray, binary_join).
+    Docs must have < 2^pos_bits tokens and ids < 2^(63-pos_bits);
+    64-bit shingle-hash collisions share exact_dedup's documented risk.
+    Short docs (< n tokens) participate via their whole-doc shingle."""
+    from ..stages.index import key_complete_parts
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ghash": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "packed": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        th, off = H.tokenize_batch(t[text_col])
+        sh, soff = H.shingle_hashes(th, off, n)
+        counts = np.diff(soff)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(soff[:-1], counts)
+        ids = np.asarray(t[id_col], dtype=np.int64)[doc_of]
+        return pa.table(
+            {
+                "ghash": pa.array(sh.view(np.int64), pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "packed": pa.array((ids << pos_bits) + pos, pa.int64()),
+                "one": pa.array(np.ones(total, np.int64), pa.int64()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    owners = sorted_group_agg(
+        exploded, ["ghash"], [("cnt", "sum", "one"), ("owner", "min", "packed")]
+    )
+    joined = sort_merge_inner_join(
+        exploded.map_batches(
+            lambda t: t.select(["ghash", id_col, "pos", "packed"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        owners,
+        "ghash",
+        [id_col, "pos", "packed"],
+        ["cnt", "owner"],
+    )
+
+    def victims(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+            )
+        keep = pc.and_(
+            pc.greater(t["cnt"], 1), pc.not_equal(t["packed"], t["owner"])
+        )
+        return t.filter(keep).select([id_col, "pos"])
+
+    spans = joined.map_batches(victims, batch_format="pyarrow", zero_copy_batch=True)
+    groups = key_complete_parts(spans, id_col, order=["pos"])
+    if groups:
+        span_ds = ray.data.from_arrow_refs(
+            [_merge_spans_block.remote(id_col, n, *parts) for parts in groups]
+        )
+    else:
+        span_ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rm_starts": pa.array([], pa.list_(pa.int64())),
+                    "rm_ends": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        )
+    docs_spans = sort_merge_inner_join(
+        ds, span_ds, id_col, [text_col], ["rm_starts", "rm_ends"], how="left"
+    )
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_tokens_removed": pa.array([], pa.int64()),
+                }
+            )
+        toks = pc.split_pattern_regex(pc.coalesce(t[text_col], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        keep_tok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(keep_tok)])
+        off = csum[off]  # offsets over non-empty tokens
+        flat = flat.filter(pa.array(keep_tok))
+        n_tok = np.diff(off)
+        remove = np.zeros(int(off[-1]), dtype=bool)
+        starts_col = t["rm_starts"].combine_chunks()
+        ends_col = t["rm_ends"].combine_chunks()
+        s_flat = np.asarray(starts_col.flatten(), dtype=np.int64)
+        e_flat = np.asarray(ends_col.flatten(), dtype=np.int64)
+        s_off = np.asarray(starts_col.offsets, dtype=np.int64)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(s_off))
+        # clip span ends at each doc's token count, shift to flat space
+        e_clip = np.minimum(e_flat, n_tok[row_of])
+        lens = np.maximum(e_clip - s_flat, 0)
+        base = off[row_of] + s_flat
+        if lens.sum():
+            idx = np.repeat(base, lens) + (
+                np.arange(int(lens.sum()), dtype=np.int64)
+                - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+            )
+            remove[idx] = True
+        kept = ~remove
+        kcs = np.concatenate([[0], np.cumsum(kept)])
+        new_off = kcs[off].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), flat.filter(pa.array(kept))
+        )
+        removed_per_row = (np.diff(off) - np.diff(kcs[off])).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean_text": pc.binary_join(lists, " "),
+                "n_tokens_removed": pa.array(removed_per_row, pa.int64()),
+            }
+        )
+
+    return docs_spans.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard_verify(
     pairs_ds,
     docs_ds,

@@ -210,6 +210,48 @@ def expected_letterbox() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_span_removal(sf_dir: str, n: int = 5) -> pa.Table:
+    """Independent plain-Python replica of dedup_span_removal (Lee et
+    al. exact substring removal): dict-of-occurrences owner selection,
+    per-position mask removal, str.split() token rebuild. Shares only
+    the tokenize/shingle hash kernels (the gram identity)."""
+    from collections import defaultdict as dd_
+
+    from .queries import _drop_word3
+
+    tbl = _planted(sf_dir, _drop_word3)
+    th, off = H.tokenize_batch(tbl["text"])
+    sh, soff = H.shingle_hashes(th, off, n)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    occ: dict[int, list[tuple[int, int]]] = dd_(list)
+    for d in range(len(ids)):
+        for j, hval in enumerate(sh[soff[d] : soff[d + 1]]):
+            occ[int(hval)].append((int(ids[d]), j))
+    spans: dict[int, list[int]] = dd_(list)
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        owner = min(lst)
+        for d, p in lst:
+            if (d, p) != owner:
+                spans[d].append(p)
+    rows = []
+    for d, text in zip(ids, tbl["text"].to_pylist()):
+        toks = [w for w in (text or "").split() if w]
+        mask = [False] * len(toks)
+        for p in spans.get(int(d), ()):
+            for q in range(p, min(p + n, len(toks))):
+                mask[q] = True
+        rows.append(
+            {
+                "doc_id": int(d),
+                "clean_text": " ".join(w for w, m in zip(toks, mask) if not m),
+                "n_tokens_removed": sum(mask),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_winnow_pairs(sf_dir: str) -> pa.Table:
     """Independent plain-Python winnowing (per-doc window loops, explicit
     rightmost-min tie rule) + all-pairs shared-fingerprint counting over
@@ -1342,6 +1384,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["caption_pixel_corr"] = values_sql(expected_caption_pixel_corr())
     sql["winnow_dup_pairs"] = values_sql(expected_winnow_pairs(sf_dir))
     sql["letterbox_stats"] = values_sql(expected_letterbox())
+    sql["dedup_spans"] = values_sql(expected_span_removal(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -500,6 +500,23 @@ PACK_SEQ_LEN = 512
 # --- contrastive negative sampling: slots + quantization shared with SQL
 CONTRAST_K, CONTRAST_Q = 4, 1024
 
+_CONTRASTIVE_SQL = (
+    "WITH p AS (SELECT a.vec_id, s.slot, "
+    "  (a.vec_id * 2654435761 + (s.slot + 1) * 40503) % "
+    "  (SELECT count(*) FROM embeddings) AS raw "
+    f"  FROM embeddings a, LATERAL (SELECT unnest(generate_series(0, {CONTRAST_K - 1})) AS slot) s), "
+    "pr AS (SELECT vec_id, slot, CASE WHEN raw = vec_id THEN "
+    "  (raw + 1) % (SELECT count(*) FROM embeddings) ELSE raw END AS neg_id FROM p), "
+    "z AS (SELECT pr.vec_id, pr.slot, pr.neg_id, "
+    "  unnest(a.embedding) AS xa, unnest(b.embedding) AS xb "
+    "  FROM pr JOIN embeddings a ON a.vec_id = pr.vec_id "
+    "  JOIN embeddings b ON b.vec_id = pr.neg_id) "
+    "SELECT vec_id, slot, neg_id, "
+    f"SUM(CAST(floor(CAST(xa AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT) * "
+    f"    CAST(floor(CAST(xb AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT)) AS dot_q "
+    "FROM z GROUP BY vec_id, slot, neg_id"
+)
+
 # --- MOSS winnowing: shingle k, window w, pair threshold — shared with
 # the sequential-replica oracle (pipelines/expected.expected_winnow_pairs)
 WINNOW_K, WINNOW_W, WINNOW_MIN_SHARED = 5, 4, 2
@@ -537,21 +554,11 @@ ORACLE_SQL.update(
             "SELECT l_returnflag, MIN(price_c) AS wmedian_cents FROM c "
             "WHERE 2 * cw >= tw GROUP BY l_returnflag"
         ),
-        "contrastive_negatives": (
-            "WITH p AS (SELECT a.vec_id, s.slot, "
-            f"  (a.vec_id * 2654435761 + (s.slot + 1) * 40503) % "
-            "  (SELECT count(*) FROM embeddings) AS raw "
-            f"  FROM embeddings a, LATERAL (SELECT unnest(generate_series(0, {CONTRAST_K - 1})) AS slot) s), "
-            "pr AS (SELECT vec_id, slot, CASE WHEN raw = vec_id THEN "
-            "  (raw + 1) % (SELECT count(*) FROM embeddings) ELSE raw END AS neg_id FROM p), "
-            "z AS (SELECT pr.vec_id, pr.slot, pr.neg_id, "
-            "  unnest(a.embedding) AS xa, unnest(b.embedding) AS xb "
-            "  FROM pr JOIN embeddings a ON a.vec_id = pr.vec_id "
-            "  JOIN embeddings b ON b.vec_id = pr.neg_id) "
-            "SELECT vec_id, slot, neg_id, "
-            f"SUM(CAST(floor(CAST(xa AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT) * "
-            f"    CAST(floor(CAST(xb AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT)) AS dot_q "
-            "FROM z GROUP BY vec_id, slot, neg_id"
+        "contrastive_negatives": _CONTRASTIVE_SQL,
+        "hard_negatives": (
+            f"SELECT vec_id, slot, neg_id, dot_q FROM ({_CONTRASTIVE_SQL}) "
+            "QUALIFY row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY dot_q DESC, neg_id) = 1"
         ),
         "zorder_layout": (
             "WITH k AS (SELECT event_id, "
@@ -703,6 +710,16 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     pairs = dd.minhash_lsh_pairs(planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5)
     ver = dd.ngram_jaccard_verify(pairs, _ds_from_table(planted_tbl), threshold=0.6)
     return ver.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicate-substring REMOVAL (Lee et al. 2022) over the
+    planted near-dup corpus: every duplicated 5-token window stripped
+    from all non-owner occurrences, overlaps merged
+    (ops/dedup.dedup_span_removal). Non-SQL: sequential-replica oracle
+    pipelines/expected.expected_span_removal."""
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _drop_word3))
+    return dd.dedup_span_removal(planted, n=5)
 
 
 def q_winnow_dup_pairs(sf_dir: str):
@@ -1490,6 +1507,27 @@ def q_pii_redact(sf_dir: str):
 
 
 LETTERBOX_N = 120
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining (the pair-quality upgrade every contrastive
+    run applies): among each anchor's sampled negatives, keep the one
+    with the highest exact integer-quantized similarity — the sampled
+    pool from ops/similarity.contrastive_negatives ranked per anchor by
+    ops/agg.group_top_k on the key-complete exchange."""
+    from ..ops.agg import group_top_k
+    from ..ops.similarity import contrastive_negatives
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = contrastive_negatives(
+        ds, n_total=ds.count(), k_neg=CONTRAST_K, q_scale=CONTRAST_Q
+    )
+    top = group_top_k(pairs, "vec_id", ["dot_q", "neg_id"], [True, False], k=1)
+    return top.map_batches(
+        lambda t: t.select(["vec_id", "slot", "neg_id", "dot_q"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def q_weighted_median(sf_dir: str):
@@ -6119,6 +6157,8 @@ def build_queries() -> dict:
         "letterbox_stats": q_letterbox_stats,
         "contrastive_negatives": q_contrastive_negatives,
         "weighted_median": q_weighted_median,
+        "hard_negatives": q_hard_negatives,
+        "dedup_spans": q_dedup_spans,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "tokenize_vocab": q_tokenize_vocab,

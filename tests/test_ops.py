@@ -1125,6 +1125,39 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_dedup_span_removal(ray_session):
+    """Duplicated 5-gram spans are cut from all non-owner occurrences
+    (owner = global min (doc,pos)), overlaps merge, unique text
+    survives, layout-invariant."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.dedup import dedup_span_removal
+
+    shared = "one two three four five six"  # 6 tokens → two 5-gram windows
+    docs = [
+        {"doc_id": 0, "text": f"{shared} alpha beta"},
+        {"doc_id": 1, "text": f"gamma {shared} delta"},
+        {"doc_id": 2, "text": "totally unique words with no duplication here"},
+    ]
+    tbl = pa.Table.from_pylist(docs)
+
+    def run(nblocks):
+        out = dedup_span_removal(
+            rd.from_arrow(tbl).repartition(nblocks), n=5
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        return out
+
+    a, b = run(1), run(3)
+    assert a.equals(b)
+    # doc 0 owns both shared windows (pos 0,1 < doc 1's pos 1,2) → intact
+    assert a.loc[0, "clean_text"] == f"{shared} alpha beta"
+    assert a.loc[0, "n_tokens_removed"] == 0
+    # doc 1 loses the merged 6-token span, keeps its unique frame
+    assert a.loc[1, "clean_text"] == "gamma delta"
+    assert a.loc[1, "n_tokens_removed"] == 6
+    assert a.loc[2, "n_tokens_removed"] == 0
+
+
 def test_tokenize_with_vocab(ray_session):
     """Encoded id order matches token order, OOV maps to -1 and is
     counted, empty-token docs drop out, layout-invariant."""

@@ -333,6 +333,77 @@ def letterbox_stats_batch(
     )
 
 
+def _dominant_colors(P: np.ndarray) -> np.ndarray:
+    """Per-image dominant quantized color over a (k,h,w,3) stack: 4
+    bits/channel → 4096 bins, mode per image via one bincount matrix
+    (ties → smallest bin). Returns int64 bins (r<<8 | g<<4 | b on the
+    quantized nibbles)."""
+    k = P.shape[0]
+    q = (P >> 4).astype(np.int64)
+    bins = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
+    flat = bins.reshape(k, -1)
+    counts = np.zeros((k, 4096), dtype=np.int64)
+    rows = np.repeat(np.arange(k, dtype=np.int64), flat.shape[1])
+    np.add.at(counts, (rows, flat.ravel()), 1)
+    return counts.argmax(axis=1).astype(np.int64)  # argmax → smallest tie
+
+
+def dominant_color_batch(
+    batch: pa.Table, bytes_col: str = "bytes", fmt_col: str = "fmt",
+    id_col: str = "iid",
+) -> pa.Table:
+    """Dominant 12-bit quantized color per image (the palette/solid-
+    color screen the LAION analysis pass runs): stacked group decode,
+    then one bincount matrix per stack."""
+    data = batch[bytes_col].to_pylist()
+    fmts = batch[fmt_col].to_pylist()
+    n = batch.num_rows
+    dom = np.zeros(n, np.int64)
+    ok = np.ones(n, dtype=bool)
+    groups: dict[tuple, tuple[list, list]] = {}
+    singles: list[int] = []
+    for i, (buf, fmt) in enumerate(zip(data, fmts)):
+        if buf is None:
+            ok[i] = False
+            continue
+        dims = _parse_dims(buf, fmt)
+        if dims is None:
+            singles.append(i)
+            continue
+        idxs, bufs = groups.setdefault((fmt, *dims), ([], []))
+        idxs.append(i)
+        bufs.append(buf)
+    for (fmt, w, h), (idxs, bufs) in groups.items():
+        stack, gok = _decode_group_stack(bufs, fmt, w, h)
+        ix = np.asarray(idxs)
+        ok[ix[~gok]] = False
+        if gok.any():
+            dom[ix[gok]] = _dominant_colors(np.ascontiguousarray(stack[gok]))
+    for i in singles:
+        try:
+            px = codec.decode(data[i], fmts[i])
+        except Exception:
+            ok[i] = False
+            continue
+        dom[i] = _dominant_colors(px[None])[0]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "dominant_bin": pa.array(dom, pa.int64()),
+            "decode_ok": pa.array(ok),
+        }
+    )
+
+
+def dominant_color(ds, batch_size: int = 128):
+    return ds.map_batches(
+        dominant_color_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def detect_letterbox(ds, batch_size: int = 128):
     """Task-form stage (pure zlib+numpy, no per-actor state — same
     rationale as decode_features_batch)."""

@@ -252,6 +252,29 @@ def expected_span_removal(sf_dir: str, n: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_dominant_color() -> pa.Table:
+    """Sequential replica of q_dominant_color: scalar decode + Counter
+    per image over the same 4-bit/channel quantization, smallest bin on
+    ties."""
+    from collections import Counter
+
+    from ..fixtures import codec, synth
+    from .queries import LETTERBOX_N
+
+    t = synth.make_letterbox_store(LETTERBOX_N, seed=42)
+    rows = []
+    for iid, buf, fmt in zip(
+        t["iid"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        px = codec.decode(buf, fmt)
+        q = (px.astype(np.int64) >> 4)
+        bins = (q[..., 0] << 8) | (q[..., 1] << 4) | q[..., 2]
+        c = Counter(bins.ravel().tolist())
+        best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        rows.append({"iid": iid, "dominant_bin": best, "decode_ok": True})
+    return pa.Table.from_pylist(rows)
+
+
 def expected_winnow_pairs(sf_dir: str) -> pa.Table:
     """Independent plain-Python winnowing (per-doc window loops, explicit
     rightmost-min tie rule) + all-pairs shared-fingerprint counting over
@@ -1385,6 +1408,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["winnow_dup_pairs"] = values_sql(expected_winnow_pairs(sf_dir))
     sql["letterbox_stats"] = values_sql(expected_letterbox())
     sql["dedup_spans"] = values_sql(expected_span_removal(sf_dir))
+    sql["dominant_color"] = values_sql(expected_dominant_color())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

@@ -1586,6 +1586,18 @@ def q_letterbox_stats(sf_dir: str):
     return detect_letterbox(ps)
 
 
+def q_dominant_color(sf_dir: str):
+    """Dominant 12-bit quantized color per image over the planted-bars
+    store (ops/multimodal.dominant_color — stacked group decode + one
+    bincount matrix per stack; ties → smallest bin). Non-SQL:
+    sequential-replica oracle expected_dominant_color."""
+    from ..fixtures import synth
+    from ..ops.multimodal import dominant_color
+
+    ps = ray.data.from_arrow(synth.make_letterbox_store(LETTERBOX_N, seed=42))
+    return dominant_color(ps)
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order clustering layout over events: Morton-interleave
     (user_id, value-cents) low 16 bits into a space-filling key, then
@@ -6159,6 +6171,7 @@ def build_queries() -> dict:
         "weighted_median": q_weighted_median,
         "hard_negatives": q_hard_negatives,
         "dedup_spans": q_dedup_spans,
+        "dominant_color": q_dominant_color,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "tokenize_vocab": q_tokenize_vocab,

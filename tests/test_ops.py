@@ -1125,6 +1125,32 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_dominant_color(ray_session):
+    """Solid-color and majority-color images report the right quantized
+    bin; ties break to the smallest bin."""
+    from news_crawler_ray.fixtures import codec
+    from news_crawler_ray.ops.multimodal import dominant_color_batch
+
+    solid = np.full((8, 8, 3), 0xAB, np.uint8)  # nibble 0xA → bin 0xAAA
+    half = np.zeros((8, 8, 3), np.uint8)
+    half[:, :5] = 0xFF  # 5/8 white → dominant 0xFFF
+    tie = np.zeros((8, 8, 3), np.uint8)
+    tie[:, :4] = 0xFF  # exact 50/50 → smallest bin (0) wins
+    t = pa.table(
+        {
+            "iid": pa.array([0, 1, 2], pa.int64()),
+            "bytes": pa.array(
+                [codec.encode(p, "png") for p in (solid, half, tie)],
+                pa.large_binary(),
+            ),
+            "fmt": pa.array(["png"] * 3),
+        }
+    )
+    out = dominant_color_batch(t).to_pylist()
+    assert [r["dominant_bin"] for r in out] == [0xAAA, 0xFFF, 0x000]
+    assert all(r["decode_ok"] for r in out)
+
+
 def test_dedup_span_removal(ray_session):
     """Duplicated 5-gram spans are cut from all non-owner occurrences
     (owner = global min (doc,pos)), overlaps merge, unique text

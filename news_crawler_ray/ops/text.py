@@ -1245,6 +1245,74 @@ def html_to_text(ds, html_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def char_entropy_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
+    q_bits: int = 20,
+) -> pa.Table:
+    """Per-doc character-level Shannon entropy (the gibberish /
+    repeated-char quality gate): per-doc byte histogram via ONE
+    bincount over (row, byte), each count's ``c·(log2 n − log2 c)``
+    term QUANTIZED to an int (doc_surprisal's trick) so the per-doc
+    reduction is an exact order-free integer sum — the SQL oracle
+    reproduces it bit-for-bit (DuckDB log2 is bit-equal to np.log2 on
+    this host, see bigram_pmi). Bytes == codepoints on ASCII corpora
+    (the fixture guarantee; a multibyte corpus would shift both sides
+    identically only under a byte-level SQL dialect). Output
+    (id, n_chars, entropy_q) with entropy bits = entropy_q/(2^q_bits·n).
+    Docs with no characters are dropped (the SQL GROUP BY convention)."""
+    texts = batch[text_col]
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    texts = pc.coalesce(texts, "")
+    texts = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    n_rows = batch.num_rows
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "entropy_q": pa.array([], pa.int64()),
+        }
+    )
+    if n_rows == 0:
+        return empty
+    off0 = texts.offset  # zero-copy batch slices start mid-buffer
+    offsets = np.frombuffer(texts.buffers()[1], dtype=np.int32)[
+        off0 : off0 + n_rows + 1
+    ].astype(np.int64)
+    data_buf = texts.buffers()[2]
+    if data_buf is None or offsets[-1] == offsets[0]:
+        return empty
+    raw = np.frombuffer(data_buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    lens = np.diff(offsets)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    counts = np.zeros((n_rows, 256), dtype=np.int64)
+    np.add.at(counts, (row_of, raw.astype(np.int64)), 1)
+    n = lens.astype(np.float64)
+    c = counts.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        terms = np.floor(
+            c * (np.log2(n)[:, None] - np.log2(c)) * np.float64(1 << q_bits) + 0.5
+        )
+    terms[counts == 0] = 0.0
+    ent = terms.astype(np.int64).sum(axis=1)
+    keep = lens > 0
+    return pa.table(
+        {
+            id_col: batch[id_col].filter(pa.array(keep)),
+            "n_chars": pa.array(lens[keep], pa.int64()),
+            "entropy_q": pa.array(ent[keep], pa.int64()),
+        }
+    )
+
+
+def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: char_entropy_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def remove_boilerplate_lines(
     ds,
     min_count: int = 20,

@@ -579,6 +579,17 @@ ORACLE_SQL.update(
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
+        "char_entropy": (
+            "WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM documents, "
+            "  LATERAL (SELECT unnest(generate_series(1, length(text))) AS i)), "
+            "cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch), "
+            "tot AS (SELECT doc_id, SUM(c) AS n FROM cc GROUP BY doc_id) "
+            "SELECT cc.doc_id, CAST(tot.n AS BIGINT) AS n_chars, "
+            "  CAST(SUM(CAST(floor(CAST(c AS DOUBLE) * (log2(CAST(n AS DOUBLE)) - "
+            "    log2(CAST(c AS DOUBLE))) * 1048576 + 0.5) AS BIGINT)) AS BIGINT) "
+            "    AS entropy_q "
+            "FROM cc JOIN tot USING (doc_id) GROUP BY cc.doc_id, tot.n"
+        ),
         "html_extract": (
             f"SELECT doc_id, {_html_strip_sql('(' + _HTML_PLANT_SQL + ')')} "
             "AS text_extracted FROM documents"
@@ -1632,6 +1643,14 @@ def q_bpe_merges(sf_dir: str):
     return tx.bpe_merge_candidates(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=50
     )
+
+
+def q_char_entropy(sf_dir: str):
+    """Character-entropy quality gate (ops/text.char_entropy — one
+    bincount per block, quantized-int entropy terms, order-free exact
+    sum). REAL SQL oracle: lateral substr explode + identical float
+    expression per term."""
+    return tx.char_entropy(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def q_html_extract(sf_dir: str):
@@ -6172,6 +6191,7 @@ def build_queries() -> dict:
         "hard_negatives": q_hard_negatives,
         "dedup_spans": q_dedup_spans,
         "dominant_color": q_dominant_color,
+        "char_entropy": q_char_entropy,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "tokenize_vocab": q_tokenize_vocab,

@@ -1125,6 +1125,30 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_char_entropy(ray_session):
+    """Hand-checkable entropies (uniform 2-char doc → 1 bit/char,
+    single-char doc → 0), sliced-batch offset safety, empty drop."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.text import char_entropy, char_entropy_batch
+
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2], pa.int64()),
+         "text": pa.array(["abab", "aaaa", ""])}
+    )
+    out = char_entropy_batch(t).to_pylist()
+    assert [r["doc_id"] for r in out] == [0, 1]  # empty doc dropped
+    # 'abab': each char p=1/2 → entropy 1 bit/char → q = 4 * 2^20 / n? per
+    # definition entropy_q = Σ c(log2 n − log2 c)·2^20 = 2·(2−1)·2^20·2
+    assert out[0]["entropy_q"] == 4 * (1 << 20)
+    assert out[1]["entropy_q"] == 0
+    # sliced zero-copy batch gives identical results
+    sl = char_entropy_batch(t.slice(1, 2)).to_pylist()
+    assert sl[0]["entropy_q"] == 0 and sl[0]["doc_id"] == 1
+    ds_out = char_entropy(rd.from_arrow(t).repartition(2)).to_pandas()
+    assert sorted(ds_out["entropy_q"]) == [0, 4 * (1 << 20)]
+
+
 def test_dominant_color(ray_session):
     """Solid-color and majority-color images report the right quantized
     bin; ties break to the smallest bin."""

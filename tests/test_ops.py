@@ -1125,6 +1125,41 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_zorder_pruning_evidence(ray_session):
+    """The scale claim behind zorder_layout: files written in zkey-rank
+    order have tight per-file (user, value) bounding boxes, so a 2-D box
+    predicate min/max-prunes most files — while an event_id-ordered
+    layout leaves every file's bbox ≈ the full range (nothing prunes)."""
+    import pandas as pd
+
+    from news_crawler_ray.pipelines.queries import q_zorder_layout
+
+    z = q_zorder_layout("/root/testdata/sf0.001").to_pandas()
+    ev = pd.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    df = z.merge(ev, on="event_id")
+
+    def touched(order_col):
+        s = df.sort_values(order_col, ignore_index=True)
+        files = np.array_split(s, 16)
+        u0, u1 = df["user_id"].quantile([0.4, 0.5])
+        c0, c1 = df["cents"].quantile([0.4, 0.5])
+        return sum(
+            1
+            for f in files
+            if not (
+                f["user_id"].max() < u0 or f["user_id"].min() > u1
+                or f["cents"].max() < c0 or f["cents"].min() > c1
+            )
+        )
+
+    t_z, t_id = touched("zrank"), touched("event_id")
+    assert t_id >= 14  # id order: every file spans the whole 2-D range
+    assert t_z <= t_id // 2  # zkey order prunes the majority
+
+
 def test_char_entropy(ray_session):
     """Hand-checkable entropies (uniform 2-char doc → 1 bit/char,
     single-char doc → 0), sliced-batch offset safety, empty drop."""

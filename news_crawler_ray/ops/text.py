@@ -1245,6 +1245,42 @@ def html_to_text(ds, html_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+# Caption/alt-text junk signals — the single source of truth shared with
+# the DuckDB oracle (LAION-style caption cleaning: filenames, bare URLs,
+# camera placeholders carry no training signal). RE2-safe.
+CAPTION_JUNK_PATTERNS: dict[str, str] = {
+    "is_filename": r"(?i)^[a-z0-9 _-]+\.(jpe?g|png|gif|webp|bmp)$",
+    "has_url": r"https?://",
+    "has_placeholder": r"(?i)(untitled|dsc[ _-]?[0-9]|img[ _-]?[0-9]|no caption|stock photo)",
+}
+
+
+def caption_junk_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Vectorized junk-caption signals: one compiled RE2 scan per
+    pattern over the column + exact digit/char counts. A curation pass
+    filters on these (drop filenames/URL-only captions, cap digit
+    ratio)."""
+    s = pc.coalesce(batch[text_col], "")
+    cols: dict = {id_col: batch[id_col]}
+    for name, pat in CAPTION_JUNK_PATTERNS.items():
+        cols[name] = pc.match_substring_regex(s, pat)
+    cols["n_digits"] = pc.cast(
+        pc.count_substring_regex(s, "[0-9]"), pa.int64()
+    )
+    cols["n_chars"] = pc.cast(pc.utf8_length(s), pa.int64())
+    return pa.table(cols)
+
+
+def caption_junk(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: caption_junk_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def char_entropy_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     q_bits: int = 20,

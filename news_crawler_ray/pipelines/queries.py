@@ -473,6 +473,14 @@ def _part1by1_sql(expr: str) -> str:
     return e
 
 
+_CAPTION_PLANT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN 'IMG_' || CAST(doc_id AS VARCHAR) || '.jpg' "
+    "WHEN doc_id % 5 = 1 THEN text || ' see https://ex.example/p?id=' || CAST(doc_id AS VARCHAR) "
+    "WHEN doc_id % 5 = 2 THEN 'Untitled photo ' || text "
+    "ELSE text END"
+)
+
+
 _HTML_PLANT_SQL = (
     "'<html><head><script>var x = 1;' || chr(10) || 'if (x) { x += 2; }"
     "</script><style>.nav {color: red}</style><title>Doc ' "
@@ -578,6 +586,17 @@ ORACLE_SQL.update(
             "  WHERE length(term) >= 2) "
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
+        ),
+        "caption_junk": (
+            f"WITH planted AS (SELECT doc_id, {_CAPTION_PLANT_SQL} AS text FROM documents) "
+            "SELECT doc_id, "
+            + ", ".join(
+                f"regexp_matches(text, '{pat}') AS {name}"
+                for name, pat in tx.CAPTION_JUNK_PATTERNS.items()
+            )
+            + ", CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits"
+            "  , CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM planted"
         ),
         "char_entropy": (
             "WITH ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM documents, "
@@ -1642,6 +1661,33 @@ def q_bpe_merges(sf_dir: str):
     vocab dedup → vectorized codepoint-pair explode → one exchange)."""
     return tx.bpe_merge_candidates(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=50
+    )
+
+
+def q_caption_junk(sf_dir: str):
+    """LAION-style caption junk signals over planted junky captions
+    (filename-only, URL-bearing, placeholder-prefixed — planted
+    identically in the SQL oracle): ops/text.caption_junk, one RE2 scan
+    per shared pattern + exact digit/char counts. REAL SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        ds5 = did % 5
+        base = pc.coalesce(t["text"], "")
+        did_s = pc.cast(t["doc_id"], pa.string())
+        fname = pc.binary_join_element_wise("IMG_", did_s, ".jpg", "")
+        url = pc.binary_join_element_wise(
+            base, " see https://ex.example/p?id=", did_s, ""
+        )
+        unt = pc.binary_join_element_wise("Untitled photo ", base, "")
+        out = pc.if_else(pa.array(ds5 == 0), fname, base)
+        out = pc.if_else(pa.array(ds5 == 1), url, out)
+        out = pc.if_else(pa.array(ds5 == 2), unt, out)
+        return pa.table({"doc_id": t["doc_id"], "text": out})
+
+    return tx.caption_junk(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -6192,6 +6238,7 @@ def build_queries() -> dict:
         "dedup_spans": q_dedup_spans,
         "dominant_color": q_dominant_color,
         "char_entropy": q_char_entropy,
+        "caption_junk": q_caption_junk,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "tokenize_vocab": q_tokenize_vocab,

@@ -1125,6 +1125,32 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_caption_junk_batch():
+    """Each junk signal fires on its planted form and stays quiet on a
+    clean caption."""
+    from news_crawler_ray.ops.text import caption_junk_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(
+                [
+                    "IMG_0042.jpg",
+                    "a cat see https://ex.example/p?id=7",
+                    "Untitled photo of a dog",
+                    "a clean descriptive caption",
+                ]
+            ),
+        }
+    )
+    out = caption_junk_batch(t).to_pylist()
+    assert [r["is_filename"] for r in out] == [True, False, False, False]
+    assert [r["has_url"] for r in out] == [False, True, False, False]
+    assert [r["has_placeholder"] for r in out] == [True, False, True, False]
+    assert out[0]["n_digits"] == 4 and out[3]["n_digits"] == 0
+    assert out[3]["n_chars"] == len("a clean descriptive caption")
+
+
 def test_zorder_pruning_evidence(ray_session):
     """The scale claim behind zorder_layout: files written in zkey-rank
     order have tight per-file (user, value) bounding boxes, so a 2-D box

@@ -445,6 +445,90 @@ def rolling_window(
 
 
 @ray.remote
+def _recrawl_block(
+    key_col: str, ts_col: str, val_col: str, base_us: int, max_shift: int,
+    *parts: pa.Table,
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.sort_by([(key_col, "ascending")]).combine_chunks()
+    keys = tbl[key_col]
+    n = tbl.num_rows
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    bounds = np.concatenate([np.flatnonzero(new_key), [n]])
+    ts = np.asarray(pc.cast(tbl[ts_col], pa.int64()), dtype=np.int64)
+    vals = tbl[val_col].to_numpy(zero_copy_only=False)
+    out = {"key": [], "n_fetches": [], "n_versions": [], "last_us": [], "next": []}
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        nf = int(b - a)
+        nv = len(np.unique(vals[a:b]))
+        last = int(ts[a:b].max())
+        shift = min(nf - nv, max_shift)
+        out["key"].append(keys[int(a)].as_py())
+        out["n_fetches"].append(nf)
+        out["n_versions"].append(nv)
+        out["last_us"].append(last)
+        out["next"].append(last + (base_us << shift))
+    return pa.table(
+        {
+            key_col: pa.array(out["key"], keys.type),
+            "n_fetches": pa.array(out["n_fetches"], pa.int64()),
+            "n_versions": pa.array(out["n_versions"], pa.int64()),
+            "last_us": pa.array(out["last_us"], pa.int64()),
+            "next_fetch_us": pa.array(out["next"], pa.int64()),
+        }
+    )
+
+
+def recrawl_schedule(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    base_us: int = 3_600_000_000,
+    max_shift: int = 6,
+):
+    """Adaptive revisit scheduling (Cho & Garcia-Molina freshness
+    policy, the recrawl loop the reference's fixed cron lacks): per
+    key, count fetches and DISTINCT observed content versions; every
+    confirmed-unchanged revisit doubles the revisit interval (capped at
+    ``base_us << max_shift``); next fetch = last fetch + interval. All
+    int64 µs arithmetic — exact at any parallelism.
+
+    Shape: one key-complete exchange; the per-key kernel is O(history)
+    — per-URL fetch history is naturally bounded (it grows with
+    revisits, not corpus size), the same skew envelope as the
+    politeness queue. Output (key, n_fetches, n_versions, last_us,
+    next_fetch_us)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col)
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_fetches": pa.array([], pa.int64()),
+                    "n_versions": pa.array([], pa.int64()),
+                    "last_us": pa.array([], pa.int64()),
+                    "next_fetch_us": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _recrawl_block.remote(key_col, ts_col, val_col, base_us, max_shift, *parts)
+            for parts in groups
+        ]
+    )
+
+
+@ray.remote
 def _gap_stats_block(
     key_col: str, ts_col: str, carry_cols: tuple, *parts: pa.Table
 ) -> pa.Table:

@@ -587,6 +587,15 @@ ORACLE_SQL.update(
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
+        "recrawl_schedule": (
+            "SELECT user_id, count(*) AS n_fetches, "
+            "  count(DISTINCT value) AS n_versions, "
+            "  CAST(epoch_us(max(ts)) AS BIGINT) AS last_us, "
+            "  CAST(epoch_us(max(ts)) AS BIGINT) + "
+            "  (3600000000 << least(count(*) - count(DISTINCT value), 6)) "
+            "    AS next_fetch_us "
+            "FROM events GROUP BY user_id"
+        ),
         "caption_junk": (
             f"WITH planted AS (SELECT doc_id, {_CAPTION_PLANT_SQL} AS text FROM documents) "
             "SELECT doc_id, "
@@ -1662,6 +1671,17 @@ def q_bpe_merges(sf_dir: str):
     return tx.bpe_merge_candidates(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=50
     )
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Adaptive revisit scheduling over the events fetch log (user=URL,
+    value=content-version proxy): unchanged revisits double the
+    interval, capped at base<<6 (ops/window.recrawl_schedule — one
+    key-complete exchange, exact int64 µs). REAL SQL oracle."""
+    from ..ops.window import recrawl_schedule
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return recrawl_schedule(ev)
 
 
 def q_caption_junk(sf_dir: str):
@@ -6239,6 +6259,7 @@ def build_queries() -> dict:
         "dominant_color": q_dominant_color,
         "char_entropy": q_char_entropy,
         "caption_junk": q_caption_junk,
+        "recrawl_schedule": q_recrawl_schedule,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "tokenize_vocab": q_tokenize_vocab,

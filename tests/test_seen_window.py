@@ -202,6 +202,34 @@ def test_running_sum_per_key(ray_session):
         assert out[k] == k // 3 + 1
 
 
+def test_recrawl_schedule(ray_session):
+    """Unchanged revisits double the interval (capped); any change
+    resets the stability count used for the shift."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import recrawl_schedule
+
+    us = 1_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "ts": pa.array([10 * us, 20 * us, 30 * us, 10 * us, 40 * us, 5 * us],
+                           pa.timestamp("us")),
+            # user 1: same value 3x → 2 unchanged revisits → shift 2
+            # user 2: two versions → shift 0; user 3: single fetch → shift 0
+            "value": pa.array([7.0, 7.0, 7.0, 1.0, 2.0, 9.0]),
+        }
+    )
+    out = {r["user_id"]: r for r in recrawl_schedule(
+        rd.from_arrow(t).repartition(3), base_us=3_600_000_000
+    ).take_all()}
+    assert out[1]["n_versions"] == 1 and out[1]["n_fetches"] == 3
+    assert out[1]["next_fetch_us"] == 30 * us + (3_600_000_000 << 2)
+    assert out[2]["next_fetch_us"] == 40 * us + 3_600_000_000
+    assert out[3]["next_fetch_us"] == 5 * us + 3_600_000_000
+
+
 def test_global_scan_sum_layout_proof(ray_session):
     """Exclusive prefix sum over the total order is exact and identical
     at every block layout, including zero-valued rows."""

@@ -294,3 +294,52 @@ def write_training_shards(
         json.dump(manifest, f)
     os.replace(tmp, manifest_path)
     return manifest
+
+
+def compact_parquet_dir(
+    in_dir: str,
+    out_dir: str,
+    target_rows_per_file: int = 100_000,
+) -> dict:
+    """Small-files compaction — the nightly operational job that keeps
+    read parallelism sane after incremental ingests: a directory of N
+    little parquet parts is rewritten as ceil(total/target) BALANCED
+    files. Resumable like write_training_shards: atomic manifest commit
+    (tmp+rename), rerun over a complete manifest is a NO-OP, and a
+    killed half-run restarts from scratch (never appends). The copy
+    streams block-by-block through repartition — the driver never holds
+    rows, and at 100 TB this runs per-partition-directory so each
+    compaction is independently retryable."""
+    import glob
+    import json
+    import shutil
+
+    import ray.data
+
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        if m.get("complete"):
+            return m
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    ds = ray.data.read_parquet(in_dir)
+    total = ds.count()
+    n_files = max(1, -(-total // target_rows_per_file))
+    ds.repartition(n_files).write_parquet(out_dir)
+    files = sorted(glob.glob(os.path.join(out_dir, "*.parquet")))
+    manifest = {
+        "complete": True,
+        "rows": total,
+        "n_files": len(files),
+        "target_rows_per_file": target_rows_per_file,
+        "in_dir": os.path.abspath(in_dir),
+    }
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return manifest

@@ -216,3 +216,33 @@ def test_write_training_shards_jsonl_roundtrip(tmp_path):
     assert got["img7"]["caption"] == "cap 7"
     with pytest.raises(ValueError):
         write_training_shards(rd.from_arrow(tbl), str(tmp_path / "x"), fmt="csvx")
+
+
+def test_compact_parquet_dir(ray_session, tmp_path):
+    """Many small parts → few balanced files; rows preserved exactly;
+    rerun over a complete manifest is a no-op (mtimes untouched)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.stages.sinks import compact_parquet_dir
+
+    src = tmp_path / "small"
+    src.mkdir()
+    n = 0
+    for k in range(20):  # 20 tiny files
+        t = pa.table({"x": pa.array(range(k * 50, k * 50 + 50), pa.int64())})
+        pq.write_table(t, src / f"part-{k:03d}.parquet")
+        n += 50
+    out = tmp_path / "compact"
+    m = compact_parquet_dir(str(src), str(out), target_rows_per_file=400)
+    assert m["complete"] and m["rows"] == n
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 4  # 1000 rows / 400 target
+    got = pq.read_table(str(out))
+    assert sorted(got["x"].to_pylist()) == list(range(n))
+    mtimes = {f: os.path.getmtime(out / f) for f in files}
+    m2 = compact_parquet_dir(str(src), str(out), target_rows_per_file=400)
+    assert m2 == m
+    assert {f: os.path.getmtime(out / f) for f in files} == mtimes

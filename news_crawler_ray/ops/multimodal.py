@@ -260,6 +260,91 @@ def image_features(ds, concurrency=2, batch_size: int = 256):
     )
 
 
+def _laplacian_moments(P: np.ndarray):
+    """Exact integer sharpness moments over a (k,h,w,3) stack: the
+    4-neighbor Laplacian of the INTEGER sum-gray channel (r+g+b, no
+    float /3) on interior pixels, returned as (n_interior, lap_sum,
+    lap_sq_sum) int64 — variance of Laplacian (the classic blur
+    detector) = (n·Σx² − (Σx)²)/n² downstream, while the moments stay
+    exact and layout-proof. Bounds: |lap| ≤ 8·765, Σx² ≤ 1.5e11 per
+    4096-px image — int64-safe."""
+    g = P.astype(np.int64).sum(axis=3)
+    c = g[:, 1:-1, 1:-1]
+    lap = (
+        4 * c
+        - g[:, :-2, 1:-1]
+        - g[:, 2:, 1:-1]
+        - g[:, 1:-1, :-2]
+        - g[:, 1:-1, 2:]
+    )
+    k = P.shape[0]
+    flat = lap.reshape(k, -1)
+    n_int = np.full(k, flat.shape[1], dtype=np.int64)
+    return n_int, flat.sum(axis=1), (flat * flat).sum(axis=1)
+
+
+def sharpness_batch(
+    batch: pa.Table, bytes_col: str = "bytes", fmt_col: str = "fmt",
+    id_col: str = "iid",
+) -> pa.Table:
+    """Blur detection (the low-sharpness filter of an image curation
+    pass): per image the exact integer Laplacian moments — callers
+    threshold on variance = (n·Σx² − (Σx)²)/n². Stacked group decode
+    as everywhere in this module."""
+    data = batch[bytes_col].to_pylist()
+    fmts = batch[fmt_col].to_pylist()
+    n = batch.num_rows
+    res = np.zeros((3, n), np.int64)
+    ok = np.ones(n, dtype=bool)
+    groups: dict[tuple, tuple[list, list]] = {}
+    singles: list[int] = []
+    for i, (buf, fmt) in enumerate(zip(data, fmts)):
+        if buf is None:
+            ok[i] = False
+            continue
+        dims = _parse_dims(buf, fmt)
+        if dims is None:
+            singles.append(i)
+            continue
+        idxs, bufs = groups.setdefault((fmt, *dims), ([], []))
+        idxs.append(i)
+        bufs.append(buf)
+    for (fmt, w, h), (idxs, bufs) in groups.items():
+        stack, gok = _decode_group_stack(bufs, fmt, w, h)
+        ix = np.asarray(idxs)
+        ok[ix[~gok]] = False
+        if gok.any():
+            mom = _laplacian_moments(np.ascontiguousarray(stack[gok]))
+            for a, r in zip(res, mom):
+                a[ix[gok]] = r
+    for i in singles:
+        try:
+            px = codec.decode(data[i], fmts[i])
+        except Exception:
+            ok[i] = False
+            continue
+        for a, r in zip(res, _laplacian_moments(px[None])):
+            a[i] = r[0]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_interior": pa.array(res[0], pa.int64()),
+            "lap_sum": pa.array(res[1], pa.int64()),
+            "lap_sq_sum": pa.array(res[2], pa.int64()),
+            "decode_ok": pa.array(ok),
+        }
+    )
+
+
+def sharpness_score(ds, batch_size: int = 128):
+    return ds.map_batches(
+        sharpness_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def _border_runs(P: np.ndarray):
     """Leading/trailing uniform-border runs per image in a (k,h,w,3)
     stack: a row/col is 'bar' if every pixel equals the top-left pixel.

@@ -275,6 +275,35 @@ def expected_dominant_color() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_sharpness() -> pa.Table:
+    """Sequential replica of q_sharpness: scalar decode + explicit
+    Python double loops over interior pixels with the same integer
+    4-neighbor Laplacian on sum-gray."""
+    from ..fixtures import codec, synth
+    from .queries import LETTERBOX_N
+
+    t = synth.make_letterbox_store(LETTERBOX_N, seed=42)
+    rows = []
+    for iid, buf, fmt in zip(
+        t["iid"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        px = codec.decode(buf, fmt).astype(np.int64)
+        g = px[..., 0] + px[..., 1] + px[..., 2]
+        h, w = g.shape
+        s1 = s2 = cnt = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                lap = 4 * g[y, x] - g[y - 1, x] - g[y + 1, x] - g[y, x - 1] - g[y, x + 1]
+                s1 += int(lap)
+                s2 += int(lap) * int(lap)
+                cnt += 1
+        rows.append(
+            {"iid": iid, "n_interior": cnt, "lap_sum": s1, "lap_sq_sum": s2,
+             "decode_ok": True}
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_winnow_pairs(sf_dir: str) -> pa.Table:
     """Independent plain-Python winnowing (per-doc window loops, explicit
     rightmost-min tie rule) + all-pairs shared-fingerprint counting over
@@ -1409,6 +1438,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["letterbox_stats"] = values_sql(expected_letterbox())
     sql["dedup_spans"] = values_sql(expected_span_removal(sf_dir))
     sql["dominant_color"] = values_sql(expected_dominant_color())
+    sql["sharpness"] = values_sql(expected_sharpness())
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

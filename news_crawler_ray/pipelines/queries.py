@@ -1625,6 +1625,17 @@ def q_letterbox_stats(sf_dir: str):
     return detect_letterbox(ps)
 
 
+def q_sharpness(sf_dir: str):
+    """Blur detection over the planted-bars store: exact integer
+    Laplacian moments per image (ops/multimodal.sharpness_score).
+    Non-SQL decode: sequential-replica oracle expected_sharpness."""
+    from ..fixtures import synth
+    from ..ops.multimodal import sharpness_score
+
+    ps = ray.data.from_arrow(synth.make_letterbox_store(LETTERBOX_N, seed=42))
+    return sharpness_score(ps)
+
+
 def q_dominant_color(sf_dir: str):
     """Dominant 12-bit quantized color per image over the planted-bars
     store (ops/multimodal.dominant_color — stacked group decode + one
@@ -6257,6 +6268,7 @@ def build_queries() -> dict:
         "hard_negatives": q_hard_negatives,
         "dedup_spans": q_dedup_spans,
         "dominant_color": q_dominant_color,
+        "sharpness": q_sharpness,
         "char_entropy": q_char_entropy,
         "caption_junk": q_caption_junk,
         "recrawl_schedule": q_recrawl_schedule,

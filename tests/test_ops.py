@@ -1125,6 +1125,33 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_sharpness_moments():
+    """Uniform image → zero Laplacian; checkerboard → hand-computable
+    maximal response; moments are exact ints."""
+    from news_crawler_ray.fixtures import codec
+    from news_crawler_ray.ops.multimodal import sharpness_batch
+
+    flat = np.full((8, 8, 3), 100, np.uint8)
+    checker = np.zeros((8, 8, 3), np.uint8)
+    checker[::2, 1::2] = 255
+    checker[1::2, ::2] = 255
+    t = pa.table(
+        {
+            "iid": pa.array([0, 1], pa.int64()),
+            "bytes": pa.array(
+                [codec.encode(p, "png") for p in (flat, checker)], pa.large_binary()
+            ),
+            "fmt": pa.array(["png", "png"]),
+        }
+    )
+    out = sharpness_batch(t).to_pylist()
+    assert out[0]["lap_sum"] == 0 and out[0]["lap_sq_sum"] == 0
+    assert out[0]["n_interior"] == 36
+    # checkerboard interior: |lap| = |4c - 4·opposite| = 4·765 everywhere
+    assert out[1]["lap_sq_sum"] == 36 * (4 * 765) ** 2
+    assert abs(out[1]["lap_sum"]) == 0  # alternating signs cancel
+
+
 def test_caption_junk_batch():
     """Each junk signal fires on its planted form and stays quiet on a
     clean caption."""

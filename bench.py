@@ -317,6 +317,11 @@ QUERY_SUBSET = [
     "weighted_median",
     "tokenize_vocab",
     "dedup_spans",
+    "char_entropy",
+    "caption_junk",
+    "recrawl_schedule",
+    "dominant_color",
+    "sharpness",
 ]
 
 

@@ -342,6 +342,84 @@ def knn_ivf(
 # ------------------------------------------------------------------ PCA
 
 
+def pq_encode(
+    ds,
+    init: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+    memory-compression step of billion-scale ANN: split each d-dim
+    vector into ``m`` subvectors, train an independent ``k``-centroid
+    spherical codebook per subspace with :func:`kmeans_fit` (the
+    deterministic block-plan trainer, bit-reproducible by the
+    sequential oracle), then encode every vector as m log2(k)-bit codes
+    packed into ONE int64 (k ≤ 16 → 4 bits each, m ≤ 16). 64 float32
+    dims (256 B) become 8 B per vector.
+
+    Shape: m streaming training passes over subvector views (combiner
+    partials, NO shuffle), then one broadcast-codebook assignment pass.
+    ``init``: (k, d) raw corpus-head rows, like q_kmeans_clusters."""
+    if k > 16 or m > 16:
+        raise ValueError("packed int64 codes need k <= 16 and m <= 16")
+    init = np.asarray(init, dtype=np.float64)
+    d = init.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    def slice_view(j: int):
+        def f(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {id_col: pa.array([], pa.int64()),
+                     vec_col: pa.array([], pa.list_(pa.float64()))}
+                )
+            X = _as_matrix(t[vec_col], t.num_rows)[:, j * dsub : (j + 1) * dsub]
+            return pa.table(
+                {id_col: t[id_col],
+                 vec_col: pa.array(X.tolist(), pa.list_(pa.float64()))}
+            )
+
+        return f
+
+    codebooks = []
+    for j in range(m):
+        sub = ds.map_batches(
+            slice_view(j), batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None,
+        )
+        codebooks.append(
+            kmeans_fit(
+                sub, init=init[:, j * dsub : (j + 1) * dsub], iters=iters,
+                vec_col=vec_col, id_col=id_col,
+            )
+        )
+    cb_ref = ray.put(np.stack(codebooks))  # (m, k, dsub)
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "pq_code": pa.array([], pa.int64())}
+            )
+        C = ray.get(cb_ref)
+        X = _as_matrix(t[vec_col], t.num_rows)
+        code = np.zeros(t.num_rows, dtype=np.int64)
+        for j in range(m):
+            S = _normalize(X[:, j * dsub : (j + 1) * dsub])
+            cj = np.argmax(S @ C[j].T, axis=1).astype(np.int64)
+            code |= cj << (4 * j)
+        return pa.table(
+            {id_col: t[id_col], "pq_code": pa.array(code, pa.int64())}
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def contrastive_negatives(
     ds,
     n_total: int,

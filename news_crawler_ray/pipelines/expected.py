@@ -304,6 +304,48 @@ def expected_sharpness() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_pq_codes(sf_dir: str) -> pa.Table:
+    """Sequential re-derivation of q_pq_codes: per subspace, the same
+    pure _kmeans_partial kernel over the same block plan reduced in
+    block-min order (expected_kmeans's contract), then the same argmax
+    encode — bit-for-bit including float summation order."""
+    from ..ops import similarity as sim
+    from .queries import KMEANS_BLOCKS
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    n = t.num_rows
+    raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    m, k, iters = 8, 16, 2
+    d = raw.shape[1]
+    dsub = d // m
+    step = max(256, -(-n // KMEANS_BLOCKS))
+    slices = sorted(range(0, n, step), key=lambda s: ids[s : s + step].min())
+    codebooks = []
+    for j in range(m):
+        sub_raw = raw[:, j * dsub : (j + 1) * dsub]
+        V = sim._normalize(sub_raw)
+        C = sim._normalize(np.ascontiguousarray(raw[:k, j * dsub : (j + 1) * dsub]))
+        for _ in range(iters):
+            counts = np.zeros(k, dtype=np.int64)
+            sums = np.zeros((k, dsub), dtype=np.float64)
+            for s in slices:
+                _, c, sm = sim._kmeans_partial(V[s : s + step], C)
+                counts += c
+                sums += sm
+            C = sim._kmeans_step(C, counts, sums)
+        codebooks.append(C)
+    code = np.zeros(n, dtype=np.int64)
+    for j in range(m):
+        S = sim._normalize(raw[:, j * dsub : (j + 1) * dsub])
+        code |= np.argmax(S @ codebooks[j].T, axis=1).astype(np.int64) << (4 * j)
+    return pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "pq_code": pa.array(code, pa.int64())}
+    )
+
+
 def expected_winnow_pairs(sf_dir: str) -> pa.Table:
     """Independent plain-Python winnowing (per-doc window loops, explicit
     rightmost-min tie rule) + all-pairs shared-fingerprint counting over
@@ -1439,6 +1481,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["dedup_spans"] = values_sql(expected_span_removal(sf_dir))
     sql["dominant_color"] = values_sql(expected_dominant_color())
     sql["sharpness"] = values_sql(expected_sharpness())
+    sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

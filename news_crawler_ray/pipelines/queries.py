@@ -1306,6 +1306,20 @@ def q_dedup_corpus(sf_dir: str):
     return sort_merge_anti_join(ids, losers, key="doc_id")
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encoding of the embeddings table: 8
+    subspaces x 16 spherical centroids, codes packed into one int64 —
+    256B/vec to 8B/vec (ops/similarity.pq_encode; deterministic
+    kmeans block plan). Sequential oracle expected_pq_codes replays the
+    same kernels over the same plan, bit-for-bit."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ds = _ds_from_table(tbl, target_blocks=KMEANS_BLOCKS)
+    init = np.array(tbl["embedding"].to_pylist()[:16], dtype=np.float64)
+    return sim.pq_encode(ds, init=init, m=8, k=16, iters=2)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: per-block
     partial sums + driver reduce per iteration (one streaming pass, no
@@ -6250,6 +6264,7 @@ def build_queries() -> dict:
         "knn_cosine": q_knn_cosine,
         "sample_docs": q_sample_docs,
         "kmeans_clusters": q_kmeans_clusters,
+        "pq_codes": q_pq_codes,
         "sessionize": q_sessionize,
         "clicks_prior_view": q_clicks_prior_view,
         "views_before_click": q_views_before_click,

@@ -1125,6 +1125,32 @@ def test_caption_pixel_corr_bit_exact(ray_session):
     assert got["corr_xy"].abs().max() <= 1.0
 
 
+def test_pq_encode(ray_session):
+    """Codes are layout-stable for a FIXED block plan, pack m=4-bit
+    nibbles, and identical subvectors get identical sub-codes."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.similarity import pq_encode
+
+    rng = np.random.default_rng(3)
+    n, d = 64, 16
+    X = rng.normal(size=(n, d))
+    X[1] = X[0]  # identical vectors → identical full codes
+    tbl = pa.table(
+        {"vec_id": pa.array(range(n), pa.int64()),
+         "embedding": pa.array(X.tolist(), pa.list_(pa.float64()))}
+    )
+    ds = rd.from_arrow([tbl.slice(i, 16) for i in range(0, n, 16)])
+    out = pq_encode(ds, init=X[:8], m=4, k=8, iters=2).to_pandas()
+    out = out.sort_values("vec_id", ignore_index=True)
+    codes = out["pq_code"].to_numpy()
+    assert codes[0] == codes[1]
+    assert (codes >= 0).all() and (codes < 1 << 16).all()  # 4 nibbles
+    # re-run over the same block plan → bit-identical
+    out2 = pq_encode(ds, init=X[:8], m=4, k=8, iters=2).to_pandas()
+    assert (out2.sort_values("vec_id", ignore_index=True)["pq_code"].to_numpy() == codes).all()
+
+
 def test_sharpness_moments():
     """Uniform image → zero Laplacian; checkerboard → hand-computable
     maximal response; moments are exact ints."""

@@ -342,7 +342,7 @@ def knn_ivf(
 # ------------------------------------------------------------------ PCA
 
 
-def pq_encode(
+def pq_fit(
     ds,
     init: np.ndarray,
     m: int = 8,
@@ -350,19 +350,10 @@ def pq_encode(
     iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-):
-    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
-    memory-compression step of billion-scale ANN: split each d-dim
-    vector into ``m`` subvectors, train an independent ``k``-centroid
-    spherical codebook per subspace with :func:`kmeans_fit` (the
-    deterministic block-plan trainer, bit-reproducible by the
-    sequential oracle), then encode every vector as m log2(k)-bit codes
-    packed into ONE int64 (k ≤ 16 → 4 bits each, m ≤ 16). 64 float32
-    dims (256 B) become 8 B per vector.
-
-    Shape: m streaming training passes over subvector views (combiner
-    partials, NO shuffle), then one broadcast-codebook assignment pass.
-    ``init``: (k, d) raw corpus-head rows, like q_kmeans_clusters."""
+) -> np.ndarray:
+    """Train the m per-subspace spherical codebooks for :func:`pq_encode`
+    / :func:`pq_knn` — m streaming kmeans_fit passes over subvector
+    views, no shuffle. Returns (m, k, d/m) float64."""
     if k > 16 or m > 16:
         raise ValueError("packed int64 codes need k <= 16 and m <= 16")
     init = np.asarray(init, dtype=np.float64)
@@ -398,7 +389,39 @@ def pq_encode(
                 vec_col=vec_col, id_col=id_col,
             )
         )
-    cb_ref = ray.put(np.stack(codebooks))  # (m, k, dsub)
+    return np.stack(codebooks)
+
+
+def pq_encode(
+    ds,
+    init: np.ndarray | None = None,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: np.ndarray | None = None,
+):
+    """Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the
+    memory-compression step of billion-scale ANN: split each d-dim
+    vector into ``m`` subvectors, train an independent ``k``-centroid
+    spherical codebook per subspace with :func:`kmeans_fit` (the
+    deterministic block-plan trainer, bit-reproducible by the
+    sequential oracle), then encode every vector as m log2(k)-bit codes
+    packed into ONE int64 (k ≤ 16 → 4 bits each, m ≤ 16). 64 float32
+    dims (256 B) become 8 B per vector.
+
+    Shape: m streaming training passes over subvector views (combiner
+    partials, NO shuffle), then one broadcast-codebook assignment pass.
+    ``init``: (k, d) raw corpus-head rows, like q_kmeans_clusters."""
+    if codebooks is None:
+        codebooks = pq_fit(
+            ds, init, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    codebooks = np.asarray(codebooks, dtype=np.float64)
+    cb_ref = ray.put(codebooks)
+    dsub = codebooks.shape[2]
+    m = codebooks.shape[0]
 
     def encode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -418,6 +441,80 @@ def pq_encode(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_adc_lut(query_matrix: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """ADC lookup tables: LUT[q, j, c] = normalized query subvector j ·
+    codebook[j][c]. Shared by the engine scan and the sequential
+    oracle."""
+    C = np.asarray(codebooks, dtype=np.float64)
+    m, kc, dsub = C.shape
+    Q = np.asarray(query_matrix, dtype=np.float64)
+    lut = np.zeros((len(Q), m, kc), dtype=np.float64)
+    for j in range(m):
+        lut[:, j, :] = _normalize(Q[:, j * dsub : (j + 1) * dsub]) @ C[j].T
+    return lut
+
+
+def pq_adc_scores(codes: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(Q, n) ADC scores: per code, m nibble gathers summed in FIXED j
+    order — layout-proof float sums. Shared engine/oracle kernel."""
+    m = lut.shape[1]
+    sub = (codes[:, None] >> (4 * np.arange(m, dtype=np.int64))[None, :]) & 0xF
+    sc = np.zeros((lut.shape[0], len(codes)), dtype=np.float64)
+    for j in range(m):
+        sc += lut[:, j, sub[:, j]]
+    return sc
+
+
+def pq_knn(
+    codes_ds,
+    codebooks: np.ndarray,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    exclude_self: bool = True,
+    id_col: str = "vec_id",
+):
+    """Approximate top-k search over PQ codes via asymmetric distance
+    computation (Jégou et al. 2011): the scan reads 8-BYTE codes (not
+    vectors) and scores each with m table gathers — the memory-bound
+    path that makes billion-vector search fit a node. Broadcast LUT via
+    ray.put; per-block partial top-k; the same combiner merge as
+    knn_brute_force. Deterministic: fixed j-order float sums, ties
+    (score desc, neighbor_id asc)."""
+    lut = pq_adc_lut(query_matrix, codebooks)
+    ref = ray.put({"ids": np.asarray(query_ids, dtype=np.int64), "lut": lut})
+
+    def scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _pairs_schema_table()
+        q = ray.get(ref)
+        qids, lut_ = q["ids"], q["lut"]
+        codes = np.asarray(t["pq_code"], dtype=np.int64)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        sc = pq_adc_scores(codes, lut_)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = sc[qi]
+            if exclude_self:
+                row = np.where(ids == qids[qi], -np.inf, row)
+            order = np.lexsort((ids, -row))[:k]
+            out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+            out_n.append(ids[order])
+            out_s.append(row[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partial = codes_ds.map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _merge_partial_topk(partial, k)
 
 
 def contrastive_negatives(

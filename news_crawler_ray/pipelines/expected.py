@@ -304,7 +304,7 @@ def expected_sharpness() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
-def expected_pq_codes(sf_dir: str) -> pa.Table:
+def _expected_pq(sf_dir: str):
     """Sequential re-derivation of q_pq_codes: per subspace, the same
     pure _kmeans_partial kernel over the same block plan reduced in
     block-min order (expected_kmeans's contract), then the same argmax
@@ -341,9 +341,32 @@ def expected_pq_codes(sf_dir: str) -> pa.Table:
     for j in range(m):
         S = sim._normalize(raw[:, j * dsub : (j + 1) * dsub])
         code |= np.argmax(S @ codebooks[j].T, axis=1).astype(np.int64) << (4 * j)
+    return ids, raw, np.stack(codebooks), code
+
+
+def expected_pq_codes(sf_dir: str) -> pa.Table:
+    ids, _, _, code = _expected_pq(sf_dir)
     return pa.table(
         {"vec_id": pa.array(ids, pa.int64()), "pq_code": pa.array(code, pa.int64())}
     )
+
+
+def expected_pq_knn(sf_dir: str, k: int = 10) -> pa.Table:
+    """Sequential ADC replay: the same shared LUT/score kernels over the
+    full code array, ties (score desc, neighbor asc)."""
+    from ..ops import similarity as sim
+
+    ids, raw, cb, code = _expected_pq(sf_dir)
+    qm = raw[:5]
+    lut = sim.pq_adc_lut(qm, cb)
+    sc = sim.pq_adc_scores(code, lut)
+    rows = []
+    for qi in range(5):
+        row = np.where(ids == qi, -np.inf, sc[qi])
+        order = np.lexsort((ids, -row))[:k]
+        for nb in ids[order]:
+            rows.append({"query_id": qi, "neighbor_id": int(nb)})
+    return pa.Table.from_pylist(rows)
 
 
 def expected_winnow_pairs(sf_dir: str) -> pa.Table:
@@ -1482,6 +1505,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["dominant_color"] = values_sql(expected_dominant_color())
     sql["sharpness"] = values_sql(expected_sharpness())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
+    sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
     # independently-derived minhash pair set
     sql["dup_components"] = (

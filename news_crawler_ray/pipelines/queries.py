@@ -1320,6 +1320,25 @@ def q_pq_codes(sf_dir: str):
     return sim.pq_encode(ds, init=init, m=8, k=16, iters=2)
 
 
+def q_knn_pq(sf_dir: str):
+    """PQ-ADC approximate top-10 neighbors for the first 5 vectors:
+    the scan reads 8-byte packed codes, scores via broadcast lookup
+    tables (ops/similarity.pq_knn), partial top-k + combiner merge.
+    Sequential oracle expected_pq_knn replays identical kernels."""
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ds = _ds_from_table(tbl, target_blocks=KMEANS_BLOCKS)
+    init = np.array(tbl["embedding"].to_pylist()[:16], dtype=np.float64)
+    cb = sim.pq_fit(ds, init, m=8, k=16, iters=2)
+    codes = sim.pq_encode(ds, codebooks=cb)
+    qm = np.array(tbl["embedding"].to_pylist()[:5], dtype=np.float64)
+    out = sim.pq_knn(codes, cb, np.arange(5), qm, k=10)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "neighbor_id"]), batch_format="pyarrow"
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Distributed spherical k-means over the embeddings table: per-block
     partial sums + driver reduce per iteration (one streaming pass, no
@@ -6265,6 +6284,7 @@ def build_queries() -> dict:
         "sample_docs": q_sample_docs,
         "kmeans_clusters": q_kmeans_clusters,
         "pq_codes": q_pq_codes,
+        "knn_pq": q_knn_pq,
         "sessionize": q_sessionize,
         "clicks_prior_view": q_clicks_prior_view,
         "views_before_click": q_views_before_click,

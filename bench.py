@@ -322,6 +322,8 @@ QUERY_SUBSET = [
     "recrawl_schedule",
     "dominant_color",
     "sharpness",
+    "pq_codes",
+    "knn_pq",
 ]
 
 

@@ -551,6 +551,12 @@ ORACLE_SQL.update(
             f"SELECT doc_id, {_pii_replace_sql('(' + _PII_PLANT_SQL + ')')} AS text_redacted "
             "FROM documents"
         ),
+        "value_quantiles_hist": (
+            "SELECT event_type, CAST(unnest([25, 50, 75]) AS BIGINT) AS pct, "
+            "unnest(quantile_disc(CAST(round(value * 100) AS BIGINT), "
+            "  [0.25, 0.5, 0.75])) AS value_cents "
+            "FROM events GROUP BY event_type"
+        ),
         "weighted_median": (
             "WITH s AS (SELECT l_returnflag, "
             "  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, "
@@ -1599,6 +1605,42 @@ def q_hard_negatives(sf_dir: str):
         lambda t: t.select(["vec_id", "slot", "neg_id", "dot_q"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def q_value_quantiles_hist(sf_dir: str):
+    """Exact per-type value quantiles on the HISTOGRAM shape: count
+    combiner per (type, cents) → weighted boundary picks
+    (ops/agg.weighted_group_quantiles) — two narrow exchanges, the raw
+    rows are never sorted (the 100 TB path for bounded value domains).
+    Same quantile_disc convention as value_quantiles; REAL SQL oracle."""
+    from ..ops.agg import sorted_group_agg, weighted_group_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(
+            np.int64
+        )
+        g = (
+            pa.table({"event_type": t["event_type"],
+                      "cents": pa.array(cents, pa.int64())})
+            .group_by(["event_type", "cents"])
+            .aggregate([("cents", "count")])
+        )
+        return pa.table(
+            {"event_type": g["event_type"], "cents": g["cents"],
+             "n": pc.cast(g["cents_count"], pa.int64())}
+        )
+
+    hist = sorted_group_agg(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "cents"],
+        [("n", "sum", "n")],
+    )
+    return weighted_group_quantiles(
+        hist, "event_type", "cents", "n", percents=(25, 50, 75),
+        out_col="value_cents",
     )
 
 
@@ -6300,6 +6342,7 @@ def build_queries() -> dict:
         "letterbox_stats": q_letterbox_stats,
         "contrastive_negatives": q_contrastive_negatives,
         "weighted_median": q_weighted_median,
+        "value_quantiles_hist": q_value_quantiles_hist,
         "hard_negatives": q_hard_negatives,
         "dedup_spans": q_dedup_spans,
         "dominant_color": q_dominant_color,

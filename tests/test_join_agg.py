@@ -1224,6 +1224,40 @@ def test_weighted_group_median(ray_session):
         assert out == {"a": 20, "b": 100, "c": 7}
 
 
+def test_weighted_group_quantiles(ray_session):
+    """Histogram quantiles match quantile_disc on the expanded data,
+    across layouts and with multi-block keys."""
+    import duckdb
+    import ray.data as rd
+
+    from news_crawler_ray.ops.agg import weighted_group_quantiles
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"k": k, "v": int(v), "n": int(n)}
+        for k in ("a", "b")
+        for v, n in zip(rng.integers(0, 50, 40), rng.integers(1, 9, 40))
+    ]
+    tbl = pa.Table.from_pylist(rows).cast(
+        pa.schema([("k", pa.string()), ("v", pa.int64()), ("n", pa.int64())])
+    )
+    expanded = duckdb.sql(
+        "SELECT k, CAST(unnest([25,50,75]) AS BIGINT) AS pct, "
+        "unnest(quantile_disc(v, [0.25,0.5,0.75])) AS value FROM ("
+        "  SELECT k, v FROM tbl, LATERAL (SELECT unnest(generate_series(1, n)))"
+        ") GROUP BY k ORDER BY k, pct"
+    ).df()
+    for nblocks in (1, 5):
+        got = (
+            weighted_group_quantiles(
+                rd.from_arrow(tbl).repartition(nblocks), "k", "v", "n"
+            )
+            .to_pandas()
+            .sort_values(["k", "pct"], ignore_index=True)
+        )
+        assert list(got["value"]) == list(expanded["value"])
+
+
 def test_group_corr_bit_exact():
     import math
 

@@ -529,6 +529,74 @@ def recrawl_schedule(
 
 
 @ray.remote
+def _decay_block(
+    key_col: str, ts_col: str, val_col: str, half_life_us: int, *parts: pa.Table
+) -> pa.Table:
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    tbl = tbl.sort_by([(key_col, "ascending")]).combine_chunks()
+    keys = tbl[key_col]
+    n = tbl.num_rows
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    bounds = np.concatenate([np.flatnonzero(new_key), [n]])
+    us = np.asarray(pc.cast(tbl[ts_col], pa.int64()), dtype=np.int64)
+    cents = np.asarray(tbl[val_col], dtype=np.int64)
+    out_k, out_last, out_sum = [], [], []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        last = int(us[a:b].max())
+        shift = np.minimum((last - us[a:b]) // half_life_us, 62)
+        out_k.append(keys[int(a)].as_py())
+        out_last.append(last)
+        out_sum.append(int((cents[a:b] >> shift).sum()))
+    return pa.table(
+        {
+            key_col: pa.array(out_k, keys.type),
+            "last_us": pa.array(out_last, pa.int64()),
+            "decayed_cents": pa.array(out_sum, pa.int64()),
+        }
+    )
+
+
+def decayed_sum(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "cents",
+    half_life_us: int = 3_600_000_000,
+):
+    """Freshness-weighted per-key value total: each event contributes
+    ``value >> floor(age/half_life)`` relative to the key's NEWEST
+    event — an exact-integer exponential decay (the recency weighting a
+    ranking/trending pass applies), order-free and layout-proof where a
+    float EWMA would be neither. Requires val_col >= 0 int64. One
+    key-complete exchange. Output (key, last_us, decayed_cents)."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key_col)
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "last_us": pa.array([], pa.int64()),
+                    "decayed_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _decay_block.remote(key_col, ts_col, val_col, half_life_us, *parts)
+            for parts in groups
+        ]
+    )
+
+
+@ray.remote
 def _gap_stats_block(
     key_col: str, ts_col: str, carry_cols: tuple, *parts: pa.Table
 ) -> pa.Table:

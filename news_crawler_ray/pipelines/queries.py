@@ -593,6 +593,15 @@ ORACLE_SQL.update(
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
+        "decayed_value_sum": (
+            "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT user_id, max(us) AS last_us FROM e GROUP BY user_id) "
+            "SELECT e.user_id, m.last_us, "
+            "  SUM(e.cents >> least((m.last_us - e.us) // 3600000000, 62)) "
+            "    AS decayed_cents "
+            "FROM e JOIN m USING (user_id) GROUP BY e.user_id, m.last_us"
+        ),
         "recrawl_schedule": (
             "SELECT user_id, count(*) AS n_fetches, "
             "  count(DISTINCT value) AS n_versions, "
@@ -1756,6 +1765,27 @@ def q_bpe_merges(sf_dir: str):
     vocab dedup → vectorized codepoint-pair explode → one exchange)."""
     return tx.bpe_merge_candidates(
         _read(sf_dir, "documents", ["doc_id", "text"]), k=50
+    )
+
+
+def q_decayed_value_sum(sf_dir: str):
+    """Freshness-weighted per-user value totals: exact-integer
+    exponential decay (value >> floor(age/half_life) vs the user's
+    newest event) — ops/window.decayed_sum, one key-complete exchange.
+    REAL SQL oracle with identical shift arithmetic."""
+    from ..ops.window import decayed_sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+        return pa.table(
+            {"user_id": t["user_id"], "ts": t["ts"],
+             "cents": pa.array(c, pa.int64())}
+        )
+
+    return decayed_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -6350,6 +6380,7 @@ def build_queries() -> dict:
         "char_entropy": q_char_entropy,
         "caption_junk": q_caption_junk,
         "recrawl_schedule": q_recrawl_schedule,
+        "decayed_value_sum": q_decayed_value_sum,
         "top_terms": q_top_terms,
         "vocab_build": q_vocab_build,
         "tokenize_vocab": q_tokenize_vocab,

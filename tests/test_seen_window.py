@@ -202,6 +202,30 @@ def test_running_sum_per_key(ray_session):
         assert out[k] == k // 3 + 1
 
 
+def test_decayed_sum(ray_session):
+    """Events one/two half-lives old halve/quarter; the newest event
+    passes whole; shifts cap at 62."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from news_crawler_ray.ops.window import decayed_sum
+
+    H = 10
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 10, 20, 100_000], pa.timestamp("us")),
+            "cents": pa.array([400, 400, 400, 800], pa.int64()),
+        }
+    )
+    out = {r["user_id"]: r for r in decayed_sum(
+        rd.from_arrow(t).repartition(2), half_life_us=H
+    ).take_all()}
+    assert out[1]["decayed_cents"] == 400 + 200 + 100  # ages 20,10,0
+    assert out[1]["last_us"] == 20
+    assert out[2]["decayed_cents"] == 800
+
+
 def test_recrawl_schedule(ray_session):
     """Unchanged revisits double the interval (capped); any change
     resets the stability count used for the shift."""

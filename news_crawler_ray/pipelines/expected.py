@@ -1730,6 +1730,11 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         f"SELECT doc_id, CASE WHEN g = 0 OR ({n_at_max}) > 1 THEN 'und' "
         f"{pick} END AS lang_pred FROM m"
     )
+    sql["langid_confusion"] = (
+        f"WITH pred AS ({sql['langid']}) "
+        "SELECT d.lang, pred.lang_pred, count(*) AS n "
+        "FROM pred JOIN documents d USING (doc_id) GROUP BY d.lang, pred.lang_pred"
+    )
     return sql
 
 

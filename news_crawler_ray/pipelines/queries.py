@@ -860,6 +860,42 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix of predicted vs labeled
+    language — detect_language joined back to the label column on one
+    sort-merge exchange, then a count combiner. REAL SQL oracle (the
+    langid CTE joined to documents.lang)."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_inner_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = tx.detect_language(docs).map_batches(
+        lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+    labels = docs.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+    joined = sort_merge_inner_join(pred, labels, "doc_id", ["lang_pred"], ["lang"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "lang_pred": pa.array([], pa.string()),
+                 "one": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"lang": t["lang"], "lang_pred": t["lang_pred"],
+             "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}
+        )
+
+    return sorted_group_agg(
+        joined.map_batches(ones, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "lang_pred"],
+        [("n", "sum", "one")],
+    )
+
+
 def q_ioc_extract(sf_dir: str):
     """M8/A6: defang-aware IOC extraction + global distinct over the
     deterministic ASEC-analog fixture pages."""
@@ -6405,6 +6441,7 @@ def build_queries() -> dict:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "knn_ivf": q_knn_ivf,
         "langid": q_langid,
+        "langid_confusion": q_langid_confusion,
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,

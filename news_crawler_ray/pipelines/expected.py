@@ -1676,6 +1676,28 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "count(*) AS n_links FROM l GROUP BY 1"
     )
 
+    # reciprocal_links: same harvest with the page's own host attached
+    caps_src = values_sql(
+        synth.make_pagestore(OUTLINK_DEG_N, seed=42)
+        .select(["caption"])
+        .append_column(
+            "src_host",
+            pa.array([synth.host_of(k) for k in range(OUTLINK_DEG_N)], pa.string()),
+        )
+    )
+    sql["reciprocal_links"] = (
+        "WITH meta AS (" + caps_src + "), "
+        r"e AS (SELECT src_host AS s, regexp_extract(u, '^[a-z]+://([^/]+)', 1) AS d "
+        r"  FROM (SELECT src_host, unnest(regexp_extract_all(caption, 'link:(\S+)', 1)) AS u "
+        "    FROM meta)), "
+        "p AS (SELECT least(s, d) AS host_a, greatest(s, d) AS host_b, "
+        "  CAST(s < d AS BIGINT) AS fwd, CAST(s > d AS BIGINT) AS rev "
+        "  FROM e WHERE s <> d) "
+        "SELECT host_a, host_b, SUM(fwd) AS n_ab, SUM(rev) AS n_ba, "
+        "  (SUM(fwd) > 0 AND SUM(rev) > 0) AS reciprocal "
+        "FROM p GROUP BY host_a, host_b"
+    )
+
     # exact_phash_dups: metadata inlined, the dup grouping in real SQL
     from .queries import PHASH_DUP_N, PHASH_DUP_POOL
 

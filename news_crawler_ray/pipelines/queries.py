@@ -2804,6 +2804,89 @@ def q_outlink_degrees(sf_dir: str):
     )
 
 
+def q_reciprocal_links(sf_dir: str):
+    """Link-farm signal: reciprocal host-pair link counts over the
+    outlink graph (pages exchanging links both ways rank as farms in a
+    crawl-quality pass). One narrow (lo,hi,dir) combiner + sorted
+    exchange; edges never leave their block unaggregated. REAL SQL
+    oracle: same regexp harvest + least/greatest conditional sums."""
+    from ..fixtures import synth
+    from ..ops.agg import sorted_group_agg
+
+    ps = synth.make_pagestore(OUTLINK_DEG_N, seed=42).select(["caption"])
+    src = pa.array(
+        [synth.host_of(k) for k in range(OUTLINK_DEG_N)], pa.string()
+    )
+    ds = ray.data.from_arrow(ps.append_column("src_host", src))
+
+    def edges(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"host_a": pa.array([], pa.string()),
+             "host_b": pa.array([], pa.string()),
+             "fwd": pa.array([], pa.int64()),
+             "rev": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        caps = pc.coalesce(t["caption"], "")
+        lst = pc.split_pattern_regex(caps, r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        flat = pc.list_flatten(lst)
+        offs = np.asarray(lst.offsets, dtype=np.int64)
+        row_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+        is_link = pc.starts_with(flat, "link:").to_numpy(zero_copy_only=False)
+        urls = pc.utf8_slice_codeunits(flat.filter(pa.array(is_link)), start=5)
+        dst = pc.extract_regex(urls, r"^[a-z]+://(?P<h>[^/]+)")
+        dvals = pc.struct_field(dst, "h")
+        svals = t["src_host"].take(pa.array(row_of[is_link]))
+        sv = np.asarray(svals, dtype=object)
+        dv = np.asarray(dvals, dtype=object)
+        ok = np.array([d is not None for d in dv])
+        sv, dv = sv[ok], dv[ok]
+        ne = sv != dv
+        sv, dv = sv[ne], dv[ne]
+        lo = np.minimum(sv, dv)
+        hi = np.maximum(sv, dv)
+        fwd = (sv < dv).astype(np.int64)
+        g = (
+            pa.table(
+                {"host_a": pa.array(lo, pa.string()),
+                 "host_b": pa.array(hi, pa.string()),
+                 "fwd": pa.array(fwd, pa.int64()),
+                 "rev": pa.array(1 - fwd, pa.int64())}
+            )
+            .group_by(["host_a", "host_b"])
+            .aggregate([("fwd", "sum"), ("rev", "sum")])
+        )
+        return pa.table(
+            {"host_a": g["host_a"], "host_b": g["host_b"],
+             "fwd": pc.cast(g["fwd_sum"], pa.int64()),
+             "rev": pc.cast(g["rev_sum"], pa.int64())}
+        )
+
+    agg = sorted_group_agg(
+        ds.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True),
+        ["host_a", "host_b"],
+        [("n_ab", "sum", "fwd"), ("n_ba", "sum", "rev")],
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_ab" not in t.column_names:
+            return pa.table(
+                {"host_a": pa.array([], pa.string()),
+                 "host_b": pa.array([], pa.string()),
+                 "n_ab": pa.array([], pa.int64()),
+                 "n_ba": pa.array([], pa.int64()),
+                 "reciprocal": pa.array([], pa.bool_())}
+            )
+        return t.append_column(
+            "reciprocal",
+            pc.and_(pc.greater(t["n_ab"], 0), pc.greater(t["n_ba"], 0)),
+        )
+
+    return agg.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 PHASH_DUP_N, PHASH_DUP_POOL = 200, 60
 
 
@@ -6471,6 +6554,7 @@ def build_queries() -> dict:
         "sampled_quantiles": q_sampled_quantiles,
         "caption_consistency": q_caption_consistency,
         "outlink_degrees": q_outlink_degrees,
+        "reciprocal_links": q_reciprocal_links,
         "curate_image_corpus": q_curate_image_corpus,
         "corpus_diff": q_corpus_diff,
         "lineitem_orders_join": q_lineitem_orders_join,

@@ -3655,6 +3655,58 @@ def q_retention_cohorts(sf_dir: str):
     )
 
 
+def q_events_time_travel(sf_dir: str):
+    """Lakehouse time travel: read the CDC table AS OF version 2 —
+    version-1 base merged with version-2 changes; the version-3 change
+    feed is pruned by the AS-OF predicate BEFORE the merge (predicate
+    pushdown on the version column), then the same latest-wins
+    key-complete rank as events_upsert. REAL SQL oracle."""
+    from ..ops.join import upsert
+
+    AS_OF = 2
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def base(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"],
+             "version": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+             "value": t["value"]}
+        )
+
+    def feed(version: int, mod: int, rem: int, bump: float):
+        def f(t: pa.Table) -> pa.Table:
+            eid = np.asarray(t["event_id"], dtype=np.int64)
+            m = eid % mod == rem
+            return pa.table(
+                {"event_id": pa.array(eid[m], pa.int64()),
+                 "version": pa.array(np.full(int(m.sum()), version, np.int64)),
+                 "value": pa.array(
+                     np.asarray(t["value"], np.float64)[m] + bump, pa.float64()
+                 )}
+            )
+
+        return f
+
+    changes = []
+    for version, mod, rem, bump in ((2, 10, 3, 1000.0), (3, 7, 0, 5000.0)):
+        if version <= AS_OF:  # AS-OF predicate prunes whole change feeds
+            changes.append(
+                ev.map_batches(
+                    feed(version, mod, rem, bump),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+    ch = changes[0] if len(changes) == 1 else changes[0].union(*changes[1:])
+    return upsert(
+        ev.map_batches(base, batch_format="pyarrow", zero_copy_batch=True),
+        ch,
+        "event_id",
+        "version",
+        ["value"],
+    )
+
+
 def q_events_upsert(sf_dir: str):
     """CDC MERGE latest-wins (ops/join.upsert): a deterministic change
     feed (every event_id % 10 == 3 gets value + 1000 at version 2)
@@ -5839,6 +5891,20 @@ ORACLE_SQL.update(
             )
             + ")"
         ),
+        "events_time_travel": (
+            "WITH base AS (SELECT event_id, 1 AS v, value FROM events), "
+            "c2 AS (SELECT event_id, 2 AS v, value + 1000 AS value "
+            "  FROM events WHERE event_id % 10 = 3), "
+            "c3 AS (SELECT event_id, 3 AS v, value + 5000 AS value "
+            "  FROM events WHERE event_id % 7 = 0), "
+            "u AS (SELECT * FROM base UNION ALL SELECT * FROM c2 "
+            "      UNION ALL SELECT * FROM c3), "
+            "f AS (SELECT * FROM u WHERE v <= 2) "
+            "SELECT event_id, CAST(version AS BIGINT) AS version, value "
+            "FROM (SELECT event_id, v AS version, value, row_number() OVER ("
+            "PARTITION BY event_id ORDER BY v DESC) AS rn FROM f) "
+            "WHERE rn = 1"
+        ),
         "events_upsert": (
             "WITH base AS (SELECT event_id, 1 AS v, value FROM events), "
             "ch AS (SELECT event_id, 2 AS v, value + 1000 AS value "
@@ -6623,6 +6689,7 @@ def build_queries() -> dict:
         "retention_cohorts": q_retention_cohorts,
         "session_funnel": q_session_funnel,
         "events_upsert": q_events_upsert,
+        "events_time_travel": q_events_time_travel,
         "user_key_skew": q_user_key_skew,
         "keyword_hits": q_keyword_hits,
         "event_same_day_count": q_event_same_day_count,

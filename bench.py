@@ -324,6 +324,12 @@ QUERY_SUBSET = [
     "sharpness",
     "pq_codes",
     "knn_pq",
+    "value_quantiles_hist",
+    "decayed_value_sum",
+    "langid_confusion",
+    "reciprocal_links",
+    "events_time_travel",
+    "corpus_report",
 ]
 
 

@@ -593,6 +593,13 @@ ORACLE_SQL.update(
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
+        "corpus_report": (
+            r"SELECT count(*) AS n_docs, "
+            r"SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens, "
+            "SUM(length(text)) AS n_chars, "
+            r"MAX(len(regexp_extract_all(text, '\S+'))) AS max_doc_tokens, "
+            "count(DISTINCT lang) AS n_langs FROM documents"
+        ),
         "decayed_value_sum": (
             "WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, "
             "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
@@ -857,6 +864,53 @@ def q_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return tx.detect_language(ds).map_batches(
         lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def q_corpus_report(sf_dir: str):
+    """One-pass corpus health report (the dashboard numbers every
+    curation run prints): doc/token/char totals, max doc length and
+    distinct language count — ONE combiner pass emitting a single
+    partial row per block plus a narrow lang set, merged driver-side
+    (O(blocks) rows). REAL SQL oracle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], "")
+        toks = np.asarray(
+            pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "n_tokens": pa.array([int(toks.sum())], pa.int64()),
+                "n_chars": pa.array(
+                    [int(pc.sum(pc.utf8_length(text)).as_py() or 0)], pa.int64()
+                ),
+                "max_doc_tokens": pa.array(
+                    [int(toks.max()) if len(toks) else 0], pa.int64()
+                ),
+                "langs": pa.array(
+                    [pc.unique(t["lang"]).to_pylist()], pa.list_(pa.string())
+                ),
+            }
+        )
+
+    rows = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    langs = {g for r in rows for g in (r["langs"] or []) if g is not None}
+    return pa.table(
+        {
+            "n_docs": pa.array([sum(r["n_docs"] for r in rows)], pa.int64()),
+            "n_tokens": pa.array([sum(r["n_tokens"] for r in rows)], pa.int64()),
+            "n_chars": pa.array([sum(r["n_chars"] for r in rows)], pa.int64()),
+            "max_doc_tokens": pa.array(
+                [max((r["max_doc_tokens"] for r in rows), default=0)], pa.int64()
+            ),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+        }
     )
 
 
@@ -6591,6 +6645,7 @@ def build_queries() -> dict:
         "knn_ivf": q_knn_ivf,
         "langid": q_langid,
         "langid_confusion": q_langid_confusion,
+        "corpus_report": q_corpus_report,
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,

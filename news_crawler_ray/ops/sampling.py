@@ -20,6 +20,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 _HEX_SPAN = 16**8  # first 8 hex chars of the digest
 
@@ -82,6 +83,67 @@ def hash_sample_batch(
         )
         keep = prefixes < th_by_code[codes]
     return batch.filter(pa.array(keep))
+
+
+@ray.remote
+def _budget_filter_block(
+    tbl: "pa.Table", key: str, weight_col: str, base: dict, budget: int
+) -> "pa.Table":
+    import numpy as np
+
+    from ..stages.index import _run_boundaries
+
+    if tbl.num_rows == 0:
+        return tbl
+    starts, values = _run_boundaries(tbl, key)
+    ends = np.concatenate([starts[1:], [tbl.num_rows]])
+    w = np.asarray(tbl[weight_col], dtype=np.int64)
+    keep = np.zeros(tbl.num_rows, dtype=bool)
+    for v, s, e in zip(values, starts, ends):
+        cw = np.cumsum(w[s:e]) + base.get(v, 0)
+        keep[s:e] = cw <= budget
+    return tbl.filter(pa.array(keep))
+
+
+def budget_sample(
+    ds,
+    key: str,
+    weight_col: str,
+    order_cols: list[str],
+    budget: int,
+):
+    """Per-key WEIGHT-BUDGET sampling — the corpus-assembly primitive
+    behind "B tokens per language": keep each key's rows, in a
+    content-stable order, while the running weight total stays ≤
+    ``budget``. Deterministic (the order is part of the contract, e.g.
+    an md5 rank) and exact at any parallelism: one range-partition sort
+    by (key, *order), a per-block (key, weight-sum) metadata pass, then
+    each block filters with its exclusive base offset — the
+    weighted-median machinery pointed at a cutoff instead of a rank.
+    A key spanning many blocks still works; no group materializes."""
+    import ray.data as rd
+
+    from ..ops.agg import _block_group_weights
+
+    mat = ds.sort([key] + list(order_cols)).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs or mat.count() == 0:
+        return mat
+    metas = ray.get([_block_group_weights.remote(r, key, weight_col) for r in refs])
+    running: dict = {}
+    per_block_base = []
+    for weights in metas:
+        b = {g: running.get(g, 0) for g, _ in weights}
+        for g, tw in weights:
+            running[g] = running.get(g, 0) + tw
+        per_block_base.append(b)
+    return rd.from_arrow_refs(
+        [
+            _budget_filter_block.remote(r, key, weight_col, b, budget)
+            for r, b, weights in zip(refs, per_block_base, metas)
+            if weights
+        ]
+    )
 
 
 def hash_sample(

@@ -593,6 +593,13 @@ ORACLE_SQL.update(
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
+        "token_budget_sample": (
+            r"WITH t AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens, "
+            "  substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents), "
+            "c AS (SELECT doc_id, lang, SUM(n_tokens) OVER (PARTITION BY lang "
+            "  ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, lang FROM c WHERE cum <= 2000"
+        ),
         "corpus_report": (
             r"SELECT count(*) AS n_docs, "
             r"SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens, "
@@ -864,6 +871,43 @@ def q_langid(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return tx.detect_language(ds).map_batches(
         lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+TOKEN_BUDGET = 2000
+
+
+def q_token_budget_sample(sf_dir: str):
+    """Per-language token-budget corpus assembly: keep docs in
+    content-stable md5 order while each language's running token total
+    stays <= TOKEN_BUDGET (ops/sampling.budget_sample — one sort
+    exchange + per-block weight-prefix filter). REAL SQL window-cumsum
+    oracle with the shared md5 identity."""
+    from ..ops.sampling import _digest_prefixes, budget_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        text = pc.coalesce(t["text"], "")
+        n_tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_tokens": n_tok,
+                "h": pa.array(_digest_prefixes(t["doc_id"]), pa.string()),
+            }
+        )
+
+    kept = budget_sample(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        key="lang",
+        weight_col="n_tokens",
+        order_cols=["h", "doc_id"],
+        budget=TOKEN_BUDGET,
+    )
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
     )
 
 
@@ -6646,6 +6690,7 @@ def build_queries() -> dict:
         "langid": q_langid,
         "langid_confusion": q_langid_confusion,
         "corpus_report": q_corpus_report,
+        "token_budget_sample": q_token_budget_sample,
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,

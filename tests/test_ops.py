@@ -1151,6 +1151,31 @@ def test_pq_encode(ray_session):
     assert (out2.sort_values("vec_id", ignore_index=True)["pq_code"].to_numpy() == codes).all()
 
 
+def test_budget_sample(ray_session):
+    """Rows are kept in the given order while cumulative weight stays
+    within budget — per key, exactly, at any layout; a row that would
+    cross the budget is dropped (and later rows too)."""
+    import ray.data as rd
+
+    from news_crawler_ray.ops.sampling import budget_sample
+
+    rows = (
+        [{"k": "a", "ord": i, "w": 10, "id": i} for i in range(10)]
+        + [{"k": "b", "ord": i, "w": 7, "id": 100 + i} for i in range(10)]
+    )
+    tbl = pa.Table.from_pylist(rows).cast(
+        pa.schema([("k", pa.string()), ("ord", pa.int64()),
+                   ("w", pa.int64()), ("id", pa.int64())])
+    )
+    for nblocks in (1, 5):
+        kept = budget_sample(
+            rd.from_arrow(tbl).repartition(nblocks), "k", "w", ["ord"], budget=31
+        ).to_pandas()
+        by = {k: sorted(g["id"]) for k, g in kept.groupby("k")}
+        assert by["a"] == [0, 1, 2]       # 10+10+10 <= 31, 4th crosses
+        assert by["b"] == [100, 101, 102, 103]  # 7*4=28 <= 31
+
+
 def test_pq_knn_recall(ray_session):
     """ADC search over PQ codes recovers a decent fraction of the exact
     cosine top-10 (clustered data compresses well), deterministically."""

@@ -456,6 +456,12 @@ def _pii_replace_sql(expr: str) -> str:
     return expr
 
 
+_TOK_SQL = (
+    "SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS term "
+    "FROM documents"
+)
+
+
 def _html_strip_sql(expr: str) -> str:
     """Nested DuckDB regexp_replace over the SAME ordered pattern list
     the Ray op applies (ops/text.HTML_STRIP_PATTERNS)."""
@@ -592,6 +598,27 @@ ORACLE_SQL.update(
             "  WHERE length(term) >= 2) "
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
+        ),
+        "zipf_slope": (
+            f"WITH vo AS (SELECT term, count(*) AS n FROM ({_TOK_SQL}) "
+            "  WHERE term <> '' GROUP BY term), "
+            "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rnk FROM vo), "
+            "v AS (SELECT 'all' AS grp, "
+            "  CAST(floor(log2(CAST(rnk AS DOUBLE)) * 1048576 + 0.5) AS HUGEINT) AS x, "
+            "  CAST(floor(log2(CAST(n AS DOUBLE)) * 1048576 + 0.5) AS HUGEINT) AS y FROM r), "
+            "m AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, "
+            "sum(y*y) AS syy, sum(x*y) AS sxy FROM v GROUP BY grp) "
+            "SELECT grp, CAST(n AS BIGINT) AS n_values, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0) AS slope, "
+            "(CAST(sy AS DOUBLE) - (CAST(n*sxy - sx*sy AS DOUBLE) / "
+            "NULLIF(CAST(n*sxx - sx*sx AS DOUBLE), 0)) * CAST(sx AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) AS intercept, "
+            "(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)) "
+            "/ NULLIF(CAST(n*sxx - sx*sx AS DOUBLE) * "
+            "CAST(n*syy - sy*sy AS DOUBLE), 0) AS r2 "
+            "FROM m"
         ),
         "token_budget_sample": (
             r"WITH t AS (SELECT doc_id, lang, len(regexp_extract_all(text, '\S+')) AS n_tokens, "
@@ -908,6 +935,51 @@ def q_token_budget_sample(sf_dir: str):
     )
     return kept.map_batches(
         lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf-law fit of the corpus unigram distribution: exact OLS of
+    quantized log2(count) on quantized log2(rank) over the ranked
+    vocabulary (term-count combiner → one global rank sort →
+    ops/agg.group_linreg's integer cross-moment combiner). Slope ~ -s
+    is the Zipf exponent a tokenizer/coverage analysis reads off.
+    REAL SQL oracle: the shared HUGEINT REGR template on the same
+    quantized logs (DuckDB log2 is bit-equal to np.log2 here)."""
+    from ..ops.agg import group_linreg, sorted_group_agg
+    from ..stages.index import zip_with_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = ds.map_batches(
+        tx._term_count_partial("text", "doc_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = sorted_group_agg(partials, ["term"], [("n", "sum", "n")])
+    ranked = zip_with_index(totals, ["n", "term"], [True, False], rank_col="rank0")
+
+    def xy(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rank0" not in t.column_names:
+            return pa.table(
+                {"grp": pa.array([], pa.string()),
+                 "x": pa.array([], pa.int64()),
+                 "y": pa.array([], pa.int64())}
+            )
+        rank = np.asarray(t["rank0"], np.int64) + 1
+        n = np.asarray(t["n"], np.int64)
+        q = np.float64(1 << 20)
+        x = np.floor(np.log2(rank.astype(np.float64)) * q + 0.5).astype(np.int64)
+        y = np.floor(np.log2(n.astype(np.float64)) * q + 0.5).astype(np.int64)
+        return pa.table(
+            {"grp": pa.array(["all"] * t.num_rows, pa.string()),
+             "x": pa.array(x, pa.int64()), "y": pa.array(y, pa.int64())}
+        )
+
+    return group_linreg(
+        ranked.map_batches(xy, batch_format="pyarrow", zero_copy_batch=True),
+        ["grp"],
+        "x",
+        "y",
     )
 
 
@@ -2155,10 +2227,6 @@ SEARCH_K = 10
 
 # exploded-token relation reused by the term-stat oracles — identical
 # semantics to ops/text._doc_term_freqs (\s+ split, empties dropped)
-_TOK_SQL = (
-    "SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS term "
-    "FROM documents"
-)
 
 
 def q_top_terms(sf_dir: str):
@@ -6691,6 +6759,7 @@ def build_queries() -> dict:
         "langid_confusion": q_langid_confusion,
         "corpus_report": q_corpus_report,
         "token_budget_sample": q_token_budget_sample,
+        "zipf_slope": q_zipf_slope,
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,

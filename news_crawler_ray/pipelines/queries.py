@@ -599,6 +599,14 @@ ORACLE_SQL.update(
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
+        "cross_corpus_overlap": (
+            "WITH a AS (SELECT d.doc_id, CASE WHEN d.doc_id % 8 = 0 "
+            "  THEN coalesce(n.text, d.text) ELSE d.text END AS text "
+            "  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1 "
+            "  WHERE d.doc_id % 2 = 0), "
+            "b AS (SELECT text FROM documents WHERE doc_id % 2 = 1) "
+            "SELECT doc_id FROM a WHERE text IN (SELECT text FROM b)"
+        ),
         "zipf_slope": (
             f"WITH vo AS (SELECT term, count(*) AS n FROM ({_TOK_SQL}) "
             "  WHERE term <> '' GROUP BY term), "
@@ -935,6 +943,73 @@ def q_token_budget_sample(sf_dir: str):
     )
     return kept.map_batches(
         lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def q_cross_corpus_overlap(sf_dir: str):
+    """Full-document train/eval leakage check: docs of corpus A (even
+    ids, with planted copies of B docs at id%8==0) whose exact text
+    also appears in corpus B (odd ids). Planting is itself a
+    distributed LEFT join on doc_id+1; detection is a semi join on the
+    64-bit content hash — only narrow (hash, id) rows cross the
+    exchange, never the texts (exact_dedup's documented collision
+    trade). REAL SQL oracle with text IN-subquery."""
+    from ..ops.dedup import content_hash_batch
+    from ..ops.join import sort_merge_inner_join, sort_merge_semi_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def a_key(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        m = eid % 2 == 0
+        return pa.table(
+            {"doc_id": pa.array(eid[m], pa.int64()),
+             "text": t["text"].filter(pa.array(m)),
+             "nxt": pa.array(eid[m] + 1, pa.int64())}
+        )
+
+    def nxt_side(t: pa.Table) -> pa.Table:
+        return pa.table({"nxt": t["doc_id"], "text_n": t["text"]})
+
+    a = docs.map_batches(a_key, batch_format="pyarrow", zero_copy_batch=True)
+    planted = sort_merge_inner_join(
+        a,
+        docs.map_batches(nxt_side, batch_format="pyarrow", zero_copy_batch=True),
+        "nxt",
+        ["doc_id", "text"],
+        ["text_n"],
+        how="left",
+    )
+
+    def choose(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "text": pa.array([], pa.string())}
+            )
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        use_n = pa.array((eid % 8 == 0))
+        text = pc.if_else(
+            pc.and_(use_n, pc.is_valid(t["text_n"])), t["text_n"], t["text"]
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    a_planted = planted.map_batches(choose, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hash_a(t: pa.Table) -> pa.Table:
+        h = content_hash_batch(t, "text")
+        return h.select(["doc_id", "content_hash"])
+
+    def hash_b(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        sub = t.filter(pa.array(eid % 2 == 1))
+        return content_hash_batch(sub, "text").select(["content_hash"])
+
+    ha = a_planted.map_batches(hash_a, batch_format="pyarrow", zero_copy_batch=True)
+    hb = docs.map_batches(hash_b, batch_format="pyarrow", zero_copy_batch=True)
+    hit = sort_merge_semi_join(ha, hb, "content_hash")
+    return hit.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -6760,6 +6835,7 @@ def build_queries() -> dict:
         "corpus_report": q_corpus_report,
         "token_budget_sample": q_token_budget_sample,
         "zipf_slope": q_zipf_slope,
+        "cross_corpus_overlap": q_cross_corpus_overlap,
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,

@@ -330,6 +330,10 @@ QUERY_SUBSET = [
     "reciprocal_links",
     "events_time_travel",
     "corpus_report",
+    "token_budget_sample",
+    "zipf_slope",
+    "cross_corpus_overlap",
+    "curate_web_corpus",
 ]
 
 

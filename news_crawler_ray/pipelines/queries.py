@@ -487,6 +487,16 @@ _CAPTION_PLANT_SQL = (
 )
 
 
+TOKEN_BUDGET = 2000
+
+_WEB_PLANT_SQL = (
+    "'<html><head><script>var x = 1;</script><style>.nav {c: red}</style>"
+    "</head><body><p>' || text || ' &amp; tail</p>"
+    "<div>menu&nbsp;end</div></body></html>'"
+)
+WEB_MIN_TOKENS = 30
+
+
 _HTML_PLANT_SQL = (
     "'<html><head><script>var x = 1;' || chr(10) || 'if (x) { x += 2; }"
     "</script><style>.nav {color: red}</style><title>Doc ' "
@@ -598,6 +608,25 @@ ORACLE_SQL.update(
             "  WHERE length(term) >= 2) "
             "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
+        ),
+        "curate_web_corpus": (
+            "WITH src AS (SELECT d.doc_id, d.lang, CASE WHEN d.doc_id % 8 = 0 "
+            "  THEN coalesce(n.text, d.text) ELSE d.text END AS text "
+            "  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1), "
+            f"page AS (SELECT doc_id, lang, {_WEB_PLANT_SQL} AS html FROM src), "
+            "ext AS (SELECT doc_id, lang, "
+            + _html_strip_sql("(html)")
+            + " AS text FROM page), "
+            r"tok AS (SELECT doc_id, lang, text, len(regexp_extract_all(text, '\S+')) "
+            f"  AS n_tokens FROM ext), "
+            f"q AS (SELECT * FROM tok WHERE n_tokens >= {WEB_MIN_TOKENS}), "
+            "w AS (SELECT text, min(doc_id) AS keep_id FROM q GROUP BY text), "
+            "ded AS (SELECT q.doc_id, q.lang, q.n_tokens FROM q "
+            "  JOIN w ON q.doc_id = w.keep_id AND q.text = w.text), "
+            "c AS (SELECT doc_id, lang, n_tokens, SUM(n_tokens) OVER ("
+            "  PARTITION BY lang ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), "
+            "  doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM ded) "
+            f"SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {TOKEN_BUDGET}"
         ),
         "cross_corpus_overlap": (
             "WITH a AS (SELECT d.doc_id, CASE WHEN d.doc_id % 8 = 0 "
@@ -909,9 +938,6 @@ def q_langid(sf_dir: str):
     )
 
 
-TOKEN_BUDGET = 2000
-
-
 def q_token_budget_sample(sf_dir: str):
     """Per-language token-budget corpus assembly: keep docs in
     content-stable md5 order while each language's running token total
@@ -943,6 +969,112 @@ def q_token_budget_sample(sf_dir: str):
     )
     return kept.map_batches(
         lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+
+
+def q_curate_web_corpus(sf_dir: str):
+    """END-TO-END web corpus curation v2 — the raw-crawl front end the
+    C4 chain (q_curate_corpus) assumes already happened: plant exact
+    dup pages (a LEFT join on doc_id+1), wrap in an HTML shell, extract
+    text (shared RE2 chain), quality-gate on token count, exact-dedup
+    keep-min-id (semi join back), then assemble per-language token
+    budgets in content-stable md5 order. Every stage is an
+    individually-oracled op; the oracle is the SAME chain as SQL CTEs,
+    bit-exact end to end."""
+    from ..ops.dedup import content_hash_batch
+    from ..ops.join import sort_merge_inner_join, sort_merge_semi_join
+    from ..ops.agg import sorted_group_agg
+    from ..ops.sampling import _digest_prefixes, budget_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def a_side(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "text": t["text"],
+             "nxt": pa.array(eid + 1, pa.int64())}
+        )
+
+    def n_side(t: pa.Table) -> pa.Table:
+        return pa.table({"nxt": t["doc_id"], "text_n": t["text"]})
+
+    joined = sort_merge_inner_join(
+        docs.map_batches(a_side, batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(n_side, batch_format="pyarrow", zero_copy_batch=True),
+        "nxt",
+        ["doc_id", "lang", "text"],
+        ["text_n"],
+        how="left",
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string()),
+                 "text": pa.array([], pa.string())}
+            )
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        body = pc.if_else(
+            pc.and_(pa.array(eid % 8 == 0), pc.is_valid(t["text_n"])),
+            t["text_n"],
+            t["text"],
+        )
+        html = pc.binary_join_element_wise(
+            "<html><head><script>var x = 1;</script><style>.nav {c: red}</style>"
+            "</head><body><p>",
+            pc.coalesce(body, ""),
+            " &amp; tail</p><div>menu&nbsp;end</div></body></html>",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"], "text": html})
+
+    pages = joined.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+
+    def extract_and_gate(t: pa.Table) -> pa.Table:
+        ext = tx.html_to_text_batch(t, "text", "doc_id")["text_extracted"]
+        n_tok = pc.cast(pc.count_substring_regex(ext, r"\S+"), pa.int64())
+        out = pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "text": ext,
+             "n_tokens": n_tok}
+        )
+        return out.filter(pc.greater_equal(out["n_tokens"], WEB_MIN_TOKENS))
+
+    gated = pages.map_batches(
+        extract_and_gate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hashed = gated.map_batches(
+        lambda b: content_hash_batch(b, "text").select(["content_hash", "doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    winners = sorted_group_agg(
+        hashed, ["content_hash"], [("doc_id", "min", "doc_id")]
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    survivors = sort_merge_semi_join(gated, winners, key="doc_id")
+
+    def with_hash(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "h": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": t["n_tokens"],
+             "h": pa.array(_digest_prefixes(t["doc_id"]), pa.string())}
+        )
+
+    kept = budget_sample(
+        survivors.map_batches(with_hash, batch_format="pyarrow", zero_copy_batch=True),
+        key="lang",
+        weight_col="n_tokens",
+        order_cols=["h", "doc_id"],
+        budget=TOKEN_BUDGET,
+    )
+    return kept.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_tokens"]), batch_format="pyarrow"
     )
 
 
@@ -6836,6 +6968,7 @@ def build_queries() -> dict:
         "token_budget_sample": q_token_budget_sample,
         "zipf_slope": q_zipf_slope,
         "cross_corpus_overlap": q_cross_corpus_overlap,
+        "curate_web_corpus": q_curate_web_corpus,
         "ioc_extract": q_ioc_extract,
         "ip_block_rules": q_ip_block_rules,
         "image_features": q_image_features,

@@ -1519,6 +1519,41 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
         ") SELECT node, CAST(min(src) AS BIGINT) AS component FROM reach GROUP BY node"
     )
+    # canonical_docs: same closure + a VALUES table of independently
+    # counted tokens per planted doc; best-quality member per cluster
+    def _planted_tokens() -> pa.Table:
+        from .queries import _drop_word3
+
+        t = _planted(sf_dir, _drop_word3)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    [len([w for w in (x or "").split() if w])
+                     for x in t["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    sql["canonical_docs"] = (
+        "WITH RECURSIVE pairs AS ("
+        + values_sql(expected_minhash_pairs(sf_dir))
+        + "), und AS ("
+        "  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs"
+        "), reach(src, node) AS ("
+        "  SELECT a, a FROM und"
+        "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
+        "), comp AS (SELECT node, min(src) AS component FROM reach GROUP BY node), "
+        "q AS (" + values_sql(_planted_tokens()) + "), "
+        "f AS (SELECT coalesce(c.component, q.doc_id) AS component, q.doc_id, "
+        "      q.n_tokens FROM q LEFT JOIN comp c ON c.node = q.doc_id) "
+        "SELECT component, doc_id AS canonical_id, n_tokens FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY component "
+        "    ORDER BY n_tokens DESC, doc_id) AS rn FROM f) WHERE rn = 1"
+    )
+
     # image_dup_clusters: same exact transitive closure, over the
     # independently-derived (all-pairs, no banding) phash pair set
     sql["image_dup_clusters"] = (

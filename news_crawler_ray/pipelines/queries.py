@@ -1689,6 +1689,72 @@ def q_views_before_click(sf_dir: str):
     )
 
 
+def q_canonical_docs(sf_dir: str):
+    """Near-dup cluster resolution by QUALITY (the SemDeDup/near-dup
+    policy a curation pass actually applies — keep the best member, not
+    the smallest id): MinHash components LEFT-joined onto every planted
+    doc (singletons are their own cluster), then one key-complete
+    group_top_k picks the member with most tokens (ties → min id).
+    Oracle: recursive-CTE closure + the same window rank."""
+    from ..ops.agg import group_top_k
+    from ..ops.graph import connected_components
+    from ..ops.join import sort_merge_inner_join
+
+    planted_tbl = _planted_docs_tbl(sf_dir, _drop_word3)
+    planted = _ds_from_table(planted_tbl)
+    pairs = dd.minhash_lsh_pairs(
+        planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["component"]})
+        if t.num_rows
+        else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def quality(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(pc.coalesce(t["text"], ""), r"\S+"), pa.int64()
+        )
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n_tok})
+
+    q = planted.map_batches(quality, batch_format="pyarrow", zero_copy_batch=True)
+    joined = sort_merge_inner_join(
+        q, comp, "doc_id", ["n_tokens"], ["component"], how="left"
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "component" not in t.column_names:
+            return pa.table(
+                {"component": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "component": pc.coalesce(t["component"], t["doc_id"]),
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+            }
+        )
+
+    full = joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    top = group_top_k(full, "component", ["n_tokens", "doc_id"], [True, False], k=1)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"component": t["component"], "canonical_id": t["doc_id"],
+             "n_tokens": t["n_tokens"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_dup_components(sf_dir: str):
     """Near-dup CLUSTERS: exact connected components (iterative hash-min
     label propagation, ops/graph) over the MinHash+LSH candidate pairs —
@@ -6919,6 +6985,7 @@ def build_queries() -> dict:
         "clicks_prior_view": q_clicks_prior_view,
         "views_before_click": q_views_before_click,
         "dup_components": q_dup_components,
+        "canonical_docs": q_canonical_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         "remove_boilerplate": q_remove_boilerplate,

@@ -1281,6 +1281,56 @@ def caption_junk(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+SCRIPT_CLASSES: dict[str, str] = {
+    # RE2 single-codepoint classes — identical semantics in pyarrow's
+    # count_substring_regex and DuckDB's regexp_replace (both RE2), so
+    # the SQL oracle shares these literal pattern strings.
+    "latin": r"[A-Za-z]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}\x{1F00}-\x{1FFF}]",
+    "han": r"[\x{4E00}-\x{9FFF}]",
+    "hangul": r"[\x{AC00}-\x{D7AF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "kana": r"[\x{3040}-\x{30FF}]",
+}
+
+
+def script_profile_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Unicode-script profile: exact per-script codepoint counts (one
+    vectorized RE2 class scan per script) + dominant-script label.
+
+    Complements the marker-word ``detect_language`` (language ≠ script;
+    script is the cheap first routing signal a multilingual corpus
+    pipeline applies before any model). Dominant = first max in
+    SCRIPT_CLASSES order; all-zero → 'none' — the same deterministic
+    tie rule the SQL oracle's CASE chain expresses.
+    """
+    s = pc.coalesce(batch[text_col], "")
+    names = list(SCRIPT_CLASSES)
+    n = batch.num_rows
+    counts = np.zeros((n, len(names)), dtype=np.int64)
+    cols: dict = {id_col: batch[id_col]}
+    for j, name in enumerate(names):
+        c = pc.cast(pc.count_substring_regex(s, SCRIPT_CLASSES[name]), pa.int64())
+        counts[:, j] = c.to_numpy(zero_copy_only=False)
+        cols[f"n_{name}"] = c
+    best = counts.argmax(axis=1)  # first max wins, matching the CASE chain
+    pred = np.array([names[b] for b in best], dtype=object)
+    pred[counts.max(axis=1) == 0] = "none"
+    cols["script_pred"] = pa.array(pred.tolist(), pa.string())
+    return pa.table(cols)
+
+
+def script_profile(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: script_profile_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def char_entropy_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id",
     q_bits: int = 20,

@@ -2306,6 +2306,76 @@ def q_caption_junk(sf_dir: str):
     )
 
 
+# residue doc_id % 8 → appended snippet (0 keeps the doc pure-Latin);
+# shared verbatim by the Ray plant and the SQL CASE below
+SCRIPT_SNIPPETS: list[str] = [
+    "",
+    "привет мир поток данных",
+    "γειά σου κόσμε δεδομένα",
+    "数据 处理 引擎 爬虫",
+    "데이터 처리 엔진 수집",
+    "بيانات معالجة محرك زحف",
+    "データ しょり エンジン クロール",
+    "мир 数据 データ mixed",
+]
+
+
+def q_script_detect(sf_dir: str):
+    """Unicode-script routing profile (the cheap first signal a
+    multilingual corpus pipeline applies before any language model)
+    over planted multilingual snippets: ops/text.script_profile — one
+    RE2 class scan per script (SCRIPT_CLASSES is the shared pattern
+    dict), exact codepoint counts + first-max dominant label. REAL SQL
+    oracle: length-minus-regexp_replace per class + same CASE chain."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        base = pc.coalesce(t["text"], "")
+        out = base
+        for r in range(1, 8):
+            aug = pc.binary_join_element_wise(base, SCRIPT_SNIPPETS[r], " ")
+            out = pc.if_else(pa.array(did % 8 == r), aug, out)
+        return pa.table({"doc_id": t["doc_id"], "text": out})
+
+    return tx.script_profile(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _script_detect_oracle_sql() -> str:
+    from ..ops.text import SCRIPT_CLASSES
+
+    plant = (
+        "CASE "
+        + " ".join(
+            f"WHEN doc_id % 8 = {r} THEN text || ' ' || '{SCRIPT_SNIPPETS[r]}'"
+            for r in range(1, 8)
+        )
+        + " ELSE text END"
+    )
+    counts = ", ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '{pat}', '', 'g')) "
+        f"AS BIGINT) AS n_{name}"
+        for name, pat in SCRIPT_CLASSES.items()
+    )
+    names = list(SCRIPT_CLASSES)
+    g = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    pred = (
+        f"CASE WHEN {g} = 0 THEN 'none' "
+        + " ".join(f"WHEN n_{n} = {g} THEN '{n}'" for n in names)
+        + " END"
+    )
+    return (
+        f"WITH planted AS (SELECT doc_id, {plant} AS t FROM documents), "
+        f"c AS (SELECT doc_id, {counts} FROM planted) "
+        f"SELECT *, {pred} AS script_pred FROM c"
+    )
+
+
+ORACLE_SQL["script_detect"] = _script_detect_oracle_sql()
+
+
 def q_char_entropy(sf_dir: str):
     """Character-entropy quality gate (ops/text.char_entropy — one
     bincount per block, quantized-int entropy terms, order-free exact
@@ -7004,6 +7074,7 @@ def build_queries() -> dict:
         "sharpness": q_sharpness,
         "char_entropy": q_char_entropy,
         "caption_junk": q_caption_junk,
+        "script_detect": q_script_detect,
         "recrawl_schedule": q_recrawl_schedule,
         "decayed_value_sum": q_decayed_value_sum,
         "top_terms": q_top_terms,

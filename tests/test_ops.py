@@ -2029,3 +2029,46 @@ def test_heldout_cross_entropy_oov(ray_session):
         want = -((q_alpha + q_zulu) / k)
         assert abs(r["heldout_bits"] - want) < 1e-9
         assert r["n_tokens"] == 2
+
+
+def test_script_profile_batch():
+    """Exact per-script codepoint counts; dominant = first max in
+    SCRIPT_CLASSES order; all-zero (empty / digits-only) → 'none'."""
+    import pyarrow as pa
+
+    from news_crawler_ray.ops.text import script_profile_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(
+                [
+                    "hello world",
+                    "привет мир",
+                    "数据 处理",
+                    "ab мир",  # 2 latin vs 3 cyrillic → cyrillic
+                    "1234 !?",  # no script chars at all
+                ]
+            ),
+        }
+    )
+    out = script_profile_batch(t).to_pylist()
+    assert out[0]["n_latin"] == 10 and out[0]["script_pred"] == "latin"
+    assert out[1]["n_cyrillic"] == 9 and out[1]["script_pred"] == "cyrillic"
+    assert out[2]["n_han"] == 4 and out[2]["script_pred"] == "han"
+    assert out[3]["n_latin"] == 2 and out[3]["n_cyrillic"] == 3
+    assert out[3]["script_pred"] == "cyrillic"
+    assert out[4]["script_pred"] == "none"
+
+
+def test_script_profile_first_max_tie():
+    """Equal counts resolve to the earlier entry in SCRIPT_CLASSES
+    (latin before cyrillic), matching the oracle's CASE chain."""
+    import pyarrow as pa
+
+    from news_crawler_ray.ops.text import script_profile_batch
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["ab мы"])})
+    (row,) = script_profile_batch(t).to_pylist()
+    assert row["n_latin"] == row["n_cyrillic"] == 2
+    assert row["script_pred"] == "latin"

@@ -2376,6 +2376,68 @@ def _script_detect_oracle_sql() -> str:
 ORACLE_SQL["script_detect"] = _script_detect_oracle_sql()
 
 
+REP_SMOOTH_M = 25  # pseudo-doc count pulling small hosts toward the mean
+
+
+def q_source_reputation(sf_dir: str):
+    """Per-source Bayesian-shrunk quality score — the crawl-prioritization
+    signal that ranks hosts by mean doc quality while shrinking
+    small-sample hosts toward the corpus mean (m=REP_SMOOTH_M pseudo-docs
+    at the global rate). ONE zero-exchange combiner pass
+    (ops/agg.partial_group_agg) yields exact integer (n_docs, sum_tok)
+    per source; the global rate stays a rational g_num/g_den so the only
+    float op is the final division — done on arbitrary-precision ints
+    then one correctly-rounded conversion each side, bit-identical to the
+    SQL HUGEINT/DOUBLE cast."""
+    from ..ops.agg import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        n_tok = pc.cast(
+            pc.count_substring_regex(pc.coalesce(t["text"], ""), r"\S+"), pa.int64()
+        )
+        return pa.table({"source": t["source"], "n_tok": n_tok})
+
+    per = partial_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        [("n_docs", "count_all", None), ("sum_tok", "sum", "n_tok")],
+    )
+    n_docs = per["n_docs"].to_pylist()
+    sum_tok = per["sum_tok"].to_pylist()
+    g_den = sum(n_docs)  # Python ints: exact at any corpus size
+    g_num = sum(sum_tok)
+    m = REP_SMOOTH_M
+    score = [
+        float(s * g_den + m * g_num) / float((n + m) * g_den)
+        for n, s in zip(n_docs, sum_tok)
+    ]
+    return pa.table(
+        {
+            "source": per["source"],
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "sum_tok": pa.array(sum_tok, pa.int64()),
+            "rep_score": pa.array(score, pa.float64()),
+        }
+    )
+
+
+ORACLE_SQL["source_reputation"] = (
+    "WITH d AS (SELECT source, CAST(len(regexp_extract_all(text, '\\S+')) "
+    "  AS BIGINT) AS n_tok FROM documents), "
+    "s AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS sum_tok "
+    "  FROM d GROUP BY source), "
+    "g AS (SELECT CAST(sum(n_docs) AS HUGEINT) AS g_den, "
+    "  CAST(sum(sum_tok) AS HUGEINT) AS g_num FROM s) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "  CAST(sum_tok AS BIGINT) AS sum_tok, "
+    f"  CAST(CAST(sum_tok AS HUGEINT) * g_den + {REP_SMOOTH_M} * g_num AS DOUBLE) / "
+    f"  CAST((CAST(n_docs AS HUGEINT) + {REP_SMOOTH_M}) * g_den AS DOUBLE) AS rep_score "
+    "FROM s, g"
+)
+
+
 def q_char_entropy(sf_dir: str):
     """Character-entropy quality gate (ops/text.char_entropy — one
     bincount per block, quantized-int entropy terms, order-free exact
@@ -7075,6 +7137,7 @@ def build_queries() -> dict:
         "char_entropy": q_char_entropy,
         "caption_junk": q_caption_junk,
         "script_detect": q_script_detect,
+        "source_reputation": q_source_reputation,
         "recrawl_schedule": q_recrawl_schedule,
         "decayed_value_sum": q_decayed_value_sum,
         "top_terms": q_top_terms,

@@ -2072,3 +2072,33 @@ def test_script_profile_first_max_tie():
     (row,) = script_profile_batch(t).to_pylist()
     assert row["n_latin"] == row["n_cyrillic"] == 2
     assert row["script_pred"] == "latin"
+
+
+def test_source_reputation_shrinkage(ray_session, tmp_path):
+    """Small hosts shrink toward the corpus mean rate; big hosts keep
+    their own rate. Hand numbers: big=10 docs @ 10 tok, tiny=1 doc @
+    100 tok; global rate 200/11."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines import queries as Q
+
+    rows = [("big", "w " * 10)] * 10 + [("tiny", "w " * 100)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "text": pa.array([t for _, t in rows]),
+                "source": pa.array([s for s, _ in rows]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["source"]: r for r in Q.q_source_reputation(str(tmp_path)).to_pylist()}
+    m, g_num, g_den = Q.REP_SMOOTH_M, 200, 11
+    for src, n, s in (("big", 10, 100), ("tiny", 1, 100)):
+        want = float(s * g_den + m * g_num) / float((n + m) * g_den)
+        assert got[src]["rep_score"] == want, src
+    mean = g_num / g_den
+    # tiny's raw rate is 100 tok/doc but its score sits near the mean
+    assert abs(got["tiny"]["rep_score"] - mean) < abs(100 - mean) * 0.2
+    assert got["big"]["n_docs"] == 10 and got["big"]["sum_tok"] == 100

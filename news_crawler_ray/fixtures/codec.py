@@ -18,6 +18,7 @@ block-mean grayscale, 64-bit), used for the ``phash:int64`` column.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -146,6 +147,32 @@ def cell_vector64(px: np.ndarray) -> np.ndarray:
             for j in range(8):
                 cells[i, j] = gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].mean()
     return cells.astype(np.float32).ravel()
+
+
+def tile_hashes64(px: np.ndarray, tile: int = 16) -> np.ndarray:
+    """64-bit content hash per aligned ``tile``×``tile`` block, over the
+    6-bit-quantized pixels.
+
+    Quantizing first makes the hash codec-invariant: ``encode_lossy``
+    stores ``px >> 2`` and its dequantize ``(q << 2) | (q >> 4)`` maps
+    back to the same ``q`` under ``>> 2``, so a PNG original and its
+    lossy re-encode produce identical tile hashes. Partial tiles at the
+    right/bottom edge are dropped (crops aligned to the tile grid share
+    every interior tile with the original). Shared pure primitive —
+    the distributed explode stage and the sequential oracle both call
+    this. Returns uint64, row-major tile order, duplicates included."""
+    q = (px >> 2).astype(np.uint8)
+    h, w = q.shape[:2]
+    th, tw = h // tile, w // tile
+    out = np.empty(th * tw, dtype=np.uint64)
+    i = 0
+    for r in range(th):
+        for c in range(tw):
+            blk = q[r * tile : (r + 1) * tile, c * tile : (c + 1) * tile]
+            d = hashlib.blake2b(blk.tobytes(), digest_size=8).digest()
+            out[i] = int.from_bytes(d, "little")
+            i += 1
+    return out
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

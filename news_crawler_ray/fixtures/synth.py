@@ -230,6 +230,46 @@ def make_neardup_pagestore(
     )
 
 
+def make_cropdup_pagestore(n_base: int, seed: int = 42, tile: int = 16) -> pa.Table:
+    """Image store with PLANTED grid-aligned cropped copies.
+
+    Base k is 64×64 random pixels; its copy (id ``crp{k:08d}``) is the
+    top-left 48×48 crop of the SAME pixels, possibly re-encoded in the
+    other format. With ``tile``=16 the base has 16 tile hashes and the
+    crop 9 — all 9 shared (codec.tile_hashes64 is 6-bit-quantization
+    invariant) — while distinct random bases collide on 0 tiles whp.
+    The near-dup case phash misses: a crop shifts every 8×8 phash cell,
+    so hamming(base, crop) is ~random; tile bags still overlap."""
+    px_list, ids, fmts = [], [], []
+    for k in range(n_base):
+        r = np.random.default_rng((seed, 11, k))
+        px = r.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+        crop = px[:48, :48]
+        base_fmt = "png" if r.random() < 0.5 else "jpeg"
+        crop_fmt = "jpeg" if base_fmt == "png" else "png"
+        for p, prefix, f in ((px, "img", base_fmt), (crop, "crp", crop_fmt)):
+            px_list.append(p)
+            ids.append(f"{prefix}{k:08d}")
+            fmts.append(f)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(
+                [codec.encode(px, f) for px, f in zip(px_list, fmts)],
+                pa.large_binary(),
+            ),
+            "w": pa.array([px.shape[1] for px in px_list], pa.int32()),
+            "h": pa.array([px.shape[0] for px in px_list], pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "caption": pa.array([f"crop family {i}" for i in ids], pa.string()),
+            "phash": pa.array(
+                [codec.phash64(px) if px.shape[0] % 8 == 0 else 0 for px in px_list],
+                pa.int64(),
+            ),
+        }
+    )
+
+
 def make_letterbox_store(n: int, seed: int = 42, sizes: tuple = (32, 48)) -> pa.Table:
     """Image store with PLANTED letterbox/pillarbox bars: row i gets
     black top+bottom bars (i%3==0, h//8 rows each), black left+right

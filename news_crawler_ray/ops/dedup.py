@@ -549,6 +549,33 @@ def winnow_dup_pairs(
     and log, like the other LSH families.
 
     Output (id_a < id_b, n_shared), globally distinct."""
+    exploded = ds.map_batches(
+        lambda b: winnow_fingerprint_batch(b, text_col, id_col, k, w),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return shared_fingerprint_pairs(
+        exploded, id_col=id_col, min_shared=min_shared,
+        max_bucket=max_bucket, family="winnow",
+    )
+
+
+def shared_fingerprint_pairs(
+    exploded,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    min_shared: int = 2,
+    max_bucket: int = 4096,
+    family: str = "fp",
+):
+    """Common tail of every local-fingerprint dedup family (winnowing,
+    image tile hashes): given exploded narrow (id, fp) rows — value-
+    deduped per id by the caller — emit id pairs sharing >= ``min_shared``
+    fingerprints. ONE fp-colocating exchange with per-run pairing →
+    sorted group-agg on (id_a, id_b) summing shared counts → threshold.
+    Over-cap fp buckets (corpus boilerplate) emit a min-id star and log.
+
+    Output (id_a < id_b, n_shared), globally distinct."""
     from .agg import sorted_group_agg
 
     def empty() -> pa.Table:
@@ -566,7 +593,7 @@ def winnow_dup_pairs(
             return empty()
         ids = np.sort(np.asarray(t[id_col].slice(a, n), dtype=np.int64))
         if len(ids) > max_bucket:
-            _log_truncated_bucket("winnow", len(ids), max_bucket)
+            _log_truncated_bucket(family, len(ids), max_bucket)
             iu = np.zeros(len(ids) - 1, dtype=np.int64)
             ju = np.arange(1, len(ids), dtype=np.int64)
         else:
@@ -579,12 +606,7 @@ def winnow_dup_pairs(
             }
         )
 
-    exploded = ds.map_batches(
-        lambda b: winnow_fingerprint_batch(b, text_col, id_col, k, w),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    pairs = _bucketed_pairs(exploded, ["fp"], fp_run_pairs)
+    pairs = _bucketed_pairs(exploded, [fp_col], fp_run_pairs)
     shared = sorted_group_agg(pairs, ["id_a", "id_b"], [("n_shared", "sum", "n")])
     return shared.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared))

@@ -659,6 +659,73 @@ def image_near_dup_pairs(
     )
 
 
+def tile_fingerprint_batch(
+    batch: pa.Table,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "iid",
+    tile: int = 16,
+) -> pa.Table:
+    """Explode each image into its codec-invariant tile fingerprints
+    (codec.tile_hashes64 over 6-bit-quantized aligned tiles), value-
+    deduped per image. Only narrow (iid, fp) rows leave the stage —
+    the image-side analog of winnowing's fingerprint explode; undecodable
+    rows contribute no fingerprints."""
+    data = batch[bytes_col].to_pylist()
+    fmts = batch[fmt_col].to_pylist()
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    out_id: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+    for i, (buf, fmt) in enumerate(zip(data, fmts)):
+        if buf is None:
+            continue
+        try:
+            px = codec.decode(buf, fmt)
+        except Exception:
+            continue
+        fps = np.unique(codec.tile_hashes64(px, tile=tile))
+        out_fp.append(fps)
+        out_id.append(np.full(len(fps), ids[i], dtype=np.int64))
+    if not out_fp:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "fp": pa.array(np.concatenate(out_fp).view(np.int64), pa.int64()),
+        }
+    )
+
+
+def tile_dup_pairs(
+    ds,
+    id_col: str = "iid",
+    tile: int = 16,
+    min_shared: int = 6,
+    max_bucket: int = 4096,
+    batch_size: int = 64,
+):
+    """Crop-robust image near-dup pairs: images sharing >= ``min_shared``
+    aligned tile hashes. Catches the family phash misses — a grid-aligned
+    crop shifts every 8×8 phash cell (hamming ~random) but shares every
+    interior tile verbatim. Same scale shape as winnow_dup_pairs: narrow
+    explode → shared_fingerprint_pairs' one fp exchange + (id_a,id_b)
+    group-agg; over-cap tiles (flat-color boilerplate) star + log."""
+    from .dedup import shared_fingerprint_pairs
+
+    exploded = ds.map_batches(
+        lambda b: tile_fingerprint_batch(b, id_col=id_col, tile=tile),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    return shared_fingerprint_pairs(
+        exploded, id_col=id_col, min_shared=min_shared,
+        max_bucket=max_bucket, family="tile",
+    )
+
+
 def image_cell_vectors(ds, id_col: str = "iid", concurrency=2, batch_size: int = 64):
     """decode -> 64-dim block-mean grayscale embedding per image
     (codec.cell_vector64), emitted as ``embedding: list<float32>`` —

@@ -651,6 +651,40 @@ def expected_phash_pairs(max_hamming: int = 3) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_tile_dup_pairs(min_shared: int = 6) -> pa.Table:
+    """Sequential all-pairs shared-tile counting over the planted
+    crop-dup page-store — no bucketing, no exchange; shares only the
+    codec decode and tile-hash primitives with the engine."""
+    from ..fixtures import codec
+    from .queries import TILE_DUP_N
+
+    ps = synth.make_cropdup_pagestore(TILE_DUP_N, seed=42)
+    bags: list[set[int]] = [
+        set(int(x) for x in codec.tile_hashes64(codec.decode(buf, fmt)))
+        for buf, fmt in zip(ps["bytes"].to_pylist(), ps["fmt"].to_pylist())
+    ]
+    ids = [
+        int(i[3:]) + (1_000_000 if i.startswith("crp") else 0)
+        for i in ps["image_id"].to_pylist()
+    ]
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = len(bags[x] & bags[y])
+            if n >= min_shared:
+                a, b = sorted((ids[x], ids[y]))
+                rows.append({"id_a": a, "id_b": b, "n_shared": n})
+    if not rows:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+            }
+        )
+    return pa.Table.from_pylist(sorted(rows, key=lambda r: (r["id_a"], r["id_b"])))
+
+
 def expected_image_knn(k: int = 5) -> pa.Table:
     """Sequential exact cosine top-k over the decoded 64-dim cell
     vectors — same codec.cell_vector64 kernel, same normalize, same
@@ -1477,6 +1511,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
     sql["phash_near_dup"] = values_sql(expected_phash_pairs())
+    sql["tile_dup_pairs"] = values_sql(expected_tile_dup_pairs())
     sql["image_knn"] = values_sql(expected_image_knn())
     sql["hll_users"] = values_sql(expected_hll_users(sf_dir))
     sql["tfidf_terms"] = values_sql(expected_tfidf(sf_dir))

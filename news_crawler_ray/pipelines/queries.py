@@ -1359,6 +1359,36 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+TILE_DUP_N = 40
+
+
+def _cropdup_iid(t: pa.Table) -> pa.Table:
+    """image_id ('img{k:08d}' | 'crp{k:08d}') → int64 iid (crop = k+10^6);
+    shared by the query and the sequential oracle."""
+    k = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 11), pa.int64())
+    iscrop = pc.cast(
+        pc.equal(pc.utf8_slice_codeunits(t["image_id"], 0, 3), "crp"), pa.int64()
+    )
+    iid = pc.add(k, pc.multiply(iscrop, pa.scalar(1_000_000, pa.int64())))
+    return t.append_column("iid", iid)
+
+
+def q_tile_dup_pairs(sf_dir: str):
+    """Crop-robust image near-dup pairs over planted grid-aligned crops
+    (ops/multimodal.tile_dup_pairs): codec-invariant tile-hash explode →
+    shared-fingerprint pairing — the case phash misses because a crop
+    shifts every phash cell. Sequential all-pairs oracle."""
+    from ..fixtures import synth
+
+    ps = ray.data.from_arrow(synth.make_cropdup_pagestore(TILE_DUP_N, seed=42))
+    withid = ps.map_batches(
+        lambda t: _cropdup_iid(t).select(["iid", "bytes", "fmt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return mm.tile_dup_pairs(withid)
+
+
 def q_image_dedup_corpus(sf_dir: str):
     """END-TO-END image corpus curation (on-axis flagship composition):
     decode → pixel phash → banded hamming pairs → connected components
@@ -7138,6 +7168,7 @@ def build_queries() -> dict:
         "caption_junk": q_caption_junk,
         "script_detect": q_script_detect,
         "source_reputation": q_source_reputation,
+        "tile_dup_pairs": q_tile_dup_pairs,
         "recrawl_schedule": q_recrawl_schedule,
         "decayed_value_sum": q_decayed_value_sum,
         "top_terms": q_top_terms,

@@ -46,3 +46,31 @@ def test_phash_stable_under_lossy():
     ha, hb = codec.phash64(px), codec.phash64(out)
     dist = bin((ha ^ hb) & (2**64 - 1)).count("1")
     assert dist <= 4
+
+
+def test_tile_hashes_codec_invariant():
+    """PNG original and lossy re-encode hash to identical tile bags:
+    the hash runs over the 6-bit quantization, the lossy codec's
+    fixpoint."""
+    import numpy as np
+
+    from news_crawler_ray.fixtures import codec
+
+    r = np.random.default_rng(7)
+    px = r.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    rt = codec.decode(codec.encode(px, "jpeg"), "jpeg")
+    a = codec.tile_hashes64(px)
+    b = codec.tile_hashes64(rt)
+    assert a.shape == (16,) and (a == b).all()
+    # a grid-aligned crop keeps exactly its interior tiles
+    c = codec.tile_hashes64(px[:48, :48])
+    assert c.shape == (9,) and set(c) <= set(a)
+
+
+def test_tile_hashes_partial_edge_dropped():
+    import numpy as np
+
+    from news_crawler_ray.fixtures import codec
+
+    px = np.zeros((40, 70, 3), dtype=np.uint8)  # 2x4 full tiles
+    assert codec.tile_hashes64(px).shape == (8,)

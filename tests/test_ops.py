@@ -2102,3 +2102,30 @@ def test_source_reputation_shrinkage(ray_session, tmp_path):
     # tiny's raw rate is 100 tok/doc but its score sits near the mean
     assert abs(got["tiny"]["rep_score"] - mean) < abs(100 - mean) * 0.2
     assert got["big"]["n_docs"] == 10 and got["big"]["sum_tok"] == 100
+
+
+def test_tile_dup_pairs_planted_recall(ray_session):
+    """Every planted (base, crop) pair found with n_shared=9; zero
+    cross-family pairs; and phash genuinely misses these crops (the
+    gap this operator exists to close)."""
+    import numpy as np
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import codec, synth
+    from news_crawler_ray.ops import hashing as H
+    from news_crawler_ray.ops.multimodal import tile_dup_pairs
+    from news_crawler_ray.pipelines.queries import _cropdup_iid
+
+    ps = synth.make_cropdup_pagestore(12, seed=42)
+    withid = rd.from_arrow(ps).map_batches(
+        lambda t: _cropdup_iid(t).select(["iid", "bytes", "fmt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).repartition(4)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in tile_dup_pairs(withid).take_all()}
+    assert got == {(k, k + 1_000_000): 9 for k in range(12)}
+    # phash misses: crop shifts every cell, so base-vs-crop hamming is large
+    byid = {i: (b, f) for i, b, f in zip(ps["image_id"].to_pylist(), ps["bytes"].to_pylist(), ps["fmt"].to_pylist())}
+    h0 = np.array([np.uint64(np.int64(codec.phash64(codec.decode(*byid["img00000000"]))))])
+    h1 = np.array([np.uint64(np.int64(codec.phash64(codec.decode(*byid["crp00000000"]))))])
+    assert int(H.hamming_distance64(h0, h1)[0]) > 3

@@ -1589,6 +1589,30 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "    ORDER BY n_tokens DESC, doc_id) AS rn FROM f) WHERE rn = 1"
     )
 
+    # leakage_safe_split: same closure; split assigned by the SHARED
+    # md5 thresholds over the component id (split_case_sql)
+    from ..ops.sampling import split_case_sql
+    from .queries import _drop_word3 as _dw3
+
+    _pids = pa.table({"doc_id": _planted(sf_dir, _dw3)["doc_id"]})
+    sql["leakage_safe_split"] = (
+        "WITH RECURSIVE pairs AS ("
+        + values_sql(expected_minhash_pairs(sf_dir))
+        + "), und AS ("
+        "  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs"
+        "), reach(src, node) AS ("
+        "  SELECT a, a FROM und"
+        "  UNION SELECT r.src, u.b FROM reach r JOIN und u ON r.node = u.a"
+        "), comp AS (SELECT node, min(src) AS component FROM reach GROUP BY node), "
+        "q AS (" + values_sql(_pids) + "), "
+        "f AS (SELECT q.doc_id, CAST(coalesce(c.component, q.doc_id) AS BIGINT) "
+        "      AS component FROM q LEFT JOIN comp c ON c.node = q.doc_id) "
+        "SELECT doc_id, component, "
+        + split_case_sql("component", val_fraction=0.1, test_fraction=0.1)
+        + " AS split FROM f"
+    )
+
     # image_dup_clusters: same exact transitive closure, over the
     # independently-derived (all-pairs, no banding) phash pair set
     sql["image_dup_clusters"] = (

@@ -1785,6 +1785,55 @@ def q_canonical_docs(sf_dir: str):
     )
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Near-dup-leakage-safe train/val/test split: the split key is the
+    near-dup COMPONENT, not the doc, so a cluster of near-duplicates can
+    never straddle train and eval (the split-leakage failure a plain
+    per-doc hash split has). MinHash components LEFT-joined onto every
+    planted doc (singletons self-key via coalesce), then the SAME shared
+    md5 split thresholds as dataset_split applied to the component id.
+    Oracle: recursive-CTE closure + split_case_sql('component')."""
+    from ..ops.graph import connected_components
+    from ..ops.join import sort_merge_inner_join
+    from ..ops.sampling import split_column_batch
+
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _drop_word3))
+    pairs = dd.minhash_lsh_pairs(
+        planted, num_perm=64, bands=16, shingle_k=5, threshold=0.5
+    )
+    comp = connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "component": t["component"]})
+        if t.num_rows
+        else pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ids = planted.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = sort_merge_inner_join(ids, comp, "doc_id", [], ["component"], how="left")
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "component" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "component": pa.array([], pa.int64()),
+                 "split": pa.array([], pa.string())}
+            )
+        base = pa.table(
+            {"doc_id": t["doc_id"],
+             "component": pc.coalesce(t["component"], t["doc_id"])}
+        )
+        return split_column_batch(base, "component", 0.1, 0.1)
+
+    return joined.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dup_components(sf_dir: str):
     """Near-dup CLUSTERS: exact connected components (iterative hash-min
     label propagation, ops/graph) over the MinHash+LSH candidate pairs —
@@ -7148,6 +7197,7 @@ def build_queries() -> dict:
         "views_before_click": q_views_before_click,
         "dup_components": q_dup_components,
         "canonical_docs": q_canonical_docs,
+        "leakage_safe_split": q_leakage_safe_split,
         "decontaminate_docs": q_decontaminate_docs,
         "pii_redact": q_pii_redact,
         "remove_boilerplate": q_remove_boilerplate,

@@ -2129,3 +2129,25 @@ def test_tile_dup_pairs_planted_recall(ray_session):
     h0 = np.array([np.uint64(np.int64(codec.phash64(codec.decode(*byid["img00000000"]))))])
     h1 = np.array([np.uint64(np.int64(codec.phash64(codec.decode(*byid["crp00000000"]))))])
     assert int(H.hamming_distance64(h0, h1)[0]) > 3
+
+
+def test_leakage_safe_split_property(ray_session, sf_dir):
+    """The property the operator exists for: both ends of every MinHash
+    near-dup pair land in the SAME split, and splits are exhaustive."""
+    from news_crawler_ray.pipelines import queries as Q
+
+    rows = Q.q_leakage_safe_split(sf_dir).take_all()
+    split_of = {r["doc_id"]: r["split"] for r in rows}
+    comp_of = {r["doc_id"]: r["component"] for r in rows}
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    import news_crawler_ray.ops.dedup as dd
+
+    pairs = dd.minhash_lsh_pairs(
+        Q._ds_from_table(Q._planted_docs_tbl(sf_dir, Q._drop_word3)),
+        num_perm=64, bands=16, shingle_k=5, threshold=0.5,
+    ).take_all()
+    assert pairs, "fixture must plant near-dups"
+    for p in pairs:
+        a, b = p["id_a"], p["id_b"]
+        assert split_of[a] == split_of[b], (a, b)
+        assert comp_of[a] == comp_of[b]

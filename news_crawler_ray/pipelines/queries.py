@@ -6098,6 +6098,128 @@ def q_bigram_pmi(sf_dir: str):
     return pa.Table.from_pylist(out[:PMI_TOP_K])
 
 
+KN_DISCOUNT = 0.75
+
+
+def q_kn_bigram_lm(sf_dir: str):
+    """Distributed n-gram LM training: interpolated Kneser-Ney bigram
+    probabilities — p(w2|w1) = (max(c−d,0) + d·N1+(w1·)·pcont(w2)) / c(w1·)
+    with pcont(w2) = N1+(·w2)/N1+(··), d = 0.75. ALL counts are exact
+    integers off ONE (w1,w2) sorted exchange (the bigram table), its
+    by-w1 / by-w2 marginals are two narrow re-aggregations joined back
+    by sort-merge, and the probability is a single shared float
+    expression — bit-identical to the REAL SQL oracle (same op order:
+    ((d·n1f)·n1b)/B, then +max-term, then /c1)."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_inner_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.coalesce(t["text"], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        f = flat.filter(pa.array(keep))
+        f = f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+        r = row_idx[keep]
+        m = len(f)
+        if m < 2:
+            return empty
+        same = pa.array(r[1:] == r[:-1])
+        return pa.table(
+            {"w1": f.slice(0, m - 1).filter(same), "w2": f.slice(1, m - 1).filter(same)}
+        )
+
+    cb = sorted_group_agg(
+        ds.map_batches(bigram_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["w1", "w2"],
+        [("n", "count_all", None)],
+    )
+    s1 = sorted_group_agg(
+        cb.map_batches(
+            lambda t: t.select(["w1", "n"]), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w1"],
+        [("c1", "sum", "n"), ("n1f", "count_all", None)],
+    )
+    s2 = sorted_group_agg(
+        cb.map_batches(
+            lambda t: t.select(["w2"]), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["w2"],
+        [("n1b", "count_all", None)],
+    )
+    n_bigrams = sum(
+        r["b"]
+        for r in cb.map_batches(
+            lambda t: pa.table({"b": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )
+    j1 = sort_merge_inner_join(
+        cb.map_batches(
+            lambda t: pa.table({"term": t["w1"], "w2": t["w2"], "n": t["n"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        s1.map_batches(
+            lambda t: pa.table({"term": t["w1"], "c1": t["c1"], "n1f": t["n1f"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "term",
+        ["w2", "n"],
+        ["c1", "n1f"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"term": t["w2"], "w1": t["term"], "n": t["n"], "c1": t["c1"],
+             "n1f": t["n1f"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j2 = sort_merge_inner_join(
+        j1,
+        s2.map_batches(
+            lambda t: pa.table({"term": t["w2"], "n1b": t["n1b"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "term",
+        ["w1", "n", "c1", "n1f"],
+        ["n1b"],
+    )
+    d = KN_DISCOUNT
+    B = float(n_bigrams)
+
+    def prob(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()), "p_kn": pa.array([], pa.float64())}
+            )
+        n = np.asarray(t["n"], dtype=np.float64)
+        c1 = np.asarray(t["c1"], dtype=np.float64)
+        n1f = np.asarray(t["n1f"], dtype=np.float64)
+        n1b = np.asarray(t["n1b"], dtype=np.float64)
+        p = (np.maximum(n - d, 0.0) + ((d * n1f) * n1b) / B) / c1
+        return pa.table(
+            {"w1": t["w1"], "w2": t["term"],
+             "n": pc.cast(t["n"], pa.int64()), "p_kn": pa.array(p, pa.float64())}
+        )
+
+    return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_normalize_text(sf_dir: str):
     """C4-style cleaning: NFC → lowercase → collapse whitespace → trim,
     dialect-identical pyarrow/DuckDB kernels (ops/text.normalize_text)."""
@@ -6252,6 +6374,27 @@ ORACLE_SQL.update(
             "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM l) "
             f"SELECT term, count(*) AS n FROM b GROUP BY term "
             f"ORDER BY n DESC, term LIMIT {TOP_TERMS_K}"
+        ),
+        "kn_bigram_lm": (
+            "WITH l AS (SELECT list_filter(regexp_split_to_array("
+            "coalesce(text, ''), '\\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "b AS (SELECT unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM l), "
+            "cb AS (SELECT term, count(*) AS n FROM b GROUP BY term), "
+            "s1 AS (SELECT split_part(term, ' ', 1) AS w1, sum(n) AS c1, "
+            "count(*) AS n1f FROM cb GROUP BY 1), "
+            "s2 AS (SELECT split_part(term, ' ', 2) AS w2, count(*) AS n1b "
+            "FROM cb GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM cb) "
+            "SELECT split_part(term, ' ', 1) AS w1, "
+            "split_part(term, ' ', 2) AS w2, CAST(n AS BIGINT) AS n, "
+            f"(greatest(CAST(n AS DOUBLE) - {KN_DISCOUNT}, 0) + "
+            f"{KN_DISCOUNT} * CAST(n1f AS DOUBLE) * CAST(n1b AS DOUBLE) / b) "
+            "/ CAST(c1 AS DOUBLE) AS p_kn "
+            "FROM cb CROSS JOIN tot "
+            "JOIN s1 ON s1.w1 = split_part(term, ' ', 1) "
+            "JOIN s2 ON s2.w2 = split_part(term, ' ', 2)"
         ),
         "bigram_pmi": (
             "WITH l AS (SELECT list_filter(regexp_split_to_array("
@@ -7236,6 +7379,7 @@ def build_queries() -> dict:
         "value_quantiles_cont": q_value_quantiles_cont,
         "top_bigrams": q_top_bigrams,
         "bigram_pmi": q_bigram_pmi,
+        "kn_bigram_lm": q_kn_bigram_lm,
         "normalize_text": q_normalize_text,
         "dedup_corpus": q_dedup_corpus,
         # rows-only (non-SQL-expressible)

@@ -2151,3 +2151,25 @@ def test_leakage_safe_split_property(ray_session, sf_dir):
         a, b = p["id_a"], p["id_b"]
         assert split_of[a] == split_of[b], (a, b)
         assert comp_of[a] == comp_of[b]
+
+
+def test_kn_bigram_lm_hand_corpus(ray_session, tmp_path):
+    """Hand-checked interpolated Kneser-Ney on 'a b a b a c':
+    c(a,b)=2 c(b,a)=2 c(a,c)=1; c1(a)=3 n1f(a)=2; c1(b)=2 n1f(b)=1;
+    every continuation has n1b=1; B=3 distinct bigrams; d=0.75."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines import queries as Q
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["a b a b a c"]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {(r["w1"], r["w2"]): r for r in Q.q_kn_bigram_lm(str(tmp_path)).take_all()}
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "c")}
+    assert got[("a", "b")]["n"] == 2
+    assert got[("a", "b")]["p_kn"] == (max(2 - 0.75, 0.0) + ((0.75 * 2) * 1) / 3.0) / 3.0
+    assert got[("a", "c")]["p_kn"] == (max(1 - 0.75, 0.0) + ((0.75 * 2) * 1) / 3.0) / 3.0
+    assert got[("b", "a")]["p_kn"] == (max(2 - 0.75, 0.0) + ((0.75 * 1) * 1) / 3.0) / 2.0
+    # discounted mass moved: higher-count continuation keeps more
+    assert got[("a", "b")]["p_kn"] > got[("a", "c")]["p_kn"]

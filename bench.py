@@ -334,6 +334,12 @@ QUERY_SUBSET = [
     "zipf_slope",
     "cross_corpus_overlap",
     "curate_web_corpus",
+    # round-2 continued-session additions
+    "og_metadata",
+    "anchor_texts",
+    "weighted_type_sample",
+    "nb_classify",
+    "canonical_images",
 ]
 
 

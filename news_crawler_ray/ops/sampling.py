@@ -351,3 +351,40 @@ def weight_sample_sql(key_col: str, p_expr: str) -> str:
         f"lpad(lower(to_hex(CAST(least(floor(({p_expr}) * {_HEX_SPAN}), "
         f"{_HEX_SPAN - 1}) AS BIGINT))), 8, '0') END"
     )
+
+
+# -------------------- weighted sampling WITHOUT replacement (per group)
+
+ES_SPAN = float(1 << 60)  # 15 hex chars = 60 bits: fits BIGINT for the
+# oracle's CAST('0x' || substr(md5(k), 1, 15) AS BIGINT)
+
+
+def es_weighted_keys(key_col, weights: np.ndarray) -> np.ndarray:
+    """Efraimidis–Spirakis (2006) weighted-sampling keys: with
+    u = (md5_60(key) + 1) / 2^60 in (0,1], the top-k rows by
+    log2(u) / w (descending) are EXACTLY a weighted sample without
+    replacement — the distributed reservoir for "pick k docs per
+    stratum proportional to quality" selections. Content-stable (same
+    row, same fate at any parallelism/rerun) and oracle-reproducible:
+    the float path is one correctly-rounded uint→double cast, +1, one
+    exact power-of-two division, one log2 (verified bit-equal to
+    DuckDB's on this host — see zipf_slope), one IEEE division by w.
+    ``weights`` must be >= 1 (caller shifts integer weights by +1)."""
+    vals = key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray) else key_col
+    h = np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in vals.to_pylist()
+        ],
+        dtype=np.uint64,
+    )
+    u = (h.astype(np.float64) + 1.0) / ES_SPAN
+    return np.log2(u) / np.asarray(weights, dtype=np.float64)
+
+
+def es_key_sql(key_col: str, w_expr: str) -> str:
+    """The oracle-side E-S key: identical derivation, term for term."""
+    return (
+        f"log2((CAST(CAST('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) AS DOUBLE) + 1) / {float(1 << 60)!r}) / CAST({w_expr} AS DOUBLE)"
+    )

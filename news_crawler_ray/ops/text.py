@@ -1245,6 +1245,51 @@ def html_to_text(ds, html_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+# og:/link structured-metadata extraction — the discovery step of every
+# image+caption crawl (LAION mines <meta property="og:image"> + alt/og
+# titles for its pairs). One RE2 pattern per field, each with exactly one
+# named capture group; the DuckDB oracle uses the SAME patterns with the
+# name stripped (og_meta_sql_pattern), so the two sides cannot drift.
+# Reference analog: the listing parser pulls per-item fields out of page
+# HTML by selector (/root/reference/src/secbot/fetchers/news.py:98-122);
+# this is the head-metadata form of that extraction.
+OG_META_PATTERNS: dict[str, str] = {
+    "page_title": r"<title>(?P<page_title>[^<]*)</title>",
+    "og_title": r'<meta property="og:title" content="(?P<og_title>[^"]*)"',
+    "og_image": r'<meta property="og:image" content="(?P<og_image>[^"]*)"',
+    "canonical_url": r'<link rel="canonical" href="(?P<canonical_url>[^"]*)"',
+}
+
+
+def og_meta_sql_pattern(name: str) -> str:
+    """The DuckDB form of an OG_META_PATTERNS entry: same regex, plain
+    (unnamed) capture group for regexp_extract(html, pat, 1)."""
+    return OG_META_PATTERNS[name].replace(f"(?P<{name}>", "(")
+
+
+def og_metadata_batch(
+    batch: pa.Table, html_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Vectorized page-metadata extraction: one pc.extract_regex per
+    field over the whole HTML column (first match wins, null when the
+    page lacks the tag). No per-row Python, no DOM build — head metadata
+    is shallow enough that anchored RE2 fields are the scale path."""
+    s = pc.coalesce(batch[html_col], "")
+    cols: dict = {id_col: batch[id_col]}
+    for name, pat in OG_META_PATTERNS.items():
+        m = pc.extract_regex(s, pat)
+        cols[name] = pc.struct_field(m, name)
+    return pa.table(cols)
+
+
+def og_metadata(ds, html_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: og_metadata_batch(b, html_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # Caption/alt-text junk signals — the single source of truth shared with
 # the DuckDB oracle (LAION-style caption cleaning: filenames, bare URLs,
 # camera placeholders carry no training signal). RE2-safe.
@@ -1838,6 +1883,192 @@ def doc_surprisal(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+NB_QUANT = 1 << 20
+
+
+def _nb_lq(x) -> np.ndarray:
+    """floor(log2(x)·2^20 + 0.5) as int64 — the shared quantized-log
+    convention (char_entropy / zipf_slope; DuckDB log2 verified
+    bit-equal to np.log2 on this host)."""
+    return np.floor(
+        np.log2(np.asarray(x, dtype=np.float64)) * NB_QUANT + 0.5
+    ).astype(np.int64)
+
+
+@ray.remote
+def _nb_score_block(
+    id_col: str, labels: list[str], prior_q: np.ndarray, norm_q: np.ndarray,
+    *parts: pa.Table,
+) -> pa.Table:
+    """Argmax scoring over one doc-complete run set: rows are n_tok
+    markers (label '') and per-(doc,label) quantized likelihood
+    partials; the score matrix build is two np.add.at scatters + one
+    vectorized argmax — no per-row Python."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    n = tbl.num_rows
+    ids = tbl[id_col].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    run_id = np.cumsum(new_key) - 1
+    starts = np.flatnonzero(new_key)
+    n_docs = len(starts)
+    li = pc.index_in(
+        tbl["label"].combine_chunks(), value_set=pa.array([""] + labels)
+    ).to_numpy(zero_copy_only=False)
+    val = tbl["val"].to_numpy(zero_copy_only=False)
+    marker = li == 0
+    ntok = np.zeros(n_docs, np.int64)
+    np.add.at(ntok, run_id[marker], val[marker])
+    P = np.zeros((n_docs, len(labels)), np.int64)
+    pm = ~marker
+    np.add.at(P, (run_id[pm], li[pm] - 1), val[pm])
+    scores = prior_q[None, :] - ntok[:, None] * norm_q[None, :] + P
+    best = np.argmax(scores, axis=1)  # first max = smallest label wins ties
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(starts, pa.int64())),
+            "pred_label": pa.array([labels[b] for b in best], pa.string()),
+            "score_q": pa.array(scores[np.arange(n_docs), best], pa.int64()),
+        }
+    )
+
+
+def naive_bayes_classify(
+    train_ds,
+    test_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+):
+    """Multinomial naive-Bayes train → classify — the fastText/CCNet
+    quality-classifier slot of a curation pipeline, exact-integer
+    throughout so any layout/parallelism is bit-identical.
+
+    Model: add-one smoothing; score(d, l) = log2 P(l) +
+    Σ_w tf_w·log2((c_{l,w}+1)/(N_l+V)). Every log2 is quantized via
+    :func:`_nb_lq`, so per-(doc,label) sums are order-free int64.
+    Smoothed zero terms (c=0 → log2 1 = 0) vanish, which is what makes
+    the likelihood an INNER join against the (label, term) count table
+    — absent pairs contribute exactly 0.
+
+    Shape: train explode → one (label,term) sorted group-agg (counts
+    materialized once: vocab×L narrow rows) → config-scale label stats
+    driver-side → test explode → one term-complete join → one
+    doc-complete exchange whose kernel is two scatters + an argmax.
+    Output (id, pred_label, score_q); test docs with zero tokens are
+    absent (same as the SQL oracle's token-derived doc set)."""
+    from .agg import partial_group_agg, sorted_group_agg
+    from .join import sort_merge_inner_join
+    from ..stages.index import key_complete_parts
+
+    def tr_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"label": pa.array([], pa.string()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        return pa.table(
+            {
+                "label": t[label_col].take(tf["row_idx"]),
+                "term": tf["term"],
+                "tf": pc.cast(tf["tf"], pa.int64()),
+            }
+        )
+
+    counts = sorted_group_agg(
+        train_ds.map_batches(tr_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "term"],
+        [("c", "sum", "tf")],
+    ).materialize()  # vocab×L narrow rows, read 3×below
+
+    # config-scale label stats (and V) driver-side
+    n_lang_tbl = partial_group_agg(counts, ["label"], [("n_lang", "sum", "c")])
+    d_lang_tbl = partial_group_agg(train_ds, [label_col], [("d", "count_all", None)])
+    v_train = sorted_group_agg(
+        counts, ["term"], [("nl", "count_all", None)]
+    ).count()
+    n_lang = dict(zip(n_lang_tbl["label"].to_pylist(), n_lang_tbl["n_lang"].to_pylist()))
+    d_lang = dict(zip(d_lang_tbl[label_col].to_pylist(), d_lang_tbl["d"].to_pylist()))
+    labels = sorted(n_lang)  # ascending = deterministic tie-break order
+    d_total = sum(d_lang.values())
+    prior_q = _nb_lq([d_lang[l] for l in labels]) - _nb_lq(d_total)
+    norm_q = _nb_lq([n_lang[l] + v_train for l in labels])
+
+    def add_cq(t: pa.Table) -> pa.Table:
+        cq = _nb_lq(np.asarray(t["c"], dtype=np.int64) + 1)
+        return pa.table(
+            {"term": t["term"], "label": t["label"],
+             "cq": pa.array(cq, pa.int64())}
+        )
+
+    counts_cq = counts.map_batches(add_cq, batch_format="pyarrow", zero_copy_batch=True)
+
+    def te_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        return pa.table(
+            {
+                id_col: pc.cast(t[id_col].take(tf["row_idx"]), pa.int64()),
+                "term": tf["term"],
+                "tf": pc.cast(tf["tf"], pa.int64()),
+            }
+        )
+
+    test_pairs = test_ds.map_batches(
+        te_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = sort_merge_inner_join(
+        test_pairs, counts_cq, "term", [id_col, "tf"], ["label", "cq"]
+    )
+
+    def to_partial(t: pa.Table) -> pa.Table:
+        val = np.asarray(t["tf"], np.int64) * np.asarray(t["cq"], np.int64)
+        return pa.table(
+            {id_col: t[id_col], "label": t["label"],
+             "val": pa.array(val, pa.int64())}
+        )
+
+    def to_marker(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t[id_col],
+             "label": pa.array([""] * t.num_rows, pa.string()),
+             "val": t["tf"]}
+        )
+
+    union = joined.map_batches(
+        to_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        test_pairs.map_batches(to_marker, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    groups = key_complete_parts(union, id_col, order=["label"])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "pred_label": pa.array([], pa.string()),
+                 "score_q": pa.array([], pa.int64())}
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _nb_score_block.remote(id_col, labels, prior_q, norm_q, *parts)
+            for parts in groups
+        ]
+    )
 
 
 def heldout_cross_entropy(

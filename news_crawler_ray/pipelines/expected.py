@@ -651,6 +651,72 @@ def expected_phash_pairs(max_hamming: int = 3) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_canonical_images(max_hamming: int = 3) -> pa.Table:
+    """Sequential replica of q_canonical_images: all-pairs phash hamming
+    (no banding) → union-find components → double-loop Laplacian
+    sharpness per image → keep the max-variance member per component
+    (tie: min id). Shares only the codec/phash primitives."""
+    from ..fixtures import codec
+
+    ps = synth.make_neardup_pagestore(60, seed=42)
+    ids = [
+        int(i[3:]) + (1_000_000 if i.startswith("dup") else 0)
+        for i in ps["image_id"].to_pylist()
+    ]
+    bufs = ps["bytes"].to_pylist()
+    fmts = ps["fmt"].to_pylist()
+    pixels = [codec.decode(b, f) for b, f in zip(bufs, fmts)]
+    h = np.array(
+        [np.uint64(np.int64(codec.phash64(px))) for px in pixels], dtype=np.uint64
+    )
+    parent = {i: i for i in ids}
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if int(H.hamming_distance64(h[x : x + 1], h[y : y + 1])[0]) <= max_hamming:
+                ra, rb = find(ids[x]), find(ids[y])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in ids}
+
+    keys: dict[int, float] = {}
+    for iid, px in zip(ids, pixels):
+        g = px.astype(np.int64)
+        g = g[..., 0] + g[..., 1] + g[..., 2]
+        hh, ww = g.shape
+        s1 = s2 = cnt = 0
+        for y in range(1, hh - 1):
+            for x in range(1, ww - 1):
+                lap = (
+                    4 * g[y, x] - g[y - 1, x] - g[y + 1, x]
+                    - g[y, x - 1] - g[y, x + 1]
+                )
+                s1 += int(lap)
+                s2 += int(lap) * int(lap)
+                cnt += 1
+        keys[iid] = (cnt * s2 - s1 * s1) / max(cnt, 1) ** 2
+
+    best: dict[int, int] = {}
+    for i in ids:
+        c = comp[i]
+        if c not in best or (keys[i], -i) > (keys[best[c]], -best[c]):
+            best[c] = i
+    rows = sorted(best.items())
+    return pa.table(
+        {
+            "component": pa.array([c for c, _ in rows], pa.int64()),
+            "canonical_id": pa.array([i for _, i in rows], pa.int64()),
+            "sharp_key": pa.array([keys[i] for _, i in rows], pa.float64()),
+        }
+    )
+
+
 def expected_tile_dup_pairs(min_shared: int = 6) -> pa.Table:
     """Sequential all-pairs shared-tile counting over the planted
     crop-dup page-store — no bucketing, no exchange; shares only the
@@ -1511,6 +1577,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["ngram_jaccard_pairs"] = values_sql(expected_ngram_pairs(sf_dir))
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
     sql["phash_near_dup"] = values_sql(expected_phash_pairs())
+    sql["canonical_images"] = values_sql(expected_canonical_images())
     sql["tile_dup_pairs"] = values_sql(expected_tile_dup_pairs())
     sql["image_knn"] = values_sql(expected_image_knn())
     sql["hll_users"] = values_sql(expected_hll_users(sf_dir))

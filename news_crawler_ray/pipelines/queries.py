@@ -1454,6 +1454,90 @@ def q_image_dup_clusters(sf_dir: str):
     )
 
 
+def q_canonical_images(sf_dir: str):
+    """Image near-dup cluster resolution by QUALITY — keep the SHARPEST
+    member per phash cluster (the LAION-style keep-best policy; the
+    image analog of canonical_docs). decode → banded phash pairs →
+    connected components LEFT-joined onto every image (singletons
+    self-cluster via coalesce), sharpness = Laplacian variance from the
+    exact integer moments (ONE correctly-rounded float division per
+    image — both operands < 2^53 so the replica's scalar division is
+    bit-identical), then one key-complete group_top_k. Sequential
+    oracle expected_canonical_images (all-pairs hamming + union-find +
+    the double-loop Laplacian replica)."""
+    from ..fixtures import synth
+    from ..ops.agg import group_top_k
+    from ..ops.graph import connected_components
+    from ..ops.join import sort_merge_inner_join
+
+    ps = ray.data.from_arrow(synth.make_neardup_pagestore(60, seed=42))
+    withid = ps.map_batches(
+        lambda t: _neardup_iid(t).select(["iid", "bytes", "fmt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = mm.image_near_dup_pairs(withid, concurrency=2, batch_size=32)
+    comp = connected_components(
+        pairs.map_batches(lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow")
+    ).map_batches(
+        lambda t: pa.table({"iid": t["node"], "component": t["component"]})
+        if t.num_rows
+        else pa.table(
+            {"iid": pa.array([], pa.int64()),
+             "component": pa.array([], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def sharp_key(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n_interior"], np.int64)
+        s1 = np.asarray(t["lap_sum"], np.int64)
+        s2 = np.asarray(t["lap_sq_sum"], np.int64)
+        num = n * s2 - s1 * s1
+        den = np.maximum(n, 1) * np.maximum(n, 1)
+        return pa.table(
+            {
+                "iid": t["iid"],
+                "sharp_key": pa.array(
+                    num.astype(np.float64) / den.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    sharp = mm.sharpness_score(withid).map_batches(
+        sharp_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = sort_merge_inner_join(
+        sharp, comp, "iid", ["sharp_key"], ["component"], how="left"
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "component" not in t.column_names:
+            return pa.table(
+                {"component": pa.array([], pa.int64()),
+                 "iid": pa.array([], pa.int64()),
+                 "sharp_key": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "component": pc.coalesce(t["component"], t["iid"]),
+                "iid": t["iid"],
+                "sharp_key": t["sharp_key"],
+            }
+        )
+
+    full = joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+    top = group_top_k(full, "component", ["sharp_key", "iid"], [True, False], k=1)
+    return top.map_batches(
+        lambda t: pa.table(
+            {"component": t["component"], "canonical_id": t["iid"],
+             "sharp_key": t["sharp_key"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_image_knn(sf_dir: str):
     """Image similarity search: decode → 64-dim block-mean embedding →
     exact cosine top-5 (broadcast queries, per-block partial top-k,
@@ -2078,6 +2162,116 @@ def q_value_weighted_sample(sf_dir: str):
     return ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_nb_classify(sf_dir: str):
+    """Multinomial naive-Bayes language classifier, train on even-id
+    docs → classify odd-id docs (ops/text.naive_bayes_classify) — the
+    fastText/CCNet classifier slot of a curation pipeline with
+    exact-integer quantized-log scoring, so the distributed argmax is
+    bit-identical to the SQL oracle's at any layout."""
+    from ..ops.text import naive_bayes_classify
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def half(train: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            want = pc.equal(
+                pc.bit_wise_and(ids, pa.scalar(1, pa.int64())),
+                pa.scalar(0 if train else 1, pa.int64()),
+            )
+            return t.filter(want)
+
+        return fn
+
+    return naive_bayes_classify(
+        docs.map_batches(half(True), batch_format="pyarrow", zero_copy_batch=True),
+        docs.map_batches(half(False), batch_format="pyarrow", zero_copy_batch=True),
+    )
+
+
+_NB_LQ = "CAST(floor(log2(CAST({x} AS DOUBLE)) * 1048576 + 0.5) AS BIGINT)"
+
+ORACLE_SQL["nb_classify"] = (
+    "WITH tok AS (SELECT doc_id, lang, "
+    r"    unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS term "
+    "  FROM documents), "
+    "tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0), "
+    "c AS (SELECT lang, term, count(*) AS c FROM tr GROUP BY lang, term), "
+    "ls AS (SELECT lang, count(*) AS n_lang FROM tr GROUP BY lang), "
+    "dl AS (SELECT lang, count(*) AS d_lang FROM documents "
+    "  WHERE doc_id % 2 = 0 GROUP BY lang), "
+    "vv AS (SELECT count(DISTINCT term) AS v FROM tr), "
+    "dd AS (SELECT count(*) AS d FROM documents WHERE doc_id % 2 = 0), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+    "  WHERE doc_id % 2 = 1 GROUP BY doc_id, term), "
+    "nt AS (SELECT doc_id, sum(tf) AS n_tok FROM tf GROUP BY doc_id), "
+    "part AS (SELECT tf.doc_id, c.lang, "
+    "    SUM(tf.tf * " + _NB_LQ.format(x="c.c + 1") + ") AS pq "
+    "  FROM tf JOIN c USING (term) GROUP BY tf.doc_id, c.lang), "
+    "score AS (SELECT nt.doc_id, ls.lang, "
+    "    " + _NB_LQ.format(x="dl.d_lang") + " - " + _NB_LQ.format(x="dd.d")
+    + " - nt.n_tok * " + _NB_LQ.format(x="ls.n_lang + vv.v")
+    + " + coalesce(part.pq, 0) AS score_q "
+    "  FROM nt CROSS JOIN ls JOIN dl USING (lang) CROSS JOIN vv CROSS JOIN dd "
+    "  LEFT JOIN part ON part.doc_id = nt.doc_id AND part.lang = ls.lang) "
+    "SELECT doc_id, lang AS pred_label, score_q FROM score "
+    "QUALIFY row_number() OVER (PARTITION BY doc_id "
+    "  ORDER BY score_q DESC, lang) = 1"
+)
+
+
+ES_SAMPLE_K = 5
+
+
+def q_weighted_type_sample(sf_dir: str):
+    """Weighted sample WITHOUT replacement, k per group — the
+    'pick K docs per stratum proportional to quality' selection
+    (Efraimidis–Spirakis keys, ops/sampling.es_weighted_keys): rank =
+    log2(u)/w desc with a content-stable md5 uniform, so the sample is
+    exact-weighted, rerun-stable, and parallelism-proof. Weight =
+    value-cents + 1. One hash-derive map + the group_top_k
+    key-complete exchange; the oracle recomputes the identical key
+    (bit-exact incl. the log2 float) and ranks in SQL."""
+    from ..ops.agg import group_top_k
+    from ..ops.sampling import es_weighted_keys
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        w = np.rint(np.asarray(t["value"], dtype=np.float64) * 100) + 1.0
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "event_id": t["event_id"],
+                "es_key": pa.array(es_weighted_keys(t["event_id"], w), pa.float64()),
+            }
+        )
+
+    return group_top_k(
+        ev.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        ["es_key", "event_id"],
+        [True, False],
+        ES_SAMPLE_K,
+    )
+
+
+def _weighted_type_sample_oracle_sql() -> str:
+    from ..ops.sampling import es_key_sql
+
+    key = es_key_sql("event_id", "CAST(round(value * 100) AS BIGINT) + 1")
+    return (
+        f"WITH k AS (SELECT event_type, event_id, {key} AS es_key FROM events) "
+        "SELECT event_type, event_id, es_key, "
+        "  CAST(row_number() OVER (PARTITION BY event_type "
+        "    ORDER BY es_key DESC, event_id) AS BIGINT) AS rn "
+        f"FROM k QUALIFY rn <= {ES_SAMPLE_K}"
+    )
+
+
+ORACLE_SQL["weighted_type_sample"] = _weighted_type_sample_oracle_sql()
+
+
 SAMPLED_Q_FRACTION = 0.25
 
 
@@ -2549,6 +2743,165 @@ def q_html_extract(sf_dir: str):
     return tx.html_to_text(
         ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+_OG_PLANT_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' - example</title>"
+    '<meta property="og:title" content="Doc \' || CAST(doc_id AS VARCHAR) || '
+    "': ' || coalesce(regexp_extract(text, '\\S+'), '') || '\">"
+    '<meta property="og:image" content="https://img.example/i\' || '
+    "CAST(doc_id % 64 AS VARCHAR) || '.jpg\">"
+    '<link rel="canonical" href="https://docs.example/a/\' || '
+    "CAST(doc_id AS VARCHAR) || '\">"
+    "</head><body><p>' || text || '</p></body></html>'"
+)
+
+
+def q_og_metadata(sf_dir: str):
+    """Structured page-metadata extraction (ops/text.og_metadata) — the
+    image+caption DISCOVERY step of a LAION-style crawl: og:image names
+    the payload URL, og:title/page title the caption candidates,
+    rel=canonical the dedup key. Pages are planted deterministically
+    (same expression as the SQL plant), then each field is one
+    pc.extract_regex pass over the column; the oracle extracts with the
+    SAME patterns (og_meta_sql_pattern strips the group name)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.string())
+        txt = pc.coalesce(t["text"], "")
+        tok = pc.coalesce(
+            pc.struct_field(pc.extract_regex(txt, r"(?P<t>\S+)"), "t"), ""
+        )
+        imod = pc.cast(
+            pa.array(t["doc_id"].to_numpy() % 64, pa.int64()), pa.string()
+        )
+        html = pc.binary_join_element_wise(
+            "<html><head><title>Doc ", did, " - example</title>"
+            '<meta property="og:title" content="Doc ', did, ": ", tok,
+            '"><meta property="og:image" content="https://img.example/i',
+            imod, '.jpg"><link rel="canonical" href="https://docs.example/a/',
+            did, '"></head><body><p>', txt, "</p></body></html>",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": html})
+
+    return tx.og_metadata(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+ORACLE_SQL["og_metadata"] = (
+    f"WITH page AS (SELECT doc_id, {_OG_PLANT_SQL} AS html FROM documents) "
+    "SELECT doc_id, "
+    + ", ".join(
+        f"regexp_extract(html, '{tx.og_meta_sql_pattern(name)}', 1) AS {name}"
+        for name in tx.OG_META_PATTERNS
+    )
+    + " FROM page"
+)
+
+
+ANCHOR_HOSTS = 50  # target-host registry size for the anchor plant
+
+
+@ray.remote
+def _anchor_agg_block(*parts: pa.Table) -> pa.Table:
+    """Per-host anchor rollup over one key-complete, (host, anchor,
+    doc_id)-sorted run set: counts are offset arithmetic; the ordered
+    join and distinct-source count loop only over HOSTS (config-scale),
+    never rows."""
+    tables = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    n = tbl.num_rows
+    hosts = tbl["host"].combine_chunks()
+    new_key = np.empty(n, dtype=bool)
+    new_key[0] = True
+    if n > 1:
+        new_key[1:] = pc.not_equal(hosts.slice(1), hosts.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new_key)
+    ends = np.append(starts[1:], n)
+    docs = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    anchors = tbl["anchor"].to_pylist()
+    return pa.table(
+        {
+            "host": hosts.take(pa.array(starts, pa.int64())),
+            "n_anchors": pa.array(ends - starts, pa.int64()),
+            "n_src_docs": pa.array(
+                [len(np.unique(docs[s:e])) for s, e in zip(starts, ends)],
+                pa.int64(),
+            ),
+            "anchors": pa.array(
+                [" | ".join(anchors[s:e]) for s, e in zip(starts, ends)],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text corpus per target host — the classic web-graph
+    feature build (a target's anchors label it better than its own
+    text; search and LLM-pretraining corpora both aggregate this).
+    Pages plant 1 + doc_id % 3 anchors with arithmetic-derived targets;
+    the REAL work is stages/parse.extract_anchor_texts (paired
+    href/anchor recovery, zero exchange) then ONE host-complete sort
+    exchange whose kernel emits count / distinct-source count / ordered
+    ' | '-joined anchor list per host. The oracle re-derives the same
+    (host, anchor) rows arithmetically and aggregates in SQL."""
+    from ..stages.index import key_complete_parts
+    from ..stages.parse import extract_anchor_texts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        did = pc.cast(t["doc_id"], pa.string())
+        parts: list = ["<p>", pc.coalesce(t["text"], ""), "</p>"]
+        for i in range(3):
+            hmod = pc.cast(
+                pa.array((ids * 7 + i * 3) % ANCHOR_HOSTS, pa.int64()), pa.string()
+            )
+            tag = pc.binary_join_element_wise(
+                '<a href="https://h', hmod, ".example/p", did, f"x{i}",
+                f'">link ', did, f" {i}</a>", "",
+            )
+            parts.append(
+                pc.if_else(pa.array(ids % 3 >= i), tag, pa.scalar(""))
+            )
+        html = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": t["doc_id"], "text": html})
+
+    harvest = extract_anchor_texts(
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    groups = key_complete_parts(harvest, "host", order=["anchor", "doc_id"])
+    if not groups:
+        return pa.table(
+            {
+                "host": pa.array([], pa.string()),
+                "n_anchors": pa.array([], pa.int64()),
+                "n_src_docs": pa.array([], pa.int64()),
+                "anchors": pa.array([], pa.string()),
+            }
+        )
+    return ray.data.from_arrow_refs(
+        [_anchor_agg_block.remote(*parts) for parts in groups]
+    )
+
+
+ORACLE_SQL["anchor_texts"] = (
+    "WITH a AS (SELECT doc_id, "
+    f"  'h' || CAST((doc_id * 7 + i * 3) % {ANCHOR_HOSTS} AS VARCHAR) "
+    "    || '.example' AS host, "
+    "  'link ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR) AS anchor "
+    "  FROM documents, LATERAL (SELECT unnest(generate_series(0, doc_id % 3)) AS i)) "
+    "SELECT host, count(*) AS n_anchors, count(DISTINCT doc_id) AS n_src_docs, "
+    "  string_agg(anchor, ' | ' ORDER BY anchor, doc_id) AS anchors "
+    "FROM a GROUP BY host"
+)
 
 
 def q_pack_sequences(sf_dir: str):
@@ -7347,6 +7700,8 @@ def build_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "winnow_dup_pairs": q_winnow_dup_pairs,
         "html_extract": q_html_extract,
+        "og_metadata": q_og_metadata,
+        "anchor_texts": q_anchor_texts,
         "bpe_merges": q_bpe_merges,
         "zorder_layout": q_zorder_layout,
         "letterbox_stats": q_letterbox_stats,
@@ -7400,6 +7755,7 @@ def build_queries() -> dict:
         "image_features": q_image_features,
         "phash_near_dup": q_phash_near_dup,
         "image_dup_clusters": q_image_dup_clusters,
+        "canonical_images": q_canonical_images,
         "image_knn": q_image_knn,
         "daily_digest": q_daily_digest,
         "image_dedup_corpus": q_image_dedup_corpus,
@@ -7437,6 +7793,8 @@ def build_queries() -> dict:
         "event_customer_skew_join": q_event_customer_skew_join,
         "cm_counts": q_cm_counts,
         "event_type_sample": q_event_type_sample,
+        "weighted_type_sample": q_weighted_type_sample,
+        "nb_classify": q_nb_classify,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

@@ -174,6 +174,51 @@ def extract_outlinks_batch(batch: pa.Table, decay: float = 0.5) -> pa.Table:
     )
 
 
+def extract_anchor_texts_batch(
+    batch: pa.Table, html_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """``<a href>`` anchor-text harvest — the web-graph feature source
+    (anchor corpora label their TARGET page; search/training pipelines
+    aggregate them per target). Splitting on ``<a href="`` keeps each
+    (href, anchor) pair inside one fragment — the same pairing trick as
+    the sitemap parser (stages/rss.py:74) — then ONE extract_regex over
+    the fragment column recovers both fields; no per-row Python, no DOM.
+    Reference analog: the anchor harvest at
+    /root/reference/src/secbot/fetchers/asec.py:102-105, upgraded to
+    keep the anchor text. Output (doc_id, host, href, anchor)."""
+    ids = batch[id_col].combine_chunks()
+    html = pc.coalesce(batch[html_col], "")
+    frags = pc.split_pattern(html, '<a href="')
+    frags = frags.combine_chunks() if isinstance(frags, pa.ChunkedArray) else frags
+    lens = pc.list_value_length(frags).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    flat = pc.list_flatten(frags)
+    # fragment i>0 starts right after its href's opening quote; the
+    # pre-first-anchor fragment can't match the anchored pattern
+    m = pc.extract_regex(flat, r'^(?P<href>[^"]*)">(?P<anchor>[^<]*)</a>')
+    keep = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    sel = pa.array(np.flatnonzero(keep), pa.int64())
+    href = pc.struct_field(m, "href").take(sel)
+    anchor = pc.struct_field(m, "anchor").take(sel)
+    hm = pc.extract_regex(href, r"^https?://(?P<h>[^/]+)")
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(row_idx[keep], pa.int64())),
+            "host": pc.fill_null(pc.struct_field(hm, "h"), ""),
+            "href": href,
+            "anchor": anchor,
+        }
+    )
+
+
+def extract_anchor_texts(ds, html_col: str = "text", id_col: str = "doc_id"):
+    return ds.map_batches(
+        lambda b: extract_anchor_texts_batch(b, html_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def extract_outlinks(ds, decay: float = 0.5):
     return ds.map_batches(
         lambda b: extract_outlinks_batch(b, decay),

@@ -2173,3 +2173,84 @@ def test_kn_bigram_lm_hand_corpus(ray_session, tmp_path):
     assert got[("b", "a")]["p_kn"] == (max(2 - 0.75, 0.0) + ((0.75 * 1) * 1) / 3.0) / 2.0
     # discounted mass moved: higher-count continuation keeps more
     assert got[("a", "b")]["p_kn"] > got[("a", "c")]["p_kn"]
+
+
+def test_og_metadata_batch():
+    """Each head field extracts via its named group; a page missing a
+    tag yields null for that field only."""
+    from news_crawler_ray.ops.text import og_metadata_batch
+
+    full = (
+        '<html><head><title>Doc 7 - example</title>'
+        '<meta property="og:title" content="Doc 7: cat">'
+        '<meta property="og:image" content="https://img.example/i7.jpg">'
+        '<link rel="canonical" href="https://docs.example/a/7">'
+        "</head><body><p>x</p></body></html>"
+    )
+    bare = "<html><head><title>only title</title></head><body></body></html>"
+    out = og_metadata_batch(
+        pa.table({"doc_id": pa.array([7, 8], pa.int64()), "text": [full, bare]})
+    ).to_pylist()
+    assert out[0] == {
+        "doc_id": 7,
+        "page_title": "Doc 7 - example",
+        "og_title": "Doc 7: cat",
+        "og_image": "https://img.example/i7.jpg",
+        "canonical_url": "https://docs.example/a/7",
+    }
+    assert out[1]["page_title"] == "only title"
+    assert out[1]["og_image"] is None and out[1]["canonical_url"] is None
+
+
+def test_es_weighted_keys_properties():
+    """E-S keys are deterministic, in (-inf, 0], bit-equal to the SQL
+    derivation, and heavier weights win selection in aggregate."""
+    import duckdb
+
+    from news_crawler_ray.ops.sampling import es_key_sql, es_weighted_keys
+
+    ids = pa.array(list(range(2000)), pa.int64())
+    w_hi = np.where(np.arange(2000) % 2 == 0, 50.0, 1.0)  # evens weighted 50x
+    keys = es_weighted_keys(ids, w_hi)
+    assert np.array_equal(keys, es_weighted_keys(ids, w_hi))  # content-stable
+    assert (keys <= 0).all()
+    top = np.argsort(-keys)[:200]
+    assert (top % 2 == 0).mean() > 0.9  # 50x weight dominates the sample
+    # bit-equality vs DuckDB on a spot sample
+    rows = duckdb.sql(
+        "SELECT " + es_key_sql("k", "w") + " FROM (VALUES (0, 50.0), (1, 1.0), "
+        "(18, 50.0), (999, 1.0)) AS t(k, w)"
+    ).fetchall()
+    idx = [0, 1, 18, 999]
+    assert np.array_equal(np.array([r[0] for r in rows]), keys[idx])
+
+
+def test_naive_bayes_hand_corpus(ray_session, tmp_path):
+    """Train on even ids (en vs fr), classify odd ids: token overlap
+    decides; predictions match the obvious class on a hand corpus."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines import queries as Q
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": [
+                    "the cat sat on the mat",
+                    "the cat purrs",
+                    "le chat noir dort sur le tapis",
+                    "le chat dort",
+                ],
+                "lang": ["en", "en", "fr", "fr"],
+                "n_chars": pa.array([22, 13, 30, 12], pa.int64()),
+                "source": ["s"] * 4,
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {r["doc_id"]: r for r in Q.q_nb_classify(str(tmp_path)).take_all()}
+    assert set(got) == {1, 3}
+    assert got[1]["pred_label"] == "en"
+    assert got[3]["pred_label"] == "fr"
+    assert got[1]["score_q"] > got[3]["score_q"] or got[1]["score_q"] < 0  # ints present

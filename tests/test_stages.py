@@ -419,3 +419,29 @@ def test_union_by_name_source(ray_session, tmp_path):
     pq.write_table(bad, str(tmp_path / "gen-2.parquet"))
     with _pytest.raises(TypeError, match="'a' drifted"):
         union_schema([str(tmp_path / f"gen-{i}.parquet") for i in range(3)])
+
+
+def test_extract_anchor_texts_batch():
+    """Paired (href, anchor) recovery: multi-anchor pages explode one
+    row per anchor with the right host; pages without anchors emit
+    nothing; body text containing quotes doesn't confuse the pairing."""
+    import pyarrow as pa
+
+    from news_crawler_ray.stages.parse import extract_anchor_texts_batch
+
+    html = (
+        '<p>pre "quoted" text</p>'
+        '<a href="https://a.example/x">first link</a>mid'
+        '<a href="http://b.example/y?q=1">second</a>'
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [html, "<p>no anchors here</p>"],
+        }
+    )
+    out = extract_anchor_texts_batch(t).to_pylist()
+    assert out == [
+        {"doc_id": 1, "host": "a.example", "href": "https://a.example/x", "anchor": "first link"},
+        {"doc_id": 1, "host": "b.example", "href": "http://b.example/y?q=1", "anchor": "second"},
+    ]

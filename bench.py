@@ -340,6 +340,9 @@ QUERY_SUBSET = [
     "weighted_type_sample",
     "nb_classify",
     "canonical_images",
+    "url_canonical_dups",
+    "dsir_weights",
+    "image_meta_audit",
 ]
 
 

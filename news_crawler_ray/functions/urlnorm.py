@@ -207,3 +207,59 @@ def url_trap_flags(
             "is_trap": pa.array(is_trap, pa.bool_()),
         }
     )
+
+
+# ----- tracking-param strip + query-param sort (dedup canonical form)
+
+# single source of truth with the SQL oracle (DuckDB regexp_matches uses
+# the same RE2 pattern); RE2-safe, anchored on the param NAME
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+
+def dedup_canonical_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "canon"
+) -> pa.Table:
+    """Crawl-dedup canonical URL: drop tracking params (TRACKING_PARAM_RE)
+    and SORT the survivors, so param-order permutations and utm-tagged
+    copies of one page share a key — the canonicalization layer crawl
+    frontiers apply above scheme/host normalization (M11/M14/M15
+    semantics, /root/reference/src/secbot/scheduler.py:52-53 dedups on
+    the raw string and re-fetches utm-tagged copies; this closes that).
+
+    Vectorized end to end: explode params with row offsets, one regex
+    filter, ONE block-local sort_indices over (row, param), then a
+    zero-copy ListArray re-stitch + binary_join — no per-row Python, no
+    exchange."""
+    urls = pc.coalesce(batch[url_col], "")
+    base = pc.struct_field(pc.extract_regex(urls, r"^(?P<b>[^?#]*)"), "b")
+    q = pc.struct_field(pc.extract_regex(urls, r"\?(?P<q>[^#]*)"), "q")
+    q = pc.fill_null(q, "")
+    n = batch.num_rows
+    params = pc.split_pattern(q, "&")
+    params = params.combine_chunks() if isinstance(params, pa.ChunkedArray) else params
+    lens = pc.list_value_length(params).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = pc.list_flatten(params)
+    keep = pc.and_(
+        pc.not_equal(flat, ""),
+        pc.invert(pc.match_substring_regex(flat, TRACKING_PARAM_RE)),
+    ).to_numpy(zero_copy_only=False)
+    kept = pa.table(
+        {"r": pa.array(row_idx[keep], pa.int64()), "p": flat.filter(pa.array(keep))}
+    )
+    kept = kept.take(
+        pc.sort_indices(kept, sort_keys=[("r", "ascending"), ("p", "ascending")])
+    )
+    counts = np.bincount(kept["r"].to_numpy(zero_copy_only=False), minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), kept["p"].combine_chunks()
+    )
+    joined = pc.binary_join(lst, "&")
+    canon = pc.if_else(
+        pa.array(counts > 0),
+        pc.binary_join_element_wise(base, "?", joined, ""),
+        base,
+    )
+    return batch.append_column(out_col, canon)

@@ -260,6 +260,53 @@ def image_features(ds, concurrency=2, batch_size: int = 256):
     )
 
 
+def image_meta_audit_batch(
+    batch: pa.Table,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    id_col: str = "iid",
+) -> pa.Table:
+    """Ingest metadata-consistency gate: the input_hint schema carries
+    (w, h, fmt, phash) as MANIFEST columns, and nothing guarantees they
+    match the payload bytes — this audit flags rows whose header dims
+    or pixel-recomputed phash disagree, before any downstream op trusts
+    the metadata (aspect buckets, admission filters, exact-phash dedup
+    all read these columns without decoding). Header dims are a bytes
+    peek (no decode, per-row struct unpack — the same trade as the md5
+    loops); the phash recompute rides the shared decode kernel.
+    Output: (id, dims_ok — null when the header layout is unknown,
+    phash_ok, decode_ok)."""
+    data = batch[bytes_col].to_pylist()
+    fmts = batch[fmt_col].to_pylist()
+    _, _, ph, ok = decode_feature_arrays(data, fmts, decode=codec.decode)
+    sw = batch["w"].to_pylist()
+    sh = batch["h"].to_pylist()
+    sp = np.asarray(batch["phash"], np.int64)
+    dims_ok: list[bool | None] = []
+    for buf, fmt, w, h in zip(data, fmts, sw, sh):
+        hdr = _parse_dims(buf, fmt) if buf is not None else None
+        dims_ok.append(None if hdr is None else hdr == (w, h))
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "dims_ok": pa.array(dims_ok, pa.bool_()),
+            "phash_ok": pa.array(
+                np.asarray(ph, np.int64) == sp, pa.bool_()
+            ),
+            "decode_ok": pa.array(ok),
+        }
+    )
+
+
+def image_meta_audit(ds, batch_size: int = 128):
+    return ds.map_batches(
+        image_meta_audit_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
 def _laplacian_moments(P: np.ndarray):
     """Exact integer sharpness moments over a (k,h,w,3) stack: the
     4-neighbor Laplacian of the INTEGER sum-gray channel (r+g+b, no

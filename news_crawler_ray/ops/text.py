@@ -2071,6 +2071,119 @@ def naive_bayes_classify(
     )
 
 
+def dsir_importance(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    doc by the unigram log-ratio log p_target(x) − log p_raw(x), where
+    both LMs are add-one-smoothed over the raw vocabulary; resampling
+    by these weights shifts a crawl corpus toward a target domain.
+    ``target_col`` marks the target-domain docs (bool).
+
+    Exact-integer scoring: logratio_q = Σ_w tf·(Lq(c_t+1) − Lq(c_r+1))
+    + n_tok·(Lq(N_r+V) − Lq(N_t+V)) with the shared quantized-log
+    :func:`_nb_lq`, so per-doc sums are order-free int64 and bit-equal
+    to the SQL oracle. Absent-in-target terms contribute Lq(1)=0 by
+    construction, so the likelihood rides ONE inner join against the
+    (term, cr, ct) totals (every pair matches: raw counts include the
+    doc itself). Shape: explode → one term group-agg (both counts in
+    one exchange) → join back → one doc group-agg. Output
+    (id, n_tokens, logratio_q)."""
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "term": pa.array([], pa.string()),
+                 "tf": pa.array([], pa.int64()),
+                 "tft": pa.array([], pa.int64())}
+            )
+        tf = _doc_term_freqs(t, text_col, id_col)
+        ids = pc.cast(t[id_col].take(tf["row_idx"]), pa.int64())
+        is_t = pc.cast(t[target_col].take(tf["row_idx"]), pa.bool_())
+        tf_i = pc.cast(tf["tf"], pa.int64())
+        return pa.table(
+            {
+                id_col: ids,
+                "term": tf["term"],
+                "tf": tf_i,
+                "tft": pc.if_else(is_t, tf_i, pa.scalar(0, pa.int64())),
+            }
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    totals = sorted_group_agg(
+        pair_ds, ["term"], [("cr", "sum", "tf"), ("ct", "sum", "tft")]
+    ).materialize()
+    stats = totals.map_batches(
+        lambda t: pa.table(
+            {
+                "nr": pa.array([pc.sum(t["cr"]).as_py() or 0], pa.int64()),
+                "nt": pa.array([pc.sum(t["ct"]).as_py() or 0], pa.int64()),
+                "v": pa.array([t.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    n_raw = sum(r["nr"] for r in stats)
+    n_tgt = sum(r["nt"] for r in stats)
+    v = sum(r["v"] for r in stats)
+    k_norm = int(_nb_lq(n_raw + v)[()]) - int(_nb_lq(n_tgt + v)[()]) if v else 0
+
+    def to_dq(t: pa.Table) -> pa.Table:
+        ct = np.asarray(t["ct"], np.int64)
+        cr = np.asarray(t["cr"], np.int64)
+        return pa.table(
+            {"term": t["term"],
+             "dq": pa.array(_nb_lq(ct + 1) - _nb_lq(cr + 1), pa.int64())}
+        )
+
+    totals_q = totals.map_batches(to_dq, batch_format="pyarrow", zero_copy_batch=True)
+    joined = sort_merge_inner_join(
+        pair_ds, totals_q, "term", [id_col, "tf"], ["dq"]
+    )
+
+    def to_val(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tf" not in t.column_names:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "val": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        val = np.asarray(t["tf"], np.int64) * np.asarray(t["dq"], np.int64)
+        return pa.table(
+            {id_col: t[id_col], "val": pa.array(val, pa.int64()), "tf": t["tf"]}
+        )
+
+    agg = sorted_group_agg(
+        joined.map_batches(to_val, batch_format="pyarrow", zero_copy_batch=True),
+        [id_col],
+        [("sum_val", "sum", "val"), ("n_tokens", "sum", "tf")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        lr = (
+            np.asarray(t["sum_val"], np.int64)
+            + np.asarray(t["n_tokens"], np.int64) * k_norm
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": t["n_tokens"],
+                "logratio_q": pa.array(lr, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def heldout_cross_entropy(
     ds,
     text_col: str = "text",

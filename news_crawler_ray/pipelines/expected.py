@@ -651,6 +651,36 @@ def expected_phash_pairs(max_hamming: int = 3) -> pa.Table:
     return _pairs_table(pairs)
 
 
+def expected_image_meta_audit() -> pa.Table:
+    """Sequential replica of q_image_meta_audit: decode every image
+    scalar, compare the DECODED pixel shape (not the header peek — an
+    independent path) and recomputed phash against the planted-corrupt
+    manifest columns."""
+    from ..fixtures import codec
+    from .queries import _meta_audit_store
+
+    t = _meta_audit_store()
+    rows = []
+    for iid, buf, fmt, w, h, ph in zip(
+        t["iid"].to_pylist(),
+        t["bytes"].to_pylist(),
+        t["fmt"].to_pylist(),
+        t["w"].to_pylist(),
+        t["h"].to_pylist(),
+        t["phash"].to_pylist(),
+    ):
+        px = codec.decode(buf, fmt)
+        rows.append(
+            {
+                "iid": iid,
+                "dims_ok": (px.shape[1], px.shape[0]) == (w, h),
+                "phash_ok": int(np.int64(codec.phash64(px))) == ph,
+                "decode_ok": True,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def expected_canonical_images(max_hamming: int = 3) -> pa.Table:
     """Sequential replica of q_canonical_images: all-pairs phash hamming
     (no banding) → union-find components → double-loop Laplacian
@@ -1578,6 +1608,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["simhash_pairs"] = values_sql(expected_simhash_pairs(sf_dir))
     sql["phash_near_dup"] = values_sql(expected_phash_pairs())
     sql["canonical_images"] = values_sql(expected_canonical_images())
+    sql["image_meta_audit"] = values_sql(expected_image_meta_audit())
     sql["tile_dup_pairs"] = values_sql(expected_tile_dup_pairs())
     sql["image_knn"] = values_sql(expected_image_knn())
     sql["hll_users"] = values_sql(expected_hll_users(sf_dir))

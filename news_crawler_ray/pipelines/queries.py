@@ -1538,6 +1538,54 @@ def q_canonical_images(sf_dir: str):
     )
 
 
+META_AUDIT_N = 60
+
+
+def _meta_audit_store() -> pa.Table:
+    """Pagestore with PLANTED manifest corruption: stored w bumped for
+    iid%7==0 rows, stored phash bit-flipped for iid%5==0 rows — payload
+    bytes untouched (the corruption an ingest actually sees: stale or
+    miscopied manifest columns)."""
+    from ..fixtures import synth
+
+    t = synth.make_pagestore(META_AUDIT_N, seed=42)
+    iid = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 3, 11), pa.int64())
+    ids = iid.to_numpy(zero_copy_only=False)
+    w = pc.if_else(
+        pa.array(ids % 7 == 0),
+        pc.add(t["w"], pa.scalar(1, pa.int32())),
+        t["w"],
+    )
+    ph = pc.if_else(
+        pa.array(ids % 5 == 0),
+        pc.bit_wise_xor(t["phash"], pa.scalar(1, pa.int64())),
+        t["phash"],
+    )
+    return pa.table(
+        {
+            "iid": iid,
+            "bytes": t["bytes"],
+            "w": w,
+            "h": t["h"],
+            "fmt": t["fmt"],
+            "phash": ph,
+        }
+    )
+
+
+def q_image_meta_audit(sf_dir: str):
+    """Manifest-consistency audit over the image store (ops/multimodal.
+    image_meta_audit): header dims vs stored (w,h), pixel-recomputed
+    phash vs the stored phash column, decode health — the gate that
+    must pass before metadata-only ops (aspect_buckets,
+    image_corpus_filter, exact_phash_dups) can trust the manifest.
+    Corruption is planted in the METADATA only; sequential replica
+    oracle expected_image_meta_audit decodes every image independently."""
+    from ..ops.multimodal import image_meta_audit
+
+    return image_meta_audit(_ds_from_table(_meta_audit_store(), 8))
+
+
 def q_image_knn(sf_dir: str):
     """Image similarity search: decode → 64-dim block-mean embedding →
     exact cosine top-5 (broadcast queries, per-block partial top-k,
@@ -2162,6 +2210,105 @@ def q_value_weighted_sample(sf_dir: str):
     return ev.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_URL_PLANT_SQL = (
+    "'https://s' || CAST(doc_id % 10 AS VARCHAR) || '.example/p/' || "
+    "CAST(doc_id % 25 AS VARCHAR) || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN '?a=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_source=t' || "
+    "  CAST(doc_id AS VARCHAR) "
+    "ELSE '?utm_campaign=z&b=2&a=' || CAST(doc_id % 50 AS VARCHAR) END"
+)
+
+
+def q_url_canonical_dups(sf_dir: str):
+    """Canonical-URL dup groups — the frontier-hygiene pass that stops a
+    crawler re-fetching utm-tagged / param-permuted copies of one page
+    (the reference dedups on the RAW string, scheduler.py:52-53, and
+    would re-fetch every tagged variant). Planted URLs scramble param
+    order and attach tracking params; functions/urlnorm.
+    dedup_canonical_batch strips + sorts block-locally (zero exchange),
+    then two narrow aggregates give per-canonical n_urls / distinct raw
+    forms / first doc. REAL SQL oracle: list_filter + list_sort over
+    the same split, same TRACKING_PARAM_RE."""
+    from ..functions.urlnorm import dedup_canonical_batch
+    from ..ops.agg import sorted_distinct, sorted_group_agg
+    from ..ops.join import sort_merge_inner_join
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        did = pc.cast(t["doc_id"], pa.string())
+        a = pc.cast(pa.array(ids % 50, pa.int64()), pa.string())
+        even = pc.binary_join_element_wise(
+            "?a=", a, "&utm_source=t", did, ""
+        )
+        odd = pc.binary_join_element_wise("?utm_campaign=z&b=2&a=", a, "")
+        url = pc.binary_join_element_wise(
+            "https://s",
+            pc.cast(pa.array(ids % 10, pa.int64()), pa.string()),
+            ".example/p/",
+            pc.cast(pa.array(ids % 25, pa.int64()), pa.string()),
+            pc.if_else(pa.array(ids % 2 == 0), even, odd),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    c_ds = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        dedup_canonical_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = sorted_group_agg(
+        c_ds, ["canon"], [("n_urls", "count_all", None), ("first_doc", "min", "doc_id")]
+    )
+    raw = sorted_group_agg(
+        sorted_distinct(
+            c_ds.map_batches(
+                lambda t: t.select(["canon", "url"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["canon", "url"],
+        ),
+        ["canon"],
+        [("n_raw", "count_all", None)],
+    )
+    out = sort_merge_inner_join(agg, raw, "canon", ["n_urls", "first_doc"], ["n_raw"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "canonical_url": t["canon"],
+                "n_urls": t["n_urls"],
+                "n_raw": t["n_raw"],
+                "first_doc": t["first_doc"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _url_canonical_dups_oracle_sql() -> str:
+    from ..functions.urlnorm import TRACKING_PARAM_RE
+
+    return (
+        f"WITH u AS (SELECT doc_id, {_URL_PLANT_SQL} AS url FROM documents), "
+        "p AS (SELECT doc_id, url, regexp_extract(url, '^[^?#]*') AS base, "
+        r"  string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&') "
+        "    AS params FROM u), "
+        "k AS (SELECT doc_id, url, base, list_sort(list_filter(params, "
+        f"  x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))) "
+        "  AS kept FROM p), "
+        "c AS (SELECT doc_id, url, base || CASE WHEN len(kept) > 0 "
+        "  THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon FROM k) "
+        "SELECT canon AS canonical_url, count(*) AS n_urls, "
+        "  count(DISTINCT url) AS n_raw, min(doc_id) AS first_doc "
+        "FROM c GROUP BY canon"
+    )
+
+
+ORACLE_SQL["url_canonical_dups"] = _url_canonical_dups_oracle_sql()
+
+
 def q_nb_classify(sf_dir: str):
     """Multinomial naive-Bayes language classifier, train on even-id
     docs → classify odd-id docs (ops/text.naive_bayes_classify) — the
@@ -2217,6 +2364,49 @@ ORACLE_SQL["nb_classify"] = (
     "SELECT doc_id, lang AS pred_label, score_q FROM score "
     "QUALIFY row_number() OVER (PARTITION BY doc_id "
     "  ORDER BY score_q DESC, lang) = 1"
+)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR data-selection importance weights (ops/text.dsir_importance):
+    target domain = lang='en' docs, raw pool = the whole corpus; every
+    doc scored by the quantized-integer unigram log-ratio
+    log2 p_target − log2 p_raw. Resampling by these weights is the
+    standard pretraining-corpus domain-shift step (Xie et al. 2023)."""
+    from ..ops.text import dsir_importance
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def flag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "is_target": pc.equal(pc.coalesce(t["lang"], ""), "en"),
+            }
+        )
+
+    return dsir_importance(
+        docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+ORACLE_SQL["dsir_weights"] = (
+    "WITH tok AS (SELECT doc_id, lang, "
+    r"    unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS term "
+    "  FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term), "
+    "tt AS (SELECT term, count(*) AS cr, "
+    "    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct "
+    "  FROM tok GROUP BY term), "
+    "s AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM tt), "
+    "j AS (SELECT tf.doc_id, SUM(tf.tf) AS n_tokens, "
+    "    SUM(tf.tf * (" + _NB_LQ.format(x="tt.ct + 1") + " - "
+    + _NB_LQ.format(x="tt.cr + 1") + ")) AS sv "
+    "  FROM tf JOIN tt USING (term) GROUP BY tf.doc_id) "
+    "SELECT doc_id, n_tokens, sv + n_tokens * ("
+    + _NB_LQ.format(x="nr + v") + " - " + _NB_LQ.format(x="nt + v")
+    + ") AS logratio_q FROM j CROSS JOIN s"
 )
 
 
@@ -7756,6 +7946,7 @@ def build_queries() -> dict:
         "phash_near_dup": q_phash_near_dup,
         "image_dup_clusters": q_image_dup_clusters,
         "canonical_images": q_canonical_images,
+        "image_meta_audit": q_image_meta_audit,
         "image_knn": q_image_knn,
         "daily_digest": q_daily_digest,
         "image_dedup_corpus": q_image_dedup_corpus,
@@ -7795,6 +7986,8 @@ def build_queries() -> dict:
         "event_type_sample": q_event_type_sample,
         "weighted_type_sample": q_weighted_type_sample,
         "nb_classify": q_nb_classify,
+        "url_canonical_dups": q_url_canonical_dups,
+        "dsir_weights": q_dsir_weights,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

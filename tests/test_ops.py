@@ -2254,3 +2254,78 @@ def test_naive_bayes_hand_corpus(ray_session, tmp_path):
     assert got[1]["pred_label"] == "en"
     assert got[3]["pred_label"] == "fr"
     assert got[1]["score_q"] > got[3]["score_q"] or got[1]["score_q"] < 0  # ints present
+
+
+def test_dedup_canonical_batch():
+    """Tracking params drop, survivors sort, no-query URLs pass through,
+    nulls coalesce."""
+    from news_crawler_ray.functions.urlnorm import dedup_canonical_batch
+
+    t = pa.table(
+        {
+            "url": [
+                "https://a.example/p?b=2&utm_source=x&a=1",
+                "https://a.example/p?a=1&b=2&fbclid=zz",
+                "https://a.example/p",
+                "https://a.example/p?utm_campaign=only",
+                None,
+            ]
+        }
+    )
+    out = dedup_canonical_batch(t)["canon"].to_pylist()
+    assert out == [
+        "https://a.example/p?a=1&b=2",
+        "https://a.example/p?a=1&b=2",
+        "https://a.example/p",
+        "https://a.example/p",
+        "",
+    ]
+
+
+def test_dsir_importance_hand_corpus(ray_session):
+    """Docs sharing the target domain's vocabulary score higher than
+    docs sharing the off-domain vocabulary."""
+    import ray as _ray
+
+    from news_crawler_ray.ops.text import dsir_importance
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "alpha alpha beta",   # target docs use alpha/beta
+                "alpha beta beta",
+                "gamma gamma delta",  # off-domain uses gamma/delta
+                "alpha beta gamma",   # mixed
+            ],
+            "is_target": [True, True, False, False],
+        }
+    )
+    out = {
+        r["doc_id"]: r["logratio_q"]
+        for r in dsir_importance(_ray.data.from_arrow(tbl)).take_all()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0] > out[2] and out[1] > out[2]  # on-domain beats off-domain
+    assert out[2] < out[3] < out[0]  # mixed sits between
+
+
+def test_image_meta_audit_flags_planted_corruption(ray_session):
+    """Planted manifest corruption (w bump at iid%7==0, phash flip at
+    iid%5==0) is flagged exactly; clean rows pass all checks."""
+    from news_crawler_ray.pipelines.queries import q_image_meta_audit
+
+    from news_crawler_ray.pipelines.expected import expected_image_meta_audit
+
+    rows = {r["iid"]: r for r in q_image_meta_audit("unused").take_all()}
+    assert len(rows) == 60
+    exp = {r["iid"]: r for r in expected_image_meta_audit().to_pylist()}
+    assert rows == exp  # engine == independent decode-path replica
+    for iid, r in rows.items():
+        assert r["decode_ok"] is True
+        assert r["dims_ok"] == (iid % 7 != 0)
+        if iid % 5 == 0:
+            assert r["phash_ok"] is False  # planted flip always caught
+    # lossy formats may legitimately drift the stored phash; at least the
+    # unplanted LOSSLESS rows must verify clean
+    assert any(r["phash_ok"] for iid, r in rows.items() if iid % 5 != 0)

@@ -343,6 +343,7 @@ QUERY_SUBSET = [
     "url_canonical_dups",
     "dsir_weights",
     "image_meta_audit",
+    "tokenizer_fertility",
 ]
 
 

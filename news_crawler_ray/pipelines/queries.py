@@ -2367,6 +2367,75 @@ ORACLE_SQL["nb_classify"] = (
 )
 
 
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer-fertility report per language: chars/token and
+    bytes/token over the whitespace pre-tokenization — the eval a
+    multilingual tokenizer build runs to spot languages the vocab
+    under-serves (high bytes-per-token = more splits at train time).
+    ONE zero-exchange combiner pass (exact integer sums per lang);
+    each ratio is a single IEEE division of exact ints, bit-identical
+    to the SQL CAST division."""
+    from ..ops.agg import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        txt = pc.coalesce(t["text"], "")
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_tok": pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+                "n_bytes": pc.cast(pc.binary_length(txt), pa.int64()),
+            }
+        )
+
+    per = partial_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        [
+            ("n_docs", "count_all", None),
+            ("n_tokens", "sum", "n_tok"),
+            ("n_chars", "sum", "n_chars"),
+            ("n_bytes", "sum", "n_bytes"),
+        ],
+    )
+    toks = np.maximum(np.asarray(per["n_tokens"], np.int64), 1).astype(np.float64)
+    return pa.table(
+        {
+            "lang": per["lang"],
+            "n_docs": per["n_docs"],
+            "n_tokens": per["n_tokens"],
+            "n_chars": per["n_chars"],
+            "n_bytes": per["n_bytes"],
+            "chars_per_token": pa.array(
+                np.asarray(per["n_chars"], np.int64).astype(np.float64) / toks,
+                pa.float64(),
+            ),
+            "bytes_per_token": pa.array(
+                np.asarray(per["n_bytes"], np.int64).astype(np.float64) / toks,
+                pa.float64(),
+            ),
+        }
+    )
+
+
+ORACLE_SQL["tokenizer_fertility"] = (
+    r"WITH d AS (SELECT lang, "
+    r"  CAST(len(regexp_extract_all(coalesce(text, ''), '\S+')) AS BIGINT) AS n_tok, "
+    "  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
+    "  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes "
+    "  FROM documents) "
+    "SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens, "
+    "  sum(n_chars) AS n_chars, sum(n_bytes) AS n_bytes, "
+    "  CAST(sum(n_chars) AS DOUBLE) / "
+    "    CAST(greatest(sum(n_tok), 1) AS DOUBLE) AS chars_per_token, "
+    "  CAST(sum(n_bytes) AS DOUBLE) / "
+    "    CAST(greatest(sum(n_tok), 1) AS DOUBLE) AS bytes_per_token "
+    "FROM d GROUP BY lang"
+)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR data-selection importance weights (ops/text.dsir_importance):
     target domain = lang='en' docs, raw pool = the whole corpus; every
@@ -7988,6 +8057,7 @@ def build_queries() -> dict:
         "nb_classify": q_nb_classify,
         "url_canonical_dups": q_url_canonical_dups,
         "dsir_weights": q_dsir_weights,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

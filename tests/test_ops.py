@@ -2329,3 +2329,26 @@ def test_image_meta_audit_flags_planted_corruption(ray_session):
     # lossy formats may legitimately drift the stored phash; at least the
     # unplanted LOSSLESS rows must verify clean
     assert any(r["phash_ok"] for iid, r in rows.items() if iid % 5 != 0)
+
+
+def test_tokenizer_fertility_vs_duckdb(ray_session, sf_dir):
+    """Per-lang fertility ratios match the DuckDB oracle bit-exactly
+    (exact int sums -> one IEEE division on both sides)."""
+    import duckdb
+
+    from news_crawler_ray.pipelines.queries import (
+        build_oracle_sql,
+        q_tokenizer_fertility,
+    )
+
+    got = sorted(q_tokenizer_fertility(sf_dir).to_pylist(), key=lambda r: r["lang"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    sql = build_oracle_sql(sf_dir)["tokenizer_fertility"]
+    want = sorted(con.execute(sql).arrow().to_pylist(), key=lambda r: r["lang"])
+    assert got == want
+    for r in got:
+        assert r["chars_per_token"] >= 1.0  # a token is >=1 char
+        assert r["bytes_per_token"] >= r["chars_per_token"]  # utf8 >= chars

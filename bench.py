@@ -344,6 +344,7 @@ QUERY_SUBSET = [
     "dsir_weights",
     "image_meta_audit",
     "tokenizer_fertility",
+    "containment_pairs",
 ]
 
 

@@ -617,6 +617,147 @@ def shared_fingerprint_pairs(
     )
 
 
+def _shingle_distinct_arrays(
+    batch: pa.Table, text_col: str, id_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT k-shingle hashes for one batch: (doc ids repeated
+    per distinct shingle, shingle hashes uint64). Distinctness is one
+    lexsort + first-occurrence mask — no per-doc Python loop."""
+    th, off = H.tokenize_batch(batch[text_col])
+    sh, soff = H.shingle_hashes(th, off, k)
+    if len(sh) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    doc_of = np.repeat(np.arange(len(soff) - 1), np.diff(soff))
+    order = np.lexsort((sh, doc_of))
+    d2, s2 = doc_of[order], sh[order]
+    first = np.ones(len(s2), dtype=bool)
+    first[1:] = (d2[1:] != d2[:-1]) | (s2[1:] != s2[:-1])
+    ids = np.asarray(batch[id_col], dtype=np.int64)[d2[first]]
+    return ids, s2[first]
+
+
+def containment_dup_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.9,
+    max_bucket: int = 4096,
+):
+    """Shingle-CONTAINMENT near-dup pairs: |S(A)∩S(B)| / min(|S(A)|,
+    |S(B)|) ≥ ``threshold`` over per-doc DISTINCT k-token shingle sets
+    (Broder '97 "containment" — the asymmetric resemblance). Catches the
+    case every Jaccard family misses: a short doc fully CONTAINED in a
+    longer one (quote inclusion, article + boilerplate wrap) has
+    containment 1.0 but Jaccard ≈ |A|/|B|, far below any LSH threshold.
+
+    Shape: per-batch distinct-shingle explode (narrow (id, fp) rows —
+    never the texts) → `shared_fingerprint_pairs` (ONE fp-colocating
+    sorted exchange; n_shared is the EXACT intersection size since each
+    distinct shared shingle contributes exactly 1) → per-doc set sizes
+    ride a zero-exchange combiner pass over the docs → two narrow
+    sort-merge joins pin |S(A)|, |S(B)| onto the pair rows → one
+    vectorized division + filter. Over-cap fp buckets (corpus
+    boilerplate shared by >``max_bucket`` docs) emit a min-id star and
+    log loudly, like the other LSH families — at fixture scale the cap
+    never binds, so the output matches the uncapped SQL oracle exactly.
+
+    Scale: the explode is O(total tokens) narrow rows — exact but heavy
+    at 100 TB; winnow_dup_pairs (w>1) is the sparser approximate
+    candidate path when full-shingle cost is prohibitive. The docs
+    dataset is consumed twice (explode + sizes); at scale, checkpoint
+    the narrow exploded set instead of re-reading the texts.
+
+    Output (id_a < id_b, n_shared, containment), globally distinct.
+    Ref parity: reference dedups exact URLs only (news.py get()); this
+    is the LLM-corpus generalization SURVEY.md §2.5/A2 calls for."""
+    from .join import sort_merge_inner_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, fps = _shingle_distinct_arrays(batch, text_col, id_col, k)
+        return pa.table(
+            {id_col: pa.array(ids, pa.int64()),
+             "fp": pa.array(fps.view(np.int64), pa.int64())}
+        )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        ids, _ = _shingle_distinct_arrays(batch, text_col, id_col, k)
+        if len(ids) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_set": pa.array([], pa.int64())}
+            )
+        uids, counts = np.unique(ids, return_counts=True)
+        return pa.table(
+            {id_col: pa.array(uids, pa.int64()),
+             "n_set": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = shared_fingerprint_pairs(
+        exploded, id_col=id_col, min_shared=1,
+        max_bucket=max_bucket, family="containment",
+    )
+    size_ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)
+
+    def rename_size(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t[id_col], col: t["n_set"]})
+
+        return f
+
+    j1 = sort_merge_inner_join(
+        pairs,
+        size_ds.map_batches(
+            rename_size("n_a"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="id_a",
+        left_cols=["id_b", "n_shared"],
+        right_cols=["n_a"],
+        right_key=id_col,
+    )
+    j2 = sort_merge_inner_join(
+        j1,
+        size_ds.map_batches(
+            rename_size("n_b"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key="id_b",
+        left_cols=["id_a", "n_shared", "n_a"],
+        right_cols=["n_b"],
+        right_key=id_col,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                    "containment": pa.array([], pa.float64()),
+                }
+            )
+        shared_n = np.asarray(t["n_shared"], dtype=np.int64)
+        den = np.minimum(
+            np.asarray(t["n_a"], dtype=np.int64),
+            np.asarray(t["n_b"], dtype=np.int64),
+        ).astype(np.float64)
+        cont = shared_n.astype(np.float64) / den
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(np.asarray(t["id_a"], np.int64)[keep], pa.int64()),
+                "id_b": pa.array(np.asarray(t["id_b"], np.int64)[keep], pa.int64()),
+                "n_shared": pa.array(shared_n[keep], pa.int64()),
+                "containment": pa.array(cont[keep], pa.float64()),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @ray.remote
 def _merge_spans_block(id_col: str, n: int, *parts: pa.Table) -> pa.Table:
     """Per-doc interval union of [pos, pos+n) removal windows over one

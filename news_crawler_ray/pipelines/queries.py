@@ -867,6 +867,59 @@ def q_winnow_dup_pairs(sf_dir: str):
     )
 
 
+CONTAIN_K = 5
+CONTAIN_THR = 0.9
+
+
+def _half_doc(s: str) -> str:
+    """Containment mutation: keep the first max(ceil(n/2), k) tokens —
+    a sub-document fully CONTAINED in its source (containment 1.0,
+    Jaccard ≈ 0.5 — below every Jaccard-LSH threshold)."""
+    t = s.split()
+    return " ".join(t[: max((len(t) + 1) // 2, CONTAIN_K)])
+
+
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric shingle-containment near-dup pairs over documents +
+    planted half-docs (ops/dedup.containment_dup_pairs): |S(A)∩S(B)| /
+    min(|S(A)|, |S(B)|) >= 0.9 over distinct 5-token shingle sets. The
+    planted halves score containment 1.0 — invisible to the Jaccard
+    families at their thresholds. REAL SQL oracle: DuckDB re-derives
+    the shingle sets with list_transform + a self-join."""
+    planted = _ds_from_table(_planted_docs_tbl(sf_dir, _half_doc))
+    return dd.containment_dup_pairs(
+        planted, k=CONTAIN_K, threshold=CONTAIN_THR
+    )
+
+
+ORACLE_SQL["containment_pairs"] = (
+    r"WITH base AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+    r"'\S+') AS t FROM documents), "
+    "planted AS ("
+    "  SELECT doc_id, t FROM base"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000, t[1:greatest((len(t)+1)//2, 5)] FROM base"
+    "), "
+    "sh AS (SELECT doc_id, unnest("
+    "  CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t)-3), "
+    "         i -> array_to_string(t[i:i+4], chr(31))) "
+    "       WHEN len(t) > 0 THEN [array_to_string(t, chr(31))] "
+    "       ELSE CAST([] AS VARCHAR[]) END) AS s FROM planted), "
+    "dsh AS (SELECT DISTINCT doc_id, s FROM sh), "
+    "sz AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
+    "  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "  GROUP BY 1, 2) "
+    "SELECT id_a, id_b, n_shared, containment FROM ("
+    "  SELECT i.id_a, i.id_b, i.n_shared, "
+    "    CAST(i.n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) "
+    "      AS containment "
+    "  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a "
+    "  JOIN sz sb ON sb.doc_id = i.id_b) "
+    "WHERE containment >= 0.9"
+)
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs over documents + word-swapped copies."""
     planted = _ds_from_table(_planted_docs_tbl(sf_dir, _swap01))
@@ -8058,6 +8111,7 @@ def build_queries() -> dict:
         "url_canonical_dups": q_url_canonical_dups,
         "dsir_weights": q_dsir_weights,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "containment_pairs": q_containment_pairs,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

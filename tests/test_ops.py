@@ -2352,3 +2352,31 @@ def test_tokenizer_fertility_vs_duckdb(ray_session, sf_dir):
     for r in got:
         assert r["chars_per_token"] >= 1.0  # a token is >=1 char
         assert r["bytes_per_token"] >= r["chars_per_token"]  # utf8 >= chars
+
+
+def test_containment_pairs_finds_planted_halves(ray_session, sf_dir):
+    """Every planted half-doc must pair with its source at containment
+    1.0 (S(half) is a subset of S(orig) by construction) — the case the
+    Jaccard families structurally miss at their thresholds."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_containment_pairs
+
+    got = q_containment_pairs(sf_dir).take_all()
+    by_pair = {(r["id_a"], r["id_b"]): r for r in got}
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    missing = 0
+    for did, txt in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        ntok = len((txt or "").split())
+        if ntok < 5:
+            continue  # half == whole-doc-combine edge; skip trivial docs
+        r = by_pair.get((did, did + 1_000_000))
+        if r is None:
+            missing += 1
+        else:
+            assert r["containment"] == 1.0
+    assert missing == 0
+    # symmetric sanity: no pair exceeds 1.0, all meet the threshold
+    for r in got:
+        assert 0.9 <= r["containment"] <= 1.0
+        assert r["id_a"] < r["id_b"]

@@ -345,6 +345,7 @@ QUERY_SUBSET = [
     "image_meta_audit",
     "tokenizer_fertility",
     "containment_pairs",
+    "line_dedup",
 ]
 
 

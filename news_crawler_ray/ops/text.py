@@ -1528,6 +1528,174 @@ def remove_boilerplate_lines(
     return ds.map_batches(rebuild, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_LINE_NO_BITS = 21  # 2M lines/doc; doc_id must fit 42 bits
+
+
+@ray.remote
+def _line_dedup_block(
+    id_col: str, text_col: str, min_len: int, *parts: pa.Table
+) -> pa.Table:
+    """Reassembly kernel for one doc-complete part: docs rows (side 0)
+    carry text, kept rows (side 1) carry winning line_nos. Fully
+    vectorized: one split, one packed isin, one offset re-stitch."""
+    tables = [p for p in parts if p.num_rows]
+    t = pa.concat_tables(tables) if len(tables) != 1 else tables[0]
+    side = np.asarray(t["_side"], dtype=np.int8)
+    docs = t.filter(pa.array(side == 0))
+    kept = t.filter(pa.array(side == 1))
+    ids_d = np.asarray(docs[id_col], dtype=np.int64)
+    texts = docs[text_col].combine_chunks()
+    lines = pc.split_pattern(pc.coalesce(texts, ""), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = pc.list_flatten(lines)
+    off = np.asarray(lines.offsets, dtype=np.int64)
+    counts = off[1:] - off[:-1]
+    doc_of = np.repeat(np.arange(len(ids_d), dtype=np.int64), counts)
+    line_no = np.arange(len(flat), dtype=np.int64) - off[doc_of]
+    packed_all = (ids_d[doc_of] << _LINE_NO_BITS) | line_no
+    kept_packed = (
+        np.asarray(kept[id_col], dtype=np.int64) << _LINE_NO_BITS
+    ) | np.asarray(kept["line_no"], dtype=np.int64)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    participate = lens >= min_len
+    keep = ~participate | np.isin(packed_all, kept_packed)
+    new_counts = np.bincount(
+        doc_of[keep], minlength=len(ids_d)
+    ).astype(np.int64)
+    new_off = np.zeros(len(ids_d) + 1, np.int64)
+    np.cumsum(new_counts, out=new_off[1:])
+    lst = pa.ListArray.from_arrays(
+        pa.array(new_off.astype(np.int32), pa.int32()), flat.filter(pa.array(keep))
+    )
+    return pa.table(
+        {
+            id_col: pa.array(ids_d, pa.int64()),
+            "clean_text": pc.binary_join(lst, "\n"),
+            "n_removed": pa.array(counts - new_counts, pa.int64()),
+        }
+    )
+
+
+def dedup_lines_first_wins(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 1,
+):
+    """Global FIRST-WINS exact line deduplication (the RefinedWeb /
+    MassiveText intra-corpus step): every newline-delimited line of
+    length >= ``min_len`` keeps only its first occurrence in corpus
+    order (doc_id, line_no); all later occurrences — across docs AND
+    within a doc — are removed. Sub-``min_len`` lines (empty lines with
+    the default) are structural and always kept. Differs from
+    `remove_boilerplate_lines` (count-threshold removal of ALL
+    occurrences): here exactly one copy of every duplicated line
+    survives, at its earliest position. Returns (id, clean_text,
+    n_removed).
+
+    Scale shape: (1) one vectorized explode pass ships NARROW
+    (line_hash, packed doc·line position) rows — never line text;
+    (2) `sorted_group_agg` min on the task-based exchange picks each
+    hash's earliest occurrence — the winner rows ARE the kept set, so
+    no second join against the occurrences; (3) winners (two int64s
+    per surviving line) union the docs on a doc-complete exchange and
+    one vectorized kernel re-stitches surviving lines per doc. A
+    boilerplate line with millions of occurrences is just a long run
+    under a min-aggregate — no pair blowup. 64-bit line-hash collision
+    risk is the same accepted exact_dedup trade (documented there)."""
+    from ..stages.index import key_complete_parts
+    from .agg import sorted_group_agg
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"lh": pa.array([], pa.int64()), "packed": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if len(ids) and int(ids.max()) >= 1 << (63 - _LINE_NO_BITS):
+            raise ValueError("doc_id exceeds the 42-bit packing bound")
+        lines = pc.split_pattern(pc.coalesce(t[text_col], ""), "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        off = np.asarray(lines.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), off[1:] - off[:-1])
+        line_no = np.arange(len(flat), dtype=np.int64) - off[doc_of]
+        if len(line_no) and int(line_no.max()) >= 1 << _LINE_NO_BITS:
+            raise ValueError("line_no exceeds the 21-bit packing bound")
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        part = lens >= min_len
+        if not part.any():
+            return empty
+        lh = pl.from_arrow(flat.filter(pa.array(part))).hash(seed=0).to_numpy()
+        packed = (ids[doc_of[part]] << _LINE_NO_BITS) | line_no[part]
+        return pa.table(
+            {
+                "lh": pa.array(lh.view(np.int64), pa.int64()),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow", zero_copy_batch=True)
+    winners = sorted_group_agg(occ, ["lh"], [("w", "min", "packed")])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "w" not in t.column_names:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "line_no": pa.array([], pa.int64())}
+            )
+        w = np.asarray(t["w"], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(w >> _LINE_NO_BITS, pa.int64()),
+                "line_no": pa.array(w & ((1 << _LINE_NO_BITS) - 1), pa.int64()),
+            }
+        )
+
+    kept = winners.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    text_col: t[text_col]
+                    if side == 0
+                    else pa.nulls(t.num_rows, pa.string()),
+                    "line_no": pa.nulls(t.num_rows, pa.int64())
+                    if side == 0
+                    else t["line_no"],
+                    "_side": pa.array(np.full(t.num_rows, side, np.int8)),
+                }
+            )
+
+        return f
+
+    tagged = ds.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(kept.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+    groups = key_complete_parts(tagged, id_col, order=["_side"])
+    if not groups:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "clean_text": pa.array([], pa.string()),
+                    "n_removed": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow_refs(
+        [
+            _line_dedup_block.remote(id_col, text_col, min_len, *parts)
+            for parts in groups
+        ]
+    )
+
+
 @ray.remote
 def _assemble_tokens_block(id_col: str, *parts: pa.Table) -> pa.Table:
     tables = [p for p in parts if p.num_rows]

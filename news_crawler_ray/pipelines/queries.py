@@ -867,6 +867,80 @@ def q_winnow_dup_pairs(sf_dir: str):
     )
 
 
+LINE_TOKENS = 6  # tokens per synthetic line in the line-dedup plant
+
+
+def _nl6(tokens: list[str]) -> str:
+    """Group tokens 6-per-line — deterministic multi-line structure the
+    SQL oracle re-derives with range(…, 6) + list slicing."""
+    return "\n".join(
+        " ".join(tokens[i : i + LINE_TOKENS])
+        for i in range(0, len(tokens), LINE_TOKENS)
+    )
+
+
+def _planted_lines_tbl(sf_dir: str) -> pa.Table:
+    """documents newline-ified (6 tokens/line) + planted tail copies:
+    copy doc_id+1e6 = lines 2.. of its source (token-aligned, so every
+    copy line exactly duplicates a source line). Shared by the query
+    and the SQL oracle."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = [(s or "").split() for s in t["text"].to_pylist()]
+    ids = np.asarray(t["doc_id"], dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.concatenate([ids, ids + 1_000_000]), pa.int64()
+            ),
+            "text": pa.array(
+                [_nl6(tk) for tk in toks]
+                + [_nl6(tk[LINE_TOKENS:]) for tk in toks],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def q_line_dedup(sf_dir: str):
+    """Global first-wins exact LINE dedup (RefinedWeb/MassiveText
+    intra-corpus step, ops/text.dedup_lines_first_wins) over newline-
+    ified documents + planted tail copies: every duplicated line keeps
+    only its earliest (doc_id, line_no) occurrence, so the planted
+    copies collapse to empty. REAL SQL oracle: row_number() over
+    (PARTITION BY line ORDER BY doc_id, line_no)."""
+    planted = _ds_from_table(_planted_lines_tbl(sf_dir))
+    out = tx.dedup_lines_first_wins(planted, min_len=1)
+    return out
+
+
+ORACLE_SQL["line_dedup"] = (
+    r"WITH base AS (SELECT doc_id, regexp_extract_all(coalesce(text, ''), "
+    r"'\S+') AS t FROM documents), "
+    "nl AS ("
+    "  SELECT doc_id, array_to_string(list_transform(range(1, len(t)+1, 6), "
+    "    i -> array_to_string(t[i:i+5], ' ')), chr(10)) AS text FROM base"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000, array_to_string(list_transform("
+    "    range(1, len(t[7:])+1, 6), "
+    "    i -> array_to_string((t[7:])[i:i+5], ' ')), chr(10)) FROM base"
+    "), "
+    "occ AS (SELECT doc_id, u.line AS line, u.line_no AS line_no FROM ("
+    "  SELECT doc_id, unnest(list_transform(str_split(text, chr(10)), "
+    "    (x, i) -> struct_pack(line := x, line_no := i - 1))) AS u FROM nl)), "
+    "flagged AS (SELECT doc_id, line, line_no, "
+    "  (length(line) < 1 OR row_number() OVER ("
+    "     PARTITION BY line ORDER BY doc_id, line_no) = 1) AS keep "
+    "  FROM occ) "
+    "SELECT doc_id, "
+    "  coalesce(string_agg(line, chr(10) ORDER BY line_no) "
+    "    FILTER (WHERE keep), '') AS clean_text, "
+    "  CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_removed "
+    "FROM flagged GROUP BY doc_id"
+)
+
+
 CONTAIN_K = 5
 CONTAIN_THR = 0.9
 
@@ -8112,6 +8186,7 @@ def build_queries() -> dict:
         "dsir_weights": q_dsir_weights,
         "tokenizer_fertility": q_tokenizer_fertility,
         "containment_pairs": q_containment_pairs,
+        "line_dedup": q_line_dedup,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

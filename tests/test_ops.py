@@ -2380,3 +2380,36 @@ def test_containment_pairs_finds_planted_halves(ray_session, sf_dir):
     for r in got:
         assert 0.9 <= r["containment"] <= 1.0
         assert r["id_a"] < r["id_b"]
+
+
+def test_dedup_lines_first_wins_hand_case(ray_session):
+    """Cross-doc dup keeps the earliest doc's copy; within-doc dup keeps
+    the first line_no; empty lines are structural and never removed."""
+    import ray as _ray
+
+    from news_crawler_ray.ops.text import dedup_lines_first_wins
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta\n\nshared line\nalpha beta",  # within-doc dup + empty
+                    "shared line\nunique two",  # cross-doc dup (later doc)
+                    "",  # empty doc
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines_first_wins(
+            _ray.data.from_arrow(tbl), min_len=1
+        ).take_all()
+    }
+    assert out[1]["clean_text"] == "alpha beta\n\nshared line"
+    assert out[1]["n_removed"] == 1  # the repeated 'alpha beta'
+    assert out[2]["clean_text"] == "unique two"
+    assert out[2]["n_removed"] == 1  # 'shared line' lost to doc 1
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 0

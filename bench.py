@@ -346,6 +346,7 @@ QUERY_SUBSET = [
     "tokenizer_fertility",
     "containment_pairs",
     "line_dedup",
+    "gopher_quality",
 ]
 
 

@@ -124,6 +124,95 @@ def quality_score(ds, text_col: str = "text", id_col: str = "doc_id", stopwords=
     )
 
 
+GOPHER_REQUIRED_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher repetition/format quality RULES (Rae et al. 2021 Table A1)
+    as EXACT integer arithmetic — every threshold is an integer cross-
+    multiplication (10·x ≤ y), never a float ratio, so the op is
+    bit-identical to its SQL oracle and immune to FP drift:
+
+      bit 0  word count in [50, 100000]
+      bit 1  mean word length in [3, 10]   (3·W ≤ chars ≤ 10·W)
+      bit 2  symbol-to-word ratio ≤ 0.1    ('#' + '...' occurrences)
+      bit 3  ≤10% of lines start with a bullet
+      bit 4  ≤30% of lines end with '...'
+      bit 5  ≥80% of words contain an alphabetic char
+      bit 6  ≥2 of the 8 required stopwords present
+
+    ``reasons`` sets a bit per FAILED rule; ``keep`` = reasons == 0.
+    One vectorized pass, zero exchange; '...' occurrences count via the
+    replace-length trick (both sides), line stats via RE2 (?m) anchors
+    (both sides RE2 — identical multiline semantics)."""
+    text = pc.coalesce(batch[text_col], "")
+    n_words = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+    n_nonspace = pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+    n_hash = pc.cast(pc.count_substring(text, "#"), pa.int64())
+    n_ell = pc.divide(
+        pc.subtract(
+            pc.utf8_length(text),
+            pc.utf8_length(pc.replace_substring(text, "...", "")),
+        ),
+        3,
+    )
+    n_ell = pc.cast(n_ell, pa.int64())
+    n_lines = pc.add(
+        pc.cast(pc.count_substring(text, "\n"), pa.int64()), 1
+    )
+    n_bullet = pc.cast(
+        pc.count_substring_regex(text, r"(?m)^[-*•]"), pa.int64()
+    )
+    n_ell_end = pc.cast(
+        pc.count_substring_regex(text, r"(?m)\.\.\.$"), pa.int64()
+    )
+    n_alpha_w = pc.cast(
+        pc.count_substring_regex(text, r"\S*[A-Za-z]\S*"), pa.int64()
+    )
+    n_req = None
+    for w in GOPHER_REQUIRED_STOPWORDS:
+        ind = pc.cast(
+            pc.match_substring_regex(text, rf"\b{w}\b", ignore_case=True),
+            pa.int64(),
+        )
+        n_req = ind if n_req is None else pc.add(n_req, ind)
+
+    W = np.asarray(n_words, dtype=np.int64)
+    C = np.asarray(n_nonspace, dtype=np.int64)
+    L = np.asarray(n_lines, dtype=np.int64)
+    sym = np.asarray(n_hash, dtype=np.int64) + np.asarray(n_ell, dtype=np.int64)
+    r = np.zeros(len(W), dtype=np.int64)
+    r |= np.where((W < 50) | (W > 100_000), 1 << 0, 0)
+    r |= np.where((3 * W > C) | (C > 10 * W), 1 << 1, 0)
+    r |= np.where(10 * sym > W, 1 << 2, 0)
+    r |= np.where(10 * np.asarray(n_bullet, np.int64) > L, 1 << 3, 0)
+    r |= np.where(10 * np.asarray(n_ell_end, np.int64) > 3 * L, 1 << 4, 0)
+    r |= np.where(10 * np.asarray(n_alpha_w, np.int64) < 8 * W, 1 << 5, 0)
+    r |= np.where(np.asarray(n_req, np.int64) < 2, 1 << 6, 0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": n_words,
+            "n_lines": n_lines,
+            "reasons": pa.array(r, pa.int64()),
+            "keep": pa.array(r == 0, pa.bool_()),
+        }
+    )
+
+
+def gopher_quality_flags(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-wide Gopher-rule gate: see `gopher_quality_batch`."""
+    return ds.map_batches(
+        lambda b: gopher_quality_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def detect_language_batch(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Marker-word language vote: argmax over per-language marker counts.
 

@@ -867,6 +867,56 @@ def q_winnow_dup_pairs(sf_dir: str):
     )
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-rules quality gate (ops/text.gopher_quality_flags): seven
+    Rae-et-al Table A1 rules as exact integer cross-multiplications,
+    a per-doc failed-rule bitmask and keep flag. Zero exchange."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.gopher_quality_flags(ds)
+
+
+def _gopher_oracle_sql() -> str:
+    from ..ops.text import GOPHER_REQUIRED_STOPWORDS
+
+    req = " + ".join(
+        f"CASE WHEN regexp_matches(t, '\\b{w}\\b', 'i') THEN 1 ELSE 0 END"
+        for w in GOPHER_REQUIRED_STOPWORDS
+    )
+    return (
+        "SELECT doc_id, n_words, n_lines, CAST(reasons AS BIGINT) AS reasons, "
+        "  reasons = 0 AS keep FROM ("
+        "  SELECT doc_id, n_words, n_lines, "
+        "    (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END"
+        "     + CASE WHEN 3*n_words > n_nonspace OR n_nonspace > 10*n_words "
+        "         THEN 2 ELSE 0 END"
+        "     + CASE WHEN 10*(n_hash + n_ell) > n_words THEN 4 ELSE 0 END"
+        "     + CASE WHEN 10*n_bullet > n_lines THEN 8 ELSE 0 END"
+        "     + CASE WHEN 10*n_ell_end > 3*n_lines THEN 16 ELSE 0 END"
+        "     + CASE WHEN 10*n_alpha_w < 8*n_words THEN 32 ELSE 0 END"
+        "     + CASE WHEN n_req < 2 THEN 64 ELSE 0 END) AS reasons"
+        "  FROM ("
+        "    SELECT doc_id, "
+        r"      CAST(len(regexp_extract_all(t, '\S+')) AS BIGINT) AS n_words, "
+        r"      CAST(len(regexp_extract_all(t, '\S')) AS BIGINT) AS n_nonspace, "
+        "      CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash, "
+        "      CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) "
+        "        AS n_ell, "
+        "      CAST(length(t) - length(replace(t, chr(10), '')) + 1 AS BIGINT) "
+        "        AS n_lines, "
+        "      CAST(len(regexp_extract_all(t, '(?m)^[-*•]')) AS BIGINT) "
+        "        AS n_bullet, "
+        r"      CAST(len(regexp_extract_all(t, '(?m)\.\.\.$')) AS BIGINT) "
+        "        AS n_ell_end, "
+        r"      CAST(len(regexp_extract_all(t, '\S*[A-Za-z]\S*')) AS BIGINT) "
+        "        AS n_alpha_w, "
+        f"      ({req}) AS n_req "
+        "    FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)))"
+    )
+
+
+ORACLE_SQL["gopher_quality"] = _gopher_oracle_sql()
+
+
 LINE_TOKENS = 6  # tokens per synthetic line in the line-dedup plant
 
 
@@ -8187,6 +8237,7 @@ def build_queries() -> dict:
         "tokenizer_fertility": q_tokenizer_fertility,
         "containment_pairs": q_containment_pairs,
         "line_dedup": q_line_dedup,
+        "gopher_quality": q_gopher_quality,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

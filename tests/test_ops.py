@@ -2413,3 +2413,42 @@ def test_dedup_lines_first_wins_hand_case(ray_session):
     assert out[2]["clean_text"] == "unique two"
     assert out[2]["n_removed"] == 1  # 'shared line' lost to doc 1
     assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 0
+
+
+def test_gopher_quality_rule_bits(ray_session):
+    """Each Gopher rule fires on a targeted document; the clean doc
+    passes every rule."""
+    import ray as _ray
+
+    from news_crawler_ray.ops.text import gopher_quality_flags
+
+    good = (
+        "the quick brown fox and the lazy dog have fun with that be to of and "
+        * 4
+    ).strip()
+    docs = {
+        0: good,  # passes all seven rules
+        1: "the quick brown fox and that have be with of",  # <50 words
+        2: good + " " + "#tag " * 20,  # symbol ratio > 0.1
+        3: good + "\n" + "\n".join("- item" for _ in range(30)),  # bullets
+        4: good + "\n" + "\n".join("trailing off..." for _ in range(30)),
+        5: good + " " + "123 456 " * 30,  # <80% alpha words
+        6: "zzz www qqq rrr " * 16,  # no required stopwords
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(_ray.data.from_arrow(tbl)).take_all()
+    }
+    assert out[0]["keep"] is True and out[0]["reasons"] == 0
+    assert out[1]["reasons"] & (1 << 0)
+    assert out[2]["reasons"] & (1 << 2)
+    assert out[3]["reasons"] & (1 << 3) and not out[3]["reasons"] & (1 << 0)
+    assert out[4]["reasons"] & (1 << 4)
+    assert out[5]["reasons"] & (1 << 5)
+    assert out[6]["reasons"] & (1 << 6)

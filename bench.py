@@ -347,6 +347,7 @@ QUERY_SUBSET = [
     "containment_pairs",
     "line_dedup",
     "gopher_quality",
+    "ccnet_ppl_buckets",
 ]
 
 

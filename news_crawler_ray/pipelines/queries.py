@@ -7009,6 +7009,180 @@ def q_kn_bigram_lm(sf_dir: str):
     return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
 
 
+PPL_QUANT = 1 << 20
+PPL_BUCKETS = 3
+
+
+def q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet-style LM-perplexity corpus bucketing (Wenzek et al. 2020):
+    score every doc under the corpus-trained Kneser-Ney bigram LM
+    (q_kn_bigram_lm) and NTILE the corpus into head/middle/tail thirds
+    by bits-per-bigram. Each bigram's surprisal −log2 p is QUANTIZED to
+    int64 (the shared _nb_lq convention), so per-doc totals are exact
+    integer sums — merge-order-free; the only floats are one final
+    division per doc and the (deterministic) sort key.
+
+    Shape: LM table (one bigram exchange, from q_kn_bigram_lm) → doc
+    bigram counts pre-aggregated per block (zero exchange — a doc lives
+    in one row) → ONE bg-keyed sort-merge join → ONE doc-keyed sum
+    exchange → global sort + zip_with_index for the NTILE (rank·k//n
+    reproduces DuckDB NTILE exactly: bigger buckets first). At corpus
+    scale the final sort ranks one narrow row per doc; sampled bucket
+    THRESHOLDS (group_quantiles machinery) replace the exact NTILE when
+    even that is too wide. Docs with <2 tokens have no bigrams and drop
+    out, matching the SQL inner join."""
+    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_inner_join
+    from ..ops.text import _nb_lq
+    from ..stages.index import zip_with_index
+
+    lm = q_kn_bigram_lm(sf_dir)
+
+    def lm_q(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"bg": pa.array([], pa.string()),
+                 "nll_q": pa.array([], pa.int64())}
+            )
+        nll = -_nb_lq(np.asarray(t["p_kn"], dtype=np.float64))
+        return pa.table(
+            {
+                "bg": pc.binary_join_element_wise(t["w1"], t["w2"], " "),
+                "nll_q": pa.array(nll, pa.int64()),
+            }
+        )
+
+    lmq = lm.map_batches(lm_q, batch_format="pyarrow", zero_copy_batch=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_bigrams(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bg": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.coalesce(t["text"], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        offsets = np.asarray(toks.offsets, dtype=np.int64)
+        row_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offsets))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        f = flat.filter(pa.array(keep))
+        f = f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f
+        r = row_idx[keep]
+        m = len(f)
+        if m < 2:
+            return empty
+        same = r[1:] == r[:-1]
+        bg = pc.binary_join_element_wise(
+            f.slice(0, m - 1).filter(pa.array(same)),
+            f.slice(1, m - 1).filter(pa.array(same)),
+            " ",
+        )
+        ids = np.asarray(t["doc_id"], dtype=np.int64)[r[:-1][same]]
+        g = (
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "bg": bg})
+            .group_by(["doc_id", "bg"])
+            .aggregate([("bg", "count")])
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "bg": g["bg"],
+                "cnt": pc.cast(g["bg_count"], pa.int64()),
+            }
+        )
+
+    occ = docs.map_batches(doc_bigrams, batch_format="pyarrow", zero_copy_batch=True)
+    joined = sort_merge_inner_join(
+        occ, lmq, key="bg", left_cols=["doc_id", "cnt"], right_cols=["nll_q"]
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        cnt = np.asarray(t["cnt"], dtype=np.int64)
+        nll = np.asarray(t["nll_q"], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "bits": pa.array(cnt * nll, pa.int64()),
+                "cnt": t["cnt"],
+            }
+        )
+
+    per_doc = sorted_group_agg(
+        joined.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"],
+        [("bits_q", "sum", "bits"), ("n_bigrams", "sum", "cnt")],
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        bq = np.asarray(t["bits_q"], dtype=np.int64)
+        nb = np.asarray(t["n_bigrams"], dtype=np.int64)
+        avg = bq.astype(np.float64) / nb.astype(np.float64) / float(PPL_QUANT)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": t["n_bigrams"],
+                "bits_q": t["bits_q"],
+                "avg_bits": pa.array(avg, pa.float64()),
+            }
+        )
+
+    scored = per_doc.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n = scored.count()
+    ranked = zip_with_index(scored, ["avg_bits", "doc_id"], [False, False])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        rk = np.asarray(t["rank"], dtype=np.int64)
+        b = rk * PPL_BUCKETS // max(n, 1) + 1
+        return t.drop_columns(["rank"]).append_column(
+            "bucket", pa.array(b, pa.int64())
+        )
+
+    return ranked.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["ccnet_ppl_buckets"] = (
+    r"WITH l AS (SELECT doc_id, list_filter(regexp_split_to_array("
+    r"coalesce(text, ''), '\s+'), x -> x <> '') AS toks FROM documents), "
+    "b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+    "i -> toks[i] || ' ' || toks[i + 1])) AS term FROM l), "
+    "cb AS (SELECT term, count(*) AS n FROM b GROUP BY term), "
+    "s1 AS (SELECT split_part(term, ' ', 1) AS w1, sum(n) AS c1, "
+    "count(*) AS n1f FROM cb GROUP BY 1), "
+    "s2 AS (SELECT split_part(term, ' ', 2) AS w2, count(*) AS n1b "
+    "FROM cb GROUP BY 1), "
+    "tot AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM cb), "
+    "lm AS (SELECT term, "
+    "  (greatest(CAST(n AS DOUBLE) - 0.75, 0) + "
+    "   0.75 * CAST(n1f AS DOUBLE) * CAST(n1b AS DOUBLE) / b) "
+    "  / CAST(c1 AS DOUBLE) AS p_kn "
+    "  FROM cb CROSS JOIN tot "
+    "  JOIN s1 ON s1.w1 = split_part(term, ' ', 1) "
+    "  JOIN s2 ON s2.w2 = split_part(term, ' ', 2)), "
+    "lmq AS (SELECT term, CAST(-floor(log2(p_kn) * 1048576 + 0.5) AS BIGINT) "
+    "  AS nll_q FROM lm), "
+    "occ AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS cnt "
+    "  FROM b GROUP BY 1, 2), "
+    "per AS (SELECT doc_id, CAST(sum(cnt * nll_q) AS BIGINT) AS bits_q, "
+    "  CAST(sum(cnt) AS BIGINT) AS n_bigrams "
+    "  FROM occ JOIN lmq USING (term) GROUP BY doc_id) "
+    "SELECT doc_id, n_bigrams, bits_q, "
+    "  CAST(bits_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1048576.0 "
+    "    AS avg_bits, "
+    "  CAST(NTILE(3) OVER (ORDER BY "
+    "    CAST(bits_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1048576.0, "
+    "    doc_id) AS BIGINT) AS bucket "
+    "FROM per"
+)
+
+
 def q_normalize_text(sf_dir: str):
     """C4-style cleaning: NFC → lowercase → collapse whitespace → trim,
     dialect-identical pyarrow/DuckDB kernels (ops/text.normalize_text)."""
@@ -8238,6 +8412,7 @@ def build_queries() -> dict:
         "containment_pairs": q_containment_pairs,
         "line_dedup": q_line_dedup,
         "gopher_quality": q_gopher_quality,
+        "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

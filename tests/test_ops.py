@@ -2452,3 +2452,22 @@ def test_gopher_quality_rule_bits(ray_session):
     assert out[4]["reasons"] & (1 << 4)
     assert out[5]["reasons"] & (1 << 5)
     assert out[6]["reasons"] & (1 << 6)
+
+
+def test_ccnet_ppl_buckets_properties(ray_session, sf_dir):
+    """Bucket sizes follow NTILE (bigger-first, differ by <=1), buckets
+    are monotone in avg_bits, quantized bits are exact ints."""
+    from news_crawler_ray.pipelines.queries import q_ccnet_ppl_buckets
+
+    rows = q_ccnet_ppl_buckets(sf_dir).take_all()
+    assert rows
+    sizes = {}
+    for r in rows:
+        sizes[r["bucket"]] = sizes.get(r["bucket"], 0) + 1
+        assert r["n_bigrams"] >= 1 and r["bits_q"] >= 0
+    assert set(sizes) == {1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sizes[1] >= sizes[2] >= sizes[3]  # NTILE: bigger buckets first
+    b1 = max(r["avg_bits"] for r in rows if r["bucket"] == 1)
+    b3 = min(r["avg_bits"] for r in rows if r["bucket"] == 3)
+    assert b1 <= b3  # head (low perplexity) strictly before tail

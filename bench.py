@@ -348,6 +348,7 @@ QUERY_SUBSET = [
     "line_dedup",
     "gopher_quality",
     "ccnet_ppl_buckets",
+    "bm25_search",
 ]
 
 

@@ -2562,3 +2562,157 @@ def heldout_cross_entropy(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUANT = 1 << 20
+
+
+def bm25_search(
+    ds,
+    terms: list[str],
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25 top-k retrieval for a fixed query-term set (Robertson/
+    Sparck-Jones; Lucene-style idf, log2 variant): score(d) =
+    Σ_t idf(t)·tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)). Every
+    per-(doc,term) contribution is QUANTIZED to int64 (shared _nb_lq
+    convention), so the per-doc total is an exact merge-order-free
+    integer sum and the final ranking (score_q DESC, doc_id) is fully
+    deterministic — bit-identical to the SQL oracle, which evaluates
+    the same float expression in the same parenthesization.
+
+    Shape: pass 1 streams tiny per-block partials — (term, df) rows
+    plus a '' marker row carrying (n_docs, n_tokens) — summed on the
+    driver into |Q|+2 constants (a doc lives in one block, so per-block
+    df partials are exact). Pass 2 emits narrow (doc, term, tf, dl)
+    rows for MATCHING docs only, scores them vectorized with the
+    broadcast constants, and ONE doc-keyed exchange + a top-k sort of
+    one narrow row per matching doc finishes. Nothing ever ships text
+    through an exchange."""
+    from .agg import sorted_group_agg
+
+    terms = list(terms)
+
+    def _doc_term_tf(t: pa.Table):
+        """(flat nonempty tokens, doc_of, per-doc dl) for one block."""
+        toks = pc.split_pattern_regex(pc.coalesce(t[text_col], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        doc_of = doc_of[keep]
+        dl = np.bincount(doc_of, minlength=t.num_rows).astype(np.int64)
+        return flat, doc_of, dl
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_tok": pa.array([], pa.int64())}
+            )
+        flat, doc_of, dl = _doc_term_tf(t)
+        out_t, out_df = [""], [0]
+        for q in terms:
+            eq = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_of[eq], minlength=t.num_rows)
+            out_t.append(q)
+            out_df.append(int((tf > 0).sum()))
+        n = len(out_t)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "df": pa.array(out_df, pa.int64()),
+                "n_docs": pa.array([t.num_rows] + [0] * (n - 1), pa.int64()),
+                "n_tok": pa.array([int(len(flat))] + [0] * (n - 1), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_docs = float(sum(r["n_docs"] for r in rows))
+    n_tok = float(sum(r["n_tok"] for r in rows))
+    df: dict[str, float] = {q: 0.0 for q in terms}
+    for r in rows:
+        if r["term"]:
+            df[r["term"]] += r["df"]
+    avgdl = n_tok / n_docs
+    idf = {
+        q: float(np.log2((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for q, d in df.items()
+        if d > 0
+    }
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "tq": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        flat, doc_of, dl = _doc_term_tf(t)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        out_id, out_q, out_tf = [], [], []
+        for q, w in idf.items():
+            eq = pc.equal(flat, q).to_numpy(zero_copy_only=False)
+            tf = np.bincount(doc_of[eq], minlength=t.num_rows)
+            hit = tf > 0
+            if not hit.any():
+                continue
+            tf_f = tf[hit].astype(np.float64)
+            dl_f = dl[hit].astype(np.float64)
+            num = tf_f * (BM25_K1 + 1.0)
+            den = tf_f + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl_f) / avgdl)
+            tq = np.floor((w * num) / den * BM25_QUANT + 0.5).astype(np.int64)
+            out_id.append(ids[hit])
+            out_q.append(tq)
+            out_tf.append(tf[hit].astype(np.int64))
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "tq": pa.array(np.concatenate(out_q), pa.int64()),
+                "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_doc = sorted_group_agg(
+        scored, [id_col], [("score_q", "sum", "tq"), ("n_hits", "sum", "tf")]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64()),
+                 "score_q": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}
+            )
+        sq = np.asarray(t["score_q"], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_hits": t["n_hits"],
+                "score_q": t["score_q"],
+                "score": pa.array(
+                    sq.astype(np.float64) / float(BM25_QUANT), pa.float64()
+                ),
+            }
+        )
+
+    out = per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(["score_q", id_col], descending=[True, False]).limit(k)

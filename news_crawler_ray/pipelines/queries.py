@@ -7009,6 +7009,53 @@ def q_kn_bigram_lm(sf_dir: str):
     return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BM25_TOP_K = 50
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-k retrieval over documents for the fixed SEARCH_TERMS
+    query set (ops/text.bm25_search): Lucene-style idf (log2 variant),
+    k1=1.2, b=0.75, per-(doc,term) contributions quantized to int64 so
+    per-doc totals sum exactly in any merge order. Ranked score_q DESC,
+    doc_id; REAL SQL oracle evaluates the identical float expression
+    with identical parenthesization (constants written as the same
+    runtime sums, e.g. (1.2 + 1.0), never pre-folded literals)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tx.bm25_search(ds, list(SEARCH_TERMS), k=BM25_TOP_K)
+
+
+def _bm25_oracle_sql() -> str:
+    in_list = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    return (
+        f"WITH tok AS (SELECT doc_id, term FROM ({_TOK_SQL}) WHERE term <> ''), "
+        "stats AS (SELECT "
+        "  (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs, "
+        "  (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS n_tok), "
+        f"tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        f"  FROM tok WHERE term IN ({in_list}) GROUP BY 1, 2), "
+        "dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl "
+        "  FROM tok GROUP BY 1), "
+        "df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf "
+        "  GROUP BY term), "
+        "sc AS (SELECT tf.doc_id, tf.tf, "
+        "  CAST(floor((log2((n_docs - df + 0.5) / (df + 0.5) + 1.0) * "
+        "    (CAST(tf AS DOUBLE) * (1.2 + 1.0))) / "
+        "    (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + "
+        "      (0.75 * CAST(dl AS DOUBLE)) / (n_tok / n_docs))) "
+        "    * 1048576.0 + 0.5) AS BIGINT) AS tq "
+        "  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) "
+        "  CROSS JOIN stats), "
+        "per AS (SELECT doc_id, CAST(sum(tq) AS BIGINT) AS score_q, "
+        "  CAST(sum(tf) AS BIGINT) AS n_hits FROM sc GROUP BY doc_id) "
+        "SELECT doc_id, n_hits, score_q, "
+        "  CAST(score_q AS DOUBLE) / 1048576.0 AS score "
+        f"FROM per ORDER BY score_q DESC, doc_id LIMIT {BM25_TOP_K}"
+    )
+
+
+ORACLE_SQL["bm25_search"] = _bm25_oracle_sql()
+
+
 PPL_QUANT = 1 << 20
 PPL_BUCKETS = 3
 
@@ -8413,6 +8460,7 @@ def build_queries() -> dict:
         "line_dedup": q_line_dedup,
         "gopher_quality": q_gopher_quality,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
+        "bm25_search": q_bm25_search,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

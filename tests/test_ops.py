@@ -2471,3 +2471,22 @@ def test_ccnet_ppl_buckets_properties(ray_session, sf_dir):
     b1 = max(r["avg_bits"] for r in rows if r["bucket"] == 1)
     b3 = min(r["avg_bits"] for r in rows if r["bucket"] == 3)
     assert b1 <= b3  # head (low perplexity) strictly before tail
+
+
+def test_bm25_search_vs_duckdb(ray_session, sf_dir):
+    """BM25 top-k matches the DuckDB oracle bit-exactly (quantized int
+    contributions) and ranks multi-term matches sensibly."""
+    import duckdb
+
+    from news_crawler_ray.pipelines.queries import build_oracle_sql, q_bm25_search
+
+    got = q_bm25_search(sf_dir).take_all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.execute(build_oracle_sql(sf_dir)["bm25_search"]).arrow().to_pylist()
+    assert got == want
+    scores = [r["score_q"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_hits"] >= 1 for r in got)

@@ -349,6 +349,7 @@ QUERY_SUBSET = [
     "gopher_quality",
     "ccnet_ppl_buckets",
     "bm25_search",
+    "pld_rollup",
 ]
 
 

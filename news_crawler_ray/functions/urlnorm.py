@@ -263,3 +263,40 @@ def dedup_canonical_batch(
         base,
     )
     return batch.append_column(out_col, canon)
+
+
+# ------------------------------------------- registrable-domain (PLD)
+
+# multi-label public suffixes handled by the lite extractor — the
+# embedded head of the public-suffix list (full PSL is a data file this
+# container doesn't ship; the op takes extra suffixes via parameter)
+PLD_SECOND_LEVEL = (
+    "co.uk", "com.au", "co.jp", "ac.uk", "gov.uk",
+    "co.kr", "com.br", "co.in", "com.cn",
+)
+
+
+def _pld_patterns(second_level: tuple[str, ...]):
+    alt = "|".join(s.replace(".", r"\.") for s in second_level)
+    return (
+        rf"(?P<pld>[^.]+\.(?:{alt}))$",
+        r"(?P<pld>[^.]+\.[^.]+)$",
+    )
+
+
+def registrable_domain(hosts, second_level: tuple[str, ...] = PLD_SECOND_LEVEL):
+    """Registrable domain (pay-level domain) per host — the key crawl
+    politeness, reputation and dedup roll up on at web scale (a full
+    host like news.bbc.co.uk over-partitions; bbc.co.uk is the
+    ownership unit). Public-suffix-lite: hosts ending in a known
+    multi-label suffix keep THREE labels, everything else keeps two;
+    single-label hosts pass through. Two vectorized RE2 extracts + one
+    coalesce — zero per-row Python, and the same two patterns express
+    the oracle SQL verbatim (ref parity: reference keys politeness on
+    the raw netloc, utils/url.py split_host_uri)."""
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    ml_re, two_re = _pld_patterns(second_level)
+    ml = pc.struct_field(pc.extract_regex(hosts, ml_re), "pld")
+    two = pc.struct_field(pc.extract_regex(hosts, two_re), "pld")
+    return pc.coalesce(ml, two, hosts)

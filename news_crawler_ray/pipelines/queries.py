@@ -7009,6 +7009,67 @@ def q_kn_bigram_lm(sf_dir: str):
     return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_pld_rollup(sf_dir: str):
+    """Per-registrable-domain (PLD) rollup over deterministically
+    derived hosts (functions/urlnorm.registrable_domain): URL count +
+    distinct-host count per ownership unit — the aggregation level web
+    crawl politeness/reputation keys on (news.bbc.co.uk and
+    www.bbc.co.uk are ONE budget). Hosts are built from doc_id on both
+    sides (subdomain·site·suffix mix incl. co.uk/com.au multi-label
+    suffixes); two narrow exchanges: (pld, host) distinct then per-pld
+    merge."""
+    from ..functions.urlnorm import registrable_domain
+    from ..ops.agg import sorted_group_agg
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def hosts(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        sub = np.array(["www", "m", "blog", "news"])[ids % 4]
+        suf = np.array(["co.uk", "com.au", "com"])[ids % 3]
+        site = np.char.add("site", (ids % 50).astype(str))
+        host = pa.array(
+            [f"{a}.{b}.{c}" for a, b, c in zip(sub, site, suf)], pa.string()
+        )
+        return pa.table({"host": host, "pld": registrable_domain(host)})
+
+    rows = ds.map_batches(hosts, batch_format="pyarrow", zero_copy_batch=True)
+    per_host = sorted_group_agg(
+        rows, ["pld", "host"], [("n", "count_all", None)]
+    )
+    return sorted_group_agg(
+        per_host, ["pld"], [("n_urls", "sum", "n"), ("n_hosts", "count_all", None)]
+    )
+
+
+def _pld_oracle_sql() -> str:
+    from ..functions.urlnorm import PLD_SECOND_LEVEL
+
+    alt = "|".join(s.replace(".", r"\.") for s in PLD_SECOND_LEVEL)
+    ml = rf"([^.]+\.(?:{alt}))$"
+    two = r"([^.]+\.[^.]+)$"
+    return (
+        "WITH h AS (SELECT doc_id, "
+        "  (CASE doc_id % 4 WHEN 0 THEN 'www' WHEN 1 THEN 'm' "
+        "     WHEN 2 THEN 'blog' ELSE 'news' END) "
+        "  || '.site' || CAST(doc_id % 50 AS VARCHAR) || '.' || "
+        "  (CASE doc_id % 3 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au' "
+        "     ELSE 'com' END) AS host FROM documents), "
+        "p AS (SELECT host, "
+        f"  CASE WHEN regexp_matches(host, '{ml}') "
+        f"       THEN regexp_extract(host, '{ml}', 1) "
+        f"       WHEN regexp_matches(host, '{two}') "
+        f"       THEN regexp_extract(host, '{two}', 1) "
+        "       ELSE host END AS pld FROM h) "
+        "SELECT pld, CAST(count(*) AS BIGINT) AS n_urls, "
+        "  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts "
+        "FROM p GROUP BY pld"
+    )
+
+
+ORACLE_SQL["pld_rollup"] = _pld_oracle_sql()
+
+
 BM25_TOP_K = 50
 
 
@@ -8461,6 +8522,7 @@ def build_queries() -> dict:
         "gopher_quality": q_gopher_quality,
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "bm25_search": q_bm25_search,
+        "pld_rollup": q_pld_rollup,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

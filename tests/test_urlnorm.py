@@ -88,3 +88,33 @@ def test_url_trap_flags_signals():
     assert bare["depth"] == 0 and bare["max_seg_repeat"] == 0 and not bare["is_trap"]
     # empty batch keeps the schema
     assert url_trap_flags(t.slice(0, 0)).num_rows == 0
+
+
+def test_registrable_domain_suffix_handling():
+    """Multi-label public suffixes keep three labels, plain TLDs keep
+    two, bare hosts pass through."""
+    import pyarrow as pa
+
+    from news_crawler_ray.functions.urlnorm import registrable_domain
+
+    hosts = pa.array(
+        [
+            "news.bbc.co.uk",
+            "www.bbc.co.uk",
+            "deep.sub.example.com.au",
+            "www.example.com",
+            "example.com",
+            "localhost",
+            "a.b.c.gov.uk",
+        ],
+        pa.string(),
+    )
+    assert registrable_domain(hosts).to_pylist() == [
+        "bbc.co.uk",
+        "bbc.co.uk",
+        "example.com.au",
+        "example.com",
+        "example.com",
+        "localhost",
+        "c.gov.uk",
+    ]

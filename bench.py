@@ -350,6 +350,7 @@ QUERY_SUBSET = [
     "ccnet_ppl_buckets",
     "bm25_search",
     "pld_rollup",
+    "lexical_diversity",
 ]
 
 

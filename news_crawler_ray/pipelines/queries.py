@@ -7009,6 +7009,108 @@ def q_kn_bigram_lm(sf_dir: str):
     return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-language lexical-diversity report: vocabulary size, hapax-
+    legomenon count/fraction, and corpus type-token ratio — the vocab-
+    growth health check a tokenizer/corpus build runs next to Zipf
+    (zipf_slope) and fertility (tokenizer_fertility). Per-batch partial
+    (lang, term) counts ride ONE term-colocating exchange; the per-lang
+    rollup is a second, vocabulary-sized exchange; the two ratios are
+    single IEEE divisions of exact ints — bit-equal to the SQL CASTs."""
+    from ..ops.agg import sorted_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"lang": pa.array([], pa.string()),
+             "term": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(pc.coalesce(t["text"], ""), r"\s+")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        flat = pc.list_flatten(toks)
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        doc_of = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(off))
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        langs = t["lang"].combine_chunks().take(pa.array(doc_of[keep]))
+        g = (
+            pa.table({"lang": langs, "term": flat.filter(pa.array(keep))})
+            .group_by(["lang", "term"])
+            .aggregate([("term", "count")])
+        )
+        return pa.table(
+            {"lang": g["lang"], "term": g["term"],
+             "c": pc.cast(g["term_count"], pa.int64())}
+        )
+
+    tf = sorted_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "term"],
+        [("c", "sum", "c")],
+    )
+
+    def mark(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["c"], dtype=np.int64)
+        return pa.table(
+            {"lang": t["lang"],
+             "h": pa.array((c == 1).astype(np.int64), pa.int64()),
+             "c": t["c"]}
+        )
+
+    per = sorted_group_agg(
+        tf.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        [("vocab", "count_all", None), ("hapax", "sum", "h"),
+         ("n_tokens", "sum", "c")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "vocab": pa.array([], pa.int64()),
+                 "hapax": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "hapax_frac": pa.array([], pa.float64()),
+                 "ttr": pa.array([], pa.float64())}
+            )
+        v = np.asarray(t["vocab"], dtype=np.int64).astype(np.float64)
+        h = np.asarray(t["hapax"], dtype=np.int64).astype(np.float64)
+        n = np.asarray(t["n_tokens"], dtype=np.int64).astype(np.float64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "vocab": t["vocab"],
+                "hapax": t["hapax"],
+                "n_tokens": t["n_tokens"],
+                "hapax_frac": pa.array(h / v, pa.float64()),
+                "ttr": pa.array(v / n, pa.float64()),
+            }
+        )
+
+    return per.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ORACLE_SQL["lexical_diversity"] = (
+    r"WITH tok AS (SELECT lang, unnest(regexp_split_to_array("
+    r"coalesce(text, ''), '\s+')) AS term FROM documents), "
+    "tf AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM tok "
+    "  WHERE term <> '' GROUP BY 1, 2), "
+    "per AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab, "
+    "  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, "
+    "  CAST(sum(c) AS BIGINT) AS n_tokens FROM tf GROUP BY lang) "
+    "SELECT lang, vocab, hapax, n_tokens, "
+    "  CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_frac, "
+    "  CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr "
+    "FROM per"
+)
+
+
 def q_pld_rollup(sf_dir: str):
     """Per-registrable-domain (PLD) rollup over deterministically
     derived hosts (functions/urlnorm.registrable_domain): URL count +
@@ -8523,6 +8625,7 @@ def build_queries() -> dict:
         "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
         "bm25_search": q_bm25_search,
         "pld_rollup": q_pld_rollup,
+        "lexical_diversity": q_lexical_diversity,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

@@ -2490,3 +2490,30 @@ def test_bm25_search_vs_duckdb(ray_session, sf_dir):
     scores = [r["score_q"] for r in got]
     assert scores == sorted(scores, reverse=True)
     assert all(r["n_hits"] >= 1 for r in got)
+
+
+def test_lexical_diversity_vs_duckdb(ray_session, sf_dir):
+    """Per-lang vocab/hapax/TTR match DuckDB bit-exactly; invariants
+    hold (hapax <= vocab <= tokens)."""
+    import duckdb
+
+    from news_crawler_ray.pipelines.queries import (
+        build_oracle_sql,
+        q_lexical_diversity,
+    )
+
+    got = sorted(q_lexical_diversity(sf_dir).take_all(), key=lambda r: r["lang"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        con.execute(build_oracle_sql(sf_dir)["lexical_diversity"])
+        .arrow()
+        .to_pylist(),
+        key=lambda r: r["lang"],
+    )
+    assert got == want
+    for r in got:
+        assert r["hapax"] <= r["vocab"] <= r["n_tokens"]
+        assert 0.0 < r["ttr"] <= 1.0

@@ -351,6 +351,7 @@ QUERY_SUBSET = [
     "bm25_search",
     "pld_rollup",
     "lexical_diversity",
+    "doc_length_histogram",
 ]
 
 

@@ -7009,6 +7009,47 @@ def q_kn_bigram_lm(sf_dir: str):
     return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_doc_length_histogram(sf_dir: str):
+    """Per-(lang, log2-length-bucket) doc histogram — the length-
+    distribution panel of a corpus report (spot truncation spikes and
+    boilerplate walls before training). The bucket is the BIT LENGTH of
+    n_chars+1 (np.frexp exponent == DuckDB length(bin(x)) — exact
+    integer, no float log anywhere); ONE zero-exchange combiner pass."""
+    from ..ops.agg import partial_group_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        n = np.asarray(
+            pc.coalesce(t["n_chars"], 0), dtype=np.int64
+        )
+        bucket = np.frexp((n + 1).astype(np.float64))[1].astype(np.int64)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "len_bucket": pa.array(bucket, pa.int64()),
+                "n_chars": pa.array(n, pa.int64()),
+            }
+        )
+
+    return partial_group_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "len_bucket"],
+        [("n_docs", "count_all", None), ("sum_chars", "sum", "n_chars")],
+    )
+
+
+ORACLE_SQL["doc_length_histogram"] = (
+    "WITH d AS (SELECT lang, "
+    "  CAST(coalesce(n_chars, 0) AS BIGINT) AS n_chars, "
+    "  CAST(length(bin(CAST(coalesce(n_chars, 0) AS BIGINT) + 1)) AS BIGINT) "
+    "    AS len_bucket FROM documents) "
+    "SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n_docs, "
+    "  CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+    "FROM d GROUP BY lang, len_bucket"
+)
+
+
 def q_lexical_diversity(sf_dir: str):
     """Per-language lexical-diversity report: vocabulary size, hapax-
     legomenon count/fraction, and corpus type-token ratio — the vocab-
@@ -8626,6 +8667,7 @@ def build_queries() -> dict:
         "bm25_search": q_bm25_search,
         "pld_rollup": q_pld_rollup,
         "lexical_diversity": q_lexical_diversity,
+        "doc_length_histogram": q_doc_length_histogram,
         "triangles": q_triangles,
         "profile_events": q_profile_events,
         "events_cube": q_events_cube,

@@ -2517,3 +2517,20 @@ def test_lexical_diversity_vs_duckdb(ray_session, sf_dir):
     for r in got:
         assert r["hapax"] <= r["vocab"] <= r["n_tokens"]
         assert 0.0 < r["ttr"] <= 1.0
+
+
+def test_doc_length_histogram_bucket_exactness(ray_session, sf_dir):
+    """frexp bucket == bit_length(n_chars+1) for every doc; counts sum
+    to the corpus size."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.queries import q_doc_length_histogram
+
+    out = q_doc_length_histogram(sf_dir)
+    rows = out.to_pylist() if hasattr(out, "to_pylist") else out.take_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    assert sum(r["n_docs"] for r in rows) == docs.num_rows
+    for r in rows:
+        lo, hi = 2 ** (r["len_bucket"] - 1) - 1, 2 ** r["len_bucket"] - 2
+        avg = r["sum_chars"] / r["n_docs"]
+        assert lo <= avg <= hi  # bucket really bounds its members

@@ -1885,7 +1885,8 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
         "p AS (SELECT least(s, d) AS host_a, greatest(s, d) AS host_b, "
         "  CAST(s < d AS BIGINT) AS fwd, CAST(s > d AS BIGINT) AS rev "
         "  FROM e WHERE s <> d) "
-        "SELECT host_a, host_b, SUM(fwd) AS n_ab, SUM(rev) AS n_ba, "
+        "SELECT host_a, host_b, CAST(SUM(fwd) AS BIGINT) AS n_ab, "
+        "  CAST(SUM(rev) AS BIGINT) AS n_ba, "
         "  (SUM(fwd) > 0 AND SUM(rev) > 0) AS reciprocal "
         "FROM p GROUP BY host_a, host_b"
     )

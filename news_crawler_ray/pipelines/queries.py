@@ -536,8 +536,11 @@ _CONTRASTIVE_SQL = (
     "  FROM pr JOIN embeddings a ON a.vec_id = pr.vec_id "
     "  JOIN embeddings b ON b.vec_id = pr.neg_id) "
     "SELECT vec_id, slot, neg_id, "
-    f"SUM(CAST(floor(CAST(xa AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT) * "
-    f"    CAST(floor(CAST(xb AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT)) AS dot_q "
+    # CAST the SUM back to BIGINT: DuckDB SUM(BIGINT) returns HUGEINT,
+    # which pandas converts to float64 — the driver's exact value hash
+    # would then see 1.0 vs the Ray side's int64 1 (r02 hash mismatch).
+    f"CAST(SUM(CAST(floor(CAST(xa AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT) * "
+    f"    CAST(floor(CAST(xb AS DOUBLE) * {CONTRAST_Q} + 0.5) AS BIGINT)) AS BIGINT) AS dot_q "
     "FROM z GROUP BY vec_id, slot, neg_id"
 )
 
@@ -606,7 +609,7 @@ ORACLE_SQL.update(
             "p AS (SELECT substr(term, i, 1) AS l, substr(term, i + 1, 1) AS r, n "
             "  FROM w, LATERAL (SELECT unnest(generate_series(1, length(term) - 1)) AS i) "
             "  WHERE length(term) >= 2) "
-            "SELECT l, r, SUM(n) AS n_pairs FROM p GROUP BY l, r "
+            "SELECT l, r, CAST(SUM(n) AS BIGINT) AS n_pairs FROM p GROUP BY l, r "
             "ORDER BY n_pairs DESC, l, r LIMIT 50"
         ),
         "curate_web_corpus": (
@@ -666,8 +669,8 @@ ORACLE_SQL.update(
         ),
         "corpus_report": (
             r"SELECT count(*) AS n_docs, "
-            r"SUM(len(regexp_extract_all(text, '\S+'))) AS n_tokens, "
-            "SUM(length(text)) AS n_chars, "
+            r"CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(length(text)) AS BIGINT) AS n_chars, "
             r"MAX(len(regexp_extract_all(text, '\S+'))) AS max_doc_tokens, "
             "count(DISTINCT lang) AS n_langs FROM documents"
         ),
@@ -676,8 +679,8 @@ ORACLE_SQL.update(
             "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
             "m AS (SELECT user_id, max(us) AS last_us FROM e GROUP BY user_id) "
             "SELECT e.user_id, m.last_us, "
-            "  SUM(e.cents >> least((m.last_us - e.us) // 3600000000, 62)) "
-            "    AS decayed_cents "
+            "  CAST(SUM(e.cents >> least((m.last_us - e.us) // 3600000000, 62)) "
+            "    AS BIGINT) AS decayed_cents "
             "FROM e JOIN m USING (user_id) GROUP BY e.user_id, m.last_us"
         ),
         "recrawl_schedule": (
@@ -719,8 +722,8 @@ ORACLE_SQL.update(
             r"WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens"
             "  FROM documents), "
             "s AS (SELECT doc_id, n_tokens, "
-            "  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
-            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start FROM t) "
+            "  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start FROM t) "
             "SELECT doc_id, n_tokens, tok_start, "
             f"  tok_start // {PACK_SEQ_LEN} AS first_seq, "
             f"  CASE WHEN n_tokens = 0 THEN tok_start // {PACK_SEQ_LEN} "
@@ -2538,7 +2541,7 @@ ORACLE_SQL["nb_classify"] = (
     + " + coalesce(part.pq, 0) AS score_q "
     "  FROM nt CROSS JOIN ls JOIN dl USING (lang) CROSS JOIN vv CROSS JOIN dd "
     "  LEFT JOIN part ON part.doc_id = nt.doc_id AND part.lang = ls.lang) "
-    "SELECT doc_id, lang AS pred_label, score_q FROM score "
+    "SELECT doc_id, lang AS pred_label, CAST(score_q AS BIGINT) AS score_q FROM score "
     "QUALIFY row_number() OVER (PARTITION BY doc_id "
     "  ORDER BY score_q DESC, lang) = 1"
 )
@@ -2603,8 +2606,9 @@ ORACLE_SQL["tokenizer_fertility"] = (
     "  CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
     "  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes "
     "  FROM documents) "
-    "SELECT lang, count(*) AS n_docs, sum(n_tok) AS n_tokens, "
-    "  sum(n_chars) AS n_chars, sum(n_bytes) AS n_bytes, "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, "
+    "  CAST(sum(n_chars) AS BIGINT) AS n_chars, "
+    "  CAST(sum(n_bytes) AS BIGINT) AS n_bytes, "
     "  CAST(sum(n_chars) AS DOUBLE) / "
     "    CAST(greatest(sum(n_tok), 1) AS DOUBLE) AS chars_per_token, "
     "  CAST(sum(n_bytes) AS DOUBLE) / "
@@ -2650,9 +2654,10 @@ ORACLE_SQL["dsir_weights"] = (
     "    SUM(tf.tf * (" + _NB_LQ.format(x="tt.ct + 1") + " - "
     + _NB_LQ.format(x="tt.cr + 1") + ")) AS sv "
     "  FROM tf JOIN tt USING (term) GROUP BY tf.doc_id) "
-    "SELECT doc_id, n_tokens, sv + n_tokens * ("
+    "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(sv + n_tokens * ("
     + _NB_LQ.format(x="nr + v") + " - " + _NB_LQ.format(x="nt + v")
-    + ") AS logratio_q FROM j CROSS JOIN s"
+    + ") AS BIGINT) AS logratio_q FROM j CROSS JOIN s"
 )
 
 
@@ -7670,14 +7675,15 @@ ORACLE_SQL.update(
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         "revenue": (
-            "SELECT SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) "
+            "SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) "
+            "AS BIGINT)) AS BIGINT) "
             "AS revenue_cents, count(*) AS n_lines FROM lineitem "
             "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
         ),
         "running_totals": (
-            "SELECT event_id, SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "SELECT event_id, CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING"
-            ") AS running_cents FROM events"
+            ") AS BIGINT) AS running_cents FROM events"
         ),
         "lineitems_of_large_parts": (
             "SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem "

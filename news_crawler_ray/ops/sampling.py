@@ -367,9 +367,14 @@ def es_weighted_keys(key_col, weights: np.ndarray) -> np.ndarray:
     stratum proportional to quality" selections. Content-stable (same
     row, same fate at any parallelism/rerun) and oracle-reproducible:
     the float path is one correctly-rounded uint→double cast, +1, one
-    exact power-of-two division, one log2 (verified bit-equal to
-    DuckDB's on this host — see zipf_slope), one IEEE division by w.
-    ``weights`` must be >= 1 (caller shifts integer weights by +1)."""
+    exact power-of-two division, one log2, one IEEE division by w.
+    log2 goes through libm (math.log2) — bit-identical to DuckDB's
+    log2 on this host, where numpy's SIMD np.log2 drifts a ulp on ~5%
+    of inputs (measured; tools/audit_strict caught 11 drifted keys at
+    sf0.01). ``weights`` must be >= 1 (caller shifts integer weights
+    by +1)."""
+    import math
+
     vals = key_col.combine_chunks() if isinstance(key_col, pa.ChunkedArray) else key_col
     h = np.array(
         [
@@ -379,7 +384,8 @@ def es_weighted_keys(key_col, weights: np.ndarray) -> np.ndarray:
         dtype=np.uint64,
     )
     u = (h.astype(np.float64) + 1.0) / ES_SPAN
-    return np.log2(u) / np.asarray(weights, dtype=np.float64)
+    lg = np.fromiter(map(math.log2, u.tolist()), np.float64, len(u))
+    return lg / np.asarray(weights, dtype=np.float64)
 
 
 def es_key_sql(key_col: str, w_expr: str) -> str:

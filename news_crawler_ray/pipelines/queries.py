@@ -16,6 +16,7 @@ Reference anchors per query are noted inline (SURVEY.md §2 ids).
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 
@@ -2679,7 +2680,10 @@ def q_weighted_type_sample(sf_dir: str):
     ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def keyed(t: pa.Table) -> pa.Table:
-        w = np.rint(np.asarray(t["value"], dtype=np.float64) * 100) + 1.0
+        # floor(x+0.5) = DuckDB round() (half-away-from-zero) for the
+        # non-negative cents here; np.rint is half-to-even and diverges
+        # on exact .5 boundaries (value=0.125 -> 13 vs 14).
+        w = np.floor(np.asarray(t["value"], dtype=np.float64) * 100 + 0.5) + 1.0
         return pa.table(
             {
                 "event_type": t["event_type"],
@@ -6880,7 +6884,10 @@ def q_bigram_pmi(sf_dir: str):
     for r in rows:
         num = r["c_xy"] * n_uni * n_uni
         den = n_bi * r["w1_c"] * r["c"]
-        pmi = float(np.log2(np.float64(num) / np.float64(den)))
+        # math.log2 (libm) is bit-identical to DuckDB log2; numpy's
+        # SIMD np.log2 drifts a ulp on ~5% of inputs (measured). The
+        # float(int) casts mirror the oracle's CAST(... AS DOUBLE) pair.
+        pmi = math.log2(float(num) / float(den))
         out.append(
             {
                 "bigram": f"{r['w1']} {r['term']}",

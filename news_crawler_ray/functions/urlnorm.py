@@ -232,7 +232,10 @@ def dedup_canonical_batch(
     exchange."""
     urls = pc.coalesce(batch[url_col], "")
     base = pc.struct_field(pc.extract_regex(urls, r"^(?P<b>[^?#]*)"), "b")
-    q = pc.struct_field(pc.extract_regex(urls, r"\?(?P<q>[^#]*)"), "q")
+    # anchor the query to the pre-'#' prefix: a bare r"\?" would match a
+    # '?' INSIDE the fragment ('/p#sec?id=1'), resurrecting fragment text
+    # as query params and collapsing distinct pages to one frontier key
+    q = pc.struct_field(pc.extract_regex(urls, r"^[^?#]*\?(?P<q>[^#]*)"), "q")
     q = pc.fill_null(q, "")
     n = batch.num_rows
     params = pc.split_pattern(q, "&")

@@ -567,6 +567,7 @@ def shared_fingerprint_pairs(
     min_shared: int = 2,
     max_bucket: int = 4096,
     family: str = "fp",
+    emit_capped: bool = False,
 ):
     """Common tail of every local-fingerprint dedup family (winnowing,
     image tile hashes): given exploded narrow (id, fp) rows — value-
@@ -575,7 +576,13 @@ def shared_fingerprint_pairs(
     sorted group-agg on (id_a, id_b) summing shared counts → threshold.
     Over-cap fp buckets (corpus boilerplate) emit a min-id star and log.
 
-    Output (id_a < id_b, n_shared), globally distinct."""
+    ``emit_capped=True`` adds a ``capped`` bool column: True on any pair
+    at least one of whose shared fingerprints came from an over-cap
+    (star-truncated) bucket — for those pairs ``n_shared`` is a LOWER
+    bound on the true intersection, not an exact count, and downstream
+    scores derived from it (e.g. containment) are lower bounds too.
+
+    Output (id_a < id_b, n_shared[, capped]), globally distinct."""
     from .agg import sorted_group_agg
 
     def empty() -> pa.Table:
@@ -584,6 +591,7 @@ def shared_fingerprint_pairs(
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
                 "n": pa.array([], pa.int64()),
+                "cap": pa.array([], pa.int64()),
             }
         )
 
@@ -596,25 +604,33 @@ def shared_fingerprint_pairs(
             _log_truncated_bucket(family, len(ids), max_bucket)
             iu = np.zeros(len(ids) - 1, dtype=np.int64)
             ju = np.arange(1, len(ids), dtype=np.int64)
+            cap = np.ones(len(iu), np.int64)
         else:
             iu, ju = np.triu_indices(len(ids), k=1)
+            cap = np.zeros(len(iu), np.int64)
         return pa.table(
             {
                 "id_a": pa.array(ids[iu], pa.int64()),
                 "id_b": pa.array(ids[ju], pa.int64()),
                 "n": pa.array(np.ones(len(iu), np.int64), pa.int64()),
+                "cap": pa.array(cap, pa.int64()),
             }
         )
 
     pairs = _bucketed_pairs(exploded, [fp_col], fp_run_pairs)
-    shared = sorted_group_agg(pairs, ["id_a", "id_b"], [("n_shared", "sum", "n")])
-    return shared.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared))
-        if t.num_rows
-        else t,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    shared = sorted_group_agg(
+        pairs, ["id_a", "id_b"], [("n_shared", "sum", "n"), ("n_cap", "sum", "cap")]
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            t = t.filter(pc.greater_equal(t["n_shared"], min_shared))
+        cols = {"id_a": t["id_a"], "id_b": t["id_b"], "n_shared": t["n_shared"]}
+        if emit_capped:
+            cols["capped"] = pc.greater(t["n_cap"], 0)
+        return pa.table(cols)
+
+    return shared.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _shingle_distinct_arrays(
@@ -698,7 +714,7 @@ def containment_dup_pairs(
     )
     pairs = shared_fingerprint_pairs(
         exploded, id_col=id_col, min_shared=1,
-        max_bucket=max_bucket, family="containment",
+        max_bucket=max_bucket, family="containment", emit_capped=True,
     )
     size_ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -714,7 +730,7 @@ def containment_dup_pairs(
             rename_size("n_a"), batch_format="pyarrow", zero_copy_batch=True
         ),
         key="id_a",
-        left_cols=["id_b", "n_shared"],
+        left_cols=["id_b", "n_shared", "capped"],
         right_cols=["n_a"],
         right_key=id_col,
     )
@@ -724,7 +740,7 @@ def containment_dup_pairs(
             rename_size("n_b"), batch_format="pyarrow", zero_copy_batch=True
         ),
         key="id_b",
-        left_cols=["id_a", "n_shared", "n_a"],
+        left_cols=["id_a", "n_shared", "n_a", "capped"],
         right_cols=["n_b"],
         right_key=id_col,
     )
@@ -737,6 +753,7 @@ def containment_dup_pairs(
                     "id_b": pa.array([], pa.int64()),
                     "n_shared": pa.array([], pa.int64()),
                     "containment": pa.array([], pa.float64()),
+                    "capped": pa.array([], pa.bool_()),
                 }
             )
         shared_n = np.asarray(t["n_shared"], dtype=np.int64)
@@ -752,6 +769,9 @@ def containment_dup_pairs(
                 "id_b": pa.array(np.asarray(t["id_b"], np.int64)[keep], pa.int64()),
                 "n_shared": pa.array(shared_n[keep], pa.int64()),
                 "containment": pa.array(cont[keep], pa.float64()),
+                "capped": pa.array(
+                    np.asarray(t["capped"], dtype=bool)[keep], pa.bool_()
+                ),
             }
         )
 

@@ -23,6 +23,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..fixtures import codec
 
@@ -275,7 +276,9 @@ def image_meta_audit_batch(
     peek (no decode, per-row struct unpack — the same trade as the md5
     loops); the phash recompute rides the shared decode kernel.
     Output: (id, dims_ok — null when the header layout is unknown,
-    phash_ok, decode_ok)."""
+    phash_ok — null when decode failed (the recomputed phash is a
+    garbage placeholder there, so True/False would be a confident
+    misread, mirroring dims_ok's unknown-layout null), decode_ok)."""
     data = batch[bytes_col].to_pylist()
     fmts = batch[fmt_col].to_pylist()
     _, _, ph, ok = decode_feature_arrays(data, fmts, decode=codec.decode)
@@ -286,13 +289,14 @@ def image_meta_audit_batch(
     for buf, fmt, w, h in zip(data, fmts, sw, sh):
         hdr = _parse_dims(buf, fmt) if buf is not None else None
         dims_ok.append(None if hdr is None else hdr == (w, h))
+    ok_arr = np.asarray(ok, dtype=bool)
+    phash_eq = pa.array(np.asarray(ph, np.int64) == sp, pa.bool_())
+    phash_ok = pc.if_else(pa.array(ok_arr), phash_eq, pa.scalar(None, pa.bool_()))
     return pa.table(
         {
             id_col: batch[id_col],
             "dims_ok": pa.array(dims_ok, pa.bool_()),
-            "phash_ok": pa.array(
-                np.asarray(ph, np.int64) == sp, pa.bool_()
-            ),
+            "phash_ok": phash_ok,
             "decode_ok": pa.array(ok),
         }
     )

@@ -1038,7 +1038,10 @@ ORACLE_SQL["containment_pairs"] = (
     "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
     "  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id "
     "  GROUP BY 1, 2) "
-    "SELECT id_a, id_b, n_shared, containment FROM ("
+    # capped is constitutionally FALSE here: the oracle fixture never
+    # exceeds the engine's max_bucket (checked by _check_cap elsewhere),
+    # so every engine pair must carry an exact (uncapped) n_shared
+    "SELECT id_a, id_b, n_shared, containment, FALSE AS capped FROM ("
     "  SELECT i.id_a, i.id_b, i.n_shared, "
     "    CAST(i.n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) "
     "      AS containment "
@@ -2474,7 +2477,7 @@ def _url_canonical_dups_oracle_sql() -> str:
     return (
         f"WITH u AS (SELECT doc_id, {_URL_PLANT_SQL} AS url FROM documents), "
         "p AS (SELECT doc_id, url, regexp_extract(url, '^[^?#]*') AS base, "
-        r"  string_split(coalesce(regexp_extract(url, '\?([^#]*)', 1), ''), '&') "
+        r"  string_split(coalesce(regexp_extract(url, '^[^?#]*\?([^#]*)', 1), ''), '&') "
         "    AS params FROM u), "
         "k AS (SELECT doc_id, url, base, list_sort(list_filter(params, "
         f"  x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}'))) "

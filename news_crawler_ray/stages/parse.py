@@ -179,27 +179,40 @@ def extract_anchor_texts_batch(
 ) -> pa.Table:
     """``<a href>`` anchor-text harvest — the web-graph feature source
     (anchor corpora label their TARGET page; search/training pipelines
-    aggregate them per target). Splitting on ``<a href="`` keeps each
-    (href, anchor) pair inside one fragment — the same pairing trick as
-    the sitemap parser (stages/rss.py:74) — then ONE extract_regex over
-    the fragment column recovers both fields; no per-row Python, no DOM.
-    Reference analog: the anchor harvest at
+    aggregate them per target). Splitting on ``<a`` + whitespace keeps
+    each (attrs, body) pair inside one fragment — the same pairing
+    trick as the sitemap parser (stages/rss.py:74) — then vectorized
+    extract_regex passes recover the href (double- OR single-quoted,
+    anywhere among the tag's attributes) and the anchor text (nested
+    inline elements stripped); no per-row Python, no DOM. A fragment
+    whose attribute run hits another '<' before its '>' is not a real
+    anchor tag and is dropped. Reference analog: the anchor harvest at
     /root/reference/src/secbot/fetchers/asec.py:102-105, upgraded to
     keep the anchor text. Output (doc_id, host, href, anchor)."""
     ids = batch[id_col].combine_chunks()
     html = pc.coalesce(batch[html_col], "")
-    frags = pc.split_pattern(html, '<a href="')
+    frags = pc.split_pattern_regex(html, r"<a\s")
     frags = frags.combine_chunks() if isinstance(frags, pa.ChunkedArray) else frags
     lens = pc.list_value_length(frags).to_numpy(zero_copy_only=False)
     row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
     flat = pc.list_flatten(frags)
-    # fragment i>0 starts right after its href's opening quote; the
-    # pre-first-anchor fragment can't match the anchored pattern
-    m = pc.extract_regex(flat, r'^(?P<href>[^"]*)">(?P<anchor>[^<]*)</a>')
-    keep = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    # fragment i>0 starts right after '<a '; attrs run to the tag's own
+    # '>' (no '<' allowed — guards against '">…</a>' sequences in text
+    # that never opened a tag), body runs non-greedily to '</a>'
+    m = pc.extract_regex(flat, r"(?s)^(?P<attrs>[^<>]*)>(?P<body>.*?)</a>")
+    attrs = pc.struct_field(m, "attrs")
+    href_m = pc.coalesce(
+        pc.extract_regex(attrs, r'href\s*=\s*"(?P<v>[^"]*)"'),
+        pc.extract_regex(attrs, r"href\s*=\s*'(?P<v>[^']*)'"),
+    )
+    keep = pc.and_(pc.is_valid(m), pc.is_valid(href_m)).to_numpy(
+        zero_copy_only=False
+    )
     sel = pa.array(np.flatnonzero(keep), pa.int64())
-    href = pc.struct_field(m, "href").take(sel)
-    anchor = pc.struct_field(m, "anchor").take(sel)
+    href = pc.struct_field(href_m, "v").take(sel)
+    anchor = pc.replace_substring_regex(
+        pc.struct_field(m, "body").take(sel), r"(?s)<[^>]*>", ""
+    )
     hm = pc.extract_regex(href, r"^https?://(?P<h>[^/]+)")
     return pa.table(
         {

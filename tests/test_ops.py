@@ -2269,6 +2269,11 @@ def test_dedup_canonical_batch():
                 "https://a.example/p",
                 "https://a.example/p?utm_campaign=only",
                 None,
+                # a '?' INSIDE the fragment is NOT a query: this page
+                # must not collapse onto https://a.example/p?id=1
+                "https://a.example/p#sec?id=1",
+                "https://a.example/p?id=1",
+                "https://a.example/p?id=1#frag",
             ]
         }
     )
@@ -2279,6 +2284,9 @@ def test_dedup_canonical_batch():
         "https://a.example/p",
         "https://a.example/p",
         "",
+        "https://a.example/p",
+        "https://a.example/p?id=1",
+        "https://a.example/p?id=1",
     ]
 
 
@@ -2331,6 +2339,39 @@ def test_image_meta_audit_flags_planted_corruption(ray_session):
     assert any(r["phash_ok"] for iid, r in rows.items() if iid % 5 != 0)
 
 
+def test_image_meta_audit_nulls_phash_on_decode_failure():
+    """An undecodable payload must yield phash_ok=None (like dims_ok's
+    unknown-layout null) — never a confident True/False computed from
+    the garbage placeholder phash."""
+    import numpy as np
+
+    from news_crawler_ray.fixtures import codec
+    from news_crawler_ray.ops.multimodal import image_meta_audit_batch
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[::2, :, 0] = 255
+    buf = codec.encode(px, "png")
+    t = pa.table(
+        {
+            "iid": pa.array([0, 1], pa.int64()),
+            "bytes": pa.array([buf, b"not an image"], pa.binary()),
+            "w": pa.array([8, 8], pa.int32()),
+            "h": pa.array([8, 8], pa.int32()),
+            "fmt": ["png", "png"],
+            "phash": pa.array(
+                [int(np.int64(codec.phash64(px))), 123], pa.int64()
+            ),
+        }
+    )
+    out = image_meta_audit_batch(t).to_pylist()
+    assert out[0] == {
+        "iid": 0, "dims_ok": True, "phash_ok": True, "decode_ok": True
+    }
+    assert out[1] == {
+        "iid": 1, "dims_ok": None, "phash_ok": None, "decode_ok": False
+    }
+
+
 def test_tokenizer_fertility_vs_duckdb(ray_session, sf_dir):
     """Per-lang fertility ratios match the DuckDB oracle bit-exactly
     (exact int sums -> one IEEE division on both sides)."""
@@ -2376,10 +2417,38 @@ def test_containment_pairs_finds_planted_halves(ray_session, sf_dir):
         else:
             assert r["containment"] == 1.0
     assert missing == 0
-    # symmetric sanity: no pair exceeds 1.0, all meet the threshold
+    # symmetric sanity: no pair exceeds 1.0, all meet the threshold;
+    # fixture buckets never exceed the cap, so no pair may claim capped
     for r in got:
         assert 0.9 <= r["containment"] <= 1.0
         assert r["id_a"] < r["id_b"]
+        assert r["capped"] is False
+
+
+def test_containment_capped_flag_fires_on_degenerate_bucket(ray_session):
+    """A shingle shared by more docs than max_bucket star-truncates its
+    pairing, so n_shared (and containment) become lower bounds — every
+    surviving pair built from such a bucket must be flagged capped=True
+    instead of silently reading as exact."""
+    import ray as _ray
+
+    from news_crawler_ray.ops.dedup import containment_dup_pairs
+
+    # 6 identical docs sharing every shingle; cap of 4 forces the star
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": [text] * 6,
+        }
+    )
+    out = containment_dup_pairs(
+        _ray.data.from_arrow(tbl), k=5, threshold=0.9, max_bucket=4
+    ).take_all()
+    assert out, "identical docs must still pair under the star fallback"
+    for r in out:
+        assert r["capped"] is True
+        assert r["containment"] == 1.0  # identical docs: bound is tight
 
 
 def test_dedup_lines_first_wins_hand_case(ray_session):

@@ -434,14 +434,26 @@ def test_extract_anchor_texts_batch():
         '<a href="https://a.example/x">first link</a>mid'
         '<a href="http://b.example/y?q=1">second</a>'
     )
+    real_world = (
+        # attributes before href, single quotes, nested inline elements
+        '<a class="nav" rel="nofollow" href="https://c.example/z">has <b>bold</b> text</a>'
+        "<a href='https://d.example/sq' target='_blank'>single quoted</a>"
+        # '">…</a>' appearing in plain text after a quote-free prefix
+        # must NOT produce a false anchor row
+        '<p>not a tag "> fake</a></p>'
+        # an <a> with no href (named anchor) emits nothing
+        '<a name="top">no href</a>'
+    )
     t = pa.table(
         {
-            "doc_id": pa.array([1, 2], pa.int64()),
-            "text": [html, "<p>no anchors here</p>"],
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [html, "<p>no anchors here</p>", real_world],
         }
     )
     out = extract_anchor_texts_batch(t).to_pylist()
     assert out == [
         {"doc_id": 1, "host": "a.example", "href": "https://a.example/x", "anchor": "first link"},
         {"doc_id": 1, "host": "b.example", "href": "http://b.example/y?q=1", "anchor": "second"},
+        {"doc_id": 3, "host": "c.example", "href": "https://c.example/z", "anchor": "has bold text"},
+        {"doc_id": 3, "host": "d.example", "href": "https://d.example/sq", "anchor": "single quoted"},
     ]

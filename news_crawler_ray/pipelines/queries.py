@@ -1180,7 +1180,14 @@ def q_curate_web_corpus(sf_dir: str):
         )
 
     def n_side(t: pa.Table) -> pa.Table:
-        return pa.table({"nxt": t["doc_id"], "text_n": t["text"]})
+        # only eid%8==0 rows READ text_n, so only doc_id≡1 (mod 8) rows
+        # can be probed — pre-filtering cuts the join's text shipment 8x
+        # (left-join semantics for the rest are unchanged: null, unused)
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        m = pa.array(eid % 8 == 1)
+        return pa.table(
+            {"nxt": t["doc_id"].filter(m), "text_n": t["text"].filter(m)}
+        )
 
     joined = sort_merge_inner_join(
         docs.map_batches(a_side, batch_format="pyarrow", zero_copy_batch=True),
@@ -1227,31 +1234,45 @@ def q_curate_web_corpus(sf_dir: str):
     gated = pages.map_batches(
         extract_and_gate, batch_format="pyarrow", zero_copy_batch=True
     )
-    hashed = gated.map_batches(
-        lambda b: content_hash_batch(b, "text").select(["content_hash", "doc_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    winners = sorted_group_agg(
-        hashed, ["content_hash"], [("doc_id", "min", "doc_id")]
-    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
-    survivors = sort_merge_semi_join(gated, winners, key="doc_id")
 
-    def with_hash(t: pa.Table) -> pa.Table:
+    def meta_rows(t: pa.Table) -> pa.Table:
+        # hash + project away the text in ONE pass: everything downstream
+        # (dedup winners, semi join, budget sample) needs only narrow rows
         if t.num_rows == 0 or "doc_id" not in t.column_names:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "lang": pa.array([], pa.string()),
                  "n_tokens": pa.array([], pa.int64()),
+                 "content_hash": pa.array([], pa.int64()),
                  "h": pa.array([], pa.string())}
             )
+        h = content_hash_batch(t, "text")
         return pa.table(
             {"doc_id": t["doc_id"], "lang": t["lang"], "n_tokens": t["n_tokens"],
+             "content_hash": h["content_hash"],
              "h": pa.array(_digest_prefixes(t["doc_id"]), pa.string())}
         )
 
+    # materialize the NARROW meta rows (≈50 B/row — the same volume the
+    # dedup exchange ships anyway) so the heavy join→plant→extract chain
+    # executes once; branching an unmaterialized dataset would re-run it
+    # per consumer (Ray Data does not dedupe common subplans)
+    meta = gated.map_batches(
+        meta_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    winners = sorted_group_agg(
+        meta.select_columns(["content_hash", "doc_id"]),
+        ["content_hash"],
+        [("doc_id", "min", "doc_id")],
+    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    survivors = sort_merge_semi_join(
+        meta.select_columns(["doc_id", "lang", "n_tokens", "h"]),
+        winners,
+        key="doc_id",
+    )
+
     kept = budget_sample(
-        survivors.map_batches(with_hash, batch_format="pyarrow", zero_copy_batch=True),
+        survivors,
         key="lang",
         weight_col="n_tokens",
         order_cols=["h", "doc_id"],
@@ -1275,25 +1296,36 @@ def q_cross_corpus_overlap(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    # hash BEFORE the plant join on both sides: the planted text of an
+    # id%8==0 doc IS its successor's text, so its content hash equals
+    # the successor's content hash — the join can carry 64-bit hashes
+    # instead of documents, and no text ever crosses an exchange
     def a_key(t: pa.Table) -> pa.Table:
         eid = np.asarray(t["doc_id"], dtype=np.int64)
-        m = eid % 2 == 0
+        m = pa.array(eid % 2 == 0)
+        sub = t.filter(m)
+        h = content_hash_batch(sub, "text")
         return pa.table(
-            {"doc_id": pa.array(eid[m], pa.int64()),
-             "text": t["text"].filter(pa.array(m)),
-             "nxt": pa.array(eid[m] + 1, pa.int64())}
+            {"doc_id": sub["doc_id"],
+             "h_own": h["content_hash"],
+             "nxt": pa.array(eid[eid % 2 == 0] + 1, pa.int64())}
         )
 
     def nxt_side(t: pa.Table) -> pa.Table:
-        return pa.table({"nxt": t["doc_id"], "text_n": t["text"]})
+        # only eid%8==0 probes succeed and read text_n, so only
+        # doc_id≡1 (mod 8) rows can match — 8x fewer rows shipped
+        eid = np.asarray(t["doc_id"], dtype=np.int64)
+        sub = t.filter(pa.array(eid % 8 == 1))
+        h = content_hash_batch(sub, "text")
+        return pa.table({"nxt": sub["doc_id"], "h_n": h["content_hash"]})
 
     a = docs.map_batches(a_key, batch_format="pyarrow", zero_copy_batch=True)
     planted = sort_merge_inner_join(
         a,
         docs.map_batches(nxt_side, batch_format="pyarrow", zero_copy_batch=True),
         "nxt",
-        ["doc_id", "text"],
-        ["text_n"],
+        ["doc_id", "h_own"],
+        ["h_n"],
         how="left",
     )
 
@@ -1301,27 +1333,22 @@ def q_cross_corpus_overlap(sf_dir: str):
         if t.num_rows == 0 or "doc_id" not in t.column_names:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
-                 "text": pa.array([], pa.string())}
+                 "content_hash": pa.array([], pa.int64())}
             )
         eid = np.asarray(t["doc_id"], dtype=np.int64)
         use_n = pa.array((eid % 8 == 0))
-        text = pc.if_else(
-            pc.and_(use_n, pc.is_valid(t["text_n"])), t["text_n"], t["text"]
+        h = pc.if_else(
+            pc.and_(use_n, pc.is_valid(t["h_n"])), t["h_n"], t["h_own"]
         )
-        return pa.table({"doc_id": t["doc_id"], "text": text})
+        return pa.table({"doc_id": t["doc_id"], "content_hash": h})
 
-    a_planted = planted.map_batches(choose, batch_format="pyarrow", zero_copy_batch=True)
-
-    def hash_a(t: pa.Table) -> pa.Table:
-        h = content_hash_batch(t, "text")
-        return h.select(["doc_id", "content_hash"])
+    ha = planted.map_batches(choose, batch_format="pyarrow", zero_copy_batch=True)
 
     def hash_b(t: pa.Table) -> pa.Table:
         eid = np.asarray(t["doc_id"], dtype=np.int64)
         sub = t.filter(pa.array(eid % 2 == 1))
         return content_hash_batch(sub, "text").select(["content_hash"])
 
-    ha = a_planted.map_batches(hash_a, batch_format="pyarrow", zero_copy_batch=True)
     hb = docs.map_batches(hash_b, batch_format="pyarrow", zero_copy_batch=True)
     hit = sort_merge_semi_join(ha, hb, "content_hash")
     return hit.map_batches(
@@ -1967,6 +1994,116 @@ def q_evolving_ingest(sf_dir: str):
             ("n_lang_known", "sum", "has_lang"),
         ],
     )
+
+
+WET_HOSTS = 50
+
+
+def q_wet_ingest(sf_dir: str):
+    """Archive-shard ingestion (sources/wet.py): the sf documents table
+    is serialized into WET-style Content-Length-framed record shards
+    (the Common Crawl WET shape a 100 TB text pipeline actually starts
+    from), read back with one file per task and a framed per-record
+    scan, then rolled up per target host with a zero-exchange combiner.
+    REAL SQL oracle over documents re-derives url/host/byte-length
+    arithmetic — a framing or decode bug cannot hash-match."""
+    from ..ops.agg import partial_group_agg
+    from ..sources.wet import read_wet, write_wet_shards
+
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = docs["doc_id"].to_numpy()
+    hosts = pc.cast(pa.array(ids % WET_HOSTS, pa.int64()), pa.string())
+    tbl = pa.table(
+        {
+            "rec_id": docs["doc_id"],
+            "url": pc.binary_join_element_wise(
+                "https://h", hosts, ".example/p",
+                pc.cast(docs["doc_id"], pa.string()), "",
+            ),
+            "text": docs["text"],
+        }
+    )
+    out = f"/tmp/nc_wet_fixture/{os.path.basename(os.path.normpath(sf_dir))}_n{len(ids)}"
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        write_wet_shards(tbl, out, num_shards=8)
+        open(marker, "w").close()
+
+    def host_rows(t: pa.Table) -> pa.Table:
+        hm = pc.extract_regex(t["url"], r"^https?://(?P<h>[^/]+)")
+        return pa.table(
+            {
+                "host": pc.struct_field(hm, "h"),
+                "n_bytes": t["n_bytes"],
+            }
+        )
+
+    return partial_group_agg(
+        read_wet(out).map_batches(
+            host_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["host"],
+        [("n_docs", "count_all", None), ("sum_bytes", "sum", "n_bytes")],
+    )
+
+
+ORACLE_SQL["wet_ingest"] = (
+    f"WITH r AS (SELECT 'h' || CAST(doc_id % {WET_HOSTS} AS VARCHAR) "
+    "  || '.example' AS host, "
+    "  octet_length(encode(coalesce(text, ''))) AS n_bytes FROM documents) "
+    "SELECT host, count(*) AS n_docs, "
+    "  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes FROM r GROUP BY host"
+)
+
+
+def q_cm_term_counts(sf_dir: str):
+    """Count-min-sketch term-frequency estimates (ops/sketch.py):
+    per-block d×w partial matrices merged by a zero-exchange combiner
+    (≤ d·w cells ever cross an exchange — constant, not
+    vocabulary-wide), probed for every distinct term of doc 0 (a
+    deterministic, SQL-derivable probe set). The md5-window bucket
+    hash is shared with DuckDB, so the oracle rebuilds the IDENTICAL
+    sketch cell-for-cell and must reproduce every estimate exactly —
+    including the collision overestimates."""
+    import re as _re
+
+    from ..ops.sketch import count_min_cells, count_min_estimates
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cells_tbl = count_min_cells(docs, "text")  # pa.Table, ≤ d·w rows
+    probe0 = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "==", 0)],
+    )
+    text0 = probe0["text"][0].as_py() if probe0.num_rows else ""
+    terms = sorted(set(_re.findall(r"\S+", text0 or "")))
+    return count_min_estimates(cells_tbl, terms)
+
+
+def _cm_oracle_sql() -> str:
+    from ..ops.sketch import CM_DEPTH, cm_bucket_sql
+
+    return (
+        r"WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
+        r"'\S+')) AS term FROM documents), "
+        f"dep AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS depth), "
+        "cells AS (SELECT depth, " + cm_bucket_sql("term", "depth") + " AS bucket, "
+        "  count(*) AS c FROM tok CROSS JOIN dep GROUP BY 1, 2), "
+        "probe AS (SELECT DISTINCT term FROM ("
+        r"  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS term "
+        "  FROM documents WHERE doc_id = 0)), "
+        "pb AS (SELECT p.term, d.depth, "
+        + cm_bucket_sql("p.term", "d.depth")
+        + " AS bucket FROM probe p CROSS JOIN dep d) "
+        "SELECT pb.term, CAST(MIN(coalesce(cells.c, 0)) AS BIGINT) AS est "
+        "FROM pb LEFT JOIN cells USING (depth, bucket) GROUP BY pb.term"
+    )
+
+
+ORACLE_SQL["cm_term_counts"] = _cm_oracle_sql()
 
 
 SESSION_GAP_MIN = 30.0
@@ -8750,6 +8887,8 @@ def build_queries() -> dict:
         "ipc_ingest": q_ipc_ingest,
         "orc_ingest": q_orc_ingest,
         "evolving_ingest": q_evolving_ingest,
+        "wet_ingest": q_wet_ingest,
+        "cm_term_counts": q_cm_term_counts,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

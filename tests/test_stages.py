@@ -360,6 +360,43 @@ def test_ipc_source_roundtrip(ray_session, tmp_path):
     assert len(read_ipc(str(tmp_path)).take_all()) == 97
 
 
+def test_wet_source_roundtrip_adversarial_payloads(ray_session, tmp_path):
+    """Content-Length framing must round-trip payloads that LOOK like
+    record boundaries: embedded WARC/1.0 header lines, CRLFCRLF runs,
+    multibyte UTF-8, and empty text."""
+    import pyarrow as pa
+
+    from news_crawler_ray.sources.wet import read_wet, write_wet_shards
+
+    texts = [
+        "plain text",
+        "WARC/1.0\r\nWARC-Type: conversion\r\n\r\nfake inner record",
+        "tail\r\n\r\n\r\n\r\nmore",
+        "한국어 텍스트 · ümlaut — 🙂",
+        "",
+    ]
+    t = pa.table(
+        {
+            "rec_id": pa.array(list(range(len(texts))), pa.int64()),
+            "url": pa.array(
+                [f"https://h{i}.example/p{i}" for i in range(len(texts))],
+                pa.string(),
+            ),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    write_wet_shards(t, str(tmp_path), num_shards=2)
+    got = {r["rec_id"]: r for r in read_wet(str(tmp_path)).take_all()}
+    assert len(got) == len(texts)
+    for i, text in enumerate(texts):
+        assert got[i]["text"] == text
+        assert got[i]["url"] == f"https://h{i}.example/p{i}"
+        assert got[i]["n_bytes"] == len(text.encode("utf-8"))
+    # idempotent re-write, identical re-read
+    write_wet_shards(t, str(tmp_path), num_shards=2)
+    assert len(read_wet(str(tmp_path)).take_all()) == len(texts)
+
+
 def test_orc_source_roundtrip_and_pruning(ray_session, tmp_path):
     import pyarrow as pa
 

@@ -352,6 +352,8 @@ QUERY_SUBSET = [
     "pld_rollup",
     "lexical_diversity",
     "doc_length_histogram",
+    # round-3 additions
+    "wet_ingest",
 ]
 
 

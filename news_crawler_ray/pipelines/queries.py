@@ -2058,54 +2058,6 @@ ORACLE_SQL["wet_ingest"] = (
 )
 
 
-def q_cm_term_counts(sf_dir: str):
-    """Count-min-sketch term-frequency estimates (ops/sketch.py):
-    per-block d×w partial matrices merged by a zero-exchange combiner
-    (≤ d·w cells ever cross an exchange — constant, not
-    vocabulary-wide), probed for every distinct term of doc 0 (a
-    deterministic, SQL-derivable probe set). The md5-window bucket
-    hash is shared with DuckDB, so the oracle rebuilds the IDENTICAL
-    sketch cell-for-cell and must reproduce every estimate exactly —
-    including the collision overestimates."""
-    import re as _re
-
-    from ..ops.sketch import count_min_cells, count_min_estimates
-
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cells_tbl = count_min_cells(docs, "text")  # pa.Table, ≤ d·w rows
-    probe0 = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-        filters=[("doc_id", "==", 0)],
-    )
-    text0 = probe0["text"][0].as_py() if probe0.num_rows else ""
-    terms = sorted(set(_re.findall(r"\S+", text0 or "")))
-    return count_min_estimates(cells_tbl, terms)
-
-
-def _cm_oracle_sql() -> str:
-    from ..ops.sketch import CM_DEPTH, cm_bucket_sql
-
-    return (
-        r"WITH tok AS (SELECT unnest(regexp_extract_all(coalesce(text, ''), "
-        r"'\S+')) AS term FROM documents), "
-        f"dep AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS depth), "
-        "cells AS (SELECT depth, " + cm_bucket_sql("term", "depth") + " AS bucket, "
-        "  count(*) AS c FROM tok CROSS JOIN dep GROUP BY 1, 2), "
-        "probe AS (SELECT DISTINCT term FROM ("
-        r"  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS term "
-        "  FROM documents WHERE doc_id = 0)), "
-        "pb AS (SELECT p.term, d.depth, "
-        + cm_bucket_sql("p.term", "d.depth")
-        + " AS bucket FROM probe p CROSS JOIN dep d) "
-        "SELECT pb.term, CAST(MIN(coalesce(cells.c, 0)) AS BIGINT) AS est "
-        "FROM pb LEFT JOIN cells USING (depth, bucket) GROUP BY pb.term"
-    )
-
-
-ORACLE_SQL["cm_term_counts"] = _cm_oracle_sql()
-
-
 SESSION_GAP_MIN = 30.0
 
 
@@ -8888,7 +8840,6 @@ def build_queries() -> dict:
         "orc_ingest": q_orc_ingest,
         "evolving_ingest": q_evolving_ingest,
         "wet_ingest": q_wet_ingest,
-        "cm_term_counts": q_cm_term_counts,
         "user_first_last": q_user_first_last,
         "value_fill_forward": q_value_fill_forward,
         "payload_psnr": q_payload_psnr,

@@ -2603,29 +2603,3 @@ def test_doc_length_histogram_bucket_exactness(ray_session, sf_dir):
         lo, hi = 2 ** (r["len_bucket"] - 1) - 1, 2 ** r["len_bucket"] - 2
         avg = r["sum_chars"] / r["n_docs"]
         assert lo <= avg <= hi  # bucket really bounds its members
-
-
-def test_count_min_overestimates_and_merge_order(ray_session):
-    """CM property: est >= true count for every term, exact for terms
-    with collision-free cells; the sketch is identical at any
-    partitioning (partials are plain sums)."""
-    import ray as _ray
-
-    from news_crawler_ray.ops.sketch import count_min_cells, count_min_estimates
-
-    texts = ["alpha beta beta", "gamma alpha", "beta delta delta delta"]
-    true = {"alpha": 2, "beta": 3, "gamma": 1, "delta": 3}
-    t = pa.table({"text": pa.array(texts, pa.string())})
-    cells1 = count_min_cells(_ray.data.from_arrow(t))
-    cells3 = count_min_cells(_ray.data.from_arrow(t).repartition(3))
-    assert cells1.sort_by([("depth", "ascending"), ("bucket", "ascending")]).equals(
-        cells3.sort_by([("depth", "ascending"), ("bucket", "ascending")])
-    )
-    est = {
-        r["term"]: r["est"]
-        for r in count_min_estimates(cells1, sorted(true)).to_pylist()
-    }
-    for term, n in true.items():
-        assert est[term] >= n
-    # 4 terms into 4x512 cells: overwhelmingly collision-free -> exact
-    assert est == true

@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from .exchange import sorted_mat
+
 # merge rule per partial kind: how per-block partials combine
 _MERGE = {"sum": "sum", "count_all": "sum", "count": "sum", "max": "max", "min": "min"}
 
@@ -224,7 +226,7 @@ def sorted_group_agg(ds, keys: list[str], specs: list[tuple[str, str, str | None
 
     aggs, part_names = _spec_aggs(specs)
     out_names = [s[0] for s in specs]
-    mat = ds.sort(keys).materialize()
+    mat = sorted_mat(ds, keys)
     refs = mat.to_arrow_refs()
     if not refs:
         return mat
@@ -322,7 +324,7 @@ def group_quantiles(
 
     from ..stages.index import _block_group_counts
 
-    mat = ds.sort([key, value_col]).materialize()
+    mat = sorted_mat(ds, [key, value_col])
     refs = mat.to_arrow_refs()
     empty = pa.table(
         {key: pa.array([], pa.string()), "pct": pa.array([], pa.int64()),
@@ -455,7 +457,7 @@ def weighted_group_quantiles(
     :func:`weighted_group_median`."""
     import ray.data as rd
 
-    mat = ds.sort([key, val_col]).materialize()
+    mat = sorted_mat(ds, [key, val_col])
     refs = mat.to_arrow_refs()
     if not refs or mat.count() == 0:
         return rd.from_arrow(
@@ -501,7 +503,7 @@ def weighted_group_median(
     int64 (cents/counts); weights ≥ 0. Output ``[key, out_col]``."""
     import ray.data as rd
 
-    mat = ds.sort([key, val_col]).materialize()
+    mat = sorted_mat(ds, [key, val_col])
     refs = mat.to_arrow_refs()
     if not refs or mat.count() == 0:
         return rd.from_arrow(
@@ -1194,7 +1196,7 @@ def group_quantiles_cont(
     driver-side stitch returning a pa.Table ``[key, pct, value]``."""
     from ..stages.index import _block_group_counts
 
-    mat = ds.sort([key, value_col]).materialize()
+    mat = sorted_mat(ds, [key, value_col])
     refs = mat.to_arrow_refs()
     kt = ds.schema().field(key).type if hasattr(ds.schema(), "field") else pa.string()
     empty = pa.table(

@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 import ray
 
 from . import hashing as H
+from .exchange import sorted_mat
 
 logger = logging.getLogger(__name__)
 
@@ -124,7 +125,7 @@ def _sorted_pairs(ds, key_cols: list[str], pair_fn):
 
     import ray.data as rd
 
-    mat = ds.sort(key_cols).materialize()
+    mat = sorted_mat(ds, key_cols)
     refs = mat.to_arrow_refs()
     if not refs:
         return mat.map_batches(

@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from .exchange import sorted_mat
+
 from .agg import _first_last_tuple, _key_mask
 
 _SIDE = "_side"
@@ -130,7 +132,7 @@ def sort_merge_membership_join(left, right, key: str, anti: bool = True):
     ).union(
         right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
     )
-    mat = tagged.sort([key, _SIDE], descending=[False, True]).materialize()
+    mat = sorted_mat(tagged, [key, _SIDE], descending=[False, True])
     refs = mat.to_arrow_refs()
     if not refs:
         return left.limit(0)

@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from .exchange import sorted_mat
+
 _HEX_SPAN = 16**8  # first 8 hex chars of the digest
 
 
@@ -125,7 +127,7 @@ def budget_sample(
 
     from ..ops.agg import _block_group_weights
 
-    mat = ds.sort([key] + list(order_cols)).materialize()
+    mat = sorted_mat(ds, [key] + list(order_cols))
     refs = mat.to_arrow_refs()
     if not refs or mat.count() == 0:
         return mat

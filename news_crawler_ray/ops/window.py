@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from .exchange import sorted_mat
 import ray.data
 
 
@@ -340,7 +342,7 @@ def global_scan_sum(
     (every doc's absolute token offset in the concatenated corpus
     stream); it is the same offset-stitch as stages/index.zip_with_index
     generalized from row counts to value sums."""
-    mat = ds.sort(order, descending=descending).materialize()
+    mat = sorted_mat(ds, order, descending=descending)
     refs = mat.to_arrow_refs()
     if not refs or mat.count() == 0:
         return mat
@@ -1546,7 +1548,7 @@ def watermark_window_counts(
     same carry-chain trick as fill_forward), then per-block vectorized
     prefix-max + combiner counts. No per-row Python, no second
     exchange; driver merges O(blocks × windows) partial rows."""
-    mat = ds.sort([arrival_col]).materialize()
+    mat = sorted_mat(ds, [arrival_col])
     refs = mat.to_arrow_refs()
     if not refs:
         return pa.table(

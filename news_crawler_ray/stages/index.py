@@ -113,7 +113,9 @@ def with_group_rank(
         sort_desc = [False] + list(descending)
     else:
         sort_cols, sort_desc = list(order), list(descending)
-    mat = ds.sort(sort_cols, descending=sort_desc).materialize()
+    from ..ops.exchange import sorted_mat
+
+    mat = sorted_mat(ds, sort_cols, descending=sort_desc)
     if mat.count() == 0:
         # empty inputs can surface as schema-less blocks; emit an empty
         # table with the rank column appended to the known schema
@@ -263,6 +265,7 @@ def key_complete_parts(
     key: str,
     order: list[str] | tuple = (),
     descending: list[bool] | tuple = (),
+    coalesce: bool = True,
 ) -> list[list]:
     """Task-based key co-location WITHOUT a hash shuffle: sort by
     ``(key, *order)``, then donate boundary-straddling key runs so every
@@ -277,11 +280,16 @@ def key_complete_parts(
     Skew: a key spanning many blocks is assembled into its owner task,
     the same co-location a hash shuffle would force.
     """
+    from ..ops.exchange import sorted_mat
     from .dedup import _first_last_key
 
     cols = [key] + list(order)
     desc = [False] + list(descending or [False] * len(order))
-    mat = ds.sort(cols, descending=desc).materialize()
+    # coalesce=True heals degenerate tiny-block layouts from upstream
+    # kernel fan-outs before the sort (ops/exchange.sorted_mat); the
+    # wave scheduler passes False — its frontier input is well-formed
+    # and the extra input landing is pure cost on the hot path
+    mat = sorted_mat(ds, cols, descending=desc, coalesce=coalesce)
     refs = mat.to_arrow_refs()
     if not refs:
         return []

@@ -258,7 +258,7 @@ def schedule_sorted_fused(
     """
     from .index import key_complete_parts
 
-    groups = key_complete_parts(ds, "host")
+    groups = key_complete_parts(ds, "host", coalesce=False)
     if not groups:
         return ds.limit(0)  # caller breaks on empty waves before scheduling
     out_refs = []

@@ -88,7 +88,8 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
     from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
 
     robots = pq.read_table(os.path.join(fix_dir, "robots.parquet"))
-    frontier = ray.data.read_parquet(os.path.join(fix_dir, "frontier.parquet"))
+    frontier_path = os.path.join(fix_dir, "frontier.parquet")
+    frontier = ray.data.read_parquet(frontier_path)
     store_path = os.path.join(fix_dir, "pagestore.parquet")
     # small stores broadcast; big ones use the hash-partitioned layout
     # (one-time prep — at 100 TB the store is stored this way) so waves
@@ -125,7 +126,12 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
     )
     t0 = time.monotonic()
     try:
-        res = run_crawl(frontier, ps, robots, out_dir, config=cfg)
+        # reference the already-durable fixture frontier as wave 0
+        # instead of copying it under out_dir (the at-scale contract:
+        # the source file IS the wave-0 checkpoint)
+        res = run_crawl(
+            None, ps, robots, out_dir, config=cfg, seeds_path=frontier_path
+        )
         dt = time.monotonic() - t0
         w = res.waves[0]
         return {

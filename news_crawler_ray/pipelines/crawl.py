@@ -223,12 +223,13 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def run_crawl(
-    seeds: pa.Table | "ray.data.Dataset",
+    seeds: "pa.Table | ray.data.Dataset | None",
     pagestore: "pa.Table | ray.data.Dataset | str",
     robots: pa.Table,
     out_dir: str,
     config: CrawlConfig | None = None,
     resume: bool = False,
+    seeds_path: str | None = None,
 ) -> CrawlResult:
     """Run (or resume) a multi-wave crawl. See module docstring.
 
@@ -236,7 +237,14 @@ def run_crawl(
     stores), a Dataset, or a parquet/Lance path (both → hash-join fetch,
     the at-scale path; a Table above ``broadcast_limit_bytes`` is also
     joined). The wave loop is identical in every mode.
-    """
+
+    ``seeds_path``: path of an ALREADY-DURABLE frontier parquet dir to
+    reference as wave 0 instead of copying it under
+    ``out_dir/candidates/`` — at 10^10-URL scale the wave-0 copy is a
+    full extra write+read of the frontier for no durability gain (the
+    source file IS the checkpoint). The path is recorded in the
+    manifest so a resume of wave 0 re-reads the same source; later
+    waves checkpoint under ``out_dir`` exactly as before."""
     cfg = config or CrawlConfig()
     # Window scoping covers the WHOLE run layout (candidates, fetched,
     # manifest, seen): a new window (e.g. a new day when
@@ -315,17 +323,37 @@ def run_crawl(
             )
         cand_path = os.path.join(out_dir, "candidates", f"wave-{start_wave}")
         if not os.path.exists(cand_path):
-            return result  # crawl had already drained
-        candidates, cand_n = _read_candidates(cand_path)
-    else:
-        if isinstance(seeds, pa.Table):
-            candidates = ray.data.from_arrow(seeds)
+            src = manifest.get("seed_source")
+            if start_wave == 0 and src and os.path.exists(src):
+                candidates, cand_n = _read_candidates(src)
+            else:
+                return result  # crawl had already drained
         else:
-            candidates = seeds
-        seed_path = os.path.join(out_dir, "candidates", "wave-0")
-        if not os.path.exists(seed_path):
-            _write_candidates(candidates, seed_path)
-        candidates, cand_n = _read_candidates(seed_path)
+            candidates, cand_n = _read_candidates(cand_path)
+    else:
+        if seeds_path is not None:
+            src_schema = ray.data.read_parquet(seeds_path).schema()
+            got = list(zip(src_schema.names, src_schema.types))
+            want = [(f.name, f.type) for f in FRONTIER_SCHEMA]
+            if got != want:
+                # the copy path casts through FRONTIER_SCHEMA; a
+                # referenced source must already BE frontier-shaped
+                raise TypeError(
+                    f"seeds_path {seeds_path} schema {got} != frontier "
+                    f"schema {want} — pass it as `seeds` to cast-copy"
+                )
+            manifest["seed_source"] = seeds_path
+            _write_manifest(out_dir, manifest)
+            candidates, cand_n = _read_candidates(seeds_path)
+        else:
+            if isinstance(seeds, pa.Table):
+                candidates = ray.data.from_arrow(seeds)
+            else:
+                candidates = seeds
+            seed_path = os.path.join(out_dir, "candidates", "wave-0")
+            if not os.path.exists(seed_path):
+                _write_candidates(candidates, seed_path)
+            candidates, cand_n = _read_candidates(seed_path)
 
     pools = _resolve_pools(cfg)
     store_shard_refs: list | None = None

@@ -241,3 +241,49 @@ def test_crawl_skewed_hot_host_matches_oracle(ray_session, tmp_path):
     )
     assert _engine_order(result) == oracle.flat_order
     assert result.seen.all_keys() == oracle.seen_keys
+
+
+def test_seeds_path_reference_mode_identical_and_resumable(
+    ray_session, tmp_path, fixture_tables
+):
+    """seeds_path references the durable frontier file as wave 0 (no
+    copy under out_dir): crawl order and seen set must equal the
+    copy-mode run, and a wave-0 resume must re-read the SOURCE path
+    via the manifest's seed_source record."""
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps, fr, robots = fixture_tables
+    src = str(tmp_path / "frontier_src.parquet")
+    pq.write_table(fr.select([f.name for f in cp.FRONTIER_SCHEMA]), src)
+
+    copy_mode = _run(tmp_path, fixture_tables, max_waves=3, out="copymode")
+    cfg = cp.CrawlConfig(max_waves=3, num_seen_shards=2, dedup_partitions=4)
+    ref_mode = cp.run_crawl(
+        None, ps, robots, str(tmp_path / "refmode"), config=cfg, seeds_path=src
+    )
+    assert _engine_order(ref_mode) == _engine_order(copy_mode)
+    assert ref_mode.seen.all_keys() == copy_mode.seen.all_keys()
+    # no wave-0 candidates copy landed in the reference-mode layout
+    import os
+
+    assert not os.path.exists(str(tmp_path / "refmode" / "candidates" / "wave-0"))
+
+    # kill-after-nothing resume: wave 0 must re-read the source path
+    cfg1 = cp.CrawlConfig(max_waves=1, num_seen_shards=2, dedup_partitions=4)
+    part = cp.run_crawl(
+        None, ps, robots, str(tmp_path / "refresume"), config=cfg1, seeds_path=src
+    )
+    assert len(part.waves) == 1
+    cfg3 = cp.CrawlConfig(max_waves=3, num_seen_shards=2, dedup_partitions=4)
+    resumed = cp.run_crawl(
+        None, ps, robots, str(tmp_path / "refresume"), config=cfg3, resume=True
+    )
+    assert _engine_order(resumed) == _engine_order(copy_mode)
+
+    # schema drift is rejected loudly, not silently cast
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(fr.select(["url", "host"]), bad)
+    with pytest.raises(TypeError, match="frontier"):
+        cp.run_crawl(
+            None, ps, robots, str(tmp_path / "bad_out"), config=cfg1, seeds_path=bad
+        )

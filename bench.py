@@ -360,7 +360,6 @@ QUERY_SUBSET = [
     "doc_length_histogram",
     # round-3 additions
     "wet_ingest",
-    "host_crawl_quota",
 ]
 
 

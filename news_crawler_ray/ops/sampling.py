@@ -397,49 +397,3 @@ def es_key_sql(key_col: str, w_expr: str) -> str:
         f"AS BIGINT) AS DOUBLE) + 1) / {float(1 << 60)!r}) / CAST({w_expr} AS DOUBLE)"
     )
 
-
-# ------------------------------------------- exact budget apportionment
-
-
-def apportion_largest_remainder(
-    weights: pa.Table,
-    key_col: str,
-    weight_col: str,
-    budget: int,
-) -> pa.Table:
-    """Exact integer budget apportionment (Hamilton / largest-remainder):
-    split ``budget`` units across keys proportional to integer weights,
-    with quotas that sum to EXACTLY ``budget`` — the per-host wave-quota
-    allocator a crawl scheduler runs between waves ("this wave fetches
-    B URLs; host h gets floor(B·w_h/W) and the r largest remainders get
-    one more"), and the same primitive behind per-language token-budget
-    splits. Everything is integer arithmetic (remainder = B·w mod W —
-    never a float share), so the allocation is bit-reproducible and
-    oracle-shareable at any scale; ties rank by key ascending.
-
-    ``weights`` is the (config-scale) per-key table a zero-exchange
-    combiner pass produces — #keys rows, not corpus rows; the driver
-    loop here is O(#keys), the same trade as the kmeans centroid
-    reduce. Python ints keep B·w exact beyond int64."""
-    keys = weights[key_col].to_pylist()
-    w = [int(x) for x in weights[weight_col].to_pylist()]
-    total = sum(w)
-    if total <= 0 or budget <= 0:
-        quota = [0] * len(keys)
-    else:
-        floors = [budget * wi // total for wi in w]
-        rems = [budget * wi % total for wi in w]
-        extra = budget - sum(floors)
-        order = sorted(range(len(keys)), key=lambda i: (-rems[i], keys[i]))
-        bump = set(order[:extra])
-        quota = [f + (1 if i in bump else 0) for i, f in enumerate(floors)]
-    out = pa.table(
-        {
-            key_col: weights[key_col],
-            weight_col: pa.array(w, pa.int64()),
-            "quota": pa.array(quota, pa.int64()),
-        }
-    )
-    return out.take(
-        pa.compute.sort_indices(out, sort_keys=[(key_col, "ascending")])
-    )

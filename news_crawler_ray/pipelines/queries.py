@@ -3233,53 +3233,6 @@ def q_source_reputation(sf_dir: str):
     )
 
 
-WAVE_QUOTA_BUDGET = 10000
-
-
-def q_host_crawl_quota(sf_dir: str):
-    """Per-source wave-quota apportionment
-    (ops/sampling.apportion_largest_remainder): split a
-    WAVE_QUOTA_BUDGET-URL wave budget across sources proportional to
-    their exact token mass — floor(B·w/W) each plus one extra for the
-    largest remainders, quotas summing to EXACTLY B. Weights ride ONE
-    zero-exchange combiner pass; the allocation is O(#sources) integer
-    arithmetic (remainders as B·w mod W, never float shares), so the
-    REAL SQL oracle reproduces every quota bit-for-bit."""
-    from ..ops.agg import partial_group_agg
-    from ..ops.sampling import apportion_largest_remainder
-
-    ds = _read(sf_dir, "documents", ["text", "source"])
-
-    def prep(t: pa.Table) -> pa.Table:
-        n_tok = pc.cast(
-            pc.count_substring_regex(pc.coalesce(t["text"], ""), r"\S+"), pa.int64()
-        )
-        return pa.table({"source": t["source"], "n_tok": n_tok})
-
-    per = partial_group_agg(
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
-        ["source"],
-        [("w", "sum", "n_tok")],
-    )
-    return apportion_largest_remainder(per, "source", "w", WAVE_QUOTA_BUDGET)
-
-
-ORACLE_SQL["host_crawl_quota"] = (
-    r"WITH d AS (SELECT source, CAST(len(regexp_extract_all(text, '\S+')) "
-    "  AS BIGINT) AS n_tok FROM documents), "
-    "s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS w FROM d GROUP BY source), "
-    "tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM s), "
-    f"q AS (SELECT source, w, CAST(({WAVE_QUOTA_BUDGET}::HUGEINT * w) // tw "
-    "  AS BIGINT) AS fl, "
-    f"  CAST(({WAVE_QUOTA_BUDGET}::HUGEINT * w) % tw AS BIGINT) AS rem "
-    "  FROM s CROSS JOIN tot), "
-    "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q), "
-    f"x AS (SELECT CAST({WAVE_QUOTA_BUDGET} - sum(fl) AS BIGINT) AS extra FROM q) "
-    "SELECT source, w, CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END "
-    "  AS BIGINT) AS quota FROM r CROSS JOIN x"
-)
-
-
 ORACLE_SQL["source_reputation"] = (
     "WITH d AS (SELECT source, CAST(len(regexp_extract_all(text, '\\S+')) "
     "  AS BIGINT) AS n_tok FROM documents), "
@@ -8729,7 +8682,6 @@ def build_queries() -> dict:
         "caption_junk": q_caption_junk,
         "script_detect": q_script_detect,
         "source_reputation": q_source_reputation,
-        "host_crawl_quota": q_host_crawl_quota,
         "tile_dup_pairs": q_tile_dup_pairs,
         "recrawl_schedule": q_recrawl_schedule,
         "decayed_value_sum": q_decayed_value_sum,

@@ -2603,34 +2603,3 @@ def test_doc_length_histogram_bucket_exactness(ray_session, sf_dir):
         lo, hi = 2 ** (r["len_bucket"] - 1) - 1, 2 ** r["len_bucket"] - 2
         avg = r["sum_chars"] / r["n_docs"]
         assert lo <= avg <= hi  # bucket really bounds its members
-
-
-def test_apportion_largest_remainder_exact_and_fair():
-    """Quotas sum to EXACTLY the budget; floor(B·w/W) <= quota <=
-    floor+1; larger weight never gets a smaller quota (Hamilton
-    monotonicity within one allocation); zero/degenerate budgets."""
-    from news_crawler_ray.ops.sampling import apportion_largest_remainder
-
-    w = pa.table(
-        {
-            "host": pa.array(["a", "b", "c", "d"], pa.string()),
-            "w": pa.array([5, 3, 3, 1], pa.int64()),
-        }
-    )
-    out = apportion_largest_remainder(w, "host", "w", 10)
-    rows = {r["host"]: r["quota"] for r in out.to_pylist()}
-    assert sum(rows.values()) == 10
-    total = 12
-    for host, wi in [("a", 5), ("b", 3), ("c", 3), ("d", 1)]:
-        fl = 10 * wi // total
-        assert fl <= rows[host] <= fl + 1
-    assert rows["a"] >= rows["b"] >= rows["d"]
-    # remainder tie between b and c (same weight) breaks by key asc
-    assert rows["b"] >= rows["c"]
-    # degenerate budgets
-    z = apportion_largest_remainder(w, "host", "w", 0)
-    assert sum(r["quota"] for r in z.to_pylist()) == 0
-    zw = pa.table(
-        {"host": pa.array(["a"], pa.string()), "w": pa.array([0], pa.int64())}
-    )
-    assert apportion_largest_remainder(zw, "host", "w", 7).to_pylist()[0]["quota"] == 0

@@ -109,7 +109,11 @@ def _bucketed_pairs(
                 return pair_fn(t, 0, 0)
             idx = pc.sort_indices(t, sort_keys=[(c, "ascending") for c in key_cols])
             s = t.take(idx)
-            outs = [pair_fn(s, a, b) for a, b in _multi_runs(s, key_cols)]
+            runs = list(_multi_runs(s, key_cols))
+            pair_many = getattr(pair_fn, "pair_many", None)
+            if pair_many is not None:
+                return pair_many(s, runs)
+            outs = [pair_fn(s, a, b) for a, b in runs]
             if not outs:
                 return pair_fn(s, 0, 0)
             return pa.concat_tables(outs)
@@ -162,10 +166,16 @@ def _sorted_pairs(ds, key_cols: list[str], pair_fn):
                 side.append((kt, t.filter(pa.array(m))))
                 is_b |= m
         interior = t.filter(pa.array(~is_b)) if is_b.any() else t
-        outs = list(
-            pair_fn(interior, a, b) for a, b in _multi_runs(interior, key_cols)
-        )
-        pairs = pa.concat_tables(outs) if outs else pair_fn(t, 0, 0)
+        runs = list(_multi_runs(interior, key_cols))
+        pair_many = getattr(pair_fn, "pair_many", None)
+        if pair_many is not None:
+            # one vectorized call over ALL runs: per-run pa.table
+            # construction + a many-table concat dominated blocks with
+            # thousands of size-2 runs (measured 3.3 s for 150 k runs)
+            pairs = pair_many(interior, runs)
+        else:
+            outs = [pair_fn(interior, a, b) for a, b in runs]
+            pairs = pa.concat_tables(outs) if outs else pair_fn(t, 0, 0)
         return pairs, side
 
     bkeys = sorted(boundary_keys)
@@ -569,6 +579,7 @@ def shared_fingerprint_pairs(
     max_bucket: int = 4096,
     family: str = "fp",
     emit_capped: bool = False,
+    size_col: str | None = None,
 ):
     """Common tail of every local-fingerprint dedup family (winnowing,
     image tile hashes): given exploded narrow (id, fp) rows — value-
@@ -583,24 +594,37 @@ def shared_fingerprint_pairs(
     bound on the true intersection, not an exact count, and downstream
     scores derived from it (e.g. containment) are lower bounds too.
 
-    Output (id_a < id_b, n_shared[, capped]), globally distinct."""
+    ``size_col``: name of a per-row constant-per-id column on the
+    exploded rows (e.g. the id's distinct-fingerprint set size). When
+    given, the output carries ``n_a``/``n_b`` = that value for each
+    pair side, riding the SAME exchange (the pair kernel reads it off
+    the bucket rows; the group-agg keeps it with a ``min`` — constant
+    per id, so any picker works). This is what lets containment skip a
+    second corpus pass + two join exchanges for set sizes.
+
+    Output (id_a < id_b, n_shared[, n_a, n_b][, capped]), globally
+    distinct."""
     from .agg import sorted_group_agg
 
     def empty() -> pa.Table:
-        return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-                "cap": pa.array([], pa.int64()),
-            }
-        )
+        cols = {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "cap": pa.array([], pa.int64()),
+        }
+        if size_col is not None:
+            cols["n_a"] = pa.array([], pa.int64())
+            cols["n_b"] = pa.array([], pa.int64())
+        return pa.table(cols)
 
     def fp_run_pairs(t: pa.Table, a: int, b: int) -> pa.Table:
         n = b - a
         if n < 2:
             return empty()
-        ids = np.sort(np.asarray(t[id_col].slice(a, n), dtype=np.int64))
+        raw = np.asarray(t[id_col].slice(a, n), dtype=np.int64)
+        order = np.argsort(raw, kind="stable")
+        ids = raw[order]
         if len(ids) > max_bucket:
             _log_truncated_bucket(family, len(ids), max_bucket)
             iu = np.zeros(len(ids) - 1, dtype=np.int64)
@@ -609,24 +633,101 @@ def shared_fingerprint_pairs(
         else:
             iu, ju = np.triu_indices(len(ids), k=1)
             cap = np.zeros(len(iu), np.int64)
-        return pa.table(
-            {
-                "id_a": pa.array(ids[iu], pa.int64()),
-                "id_b": pa.array(ids[ju], pa.int64()),
-                "n": pa.array(np.ones(len(iu), np.int64), pa.int64()),
-                "cap": pa.array(cap, pa.int64()),
-            }
-        )
+        cols = {
+            "id_a": pa.array(ids[iu], pa.int64()),
+            "id_b": pa.array(ids[ju], pa.int64()),
+            "n": pa.array(np.ones(len(iu), np.int64), pa.int64()),
+            "cap": pa.array(cap, pa.int64()),
+        }
+        if size_col is not None:
+            sizes = np.asarray(t[size_col].slice(a, n), dtype=np.int64)[order]
+            cols["n_a"] = pa.array(sizes[iu], pa.int64())
+            cols["n_b"] = pa.array(sizes[ju], pa.int64())
+        return pa.table(cols)
 
+    def pair_many(t: pa.Table, runs: list) -> pa.Table:
+        """All runs of one block in vectorized numpy: runs are grouped
+        by size and expanded with a shared local triu index — no per-run
+        pa.table, no many-table concat (the per-run path measured 3.3 s
+        for 150 k size-2 runs; this does the same block in ~0.1 s).
+        Over-cap runs take the star fallback loop (rare by design)."""
+        if not runs:
+            return empty()
+        raw = np.asarray(t[id_col], dtype=np.int64)
+        sz = (
+            np.asarray(t[size_col], dtype=np.int64)
+            if size_col is not None
+            else None
+        )
+        starts = np.fromiter((a for a, _ in runs), np.int64, len(runs))
+        ends = np.fromiter((b for _, b in runs), np.int64, len(runs))
+        m = ends - starts
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_cap: list[np.ndarray] = []
+        out_na: list[np.ndarray] = []
+        out_nb: list[np.ndarray] = []
+        small = m <= max_bucket
+        for size in np.unique(m[small]):
+            idx = starts[small][m[small] == size]
+            iu, ju = np.triu_indices(int(size), k=1)
+            gi = (idx[:, None] + iu[None, :]).ravel()
+            gj = (idx[:, None] + ju[None, :]).ravel()
+            x, y = raw[gi], raw[gj]
+            first_lo = x < y
+            out_a.append(np.where(first_lo, x, y))
+            out_b.append(np.where(first_lo, y, x))
+            out_cap.append(np.zeros(len(gi), np.int64))
+            if sz is not None:
+                sx, sy = sz[gi], sz[gj]
+                out_na.append(np.where(first_lo, sx, sy))
+                out_nb.append(np.where(first_lo, sy, sx))
+        for a, b in zip(starts[~small], ends[~small]):
+            n = int(b - a)
+            _log_truncated_bucket(family, n, max_bucket)
+            order = np.argsort(raw[a:b], kind="stable")
+            ids = raw[a:b][order]
+            out_a.append(np.repeat(ids[0], n - 1))
+            out_b.append(ids[1:])
+            out_cap.append(np.ones(n - 1, np.int64))
+            if sz is not None:
+                szs = sz[a:b][order]
+                out_na.append(np.repeat(szs[0], n - 1))
+                out_nb.append(szs[1:])
+        ida = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        idb = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
+        cap = np.concatenate(out_cap) if out_cap else np.zeros(0, np.int64)
+        cols = {
+            "id_a": pa.array(ida, pa.int64()),
+            "id_b": pa.array(idb, pa.int64()),
+            "n": pa.array(np.ones(len(ida), np.int64), pa.int64()),
+            "cap": pa.array(cap, pa.int64()),
+        }
+        if size_col is not None:
+            cols["n_a"] = pa.array(
+                np.concatenate(out_na) if out_na else np.zeros(0, np.int64),
+                pa.int64(),
+            )
+            cols["n_b"] = pa.array(
+                np.concatenate(out_nb) if out_nb else np.zeros(0, np.int64),
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    fp_run_pairs.pair_many = pair_many
     pairs = _bucketed_pairs(exploded, [fp_col], fp_run_pairs)
-    shared = sorted_group_agg(
-        pairs, ["id_a", "id_b"], [("n_shared", "sum", "n"), ("n_cap", "sum", "cap")]
-    )
+    specs = [("n_shared", "sum", "n"), ("n_cap", "sum", "cap")]
+    if size_col is not None:
+        specs += [("n_a", "min", "n_a"), ("n_b", "min", "n_b")]
+    shared = sorted_group_agg(pairs, ["id_a", "id_b"], specs)
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows:
             t = t.filter(pc.greater_equal(t["n_shared"], min_shared))
         cols = {"id_a": t["id_a"], "id_b": t["id_b"], "n_shared": t["n_shared"]}
+        if size_col is not None:
+            cols["n_a"] = t["n_a"]
+            cols["n_b"] = t["n_b"]
         if emit_capped:
             cols["capped"] = pc.greater(t["n_cap"], 0)
         return pa.table(cols)
@@ -668,46 +769,44 @@ def containment_dup_pairs(
     longer one (quote inclusion, article + boilerplate wrap) has
     containment 1.0 but Jaccard ≈ |A|/|B|, far below any LSH threshold.
 
-    Shape: per-batch distinct-shingle explode (narrow (id, fp) rows —
-    never the texts) → `shared_fingerprint_pairs` (ONE fp-colocating
-    sorted exchange; n_shared is the EXACT intersection size since each
-    distinct shared shingle contributes exactly 1) → per-doc set sizes
-    ride a zero-exchange combiner pass over the docs → two narrow
-    sort-merge joins pin |S(A)|, |S(B)| onto the pair rows → one
-    vectorized division + filter. Over-cap fp buckets (corpus
+    Shape: per-batch distinct-shingle explode (narrow (id, fp, n_set)
+    rows — never the texts; ``n_set`` = the doc's distinct-shingle
+    count, computed in the SAME pass and repeated per row, +8 B/row) →
+    `shared_fingerprint_pairs(size_col="n_set")` — ONE fp-colocating
+    sorted exchange whose pair kernel reads both sides' set sizes off
+    the bucket rows, so n_shared AND |S(A)|, |S(B)| arrive on the pair
+    rows together (n_shared is the EXACT intersection size since each
+    distinct shared shingle contributes exactly 1) → one vectorized
+    division + filter. No second corpus pass, no join exchanges (the
+    previous shape re-shingled the corpus for sizes and paid two
+    sort-merge joins to pin them). Over-cap fp buckets (corpus
     boilerplate shared by >``max_bucket`` docs) emit a min-id star and
     log loudly, like the other LSH families — at fixture scale the cap
     never binds, so the output matches the uncapped SQL oracle exactly.
 
     Scale: the explode is O(total tokens) narrow rows — exact but heavy
     at 100 TB; winnow_dup_pairs (w>1) is the sparser approximate
-    candidate path when full-shingle cost is prohibitive. The docs
-    dataset is consumed twice (explode + sizes); at scale, checkpoint
-    the narrow exploded set instead of re-reading the texts.
+    candidate path when full-shingle cost is prohibitive.
 
     Output (id_a < id_b, n_shared, containment), globally distinct.
     Ref parity: reference dedups exact URLs only (news.py get()); this
     is the LLM-corpus generalization SURVEY.md §2.5/A2 calls for."""
-    from .join import sort_merge_inner_join
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, fps = _shingle_distinct_arrays(batch, text_col, id_col, k)
-        return pa.table(
-            {id_col: pa.array(ids, pa.int64()),
-             "fp": pa.array(fps.view(np.int64), pa.int64())}
-        )
-
-    def sizes(batch: pa.Table) -> pa.Table:
-        ids, _ = _shingle_distinct_arrays(batch, text_col, id_col, k)
         if len(ids) == 0:
             return pa.table(
                 {id_col: pa.array([], pa.int64()),
+                 "fp": pa.array([], pa.int64()),
                  "n_set": pa.array([], pa.int64())}
             )
-        uids, counts = np.unique(ids, return_counts=True)
+        # ids arrive grouped (lexsort by doc); per-doc distinct counts
+        # repeat onto each of the doc's rows in the same pass
+        uids, inv, counts = np.unique(ids, return_inverse=True, return_counts=True)
         return pa.table(
-            {id_col: pa.array(uids, pa.int64()),
-             "n_set": pa.array(counts.astype(np.int64), pa.int64())}
+            {id_col: pa.array(ids, pa.int64()),
+             "fp": pa.array(fps.view(np.int64), pa.int64()),
+             "n_set": pa.array(counts[inv].astype(np.int64), pa.int64())}
         )
 
     exploded = ds.map_batches(
@@ -716,34 +815,7 @@ def containment_dup_pairs(
     pairs = shared_fingerprint_pairs(
         exploded, id_col=id_col, min_shared=1,
         max_bucket=max_bucket, family="containment", emit_capped=True,
-    )
-    size_ds = ds.map_batches(sizes, batch_format="pyarrow", zero_copy_batch=True)
-
-    def rename_size(col: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({id_col: t[id_col], col: t["n_set"]})
-
-        return f
-
-    j1 = sort_merge_inner_join(
-        pairs,
-        size_ds.map_batches(
-            rename_size("n_a"), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        key="id_a",
-        left_cols=["id_b", "n_shared", "capped"],
-        right_cols=["n_a"],
-        right_key=id_col,
-    )
-    j2 = sort_merge_inner_join(
-        j1,
-        size_ds.map_batches(
-            rename_size("n_b"), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        key="id_b",
-        left_cols=["id_a", "n_shared", "n_a", "capped"],
-        right_cols=["n_b"],
-        right_key=id_col,
+        size_col="n_set",
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -776,7 +848,7 @@ def containment_dup_pairs(
             }
         )
 
-    return j2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @ray.remote

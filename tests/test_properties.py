@@ -99,3 +99,36 @@ def test_keep_best_batch_properties(rows):
         best[u] = max(best.get(u, -1.0), p)
     got = dict(zip(out["url"].to_pylist(), out["priority"].to_pylist()))
     assert got == best
+
+
+def test_wet_roundtrip_property(ray_session, tmp_path):
+    """Property: ANY unicode payload (header-lookalikes, CRLF runs,
+    blank, multibyte) survives the WET write→read cycle byte-exactly,
+    at any shard count."""
+    from hypothesis import given, settings, strategies as st
+
+    import pyarrow as pa
+
+    from news_crawler_ray.sources.wet import parse_wet_bytes, wet_record_bytes
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.text(max_size=200),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(texts):
+        data = b"".join(
+            wet_record_bytes(i, f"https://h{i}.example/p{i}", t)
+            for i, t in enumerate(texts)
+        )
+        out = parse_wet_bytes(data)
+        assert out["text"].to_pylist() == texts
+        assert out["rec_id"].to_pylist() == list(range(len(texts)))
+        assert out["n_bytes"].to_pylist() == [
+            len(t.encode("utf-8")) for t in texts
+        ]
+
+    check()

@@ -32,7 +32,15 @@ def _normalize(V: np.ndarray) -> np.ndarray:
 
 
 class BruteForceScorer:
-    """Actor-pool stage: local cosine top-k against the broadcast queries."""
+    """Cosine top-k against the broadcast queries.
+
+    Runs as plain TASKS, not an actor pool: the only per-worker "state"
+    is ``ray.get`` of the plasma-broadcast query matrix, which is a
+    zero-copy read — while a ``map_batches(Cls, concurrency=...)`` pool
+    pays a measured ~0.9 s spin-up PER CALL on this host (vs 0.05 s for
+    the identical task plan). An actor pool earns its startup only when
+    ``__init__`` does real work (model load, index build — see the
+    multimodal stages); a ref deref does not."""
 
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str, exclude_self: bool):
         q = ray.get(queries_ref)  # dict: {"ids": (Q,), "matrix": (Q, d)}
@@ -89,20 +97,18 @@ def knn_brute_force(
 
     Output: (query_id, neighbor_id, score) — k rows per query, ties
     broken by smaller neighbor_id (deterministic at any parallelism).
-    The scorer pool AUTOSCALES from 1: a fixed min of 2 actors per pool
-    deadlocks a 4-CPU host once two pools chain in one plan (ivf assign
-    + brute verify reserve every CPU and the read tasks starve).
+    Scoring runs as plain tasks (see BruteForceScorer's pool note);
+    ``concurrency`` is kept for API compatibility and ignored — tasks
+    need no pool sizing and cannot deadlock chained plans the way
+    minimum-actor pools could on a 4-CPU host.
     """
     ref = ray.put({"ids": np.asarray(query_ids), "matrix": np.asarray(query_matrix)})
+
+    def score(batch: pa.Table) -> pa.Table:
+        return BruteForceScorer(ref, k, vec_col, id_col, exclude_self)(batch)
+
     partial = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={
-            "queries_ref": ref, "k": k, "vec_col": vec_col,
-            "id_col": id_col, "exclude_self": exclude_self,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        score, batch_format="pyarrow", zero_copy_batch=True
     )
     return _merge_partial_topk(partial, k)
 
@@ -313,12 +319,14 @@ def knn_ivf(
     :func:`knn_brute_force`).
     """
     c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # tasks, not a pool: centroid deref is zero-copy (see
+        # BruteForceScorer's pool note)
+        return IVFAssignStage(c_ref, vec_col)(batch)
+
     assigned = ds.map_batches(
-        IVFAssignStage,
-        fn_constructor_kwargs={"centroids_ref": c_ref, "vec_col": vec_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),  # autoscale: see knn_brute_force's pool note
+        assign, batch_format="pyarrow", zero_copy_batch=True
     )
     Cn = _normalize(np.asarray(centroids, dtype=np.float64))
     Qn = _normalize(np.asarray(query_matrix, dtype=np.float64))

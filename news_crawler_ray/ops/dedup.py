@@ -1145,15 +1145,15 @@ def embedding_cosine_pairs(
     emitted only by the first table whose codes collide, recomputed
     locally from the vectors) — one shuffle total.
     """
+    def lsh(batch: pa.Table) -> pa.Table:
+        # tasks, not a pool: the per-worker "state" is a 4x12x64 seeded
+        # projection (microseconds to rebuild) — an actor pool's ~0.9 s
+        # per-call spin-up (measured) buys nothing here; ``concurrency``
+        # is kept for API compatibility and ignored
+        return CosineLSHStage(vec_col, id_col, dim, n_tables, n_bits, seed)(batch)
+
     exploded = ds.map_batches(
-        CosineLSHStage,
-        fn_constructor_kwargs={
-            "vec_col": vec_col, "id_col": id_col, "dim": dim,
-            "n_tables": n_tables, "n_bits": n_bits, "seed": seed,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        lsh, batch_format="pyarrow", zero_copy_batch=True
     )
     proj_cache: dict[int, np.ndarray] = {}
 

@@ -2493,6 +2493,51 @@ _URL_PLANT_SQL = (
 )
 
 
+@ray.remote
+def _canon_rollup_block(*parts: pa.Table) -> pa.Table:
+    """Per-canon rollup over one key-complete (canon, url, doc_id)-sorted
+    group set: n_urls = run length, n_raw = distinct-url boundaries in
+    the run, first_doc = min doc_id — all via reduceat, no per-run
+    Python."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "canonical_url": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+                "n_raw": pa.array([], pa.int64()),
+                "first_doc": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.concat_tables(tables).combine_chunks()
+    canon = t["canon"].combine_chunks()
+    url = t["url"].combine_chunks()
+    doc = np.asarray(t["doc_id"], dtype=np.int64)
+    m = t.num_rows
+    new_canon = np.ones(m, dtype=bool)
+    new_url = np.ones(m, dtype=bool)
+    if m > 1:
+        new_canon[1:] = pc.not_equal(canon.slice(1), canon.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        new_url[1:] = new_canon[1:] | pc.not_equal(
+            url.slice(1), url.slice(0, m - 1)
+        ).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(new_canon)
+    ends = np.concatenate([starts[1:], [m]])
+    n_urls = ends - starts
+    n_raw = np.add.reduceat(new_url.astype(np.int64), starts)
+    first_doc = np.minimum.reduceat(doc, starts)
+    return pa.table(
+        {
+            "canonical_url": canon.take(pa.array(starts, pa.int64())),
+            "n_urls": pa.array(n_urls, pa.int64()),
+            "n_raw": pa.array(n_raw, pa.int64()),
+            "first_doc": pa.array(first_doc, pa.int64()),
+        }
+    )
+
+
 def q_url_canonical_dups(sf_dir: str):
     """Canonical-URL dup groups — the frontier-hygiene pass that stops a
     crawler re-fetching utm-tagged / param-permuted copies of one page
@@ -2500,12 +2545,12 @@ def q_url_canonical_dups(sf_dir: str):
     would re-fetch every tagged variant). Planted URLs scramble param
     order and attach tracking params; functions/urlnorm.
     dedup_canonical_batch strips + sorts block-locally (zero exchange),
-    then two narrow aggregates give per-canonical n_urls / distinct raw
-    forms / first doc. REAL SQL oracle: list_filter + list_sort over
-    the same split, same TRACKING_PARAM_RE."""
+    then ONE canon-complete exchange's rollup kernel gives per-canonical
+    n_urls / distinct raw forms / first doc together (reduceat over the
+    (canon, url, doc_id) sort — the previous plan paid four exchanges).
+    REAL SQL oracle: list_filter + list_sort over the same split, same
+    TRACKING_PARAM_RE."""
     from ..functions.urlnorm import dedup_canonical_batch
-    from ..ops.agg import sorted_distinct, sorted_group_agg
-    from ..ops.join import sort_merge_inner_join
 
     ds = _read(sf_dir, "documents", ["doc_id"])
 
@@ -2530,33 +2575,23 @@ def q_url_canonical_dups(sf_dir: str):
     c_ds = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True).map_batches(
         dedup_canonical_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = sorted_group_agg(
-        c_ds, ["canon"], [("n_urls", "count_all", None), ("first_doc", "min", "doc_id")]
-    )
-    raw = sorted_group_agg(
-        sorted_distinct(
-            c_ds.map_batches(
-                lambda t: t.select(["canon", "url"]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ),
-            ["canon", "url"],
-        ),
-        ["canon"],
-        [("n_raw", "count_all", None)],
-    )
-    out = sort_merge_inner_join(agg, raw, "canon", ["n_urls", "first_doc"], ["n_raw"])
-    return out.map_batches(
-        lambda t: pa.table(
+    # ONE canon-complete exchange computes all three aggregates per run
+    # (row count, distinct-url boundary count, min doc) — the previous
+    # plan paid four exchanges (group agg + distinct + agg + join)
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(c_ds, "canon", order=["url", "doc_id"])
+    if not groups:
+        return pa.table(
             {
-                "canonical_url": t["canon"],
-                "n_urls": t["n_urls"],
-                "n_raw": t["n_raw"],
-                "first_doc": t["first_doc"],
+                "canonical_url": pa.array([], pa.string()),
+                "n_urls": pa.array([], pa.int64()),
+                "n_raw": pa.array([], pa.int64()),
+                "first_doc": pa.array([], pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+    return ray.data.from_arrow_refs(
+        [_canon_rollup_block.remote(*parts) for parts in groups]
     )
 
 

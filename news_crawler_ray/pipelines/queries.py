@@ -6921,9 +6921,12 @@ def q_bigram_pmi(sf_dir: str):
 
     def bigram_rows(t: pa.Table) -> pa.Table:
         # vectorized adjacency (ops/text.top_ngrams kernel shape):
-        # a bigram starts at i iff token rows i, i+1 share one doc
+        # a bigram starts at i iff token rows i, i+1 share one doc;
+        # per-block (w1,w2) partial counts cut the exchange from
+        # token-bigram rows to block-distinct rows (combiner pattern)
         empty = pa.table(
-            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
             return empty
@@ -6942,26 +6945,34 @@ def q_bigram_pmi(sf_dir: str):
         if m < 2:
             return empty
         same = pa.array(r[1:] == r[:-1])
-        return pa.table(
+        pairs = pa.table(
             {
                 "w1": f.slice(0, m - 1).filter(same),
                 "w2": f.slice(1, m - 1).filter(same),
             }
         )
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"], "cnt": g["count_all"]})
 
     def term_rows(t: pa.Table) -> pa.Table:
+        # (term, tf) partials straight from the per-doc freq kernel —
+        # no row repetition; the exchange sums partials
         if t.num_rows == 0:
-            return pa.table({"term": pa.array([], pa.string())})
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
         tf = _doc_term_freqs(t, "text", "doc_id")
-        reps = np.asarray(tf["tf"], dtype=np.int64)
-        idx = np.repeat(np.arange(len(reps)), reps)
-        return pa.table({"term": tf["term"].take(pa.array(idx))})
+        g = pa.table({"term": tf["term"], "cnt": tf["tf"]}).group_by(
+            ["term"]
+        ).aggregate([("cnt", "sum")])
+        return pa.table({"term": g["term"], "cnt": g["cnt_sum"]})
 
     pair_ds = ds.map_batches(
         bigram_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     big = sorted_group_agg(
-        pair_ds, ["w1", "w2"], [("c_xy", "count_all", None)]
+        pair_ds, ["w1", "w2"], [("c_xy", "sum", "cnt")]
     ).map_batches(
         lambda t: t.filter(pc.greater_equal(t["c_xy"], PMI_MIN_COUNT)),
         batch_format="pyarrow",
@@ -6970,7 +6981,7 @@ def q_bigram_pmi(sf_dir: str):
     uni = sorted_group_agg(
         ds.map_batches(term_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["term"],
-        [("c", "count_all", None)],
+        [("c", "sum", "cnt")],
     )
     j1 = sort_merge_inner_join(
         big.map_batches(
@@ -7002,7 +7013,11 @@ def q_bigram_pmi(sf_dir: str):
     )
     n_bi = sum(
         r["n"] for r in pair_ds.map_batches(
-            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            # pair_ds rows are (w1,w2,cnt) partials: total bigram tokens
+            # is the cnt sum, not the row count
+            lambda t: pa.table(
+                {"n": pa.array([pc.sum(t["cnt"]).as_py() or 0], pa.int64())}
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).take_all()
@@ -7045,7 +7060,8 @@ def q_kn_bigram_lm(sf_dir: str):
 
     def bigram_rows(t: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "c": pa.array([], pa.int64())}
         )
         if t.num_rows == 0:
             return empty
@@ -7062,14 +7078,18 @@ def q_kn_bigram_lm(sf_dir: str):
         if m < 2:
             return empty
         same = pa.array(r[1:] == r[:-1])
-        return pa.table(
+        pairs = pa.table(
             {"w1": f.slice(0, m - 1).filter(same), "w2": f.slice(1, m - 1).filter(same)}
         )
+        # combiner-before-exchange: per-block (w1,w2) partial counts cut
+        # the exchange from token-bigram rows to block-distinct rows
+        g = pairs.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": g["w1"], "w2": g["w2"], "c": g["count_all"]})
 
     cb = sorted_group_agg(
         ds.map_batches(bigram_rows, batch_format="pyarrow", zero_copy_batch=True),
         ["w1", "w2"],
-        [("n", "count_all", None)],
+        [("n", "sum", "c")],
     )
     s1 = sorted_group_agg(
         cb.map_batches(

@@ -399,6 +399,13 @@ def triangle_count(edges, node_cap: int, max_adjacency: int = 65536) -> pa.Table
 # --------------------------------------------------------------------------
 
 
+@ray.remote
+def _count_unresolved(t: "pa.Table") -> int:
+    if t.num_rows == 0:
+        return 0
+    return int(pc.sum(pc.invert(t["done"])).as_py() or 0)
+
+
 def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
                       max_hops: int = 64):
     """Resolve every redirect chain to its terminal URL in
@@ -417,6 +424,12 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
     pathological chains. Output (src_url, final_url, n_hops, is_loop)
     with final_url='' and n_hops=0 for loops (kept deliberately
     non-null so the SQL oracle's coalesce matches bit-for-bit).
+
+    Rounds stop EARLY once every chain is resolved: a one-int-per-block
+    count of unresolved rows between rounds (~0.1 s) skips the
+    remaining join exchanges (~0.5 s each) — with the default
+    ``max_hops=64`` budget (7 rounds) real redirect chains of 1–3 hops
+    converge in 3.
 
     SQL equivalent: WITH RECURSIVE walk — the oracle in
     pipelines/queries.py re-derives the closure in DuckDB."""
@@ -490,9 +503,17 @@ def resolve_redirects(edges, src_col: str = "src", dst_col: str = "dst",
                 {"src_url": t["src_url"], "cur": cur, "hops": hops, "done": done}
             )
 
+        # materialize is NOT extra work: the next round's join
+        # (ops/exchange.sorted_mat) would land these blocks anyway, and
+        # it stops the advance maps re-executing once per consumer
         state = joined.map_batches(
             advance, batch_format="pyarrow", zero_copy_batch=True
-        )
+        ).materialize()
+        rem_refs = [
+            _count_unresolved.remote(r) for r in state.to_arrow_refs()
+        ]
+        if rem_refs and sum(ray.get(rem_refs)) == 0:
+            break
 
     def finish(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -1688,3 +1688,64 @@ def time_weighted_avg(
             "twap": pa.array(twap, pa.float64()),
         }
     )
+
+
+# ------------------------- unordered per-key aggregates attached to rows
+
+
+@ray.remote
+def _attach_group_block(key: str, specs: tuple, *parts: "pa.Table") -> "pa.Table":
+    """One key-complete, key-sorted group set: compute per-run
+    aggregates with reduceat and repeat them back onto the rows."""
+    tables = [p for p in parts if p.num_rows]
+    if not tables:
+        return parts[0]
+    t = pa.concat_tables(tables).combine_chunks()
+    col = t[key].combine_chunks()
+    m = t.num_rows
+    new = np.ones(m, dtype=bool)
+    if m > 1:
+        new[1:] = pc.not_equal(col.slice(1), col.slice(0, m - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    starts = np.flatnonzero(new)
+    run_ids = np.cumsum(new) - 1
+    out = t
+    for out_name, kind, src in specs:
+        if kind == "count_all":
+            ends = np.concatenate([starts[1:], [m]])
+            vals = (ends - starts).astype(np.int64)
+        else:
+            x = np.asarray(t[src], dtype=np.int64)
+            if kind == "sum":
+                vals = np.add.reduceat(x, starts)
+            elif kind == "min":
+                vals = np.minimum.reduceat(x, starts)
+            elif kind == "max":
+                vals = np.maximum.reduceat(x, starts)
+            else:
+                raise ValueError(f"attach_group_agg: unknown kind {kind!r}")
+        out = out.append_column(out_name, pa.array(vals[run_ids], pa.int64()))
+    return out
+
+
+def attach_group_agg(ds, key: str, specs: list):
+    """``agg(col) OVER (PARTITION BY key)`` — per-key unordered
+    aggregates ATTACHED to every row in ONE key-complete exchange.
+
+    Replaces the aggregate-then-join-back plan (two exchanges + a join
+    for each aggregated side) wherever downstream math needs group
+    totals next to the rows — e.g. the Kneser-Ney chain's c(w1·),
+    N1+(w1·), N1+(·w2) marginals. ``specs`` = [(out_name, kind, col)],
+    kind ∈ {sum, min, max, count_all} over int64 columns (col=None for
+    count_all). Output rows/columns = input + one int64 column per
+    spec; row order is the (key-sorted) exchange order."""
+    from ..stages.index import key_complete_parts
+
+    groups = key_complete_parts(ds, key)
+    if not groups:
+        return ds.limit(0)
+    sp = tuple((o, k, c) for o, k, c in specs)
+    return ray.data.from_arrow_refs(
+        [_attach_group_block.remote(key, sp, *parts) for parts in groups]
+    )

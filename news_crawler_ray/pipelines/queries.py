@@ -7054,7 +7054,7 @@ def q_kn_bigram_lm(sf_dir: str):
     expression — bit-identical to the REAL SQL oracle (same op order:
     ((d·n1f)·n1b)/B, then +max-term, then /c1)."""
     from ..ops.agg import sorted_group_agg
-    from ..ops.join import sort_merge_inner_join
+    from ..ops.window import attach_group_agg
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -7091,20 +7091,6 @@ def q_kn_bigram_lm(sf_dir: str):
         ["w1", "w2"],
         [("n", "sum", "c")],
     )
-    s1 = sorted_group_agg(
-        cb.map_batches(
-            lambda t: t.select(["w1", "n"]), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        ["w1"],
-        [("c1", "sum", "n"), ("n1f", "count_all", None)],
-    )
-    s2 = sorted_group_agg(
-        cb.map_batches(
-            lambda t: t.select(["w2"]), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        ["w2"],
-        [("n1b", "count_all", None)],
-    )
     n_bigrams = sum(
         r["b"]
         for r in cb.map_batches(
@@ -7113,39 +7099,13 @@ def q_kn_bigram_lm(sf_dir: str):
             zero_copy_batch=True,
         ).take_all()
     )
-    j1 = sort_merge_inner_join(
-        cb.map_batches(
-            lambda t: pa.table({"term": t["w1"], "w2": t["w2"], "n": t["n"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        s1.map_batches(
-            lambda t: pa.table({"term": t["w1"], "c1": t["c1"], "n1f": t["n1f"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        "term",
-        ["w2", "n"],
-        ["c1", "n1f"],
-    ).map_batches(
-        lambda t: pa.table(
-            {"term": t["w2"], "w1": t["term"], "n": t["n"], "c1": t["c1"],
-             "n1f": t["n1f"]}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # marginals ATTACHED on two key-complete exchanges
+    # (ops/window.attach_group_agg) — the aggregate-then-join-back plan
+    # paid five exchanges (two marginal aggs + two joins on top of cb)
+    w1s = attach_group_agg(
+        cb, "w1", [("c1", "sum", "n"), ("n1f", "count_all", None)]
     )
-    j2 = sort_merge_inner_join(
-        j1,
-        s2.map_batches(
-            lambda t: pa.table({"term": t["w2"], "n1b": t["n1b"]}),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        "term",
-        ["w1", "n", "c1", "n1f"],
-        ["n1b"],
-    )
+    full = attach_group_agg(w1s, "w2", [("n1b", "count_all", None)])
     d = KN_DISCOUNT
     B = float(n_bigrams)
 
@@ -7161,11 +7121,11 @@ def q_kn_bigram_lm(sf_dir: str):
         n1b = np.asarray(t["n1b"], dtype=np.float64)
         p = (np.maximum(n - d, 0.0) + ((d * n1f) * n1b) / B) / c1
         return pa.table(
-            {"w1": t["w1"], "w2": t["term"],
+            {"w1": t["w1"], "w2": t["w2"],
              "n": pc.cast(t["n"], pa.int64()), "p_kn": pa.array(p, pa.float64())}
         )
 
-    return j2.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
+    return full.map_batches(prob, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_doc_length_histogram(sf_dir: str):

@@ -2692,3 +2692,36 @@ def test_pair_many_matches_per_run_path(ray_session):
     finally:
         D._bucketed_pairs = orig
     assert vec == plain and len(vec) > 0
+
+
+def test_attach_group_agg_matches_join_back_plan(ray_session):
+    """attach_group_agg must equal the aggregate-then-join-back plan:
+    per-key sum/count/min attached to every row, keys spanning blocks
+    included."""
+    import numpy as np
+    import ray as _ray
+
+    from news_crawler_ray.ops.window import attach_group_agg
+
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 9, size=1000)
+    v = rng.integers(1, 100, size=1000)
+    t = pa.table({"k": pa.array(k, pa.int64()), "v": pa.array(v, pa.int64())})
+    ds = _ray.data.from_arrow([t.slice(i, 100) for i in range(0, 1000, 100)])
+    out = attach_group_agg(
+        ds, "k", [("s", "sum", "v"), ("n", "count_all", None), ("mn", "min", "v")]
+    ).take_all()
+    assert len(out) == 1000
+    import collections
+
+    sums = collections.Counter()
+    cnts = collections.Counter()
+    mins: dict = {}
+    for kk, vv in zip(k.tolist(), v.tolist()):
+        sums[kk] += vv
+        cnts[kk] += 1
+        mins[kk] = min(mins.get(kk, 10**9), vv)
+    for r in out:
+        assert r["s"] == sums[r["k"]]
+        assert r["n"] == cnts[r["k"]]
+        assert r["mn"] == mins[r["k"]]

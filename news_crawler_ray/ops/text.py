@@ -1143,13 +1143,13 @@ def doc_rarity(
     unigram-LM surprisal). The OOV/noise filter a pretraining curation
     pass runs before tokenizer fitting.
 
-    Shape: exploded (doc, term, tf) pairs → corpus totals via the
-    sorted group-agg exchange → sort-merge join back on term (both
-    sides data-scale; no broadcast assumption) → per-doc sums on the
-    doc exchange. Three exchanges, all task-based, no driver
-    materialization."""
+    Shape: exploded (doc, term, tf) pairs → corpus totals ATTACHED on
+    the term-complete exchange (ops/window.attach_group_agg — the
+    aggregate-then-join-back plan paid an extra exchange plus a
+    re-execution of the explode) → per-doc sums on the doc exchange.
+    Two exchanges, all task-based, no driver materialization."""
     from .agg import sorted_group_agg
-    from .join import sort_merge_inner_join
+    from .window import attach_group_agg
 
     def pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1167,10 +1167,7 @@ def doc_rarity(
         )
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-    totals = sorted_group_agg(pair_ds, ["term"], [("n", "sum", "tf")])
-    joined = sort_merge_inner_join(
-        pair_ds, totals, "term", [id_col, "tf"], ["n"]
-    )
+    joined = attach_group_agg(pair_ds, "term", [("n", "sum", "tf")])
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "tf" not in t.column_names:
@@ -2059,13 +2056,13 @@ def doc_surprisal(
     + 0.5) — quantization is part of the operator definition, the
     ops/agg.group_entropy trick), so the per-doc reduction is an exact
     integer sum: order-free, layout-proof, and expressible in REAL SQL
-    (DuckDB's log2/floor are bit-equal to numpy's on this host —
-    verified). Same three task-based exchanges as doc_rarity (explode →
-    totals → join back → per-doc sums); floats only in the final
+    (quantization absorbs the last-ulp np.log2-vs-libm drift). Same two
+    task-based exchanges as doc_rarity (explode → totals ATTACHED on
+    the term exchange → per-doc sums); floats only in the final
     bits = −S/2^scale_bits and bits_per_token division. Output:
     (doc_id, n_tokens, surprisal_bits, bits_per_token)."""
     from .agg import sorted_group_agg
-    from .join import sort_merge_inner_join
+    from .window import attach_group_agg
 
     scale = np.float64(1 << scale_bits)
 
@@ -2085,18 +2082,22 @@ def doc_surprisal(
         )
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-    totals = sorted_group_agg(pair_ds, ["term"], [("n", "sum", "tf")])
+    joined = attach_group_agg(pair_ds, "term", [("n", "sum", "tf")])
+    # joined's blocks are eager refs: the corpus token total is one
+    # cheap pass over them (Σ tf — each occurrence row counted once)
     n_total = sum(
         r["s"]
-        for r in totals.map_batches(
+        for r in joined.map_batches(
             lambda t: pa.table(
-                {"s": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())}
+                {"s": pa.array(
+                    [pc.sum(t["tf"]).as_py() or 0 if t.num_rows else 0],
+                    pa.int64(),
+                )}
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).take_all()
     )
-    joined = sort_merge_inner_join(pair_ds, totals, "term", [id_col, "tf"], ["n"])
     nf = np.float64(n_total)
 
     def score(t: pa.Table) -> pa.Table:

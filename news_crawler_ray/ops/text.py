@@ -2348,11 +2348,11 @@ def dsir_importance(
     to the SQL oracle. Absent-in-target terms contribute Lq(1)=0 by
     construction, so the likelihood rides ONE inner join against the
     (term, cr, ct) totals (every pair matches: raw counts include the
-    doc itself). Shape: explode → one term group-agg (both counts in
-    one exchange) → join back → one doc group-agg. Output
+    doc itself). Shape: explode → both totals ATTACHED on one
+    term-complete exchange → one doc group-agg. Output
     (id, n_tokens, logratio_q)."""
     from .agg import sorted_group_agg
-    from .join import sort_merge_inner_join
+    from .window import attach_group_agg
 
     def pairs(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -2376,16 +2376,31 @@ def dsir_importance(
         )
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-    totals = sorted_group_agg(
-        pair_ds, ["term"], [("cr", "sum", "tf"), ("ct", "sum", "tft")]
-    ).materialize()
-    stats = totals.map_batches(
+    # (cr, ct) totals ATTACHED on the one term-complete exchange
+    # (ops/window.attach_group_agg) — the aggregate + join-back plan
+    # paid an extra exchange and re-executed the explode per consumer;
+    # _first marks each term run once so the vocabulary size is a row sum
+    joined = attach_group_agg(
+        pair_ds,
+        "term",
+        [("cr", "sum", "tf"), ("ct", "sum", "tft")],
+        mark_first="_first",
+    )
+    stats = joined.map_batches(
         lambda t: pa.table(
             {
-                "nr": pa.array([pc.sum(t["cr"]).as_py() or 0], pa.int64()),
-                "nt": pa.array([pc.sum(t["ct"]).as_py() or 0], pa.int64()),
-                "v": pa.array([t.num_rows], pa.int64()),
+                "nr": pa.array([pc.sum(t["tf"]).as_py() or 0], pa.int64()),
+                "nt": pa.array([pc.sum(t["tft"]).as_py() or 0], pa.int64()),
+                "v": pa.array(
+                    [pc.sum(pc.cast(t["_first"], pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
             }
+        )
+        if t.num_rows
+        else pa.table(
+            {"nr": pa.array([0], pa.int64()), "nt": pa.array([0], pa.int64()),
+             "v": pa.array([0], pa.int64())}
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -2395,19 +2410,6 @@ def dsir_importance(
     v = sum(r["v"] for r in stats)
     k_norm = int(_nb_lq(n_raw + v)[()]) - int(_nb_lq(n_tgt + v)[()]) if v else 0
 
-    def to_dq(t: pa.Table) -> pa.Table:
-        ct = np.asarray(t["ct"], np.int64)
-        cr = np.asarray(t["cr"], np.int64)
-        return pa.table(
-            {"term": t["term"],
-             "dq": pa.array(_nb_lq(ct + 1) - _nb_lq(cr + 1), pa.int64())}
-        )
-
-    totals_q = totals.map_batches(to_dq, batch_format="pyarrow", zero_copy_batch=True)
-    joined = sort_merge_inner_join(
-        pair_ds, totals_q, "term", [id_col, "tf"], ["dq"]
-    )
-
     def to_val(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "tf" not in t.column_names:
             return pa.table(
@@ -2415,7 +2417,10 @@ def dsir_importance(
                  "val": pa.array([], pa.int64()),
                  "tf": pa.array([], pa.int64())}
             )
-        val = np.asarray(t["tf"], np.int64) * np.asarray(t["dq"], np.int64)
+        ct = np.asarray(t["ct"], np.int64)
+        cr = np.asarray(t["cr"], np.int64)
+        dq = _nb_lq(ct + 1) - _nb_lq(cr + 1)
+        val = np.asarray(t["tf"], np.int64) * dq
         return pa.table(
             {id_col: t[id_col], "val": pa.array(val, pa.int64()), "tf": t["tf"]}
         )

@@ -1694,7 +1694,9 @@ def time_weighted_avg(
 
 
 @ray.remote
-def _attach_group_block(key: str, specs: tuple, *parts: "pa.Table") -> "pa.Table":
+def _attach_group_block(
+    key: str, specs: tuple, mark_first: str | None, *parts: "pa.Table"
+) -> "pa.Table":
     """One key-complete, key-sorted group set: compute per-run
     aggregates with reduceat and repeat them back onto the rows."""
     tables = [p for p in parts if p.num_rows]
@@ -1711,6 +1713,8 @@ def _attach_group_block(key: str, specs: tuple, *parts: "pa.Table") -> "pa.Table
     starts = np.flatnonzero(new)
     run_ids = np.cumsum(new) - 1
     out = t
+    if mark_first is not None:
+        out = out.append_column(mark_first, pa.array(new, pa.bool_()))
     for out_name, kind, src in specs:
         if kind == "count_all":
             ends = np.concatenate([starts[1:], [m]])
@@ -1729,7 +1733,7 @@ def _attach_group_block(key: str, specs: tuple, *parts: "pa.Table") -> "pa.Table
     return out
 
 
-def attach_group_agg(ds, key: str, specs: list):
+def attach_group_agg(ds, key: str, specs: list, mark_first: str | None = None):
     """``agg(col) OVER (PARTITION BY key)`` — per-key unordered
     aggregates ATTACHED to every row in ONE key-complete exchange.
 
@@ -1738,7 +1742,9 @@ def attach_group_agg(ds, key: str, specs: list):
     totals next to the rows — e.g. the Kneser-Ney chain's c(w1·),
     N1+(w1·), N1+(·w2) marginals. ``specs`` = [(out_name, kind, col)],
     kind ∈ {sum, min, max, count_all} over int64 columns (col=None for
-    count_all). Output rows/columns = input + one int64 column per
+    count_all). ``mark_first`` names an extra bool column set True on
+    each key run's first row — a global DISTINCT-key count becomes a
+    plain row sum. Output rows/columns = input + one int64 column per
     spec; row order is the (key-sorted) exchange order."""
     from ..stages.index import key_complete_parts
 
@@ -1747,5 +1753,8 @@ def attach_group_agg(ds, key: str, specs: list):
         return ds.limit(0)
     sp = tuple((o, k, c) for o, k, c in specs)
     return ray.data.from_arrow_refs(
-        [_attach_group_block.remote(key, sp, *parts) for parts in groups]
+        [
+            _attach_group_block.remote(key, sp, mark_first, *parts)
+            for parts in groups
+        ]
     )

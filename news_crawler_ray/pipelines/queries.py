@@ -1166,9 +1166,9 @@ def q_curate_web_corpus(sf_dir: str):
     individually-oracled op; the oracle is the SAME chain as SQL CTEs,
     bit-exact end to end."""
     from ..ops.dedup import content_hash_batch
-    from ..ops.join import sort_merge_inner_join, sort_merge_semi_join
-    from ..ops.agg import sorted_group_agg
+    from ..ops.join import sort_merge_inner_join
     from ..ops.sampling import _digest_prefixes, budget_sample
+    from ..ops.window import attach_group_agg
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
 
@@ -1253,22 +1253,25 @@ def q_curate_web_corpus(sf_dir: str):
              "h": pa.array(_digest_prefixes(t["doc_id"]), pa.string())}
         )
 
-    # materialize the NARROW meta rows (≈50 B/row — the same volume the
-    # dedup exchange ships anyway) so the heavy join→plant→extract chain
-    # executes once; branching an unmaterialized dataset would re-run it
-    # per consumer (Ray Data does not dedupe common subplans)
+    # meta rows are consumed exactly once (by the attach exchange), so
+    # the heavy join→plant→extract chain executes once with no
+    # materialize barrier
     meta = gated.map_batches(
         meta_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-    winners = sorted_group_agg(
-        meta.select_columns(["content_hash", "doc_id"]),
-        ["content_hash"],
-        [("doc_id", "min", "doc_id")],
-    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
-    survivors = sort_merge_semi_join(
-        meta.select_columns(["doc_id", "lang", "n_tokens", "h"]),
-        winners,
-        key="doc_id",
+    )
+    # keep-min-id dedup in ONE exchange: attach min doc_id per content
+    # hash and filter in place (the winners + semi-join-back plan paid
+    # two exchanges — and needed the meta rows materialized to branch)
+    survivors = attach_group_agg(
+        meta, "content_hash", [("min_id", "min", "doc_id")]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["min_id"])).select(
+            ["doc_id", "lang", "n_tokens", "h"]
+        )
+        if t.num_rows
+        else t.select(["doc_id", "lang", "n_tokens", "h"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     kept = budget_sample(

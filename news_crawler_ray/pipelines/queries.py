@@ -3772,13 +3772,13 @@ def q_chunk_docs(sf_dir: str):
 def q_curate_corpus(sf_dir: str):
     """END-TO-END text corpus curation (the C4-style prep a pretraining
     run executes): quality filter (exact-int Gopher thresholds) →
-    normalize → exact dedup on normalized text (keep min doc_id, semi
-    join back) → overlapping 32/24 token chunking — one streaming plan
-    stitched from individually-oracled ops; the oracle is the same
-    chain as SQL CTEs."""
-    from ..ops.agg import sorted_group_agg
+    normalize → exact dedup on normalized text (keep-min-doc-id on ONE
+    attach exchange — the winners + semi-join plan paid two exchanges
+    and re-ran the normalize per consumer) → overlapping 32/24 token
+    chunking — one streaming plan stitched from individually-oracled
+    ops; the oracle is the same chain as SQL CTEs."""
     from ..ops.dedup import content_hash_batch
-    from ..ops.join import sort_merge_semi_join
+    from ..ops.window import attach_group_agg
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -3793,16 +3793,21 @@ def q_curate_corpus(sf_dir: str):
         ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
     )
     hashed = norm.map_batches(
-        lambda b: content_hash_batch(b, "text_norm").select(
-            ["content_hash", "doc_id"]
-        ),
+        lambda b: content_hash_batch(b, "text_norm"),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    winners = sorted_group_agg(
-        hashed, ["content_hash"], [("doc_id", "min", "doc_id")]
-    ).map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
-    survivors = sort_merge_semi_join(norm, winners, key="doc_id")
+    survivors = attach_group_agg(
+        hashed, "content_hash", [("min_id", "min", "doc_id")]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["min_id"])).drop_columns(
+            ["content_hash", "min_id"]
+        )
+        if t.num_rows
+        else t.drop_columns(["content_hash", "min_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     return tx.chunk_documents(survivors, text_col="text_norm", size=32, stride=24)
 
 

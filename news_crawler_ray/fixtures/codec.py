@@ -175,6 +175,124 @@ def tile_hashes64(px: np.ndarray, tile: int = 16) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------------------- audio (WAV)
+#
+# REAL RIFF/WAVE PCM16 mono codec — pure struct, no dependencies. Any
+# standard tool can read these bytes; decode walks chunks (robust to
+# LIST/fact chunks a real-world file may carry).
+
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 PCM samples → canonical mono RIFF/WAVE bytes."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("expected 1-D int16 samples")
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block align, 16-bit
+    return (
+        _RIFF
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n)
+        + _WAVE
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def decode_wav(data: bytes) -> "tuple[np.ndarray, int]":
+    """RIFF/WAVE bytes → (1-D int16 samples, sample_rate). Chunk-walking
+    reader: only PCM16 mono is supported; unknown chunks are skipped."""
+    if data[:4] != _RIFF or data[8:12] != _WAVE:
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(data)
+    rate, bits, channels, codec_tag = None, None, None, None
+    pcm = None
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            codec_tag, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # RIFF chunks are word-aligned
+    if pcm is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    if codec_tag != 1 or channels != 1 or bits != 16:
+        raise ValueError("only PCM16 mono supported")
+    return np.frombuffer(pcm[: (len(pcm) // 2) * 2], dtype="<i2").astype(np.int16), int(rate)
+
+
+# ----------------------------------------------------- video (framed frames)
+#
+# Length-framed frame container (the WET trick applied to video): a
+# fixed header, then per frame ``u32 length + encoded image bytes``
+# (PNG / QIM via the image codec above). Length framing means a frame
+# sampler SEEKS over unsampled frames without decoding them — the
+# property a real container (fMP4 / MKV cluster index) provides and the
+# at-scale reason sampling every Nth frame is cheap.
+
+_VID_MAGIC = b"NCV1"
+
+
+def encode_video(frames: "list[np.ndarray]", fps: int, fmt: str = "png") -> bytes:
+    """(h, w, 3) uint8 frames → framed container bytes."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    fmt_code = {"png": 0, "jpeg": 1}[fmt]
+    parts = [
+        _VID_MAGIC + struct.pack("<HBI", fps, fmt_code, len(frames))
+    ]
+    for px in frames:
+        payload = encode(px, fmt)
+        parts.append(struct.pack("<I", len(payload)) + payload)
+    return b"".join(parts)
+
+
+def video_info(data: bytes) -> "tuple[int, str, int]":
+    """Header-only read → (fps, fmt, n_frames)."""
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not an NCV1 payload")
+    fps, fmt_code, n_frames = struct.unpack("<HBI", data[4:11])
+    return fps, {0: "png", 1: "jpeg"}[fmt_code], n_frames
+
+
+def video_frame_offsets(data: bytes) -> "list[tuple[int, int]]":
+    """(offset, length) per frame — pointer walk only, zero decode."""
+    _, _, n_frames = video_info(data)
+    out = []
+    pos = 11
+    for _ in range(n_frames):
+        (length,) = struct.unpack("<I", data[pos : pos + 4])
+        out.append((pos + 4, length))
+        pos += 4 + length
+    return out
+
+
+def decode_video_frames(
+    data: bytes, indices: "list[int] | None" = None
+) -> "list[tuple[int, np.ndarray]]":
+    """Decode (frame_idx, pixels) for ``indices`` (default: all frames).
+    Unsampled frames are skipped by offset arithmetic, never decoded."""
+    _, fmt, n_frames = video_info(data)
+    offs = video_frame_offsets(data)
+    want = range(n_frames) if indices is None else indices
+    return [
+        (i, decode(data[offs[i][0] : offs[i][0] + offs[i][1]], fmt))
+        for i in want
+    ]
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB between two uint8 arrays."""
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)

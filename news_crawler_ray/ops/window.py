@@ -1750,7 +1750,18 @@ def attach_group_agg(ds, key: str, specs: list, mark_first: str | None = None):
 
     groups = key_complete_parts(ds, key)
     if not groups:
-        return ds.limit(0)
+        # Empty input must still carry the attached columns so the
+        # schema matches the non-empty path (downstream drops/selects
+        # assume they exist).
+        schema = ds.schema()
+        empty = pa.table(
+            {n: pa.array([], t) for n, t in zip(schema.names, schema.types)}
+        )
+        if mark_first is not None:
+            empty = empty.append_column(mark_first, pa.array([], pa.bool_()))
+        for out_name, _kind, _src in specs:
+            empty = empty.append_column(out_name, pa.array([], pa.int64()))
+        return ray.data.from_arrow(empty)
     sp = tuple((o, k, c) for o, k, c in specs)
     return ray.data.from_arrow_refs(
         [

@@ -323,13 +323,27 @@ def run_crawl(
             )
         cand_path = os.path.join(out_dir, "candidates", f"wave-{start_wave}")
         if not os.path.exists(cand_path):
-            src = manifest.get("seed_source")
-            if start_wave == 0 and src and os.path.exists(src):
-                candidates, cand_n = _read_candidates(src)
-            else:
-                return result  # crawl had already drained
+            return result  # crawl had already drained
+        candidates, cand_n = _read_candidates(cand_path)
+    elif resume and seeds is None and seeds_path is None:
+        # Resume of a run that crashed BEFORE completing wave 0
+        # (completed_through == -1): re-read the recorded wave-0 source —
+        # either the checkpointed copy under candidates/wave-0 (seeds
+        # runs) or the manifest's seed_source (seeds_path runs, whose
+        # wave 0 is never copied). Falling into the seeding branch here
+        # would crash on seeds=None.
+        seed_path = os.path.join(out_dir, "candidates", "wave-0")
+        src = manifest.get("seed_source")
+        if os.path.exists(seed_path):
+            candidates, cand_n = _read_candidates(seed_path)
+        elif src and os.path.exists(src):
+            candidates, cand_n = _read_candidates(src)
         else:
-            candidates, cand_n = _read_candidates(cand_path)
+            raise RuntimeError(
+                f"resume: wave 0 never checkpointed under {out_dir} and "
+                "the manifest records no seed_source — pass seeds or "
+                "seeds_path to re-seed"
+            )
     else:
         if seeds_path is not None:
             src_schema = ray.data.read_parquet(seeds_path).schema()

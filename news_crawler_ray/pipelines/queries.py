@@ -2028,7 +2028,16 @@ def q_wet_ingest(sf_dir: str):
             "text": docs["text"],
         }
     )
-    out = f"/tmp/nc_wet_fixture/{os.path.basename(os.path.normpath(sf_dir))}_n{len(ids)}"
+    # Cache key includes a content fingerprint (mtime+size of the source
+    # parquet), not just basename+row count: regenerating the fixture
+    # with the same row count but different content must not silently
+    # reuse stale shards while the SQL oracle reads the fresh parquet.
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    fp = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    out = (
+        f"/tmp/nc_wet_fixture/"
+        f"{os.path.basename(os.path.normpath(sf_dir))}_n{len(ids)}_{fp}"
+    )
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
         write_wet_shards(tbl, out, num_shards=8)
@@ -2812,8 +2821,18 @@ def q_weighted_type_sample(sf_dir: str):
     def keyed(t: pa.Table) -> pa.Table:
         # floor(x+0.5) = DuckDB round() (half-away-from-zero) for the
         # non-negative cents here; np.rint is half-to-even and diverges
-        # on exact .5 boundaries (value=0.125 -> 13 vs 14).
-        w = np.floor(np.asarray(t["value"], dtype=np.float64) * 100 + 0.5) + 1.0
+        # on exact .5 boundaries (value=0.125 -> 13 vs 14). Negative
+        # values would round half-UP here (floor(-12.5+0.5) = -12 vs
+        # DuckDB -13) and violate the es w >= 1 contract — fail loudly
+        # if the fixture ever drifts.
+        v = np.asarray(t["value"], dtype=np.float64)
+        if v.size and v.min() < 0:
+            raise ValueError(
+                "weighted_type_sample: negative event values break the "
+                "half-away-from-zero rounding match and the ES w>=1 "
+                "contract"
+            )
+        w = np.floor(v * 100 + 0.5) + 1.0
         return pa.table(
             {
                 "event_type": t["event_type"],

@@ -287,3 +287,41 @@ def test_seeds_path_reference_mode_identical_and_resumable(
         cp.run_crawl(
             None, ps, robots, str(tmp_path / "bad_out"), config=cfg1, seeds_path=bad
         )
+
+
+def test_resume_before_wave0_rereads_seed_source(
+    ray_session, tmp_path, fixture_tables
+):
+    """A seeds_path run killed BEFORE wave 0 completed (manifest has
+    seed_source, completed_through == -1, no candidates/wave-0 copy)
+    must re-read the recorded source on resume — not crash in the
+    seeding branch with seeds=None."""
+    import json
+    import os
+
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps, fr, robots = fixture_tables
+    src = str(tmp_path / "frontier_src0.parquet")
+    pq.write_table(fr.select([f.name for f in cp.FRONTIER_SCHEMA]), src)
+    out = str(tmp_path / "crash0")
+    os.makedirs(os.path.join(out, "candidates"), exist_ok=True)
+    os.makedirs(os.path.join(out, "fetched"), exist_ok=True)
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(
+            {"completed_through": -1, "waves": [], "seed_source": src}, f
+        )
+    cfg = cp.CrawlConfig(max_waves=3, num_seen_shards=2, dedup_partitions=4)
+    resumed = cp.run_crawl(None, ps, robots, out, config=cfg, resume=True)
+    full = _run(tmp_path, fixture_tables, max_waves=3, out="full_w0")
+    assert _engine_order(resumed) == _engine_order(full)
+    assert resumed.seen.all_keys() == full.seen.all_keys()
+
+    # nothing checkpointed AND no source recorded → loud error, not a
+    # seeds=None crash
+    out2 = str(tmp_path / "crash0b")
+    os.makedirs(os.path.join(out2, "candidates"), exist_ok=True)
+    with open(os.path.join(out2, "manifest.json"), "w") as f:
+        json.dump({"completed_through": -1, "waves": []}, f)
+    with pytest.raises(RuntimeError, match="seed_source"):
+        cp.run_crawl(None, ps, robots, out2, config=cfg, resume=True)

@@ -2619,7 +2619,9 @@ def test_sorted_mat_heals_degenerate_layouts(ray_session):
         }
     )
     shattered = _ray.data.from_arrow([t.slice(i * 10, 10) for i in range(500)])
-    healed = sorted_mat(shattered, ["k", "v"])
+    # Explicit cap: the default is max(64, 2*cluster CPUs), which on a
+    # >64-CPU host exceeds the 128 this test asserts.
+    healed = sorted_mat(shattered, ["k", "v"], max_blocks=64)
     assert healed.num_blocks() <= 128
     expected = t.sort_by([("k", "ascending"), ("v", "ascending")])
     got = pa.Table.from_pylist(healed.take_all(), schema=t.schema)
@@ -2725,3 +2727,31 @@ def test_attach_group_agg_matches_join_back_plan(ray_session):
         assert r["s"] == sums[r["k"]]
         assert r["n"] == cnts[r["k"]]
         assert r["mn"] == mins[r["k"]]
+
+
+def test_attach_group_agg_empty_input_keeps_schema(ray_session):
+    """The empty path must carry the attached spec + mark_first columns
+    so downstream drop/select logic sees one schema regardless of input
+    row count."""
+    import ray as _ray
+
+    from news_crawler_ray.ops.window import attach_group_agg
+
+    t = pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    out = attach_group_agg(
+        _ray.data.from_arrow(t),
+        "k",
+        [("s", "sum", "v"), ("n", "count_all", None)],
+        mark_first="first",
+    )
+    schema = out.schema()
+    assert schema.names == ["k", "v", "first", "s", "n"]
+    assert out.count() == 0
+    # and the columns are droppable exactly like the non-empty path
+    # (arrow-level: downstream stages call Table.drop_columns on blocks)
+    import ray as _ray2
+
+    blocks = [_ray2.get(r) for r in out.to_arrow_refs()]
+    assert blocks, "empty path must still emit one schema-bearing block"
+    for b in blocks:
+        assert b.drop_columns(["s", "n", "first"]).schema.names == ["k", "v"]

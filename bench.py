@@ -214,6 +214,8 @@ QUERY_SUBSET = [
     "minhash_dedup_pairs",
     "simhash_pairs",
     "image_features",
+    "audio_features",
+    "video_frame_stats",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

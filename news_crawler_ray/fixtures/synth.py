@@ -308,6 +308,109 @@ def make_letterbox_store(n: int, seed: int = 42, sizes: tuple = (32, 48)) -> pa.
     )
 
 
+def make_audiostore(n: int, seed: int = 42) -> pa.Table:
+    """Audio store: (audio_id, bytes:large_binary REAL WAV PCM16 mono,
+    sample_rate:int32, fmt='wav', n_samples:int32).
+
+    Waveform i = two deterministic sine partials + seeded integer noise,
+    length 400..2399 samples at 8 or 16 kHz — small enough that a
+    100k-row store stays in MBs, structured enough that RMS/peak/ZCR
+    features differ per row. The reference has no audio (SURVEY §2);
+    this extends the input_hint's opaque-binary payload column family
+    to the audio modality."""
+    rows = []
+    for i in range(n):
+        r = np.random.default_rng((seed, 11, i))
+        rate = 8000 if i % 2 == 0 else 16000
+        n_samp = 400 + int(r.integers(0, 2000))
+        t = np.arange(n_samp, dtype=np.float64) / rate
+        f0 = 100.0 + float(r.integers(0, 900))
+        amp = 3000 + int(r.integers(0, 9000))
+        wave = amp * np.sin(2 * np.pi * f0 * t) + 0.3 * amp * np.sin(
+            2 * np.pi * 2.7 * f0 * t
+        )
+        wave = wave + r.integers(-500, 500, size=n_samp)
+        samples = np.clip(np.rint(wave), -32768, 32767).astype(np.int16)
+        rows.append(
+            {
+                "audio_id": f"au{i:06d}",
+                "bytes": codec.encode_wav(samples, rate),
+                "sample_rate": rate,
+                "fmt": "wav",
+                "n_samples": n_samp,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.column_names.index("bytes"),
+        "bytes",
+        pa.array([r["bytes"] for r in rows], pa.large_binary()),
+    )
+    t = t.set_column(
+        t.column_names.index("sample_rate"),
+        "sample_rate",
+        pa.array([r["sample_rate"] for r in rows], pa.int32()),
+    )
+    return t.set_column(
+        t.column_names.index("n_samples"),
+        "n_samples",
+        pa.array([r["n_samples"] for r in rows], pa.int32()),
+    )
+
+
+def make_videostore(
+    n: int, seed: int = 42, sizes: tuple = (32, 48)
+) -> pa.Table:
+    """Video store: (video_id, bytes:large_binary NCV1 length-framed
+    frames, fps:int32, n_frames:int32, fmt). Frames are a moving bright
+    square over a per-video random background — consecutive frames
+    differ deterministically so frame-sample features are
+    discriminative. Frame payloads use the real image codecs (PNG /
+    QIM); the container's length framing lets the sampler seek over
+    unsampled frames without decoding (fixtures/codec.encode_video)."""
+    rows = []
+    for i in range(n):
+        r = np.random.default_rng((seed, 12, i))
+        w, h = int(r.choice(sizes)), int(r.choice(sizes))
+        fmt = "png" if r.random() < 0.5 else "jpeg"
+        fps = int(r.choice([10, 24]))
+        n_frames = 6 + int(r.integers(0, 19))
+        bg = r.integers(0, 128, size=(h, w, 3), dtype=np.uint8)
+        frames = []
+        sq = max(4, min(w, h) // 4)
+        for f in range(n_frames):
+            px = bg.copy()
+            x0 = (f * 3) % max(1, w - sq)
+            y0 = (f * 2) % max(1, h - sq)
+            px[y0 : y0 + sq, x0 : x0 + sq] = 200 + (f % 8) * 4
+            frames.append(px)
+        rows.append(
+            {
+                "video_id": f"vid{i:06d}",
+                "bytes": codec.encode_video(frames, fps, fmt),
+                "fps": fps,
+                "n_frames": n_frames,
+                "fmt": fmt,
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.column_names.index("bytes"),
+        "bytes",
+        pa.array([r["bytes"] for r in rows], pa.large_binary()),
+    )
+    t = t.set_column(
+        t.column_names.index("fps"),
+        "fps",
+        pa.array([r["fps"] for r in rows], pa.int32()),
+    )
+    return t.set_column(
+        t.column_names.index("n_frames"),
+        "n_frames",
+        pa.array([r["n_frames"] for r in rows], pa.int32()),
+    )
+
+
 def make_frontier(
     n: int, seed: int = 42, dup_frac: float = 0.05, noise_frac: float = 0.05
 ) -> pa.Table:

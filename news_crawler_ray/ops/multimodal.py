@@ -596,66 +596,145 @@ def resize_images(ds, out_w: int, out_h: int, concurrency=2, batch_size: int = 1
 
 
 class AudioFeatureStage:
-    """STUB: audio binary → features. Plumbing real, codec absent.
+    """Audio binary → per-clip features with a REAL WAV (PCM16 mono)
+    decode (fixtures/codec.decode_wav — pure-struct RIFF chunk walk).
 
-    Schema contract: input (audio_id:string, bytes:binary, sample_rate:
-    int32, fmt:string) → output adds (duration_s:float64, rms:float64).
-    The decode call raises NotImplementedError until a codec (soundfile/
-    ffmpeg) is installed; ``fake=True`` substitutes a deterministic
-    length-derived stand-in so pipelines exercise the full path.
-    """
+    Schema contract: input (audio_id:string, bytes:binary,
+    sample_rate:int32, fmt:string) → output drops ``bytes`` and adds
+    (n_samples:int64, duration_us:int64, sum_sq:int64, peak:int64,
+    zero_cross:int64, rms:float64, decode_ok:bool). Every aggregate is
+    an EXACT integer moment over the int16 samples (Σs², max|s|, sign
+    transitions), so results are bit-identical at any parallelism;
+    ``rms`` is one float expression from the integer moments. A payload
+    that fails to decode yields a null-moment row with
+    ``decode_ok=False`` — row-level errors, not job failure (T5
+    semantics, /root/reference/src/secbot/fetchers/news.py:136-138).
+    The decoded rate must equal the metadata ``sample_rate`` column or
+    the row is marked failed (metadata/payload drift is data, not a
+    crash)."""
 
-    def __init__(self, fake: bool = False, bytes_col: str = "bytes"):
-        self.fake, self.bytes_col = fake, bytes_col
-
-    def _decode(self, buf: bytes, sample_rate: int) -> np.ndarray:
-        if self.fake:
-            # deterministic stand-in: bytes → int16-ish waveform
-            arr = np.frombuffer(buf[: (len(buf) // 2) * 2], dtype=np.int16)
-            return arr.astype(np.float64) / 32768.0
-        raise NotImplementedError("no audio codec in this environment (install soundfile)")
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        durs, rms = [], []
-        for buf, sr in zip(batch[self.bytes_col].to_pylist(), batch["sample_rate"].to_pylist()):
-            wave = self._decode(buf, sr)
-            durs.append(len(wave) / max(sr, 1))
-            rms.append(float(np.sqrt(np.mean(wave**2))) if len(wave) else 0.0)
+        from ..fixtures import codec
+
+        n_s, dur, ssq, peak, zc, rms, ok = [], [], [], [], [], [], []
+        for buf, sr_meta in zip(
+            batch[self.bytes_col].to_pylist(), batch["sample_rate"].to_pylist()
+        ):
+            try:
+                samples, rate = codec.decode_wav(buf)
+                if rate != sr_meta:
+                    raise ValueError("sample_rate metadata != payload rate")
+            except (ValueError, struct.error, IndexError):
+                n_s.append(0)
+                dur.append(0)
+                ssq.append(0)
+                peak.append(0)
+                zc.append(0)
+                rms.append(0.0)
+                ok.append(False)
+                continue
+            n = len(samples)
+            s64 = samples.astype(np.int64)
+            s_sq = int(np.dot(s64, s64))
+            n_s.append(n)
+            dur.append(n * 1_000_000 // max(rate, 1))
+            ssq.append(s_sq)
+            peak.append(int(np.abs(s64).max()) if n else 0)
+            # sign transition count; 0 counts as non-negative
+            neg = s64 < 0
+            zc.append(int(np.count_nonzero(neg[1:] != neg[:-1])) if n > 1 else 0)
+            rms.append(float(np.sqrt(s_sq / n)) if n else 0.0)
+            ok.append(True)
+        out_names = (
+            "n_samples", "duration_us", "sum_sq", "peak", "zero_cross",
+            "rms", "decode_ok",
+        )
+        # decoded values supersede any same-named metadata column (the
+        # synth store carries n_samples as writer metadata)
+        drop = [self.bytes_col] + [
+            c for c in out_names if c in batch.column_names
+        ]
         return (
-            batch.drop_columns([self.bytes_col])
-            .append_column("duration_s", pa.array(durs, pa.float64()))
+            batch.drop_columns(drop)
+            .append_column("n_samples", pa.array(n_s, pa.int64()))
+            .append_column("duration_us", pa.array(dur, pa.int64()))
+            .append_column("sum_sq", pa.array(ssq, pa.int64()))
+            .append_column("peak", pa.array(peak, pa.int64()))
+            .append_column("zero_cross", pa.array(zc, pa.int64()))
             .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
         )
 
 
+def audio_features(ds, concurrency=(1, 4), batch_size: int = 256):
+    """Actor-pool audio feature extraction (decode state-free but the
+    pool keeps codec warm + bounds in-flight payload bytes)."""
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class VideoFrameSampleStage:
-    """STUB: video binary → sampled frame features. Plumbing real.
+    """Video binary → sampled-frame features with REAL frame decode.
 
-    Contract: input (video_id, bytes, fps:int32, fmt) → output
-    (video_id, frame_idx:int32, frame_feature:float64) rows via the
-    same flat_map-style expansion a real frame sampler would use.
-    """
+    Input (video_id, bytes:binary NCV1 container, fps:int32, fmt) →
+    one output row per SAMPLED frame: (video_id, frame_idx:int32,
+    luma_sum:int64, n_px:int64, phash:int64). The container is
+    length-framed (fixtures/codec.encode_video), so the stage seeks
+    straight to every ``every_n``-th frame's offset and decodes ONLY
+    those — at 100 TB the decode cost is frames_sampled/frames_total of
+    the naive plan, which is the entire point of frame sampling.
+    ``luma_sum`` = Σ(r+g+b) over the frame as an exact int; ``phash``
+    uses the shared perceptual-hash kernel so sampled frames plug into
+    the existing phash dedup/cluster family."""
 
-    def __init__(self, every_n: int = 30, fake: bool = False):
-        self.every_n, self.fake = every_n, fake
+    def __init__(self, every_n: int = 30):
+        self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vids, idxs, feats = [], [], []
-        for vid, buf in zip(batch["video_id"].to_pylist(), batch["bytes"].to_pylist()):
-            if not self.fake:
-                raise NotImplementedError("no video codec in this environment (install av)")
-            n_frames = max(1, len(buf) // 1024)
-            for f in range(0, n_frames, self.every_n):
+        from ..fixtures import codec
+
+        vids, idxs, lsums, npx, ph = [], [], [], [], []
+        for vid, buf in zip(
+            batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            _, _, n_frames = codec.video_info(buf)
+            want = list(range(0, n_frames, self.every_n))
+            for f, px in codec.decode_video_frames(buf, want):
                 vids.append(vid)
                 idxs.append(f)
-                feats.append(float(buf[f % len(buf)]) if buf else 0.0)
+                lsums.append(int(px.astype(np.int64).sum()))
+                npx.append(px.shape[0] * px.shape[1])
+                ph.append(codec.phash64(px))
         return pa.table(
             {
                 "video_id": pa.array(vids, pa.string()),
                 "frame_idx": pa.array(idxs, pa.int32()),
-                "frame_feature": pa.array(feats, pa.float64()),
+                "luma_sum": pa.array(lsums, pa.int64()),
+                "n_px": pa.array(npx, pa.int64()),
+                "phash": pa.array(ph, pa.int64()),
             }
         )
+
+
+def sample_video_frames(ds, every_n: int = 30, concurrency=(1, 4), batch_size: int = 64):
+    """Actor-pool frame sampling; small batches bound in-flight video
+    payload bytes (the multimodal batch-size rule from the build brief)."""
+    return ds.map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 # ------------------------------------------------------- image near-dup

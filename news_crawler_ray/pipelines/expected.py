@@ -1594,6 +1594,103 @@ def expected_evolving_ingest() -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def expected_audio_features() -> pa.Table:
+    """Sequential replica of q_audio_features: decode each WAV with
+    stdlib ``wave`` (an independent reader of the RIFF container — NOT
+    fixtures/codec.decode_wav) and accumulate per-sample moments with
+    explicit Python loops."""
+    import io
+    import math
+    import wave as wavmod
+
+    from .queries import AUDIO_N
+
+    t = synth.make_audiostore(AUDIO_N, seed=42)
+    rows = []
+    for aid, buf, sr in zip(
+        t["audio_id"].to_pylist(),
+        t["bytes"].to_pylist(),
+        t["sample_rate"].to_pylist(),
+    ):
+        with wavmod.open(io.BytesIO(buf)) as w:
+            assert w.getnchannels() == 1 and w.getsampwidth() == 2
+            rate = w.getframerate()
+            n = w.getnframes()
+            pcm = w.readframes(n)
+        assert rate == sr
+        s_sq = peak = zc = 0
+        prev_neg = None
+        for i in range(n):
+            s = int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
+            s_sq += s * s
+            if abs(s) > peak:
+                peak = abs(s)
+            neg = s < 0
+            if prev_neg is not None and neg != prev_neg:
+                zc += 1
+            prev_neg = neg
+        rows.append(
+            {
+                "audio_id": aid,
+                "n_samples": n,
+                "duration_us": n * 1_000_000 // rate,
+                "sum_sq": s_sq,
+                "peak": peak,
+                "zero_cross": zc,
+                "rms": math.sqrt(s_sq / n) if n else 0.0,
+                "decode_ok": True,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def expected_video_frame_stats() -> pa.Table:
+    """Sequential replica of q_video_frame_stats: walk the NCV1
+    container with an explicit struct loop (independent of
+    codec.video_frame_offsets), decode each sampled frame with the
+    scalar image codec, and sum luma with a per-row Python loop. phash
+    uses the shared pure kernel (codec.phash64), like the image-family
+    oracles."""
+    import struct as structmod
+
+    from ..fixtures import codec
+    from .queries import VIDEO_EVERY_N, VIDEO_N
+
+    t = synth.make_videostore(VIDEO_N, seed=42)
+    rows = []
+    for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        assert buf[:4] == b"NCV1"
+        _fps, fmt_code, n_frames = structmod.unpack("<HBI", buf[4:11])
+        fmt = {0: "png", 1: "jpeg"}[fmt_code]
+        pos = 11
+        for f in range(n_frames):
+            (length,) = structmod.unpack("<I", buf[pos : pos + 4])
+            if f % VIDEO_EVERY_N == 0:
+                px = codec.decode(buf[pos + 4 : pos + 4 + length], fmt)
+                h, w = px.shape[0], px.shape[1]
+                luma = 0
+                for y in range(h):
+                    row = px[y]
+                    for x in range(w):
+                        luma += int(row[x][0]) + int(row[x][1]) + int(row[x][2])
+                rows.append(
+                    {
+                        "video_id": vid,
+                        "frame_idx": f,
+                        "luma_sum": luma,
+                        "n_px": h * w,
+                        "phash": codec.phash64(px),
+                    }
+                )
+            pos += 4 + length
+    tbl = pa.Table.from_pylist(rows)
+    return tbl.set_column(
+        tbl.column_names.index("frame_idx"),
+        "frame_idx",
+        pa.array([r["frame_idx"] for r in rows], pa.int32()),
+    )
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -1641,6 +1738,8 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["dedup_spans"] = values_sql(expected_span_removal(sf_dir))
     sql["dominant_color"] = values_sql(expected_dominant_color())
     sql["sharpness"] = values_sql(expected_sharpness())
+    sql["audio_features"] = values_sql(expected_audio_features())
+    sql["video_frame_stats"] = values_sql(expected_video_frame_stats())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the

@@ -3078,6 +3078,48 @@ def q_dominant_color(sf_dir: str):
     return dominant_color(ps)
 
 
+AUDIO_N = 150
+VIDEO_N = 60
+VIDEO_EVERY_N = 5
+
+
+def q_audio_features(sf_dir: str):
+    """Audio-modality features over a deterministic WAV store: REAL
+    RIFF/PCM16 decode in an actor-pool stage
+    (ops/multimodal.AudioFeatureStage), exact integer per-sample
+    moments (Σs², max|s|, sign transitions) so results are
+    parallelism-proof. The reference has no audio (SURVEY §2); this is
+    the opaque-binary payload family (input_hint) extended to the audio
+    modality. Non-SQL (binary decode): sequential-replica oracle
+    pipelines/expected.expected_audio_features decodes with stdlib
+    ``wave`` (an INDEPENDENT reader of the same container) + explicit
+    per-sample Python loops."""
+    from ..fixtures import synth
+    from ..ops.multimodal import audio_features
+
+    store = ray.data.from_arrow(synth.make_audiostore(AUDIO_N, seed=42))
+    return audio_features(store).select_columns(
+        ["audio_id", "n_samples", "duration_us", "sum_sq", "peak",
+         "zero_cross", "rms", "decode_ok"]
+    )
+
+
+def q_video_frame_stats(sf_dir: str):
+    """Sampled-frame features over a deterministic framed-video store:
+    the length-framed NCV1 container is SEEKED (unsampled frames are
+    never decoded — the at-scale point of frame sampling), each sampled
+    frame decoded with the real image codec, features = exact integer
+    luma sum + the shared phash64 kernel
+    (ops/multimodal.VideoFrameSampleStage). Non-SQL: sequential-replica
+    oracle expected_video_frame_stats walks the container with its own
+    struct loop and per-pixel sums."""
+    from ..fixtures import synth
+    from ..ops.multimodal import sample_video_frames
+
+    store = ray.data.from_arrow(synth.make_videostore(VIDEO_N, seed=42))
+    return sample_video_frames(store, every_n=VIDEO_EVERY_N)
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order clustering layout over events: Morton-interleave
     (user_id, value-cents) low 16 bits into a space-filling key, then
@@ -8719,6 +8761,8 @@ def build_queries() -> dict:
         "hard_negatives": q_hard_negatives,
         "dedup_spans": q_dedup_spans,
         "dominant_color": q_dominant_color,
+        "audio_features": q_audio_features,
+        "video_frame_stats": q_video_frame_stats,
         "sharpness": q_sharpness,
         "char_entropy": q_char_entropy,
         "caption_junk": q_caption_junk,

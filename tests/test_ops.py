@@ -251,37 +251,135 @@ def test_image_features_and_resize(ray_session):
         assert r["w"] == 16 and r["h"] == 16
 
 
-def test_audio_video_stubs(ray_session):
+def test_audio_features_real_wav(ray_session):
+    """Real WAV decode: features equal an explicit per-sample Python
+    loop; corrupt payloads and metadata drift become decode_ok=False
+    rows, not crashes."""
     import ray.data as rd
 
-    from news_crawler_ray.ops.multimodal import AudioFeatureStage, VideoFrameSampleStage
+    from news_crawler_ray.fixtures import codec as fcodec
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import audio_features
 
-    audio = pa.table(
+    store = synth.make_audiostore(12, seed=42)
+    out = {
+        r["audio_id"]: r
+        for r in audio_features(rd.from_arrow(store), concurrency=1).take_all()
+    }
+    assert len(out) == 12
+    for aid, buf, sr in zip(
+        store["audio_id"].to_pylist(),
+        store["bytes"].to_pylist(),
+        store["sample_rate"].to_pylist(),
+    ):
+        samples, rate = fcodec.decode_wav(buf)
+        assert rate == sr
+        s_sq = peak = zc = 0
+        prev_neg = None
+        for s in samples.tolist():
+            s_sq += s * s
+            peak = max(peak, abs(s))
+            neg = s < 0
+            if prev_neg is not None and neg != prev_neg:
+                zc += 1
+            prev_neg = neg
+        r = out[aid]
+        assert r["decode_ok"]
+        assert r["n_samples"] == len(samples)
+        assert r["duration_us"] == len(samples) * 1_000_000 // rate
+        assert r["sum_sq"] == s_sq
+        assert r["peak"] == peak
+        assert r["zero_cross"] == zc
+        assert r["rms"] == pytest.approx((s_sq / len(samples)) ** 0.5)
+
+    # row-level error semantics: corrupt bytes + rate drift
+    from news_crawler_ray.ops.multimodal import AudioFeatureStage
+
+    bad = pa.table(
         {
-            "audio_id": pa.array(["a1"], pa.string()),
-            "bytes": pa.array([b"\x01\x02" * 8000], pa.binary()),
-            "sample_rate": pa.array([16000], pa.int32()),
-            "fmt": pa.array(["pcm"], pa.string()),
+            "audio_id": pa.array(["x1", "x2"], pa.string()),
+            "bytes": pa.array(
+                [b"not a wav", store["bytes"][0].as_py()], pa.binary()
+            ),
+            "sample_rate": pa.array([8000, 44100], pa.int32()),  # x2: drift
+            "fmt": pa.array(["wav", "wav"], pa.string()),
         }
     )
-    with pytest.raises(NotImplementedError):
-        AudioFeatureStage(fake=False)(audio)
-    out = AudioFeatureStage(fake=True)(audio)
-    assert out["duration_s"][0].as_py() == pytest.approx(0.5)
+    rows = AudioFeatureStage()(bad).to_pylist()
+    assert [r["decode_ok"] for r in rows] == [False, False]
 
-    video = pa.table(
-        {
-            "video_id": pa.array(["v1"], pa.string()),
-            "bytes": pa.array([bytes(range(256)) * 400], pa.binary()),
-            "fps": pa.array([30], pa.int32()),
-            "fmt": pa.array(["raw"], pa.string()),
-        }
-    )
-    with pytest.raises(NotImplementedError):
-        VideoFrameSampleStage(fake=False)(video)
-    frames = VideoFrameSampleStage(every_n=30, fake=True)(video)
-    assert frames.num_rows >= 3
-    assert frames.column_names == ["video_id", "frame_idx", "frame_feature"]
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from news_crawler_ray.fixtures import codec as fcodec
+
+    r = np.random.default_rng(7)
+    samples = r.integers(-32768, 32768, size=1234, dtype=np.int64).astype("int16")
+    data = fcodec.encode_wav(samples, 16000)
+    back, rate = fcodec.decode_wav(data)
+    assert rate == 16000
+    assert (back == samples).all()
+    # stdlib wave agrees the container is a real WAV
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        assert w.getnframes() == 1234
+        assert w.readframes(1234) == samples.astype("<i2").tobytes()
+
+
+def test_video_container_roundtrip_and_seek():
+    import numpy as np
+
+    from news_crawler_ray.fixtures import codec as fcodec
+
+    r = np.random.default_rng(9)
+    frames = [
+        r.integers(0, 256, size=(24, 32, 3), dtype=np.uint8) for _ in range(7)
+    ]
+    data = fcodec.encode_video(frames, 24, "png")
+    assert fcodec.video_info(data) == (24, "png", 7)
+    # full decode round-trips byte-exactly (png lossless)
+    for i, px in fcodec.decode_video_frames(data):
+        assert (px == frames[i]).all()
+    # sampled decode touches only requested frames
+    got = fcodec.decode_video_frames(data, [0, 3, 6])
+    assert [i for i, _ in got] == [0, 3, 6]
+    # lossy fmt: PSNR >= 40 (input_hint invariant applies per frame)
+    lossy = fcodec.encode_video(frames, 24, "jpeg")
+    for i, px in fcodec.decode_video_frames(lossy):
+        assert fcodec.psnr(px, frames[i]) >= 40
+
+
+def test_video_frame_sample_stage(ray_session):
+    """Sampled-frame features equal an explicit sequential decode of
+    every wanted frame; sampling indices follow every_n."""
+    import ray.data as rd
+
+    from news_crawler_ray.fixtures import codec as fcodec
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import sample_video_frames
+
+    store = synth.make_videostore(8, seed=42)
+    out = sample_video_frames(
+        rd.from_arrow(store), every_n=5, concurrency=1
+    ).take_all()
+    by_vid: dict = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for vid, buf in zip(store["video_id"].to_pylist(), store["bytes"].to_pylist()):
+        _, fmt, n_frames = fcodec.video_info(buf)
+        want = list(range(0, n_frames, 5))
+        rows = sorted(by_vid[vid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == want
+        for r, (i, px) in zip(rows, fcodec.decode_video_frames(buf, want)):
+            assert r["luma_sum"] == int(px.astype("int64").sum())
+            assert r["n_px"] == px.shape[0] * px.shape[1]
+            assert r["phash"] == fcodec.phash64(px)
 
 
 def test_dedup_keep_min_id(ray_session, docs_tbl):

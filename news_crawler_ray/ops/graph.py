@@ -355,22 +355,88 @@ def _wedge_block(node_cap: int, max_adjacency: int, *parts: pa.Table) -> pa.Tabl
     return pa.table({"wk": pa.array(keys, pa.int64())})
 
 
-def triangle_count(edges, node_cap: int, max_adjacency: int = 65536) -> pa.Table:
+def degree_ordered_relabel(edges) -> "tuple[object, int]":
+    """Relabel an undirected canonical edge set (a < b) by DEGREE RANK:
+    node → its dense index in ascending (degree, node) order, edges
+    re-canonicalized as (min_rank, max_rank). In rank space the wedge
+    pivot of every triangle is its lowest-DEGREE vertex, so per-pivot
+    adjacency is bounded by O(sqrt(m)) — the classic hub fix for wedge
+    blowup (a 10^6-degree hub relabels to the highest ranks and is
+    never a pivot). Three narrow exchanges: degree combiner group-agg,
+    the rank sort, and two relabel joins. Returns
+    ``(relabeled_edges_dataset, n_nodes)``."""
+    from ..stages.index import zip_with_index
+    from .agg import sorted_group_agg
+    from .join import sort_merge_inner_join
+
+    def expl(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [np.asarray(t["a"], np.int64), np.asarray(t["b"], np.int64)]
+        )
+        u, c = np.unique(nodes, return_counts=True)  # per-block partial
+        return pa.table(
+            {"node": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())}
+        )
+
+    deg = sorted_group_agg(
+        edges.map_batches(expl, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        [("d", "sum", "d")],
+    )
+    ranked = zip_with_index(deg, ["d", "node"], [False, False], rank_col="rank")
+    n_nodes = ranked.count()
+    # endpoint a → rank, then endpoint b → rank, then re-canonicalize
+    e1 = sort_merge_inner_join(
+        edges, ranked, "a", ["b"], ["rank"], right_key="node"
+    ).map_batches(
+        lambda t: pa.table({"b": t["b"], "ra": t["rank"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    e2 = sort_merge_inner_join(e1, ranked, "b", ["ra"], ["rank"], right_key="node")
+
+    def canon(t: pa.Table) -> pa.Table:
+        ra = np.asarray(t["ra"], np.int64)
+        rb = np.asarray(t["rank"], np.int64)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(ra, rb), pa.int64()),
+                "b": pa.array(np.maximum(ra, rb), pa.int64()),
+            }
+        )
+
+    return (
+        e2.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        n_nodes,
+    )
+
+
+def triangle_count(
+    edges, node_cap: int, max_adjacency: int = 65536, degree_ordered: bool = False
+) -> pa.Table:
     """Exact triangle count of an undirected graph given CANONICAL
     distinct edges (a < b, both in [0, node_cap)). Two scale-safe legs:
 
     1. a-key-complete exchange → per-task vectorized wedge generation
        (all (b, c) neighbor pairs of each low endpoint, packed into one
        int64 key — O(Σ deg²) rows, the algorithm's inherent cost;
-       ``max_adjacency`` raises loudly on hub blowup, where the classic
-       fix is degree-ordered canonicalization);
+       ``max_adjacency`` raises loudly on hub blowup);
     2. sort-merge SEMI join of wedges against the packed edge set —
        each surviving wedge (a,b,c) is exactly one triangle, counted
        once (a < b < c by construction).
 
+    ``degree_ordered=True`` applies :func:`degree_ordered_relabel`
+    first — the hub-graph scale path: wedge pivots become lowest-degree
+    vertices, bounding per-task wedge fan-out at O(sqrt(m)) instead of
+    O(max_degree²). The count is identical (rank relabeling is a
+    bijection; triangles are orientation-invariant).
+
     Returns a 1-row table (n_triangles:int64)."""
     from ..stages.index import key_complete_parts
     from .join import sort_merge_semi_join
+
+    if degree_ordered:
+        edges, node_cap = degree_ordered_relabel(edges)
 
     groups = key_complete_parts(edges, "a", order=["b"])
     if not groups:

@@ -809,12 +809,76 @@ def skew_join(
             max_pairs_per_key=max_pairs_per_key, how=how,
         )
     hot_arr = pa.array(hot_keys)
+    left_hot_n = {r[key]: r["n"] for r in hot_rows}
+
+    # Exact right-side counts for the hot keys (combiner partials →
+    # driver merge; ≤ len(hot_keys) rows per block). Splits the hot set:
+    # keys whose right rows fit the broadcast budget take the map-side
+    # path; the remainder (hot on BOTH sides) take a SALTED exchange.
+    key_type = hot_arr.type
+
+    def rcount(t: pa.Table) -> pa.Table:
+        t2 = t.filter(pc.is_in(t[rk], value_set=hot_arr))
+        if t2.num_rows == 0:
+            return pa.table(
+                {key: pa.array([], key_type), "n": pa.array([], pa.int64())}
+            )
+        g = t2.group_by([rk]).aggregate([([], "count_all")])
+        return pa.table({key: g[rk], "n": pc.cast(g["count_all"], pa.int64())})
+
+    from collections import Counter
+
+    rn: Counter = Counter()
+    for r in right.map_batches(
+        rcount, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all():
+        rn[r[key]] += r["n"]
+    bcast_keys: list = []
+    super_keys: list = []
+    cum = 0
+    for k in sorted(hot_keys, key=lambda k: rn.get(k, 0)):
+        c = rn.get(k, 0)
+        if cum + c <= max_broadcast_rows:
+            bcast_keys.append(k)
+            cum += c
+        else:
+            super_keys.append(k)
+    bcast_keys.sort()
+    super_keys.sort()
+
+    outs = []
+    if super_keys:
+        outs.append(
+            _salted_hot_join(
+                left, right, key, rk, left_cols, right_cols, super_keys,
+                left_hot_n, hot_threshold, max_pairs_per_key,
+            )
+        )
+    if not bcast_keys:
+        cold_left = left.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t[key], value_set=hot_arr))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cold_right = right.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t[rk], value_set=hot_arr))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cold_out = sort_merge_inner_join(
+            cold_left, cold_right, key, left_cols, right_cols,
+            right_key=right_key, max_pairs_per_key=max_pairs_per_key, how=how,
+        )
+        for o in outs:
+            cold_out = cold_out.union(o)
+        return cold_out
+    bcast_arr = pa.array(bcast_keys)
 
     right_hot_tbl = pa.concat_tables(
         [
             b
             for b in right.map_batches(
-                lambda t: t.filter(pc.is_in(t[rk], value_set=hot_arr)),
+                lambda t: t.filter(pc.is_in(t[rk], value_set=bcast_arr)),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             ).iter_batches(batch_format="pyarrow")
@@ -833,12 +897,6 @@ def skew_join(
             )
         ]
     )
-    if right_hot_tbl.num_rows > max_broadcast_rows:
-        raise ValueError(
-            f"skew_join: {right_hot_tbl.num_rows} right rows match the hot "
-            f"keys > max_broadcast_rows={max_broadcast_rows}; the key is hot "
-            "on BOTH sides — pre-aggregate one side instead"
-        )
     right_hot_tbl = right_hot_tbl.select([rk] + list(right_cols))
     right_hot_tbl = right_hot_tbl.take(
         pc.sort_indices(right_hot_tbl, sort_keys=[(rk, "ascending")])
@@ -855,7 +913,7 @@ def skew_join(
     pad_left = how in ("left", "outer")
 
     def hot_map(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(t[key], value_set=hot_arr))
+        t = t.filter(pc.is_in(t[key], value_set=bcast_arr))
         uk, st, ln, rtbl = ray.get(dim_ref)  # plasma-local after first batch
         lk = np.asarray(t[key])
         n = len(lk)
@@ -902,7 +960,75 @@ def skew_join(
         cold_left, cold_right, key, left_cols, right_cols, right_key=right_key,
         max_pairs_per_key=max_pairs_per_key, how=how,
     )
-    return hot_out.union(cold_out)
+    out = hot_out.union(cold_out)
+    for o in outs:
+        out = out.union(o)
+    return out
+
+
+def _salted_hot_join(
+    left,
+    right,
+    key: str,
+    rk: str,
+    left_cols: list,
+    right_cols: list,
+    super_keys: list,
+    left_hot_n: dict,
+    hot_threshold: int,
+    max_pairs_per_key: int,
+):
+    """Both-sides-hot fallback for :func:`skew_join`: keys too hot on
+    the LEFT for one exchange task AND with too many RIGHT rows to
+    broadcast. Classic salting — each left row gets a salt in [0, S);
+    right rows are replicated once per salt; the join runs on the
+    composite ``key\\x00salt`` string, so one key's pair work spreads
+    over S exchange tasks instead of one. Output is row-identical to
+    the plain join for every ``how``: a both-sides-hot key by
+    definition has rows on BOTH sides, so no outer padding can fire for
+    these keys — the sub-join is always inner. The cost is shipping the
+    super-hot right rows S times; S scales with the left excess
+    (ceil(max left count / hot_threshold), capped 64) so the replica
+    volume stays proportional to the skew it removes."""
+    S = int(min(64, max(2, -(-max(left_hot_n[k] for k in super_keys) // hot_threshold))))
+    sup_arr = pa.array(super_keys)
+    salts_str = pa.array([str(s) for s in range(S)])
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[key], value_set=sup_arr))
+        salt = pa.array(
+            (np.arange(t.num_rows, dtype=np.int64) % S).astype(np.int64)
+        )
+        sk = pc.binary_join_element_wise(
+            pc.cast(t[key], pa.string()), pc.cast(salt, pa.string()), "\x00"
+        )
+        return t.append_column("_sk", sk)
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t[rk], value_set=sup_arr))
+        n = t.num_rows
+        rep = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), S)))
+        sk = pc.binary_join_element_wise(
+            pc.cast(rep[rk], pa.string()),
+            salts_str.take(pa.array(np.tile(np.arange(S, dtype=np.int64), n))),
+            "\x00",
+        )
+        return rep.append_column("_sk", sk)
+
+    sj = sort_merge_inner_join(
+        left.map_batches(salt_left, batch_format="pyarrow", zero_copy_batch=True),
+        right.map_batches(salt_right, batch_format="pyarrow", zero_copy_batch=True),
+        "_sk",
+        [key] + list(left_cols),
+        list(right_cols),
+        right_key="_sk",
+        max_pairs_per_key=max_pairs_per_key,
+        how="inner",
+    )
+    keep = [key] + list(left_cols) + list(right_cols)
+    return sj.map_batches(
+        lambda t: t.select(keep), batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # ------------------------------------------------------- SQL set operations

@@ -30,51 +30,67 @@ def merge_stable_output(
     out_dir: str,
     value_col: str = "value",
     base_sid: int = 7000000,
+    broadcast_limit_rows: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Merge new values into the persistent ``(value, sid)`` table.
 
     Returns the merged Dataset (also persisted under ``out_dir``).
     Prior rows keep their SIDs verbatim; new distinct values get
     consecutive SIDs after the current maximum, ordered by value.
+
+    Anti-join plan is size-adaptive: rules tables are small by
+    construction (distinct blocked values), so up to
+    ``broadcast_limit_rows`` the prior key set is broadcast once via
+    ``ray.put`` and new values filter block-locally (zero exchange);
+    past the bound the merge AUTO-SWITCHES to the task-based sort-merge
+    anti-join (ops/join.sort_merge_anti_join) — same rows, one narrow
+    exchange, no driver materialization.
     """
     import ray as _ray
 
+    from ..ops.agg import sorted_distinct
+
     cur_path = os.path.join(out_dir, "current")
     have_prior = os.path.isdir(cur_path)
+    distinct_new = sorted_distinct(new_values_ds, [value_col])
     if have_prior:
         prior = ray.data.read_parquet(cur_path)
         next_sid = int(prior.max("sid")) + 1
-        # rules tables are small by construction (distinct blocked
-        # values); broadcast the key set for the anti-join. The bound is
-        # ENFORCED, not assumed — past it, swap in the hash-partitioned
-        # anti-join used by queries.q_customers_without_orders.
         n_prior = prior.count()
-        if n_prior > 5_000_000:
-            raise ValueError(
-                f"merge_stable_output: prior table has {n_prior} rows — too "
-                "large for the broadcast anti-join path; use a hash-"
-                "partitioned anti-join (see q_customers_without_orders)"
+        if n_prior > broadcast_limit_rows:
+            from ..ops.join import sort_merge_anti_join
+
+            fresh = sort_merge_anti_join(
+                distinct_new, prior.select_columns([value_col]), value_col
             )
-        prior_vals = pa.array(
-            [r[value_col] for r in prior.select_columns([value_col]).take_all()]
-        )
-        prior_ref = _ray.put(prior_vals)
+        else:
+            # arrow-native key-set assembly (no per-row Python): concat
+            # the prior table's blocks into one value array (blocks may
+            # disagree on string vs large_string — cast to the dataset
+            # schema type)
+            sch = prior.schema()
+            vt = sch.types[sch.names.index(value_col)]
+            chunks = [
+                b[value_col].combine_chunks().cast(vt)
+                for b in _ray.get(
+                    prior.select_columns([value_col]).to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+            prior_ref = _ray.put(
+                pa.concat_arrays(chunks) if chunks else pa.array([], vt)
+            )
+
+            def drop_seen(t: pa.Table, ref=prior_ref) -> pa.Table:
+                seen_vals = _ray.get(ref)
+                return t.filter(
+                    pc.invert(pc.is_in(t[value_col], value_set=seen_vals))
+                )
+
+            fresh = distinct_new.map_batches(drop_seen, batch_format="pyarrow")
     else:
         prior = None
         next_sid = base_sid
-        prior_ref = None
-
-    from ..ops.agg import sorted_distinct
-
-    distinct_new = sorted_distinct(new_values_ds, [value_col])
-    if have_prior:
-
-        def drop_seen(t: pa.Table, ref=prior_ref) -> pa.Table:
-            seen_vals = _ray.get(ref)
-            return t.filter(pc.invert(pc.is_in(t[value_col], value_set=seen_vals)))
-
-        fresh = distinct_new.map_batches(drop_seen, batch_format="pyarrow")
-    else:
         fresh = distinct_new
 
     ranked = zip_with_index(fresh, [value_col], [False], rank_col="_pos")

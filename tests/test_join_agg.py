@@ -937,13 +937,60 @@ def test_skew_join_matches_plain_join(how):
     assert got["lv"].tolist() == exp["lv"].tolist()
     assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
 
-    # both-sides-hot guard fires loudly
-    with pytest.raises(Exception, match="BOTH sides"):
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_skew_join_salted_both_sides_hot(how):
+    """A key hot on BOTH sides (left count > hot_threshold AND right
+    rows over the broadcast budget) takes the salted exchange and the
+    result stays row-identical to the plain join — alongside a
+    broadcast-path hot key, a right-absent hot key, and a cold tail."""
+    import duckdb
+
+    from news_crawler_ray.ops.join import skew_join
+
+    rng = np.random.default_rng(23)
+    # key 7: hot both sides (500 left x 300 right > broadcast budget);
+    # key 13: hot left, tiny right (broadcast path); key 99: hot left,
+    # absent right (pad/drop); cold tail
+    lk = np.concatenate(
+        [np.full(500, 7), np.full(250, 13), np.full(260, 99),
+         rng.integers(0, 60, 400)]
+    )
+    left = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(np.arange(len(lk)), pa.int64()),
+        }
+    )
+    rk_vals = np.concatenate([np.full(300, 7), [13, 13], np.arange(0, 60, 2)])
+    right = pa.table(
+        {
+            "rk": pa.array(rk_vals, pa.int64()),
+            "rv": pa.array(np.arange(len(rk_vals)) * 10, pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    join_kw = {"inner": "JOIN", "left": "LEFT JOIN", "outer": "FULL JOIN"}[how]
+    exp = con.sql(
+        f"SELECT coalesce(k, rk) AS k, lv, rv FROM l {join_kw} r ON k = rk "
+        "ORDER BY k, lv, rv"
+    ).df()
+    got = (
         skew_join(
-            _ds(left, 4), _ds(left.rename_columns(["rk", "rv"]), 4), "k",
+            _ds(left, 7), _ds(right, 3), "k",
             left_cols=["lv"], right_cols=["rv"], right_key="rk",
-            hot_threshold=200, max_broadcast_rows=100, how="inner",
-        ).to_pandas()
+            hot_threshold=200, max_broadcast_rows=100, how=how,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["lv"].fillna(-1).tolist() == exp["lv"].fillna(-1).tolist()
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -1002,6 +1049,42 @@ def test_triangle_count_known_graphs():
     )
     with pytest.raises(Exception, match="max_adjacency"):
         triangle_count(_ds(hub, 2), node_cap=64, max_adjacency=10)
+
+    # degree-ordered relabel: a hub graph passes with the SAME tiny
+    # max_adjacency (the hub relabels to the highest rank and is never
+    # a wedge pivot) and the count is exact. Edges (all distinct,
+    # canonical): hub 0-(1..50), triangle edges among {1,2,3}, and the
+    # diagonal square {4..7} whose nodes the hub already reaches.
+    hub_tris = pa.concat_tables(
+        [
+            hub,
+            pa.table(
+                {
+                    "a": pa.array([1, 1, 2, 4, 4, 5, 6, 4], pa.int64()),
+                    "b": pa.array([2, 3, 3, 5, 7, 6, 7, 6], pa.int64()),
+                }
+            ),
+        ]
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("e", hub_tris)
+    exp = con.sql(
+        "SELECT count(*) FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b"
+    ).fetchone()[0]
+    assert exp == 11  # 4 in K4{0,1,2,3}, 5 hub+sq-edge, 2 sq-internal
+    # plain path at the same tiny cap raises (hub pivot = 50 neighbors)
+    with pytest.raises(Exception, match="max_adjacency"):
+        triangle_count(_ds(hub_tris, 3), node_cap=64, max_adjacency=10)
+    out = triangle_count(
+        _ds(hub_tris, 3), node_cap=64, max_adjacency=10, degree_ordered=True
+    )
+    assert out["n_triangles"].to_pylist() == [exp]
+    # and agrees with the plain path when the cap is not binding
+    out_plain = triangle_count(_ds(hub_tris, 3), node_cap=64)
+    assert out_plain["n_triangles"].to_pylist() == [exp]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -27,6 +27,17 @@ def test_merge_stable_output(ray_session, tmp_path):
     m3 = {r["value"]: r["sid"] for r in merge_stable_output(second, out).take_all()}
     assert m3 == m2
 
+    # past the broadcast bound the merge auto-switches to the sort-merge
+    # anti-join — identical rows/sids, no driver materialization
+    third = rd.from_items([{"value": v} for v in ["e", "f", "b"]])
+    m4 = {
+        r["value"]: r["sid"]
+        for r in merge_stable_output(
+            third, out, broadcast_limit_rows=2
+        ).take_all()
+    }
+    assert m4 == {**m2, "f": 7000005}
+
 
 def test_token_bucket_pacing(ray_session):
     from news_crawler_ray.stages.ratelimit import RateLimiter

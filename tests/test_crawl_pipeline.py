@@ -289,6 +289,45 @@ def test_seeds_path_reference_mode_identical_and_resumable(
         )
 
 
+def test_seen_shard_death_mid_wave_resume_exact(
+    ray_session, tmp_path, fixture_tables
+):
+    """Chaos case: seen-shard actors die MID-WAVE, after some of them
+    already flushed an orphan delta checkpoint for the in-flight wave.
+    The resume must (a) skip the orphan epoch (that wave re-runs), and
+    (b) reproduce the exact crawl order and final seen-set of an
+    uninterrupted run — the delta-replay contract at actor-death
+    granularity, not just between-wave kills."""
+    import os
+
+    import ray as _ray
+
+    import news_crawler_ray.pipelines.crawl as cp
+
+    ps, fr, robots = fixture_tables
+    full = _run(tmp_path, fixture_tables, max_waves=3, out="chaos_full")
+
+    part = _run(tmp_path, fixture_tables, max_waves=2, out="chaos")
+    assert len(part.waves) == 2  # completed_through == 1, epochs 1..2 on disk
+    seen_dir = os.path.join(str(tmp_path / "chaos"), "seen")
+
+    # Mid-wave-3 crash simulation: shard 0 has absorbed some wave-2 keys
+    # and even flushed its epoch-3 delta; the manifest never advanced.
+    fake_keys = [bytes([i]) * 20 for i in range(5)]
+    _ray.get(part.seen.shards[0].add.remote(fake_keys))
+    _ray.get(part.seen.shards[0].checkpoint.remote(seen_dir, 3))
+    # ... then every shard actor dies (node loss)
+    for s in part.seen.shards:
+        _ray.kill(s)
+
+    resumed = _run(tmp_path, fixture_tables, max_waves=3, resume=True, out="chaos")
+    assert _engine_order(resumed) == _engine_order(full)
+    final_keys = resumed.seen.all_keys()
+    assert final_keys == full.seen.all_keys()
+    # the orphan epoch's keys were NOT replayed
+    assert not (set(fake_keys) & final_keys)
+
+
 def test_resume_before_wave0_rereads_seed_source(
     ray_session, tmp_path, fixture_tables
 ):

@@ -36,6 +36,7 @@ import glob
 import json
 import os
 import shutil
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -195,7 +196,17 @@ def _read_candidates(
     one metadata-only pass reads it from the parquet footers.
     """
     if n is None:
-        n = ray.data.read_parquet(path).count()
+        # parquet-footer metadata scan (pyarrow, driver-side) — no Ray
+        # job startup for a pure row count
+        if os.path.isfile(path):
+            n = pq.ParquetFile(path).metadata.num_rows
+        else:
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            )
     if n == 0:
         return ray.data.read_parquet(path), 0
     ncpu = int(ray.cluster_resources().get("CPU", 8))
@@ -377,6 +388,7 @@ def run_crawl(
         # the fetch workers' first ray.get
         store_shard_refs = stage_shards(shard_dir, num_store_shards)
     trace = os.environ.get("NC_CRAWL_TRACE") == "1"
+    pending: dict | None = None  # previous wave's deferred finalization
 
     def _tr(label, t_start):
         if trace:
@@ -560,33 +572,65 @@ def run_crawl(
         os.makedirs(tmp_dir, exist_ok=True)
         shutil.rmtree(wave_dir, ignore_errors=True)
         os.replace(tmp_dir, wave_dir)
+        # Seen checkpoint futures launch NOW — every insert of this wave
+        # completed with the pipeline above, and the next wave's inserts
+        # cannot start until its own pipeline executes, so the epoch
+        # delta is exact while the actual writes overlap the counts +
+        # outlink passes below instead of serializing after them.
+        ckpt_futs = [
+            s.checkpoint.remote(seen_dir, wave + 1) for s in seen.shards
+        ]
         tp = _tr("fetch+write", tp)
         if trace and os.environ.get("NC_CRAWL_STATS") == "1":
             print(f"[crawl-stats] wave {wave}:\n{fetched.stats()}", flush=True)
 
+        # status counts straight from parquet footers (pyarrow metadata
+        # reads; no Ray job startup per status dir)
         counts = {"ok": 0, "missing": 0}
         for status_dir in glob.glob(os.path.join(wave_dir, "fetch_status=*")):
             status = os.path.basename(status_dir).split("=", 1)[1]
-            counts[status] = ray.data.read_parquet(status_dir).count()
+            counts[status] = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(status_dir, "*.parquet"))
+            )
         counts["total"] = sum(v for k, v in counts.items())
         tp = _tr("counts", tp)
         next_path = os.path.join(out_dir, "candidates", f"wave-{wave + 1}")
         outlink_cols = ["caption", "priority", "discovered_at", "depth"]
+        frontier_cols = [f.name for f in FRONTIER_SCHEMA]
         if counts["ok"]:
             outlinks = extract_outlinks(
                 ray.data.read_parquet(
                     os.path.join(wave_dir, "fetch_status=ok"), columns=outlink_cols
                 ),
                 decay=cfg.outlink_decay,
+            ).map_batches(
+                lambda t: t.select(frontier_cols).cast(FRONTIER_SCHEMA),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
             )
-            n_outlinks = _write_candidates(outlinks, next_path)
+            # materialize ONCE (narrow rows): the durable candidates
+            # write moves to a background thread while the next wave's
+            # schedule consumes the same blocks in memory — the
+            # write+read-back round trip leaves the critical path
+            out_mat = outlinks.materialize()
+            n_outlinks = out_mat.count()
         else:
-            n_outlinks = _write_candidates(
-                ray.data.from_arrow(FRONTIER_SCHEMA.empty_table()), next_path
-            )
-        tp = _tr("outlinks+candidates", tp)
+            out_mat = ray.data.from_arrow(FRONTIER_SCHEMA.empty_table())
+            n_outlinks = 0
+        writer_err: list[BaseException] = []
 
-        seen.checkpoint(seen_dir, epoch=wave + 1)
+        def _bg_write(mat=out_mat, path=next_path, err=writer_err):
+            try:
+                _write_candidates_mat(mat, path)
+            except BaseException as e:  # surfaced at finalize
+                err.append(e)
+
+        writer = threading.Thread(target=_bg_write, daemon=True)
+        writer.start()
+        tp = _tr("outlinks", tp)
+
+        ray.get(ckpt_futs)
         _tr("seen_checkpoint", tp)
         elapsed = time.monotonic() - t0
         wm = WaveMetrics(
@@ -598,16 +642,41 @@ def run_crawl(
             outlinks=n_outlinks,
             elapsed_s=elapsed,
         )
-        result.waves.append(wm)
-        manifest["completed_through"] = wave
-        manifest["waves"].append(wm.to_json())
-        _write_manifest(out_dir, manifest)
+        # Finalize the PREVIOUS wave now: its candidates writer had this
+        # whole wave to finish, so the join is ~free. Manifest entries
+        # stay strictly ordered; a crash inside wave N re-runs wave N-1
+        # too (its entry was pending) — idempotent by the atomic-publish
+        # discipline on every wave artifact.
+        if pending is not None:
+            _finalize_wave(pending, result, manifest, out_dir)
+        pending = {"writer": writer, "err": writer_err, "wm": wm, "wave": wave}
 
         if n_outlinks == 0:
             break
-        candidates, cand_n = _read_candidates(next_path, n=n_outlinks)
+        nb = out_mat.num_blocks()
+        if nb > 512:
+            # bound the next schedule sort's partition count (sort cost
+            # grows with input_blocks × partitions)
+            out_mat = out_mat.repartition(512).materialize()
+        candidates, cand_n = out_mat, n_outlinks
 
+    if pending is not None:
+        _finalize_wave(pending, result, manifest, out_dir)
     return result
+
+
+def _finalize_wave(pending: dict, result: "CrawlResult", manifest: dict, out_dir: str) -> None:
+    """Join a wave's background candidates writer and publish its
+    manifest entry (strictly ordered; called one wave later or at loop
+    exit)."""
+    pending["writer"].join()
+    if pending["err"]:
+        raise pending["err"][0]
+    wm = pending["wm"]
+    result.waves.append(wm)
+    manifest["completed_through"] = pending["wave"]
+    manifest["waves"].append(wm.to_json())
+    _write_manifest(out_dir, manifest)
 
 
 def _resolve_pools(cfg: CrawlConfig) -> dict[str, dict]:
@@ -645,6 +714,23 @@ def _strip_derived(waves: list[dict]) -> list[dict]:
     return [{k: v for k, v in w.items() if k != "urls_per_sec"} for w in waves]
 
 
+def _write_candidates_mat(mat: "ray.data.Dataset", path: str) -> None:
+    """Durable-publish an ALREADY-materialized, already-frontier-cast
+    candidates dataset (background-thread path of the wave loop: the
+    next wave consumes the same blocks in memory, this write is pure
+    durability). Same tmp+rename discipline as :func:`_write_candidates`."""
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    mat.write_parquet(tmp)
+    if not os.path.isdir(tmp) or not os.listdir(tmp):
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            FRONTIER_SCHEMA.empty_table(), os.path.join(tmp, "empty.parquet")
+        )
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
 def _write_candidates(ds: "ray.data.Dataset", path: str) -> int:
     """Write next-wave candidates to a parquet dir (parallel), return rows.
 
@@ -673,4 +759,7 @@ def _write_candidates(ds: "ray.data.Dataset", path: str) -> int:
     shutil.rmtree(path, ignore_errors=True)
     os.replace(tmp, path)  # atomic publish of the wave's candidate dir
     # row count from parquet footers only — no second pass over the data
-    return ray.data.read_parquet(path).count()
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )

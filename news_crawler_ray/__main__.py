@@ -28,6 +28,7 @@ import argparse
 import json
 import os
 import sys
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -72,17 +73,34 @@ def cmd_synth(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_crawl(args: argparse.Namespace) -> int:
-    _ray_init()
-    from .context import configure
+def cron_next_delay(now_s: float, times: list[str]) -> float:
+    """Seconds from ``now_s`` (epoch) until the next HH:MM occurrence
+    (local time; tomorrow if every listed time already passed today).
+    Pure function — the cron loop's only clock math, unit-testable
+    without sleeping. Mirrors the reference's APScheduler cron triggers
+    (/root/reference/src/secbot/scheduler.py:92-111)."""
+    import datetime as dt
+
+    now = dt.datetime.fromtimestamp(now_s)
+    delays = []
+    for t in times:
+        hh, mm = (int(x) for x in t.strip().split(":"))
+        cand = now.replace(hour=hh, minute=mm, second=0, microsecond=0)
+        if cand <= now:
+            cand += dt.timedelta(days=1)
+        delays.append((cand - now).total_seconds())
+    return min(delays)
+
+
+def _run_crawl_once(args: argparse.Namespace, resume: bool, scope: str | None) -> dict:
     from .pipelines.crawl import CrawlConfig, run_crawl
 
-    configure()
     cfg = CrawlConfig(
         max_waves=args.max_waves,
         num_seen_shards=args.seen_shards,
         dedup_partitions=args.dedup_partitions,
         compute_crawl_rank=not args.no_crawl_rank,
+        **({"seen_epoch_scope": scope} if scope else {}),
     )
     frontier = pq.read_table(args.frontier) if os.path.isfile(args.frontier) else args.frontier
     if isinstance(frontier, str):
@@ -96,16 +114,48 @@ def cmd_crawl(args: argparse.Namespace) -> int:
         robots,
         args.out,
         config=cfg,
-        resume=args.resume,
+        resume=resume,
     )
     for w in res.waves:
         print(json.dumps({"wave_metrics": w.to_json()}))
-    print(json.dumps({
+    summary = {
         "out_dir": res.out_dir,
         "waves": len(res.waves),
         "total_fetched": res.total_fetched,
-    }))
-    return 0
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+def cmd_crawl(args: argparse.Namespace) -> int:
+    _ray_init()
+    from .context import configure
+
+    configure()
+    if not args.cron and args.cron_interval is None:
+        _run_crawl_once(args, args.resume, None)
+        return 0
+
+    # Cron mode — the reference's scheduler daemon re-expressed as the
+    # launcher loop a cluster user wraps around `ray job submit`: each
+    # firing is a DAY-SCOPED run (seen_epoch_scope = the run date, the
+    # reference's daily seen-set reset, scheduler.py:43-44) resumed
+    # idempotently within the day. --cron-interval N fires every N
+    # seconds instead (testing / ad-hoc cadence); --cron-runs bounds the
+    # loop (0 = forever).
+    import datetime as dt
+
+    runs = 0
+    while True:
+        if args.cron:
+            time.sleep(cron_next_delay(time.time(), args.cron.split(",")))
+        elif runs > 0 and args.cron_interval:
+            time.sleep(args.cron_interval)
+        scope = dt.date.today().isoformat()
+        _run_crawl_once(args, resume=True, scope=scope)
+        runs += 1
+        if args.cron_runs and runs >= args.cron_runs:
+            return 0
 
 
 def cmd_query(args: argparse.Namespace) -> int:
@@ -182,6 +232,19 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--dedup-partitions", type=int, default=8)
     cr.add_argument("--no-crawl-rank", action="store_true")
     cr.add_argument("--resume", action="store_true")
+    cr.add_argument(
+        "--cron",
+        help="comma-separated HH:MM local fire times; each firing runs a "
+        "day-scoped resume (reference scheduler.py cron analog)",
+    )
+    cr.add_argument(
+        "--cron-runs", type=int, default=0,
+        help="stop after N cron firings (0 = run forever)",
+    )
+    cr.add_argument(
+        "--cron-interval", type=float, default=None,
+        help="fire every N seconds instead of at --cron wall times",
+    )
     cr.set_defaults(fn=cmd_crawl)
 
     qu = sub.add_parser("query", help="run one named pipeline over an sf dir")

@@ -308,17 +308,21 @@ def make_letterbox_store(n: int, seed: int = 42, sizes: tuple = (32, 48)) -> pa.
     )
 
 
-def make_audiostore(n: int, seed: int = 42) -> pa.Table:
+def make_audiostore(n: int, seed: int = 42, dup_every: int = 0) -> pa.Table:
     """Audio store: (audio_id, bytes:large_binary REAL WAV PCM16 mono,
     sample_rate:int32, fmt='wav', n_samples:int32).
 
     Waveform i = two deterministic sine partials + seeded integer noise,
     length 400..2399 samples at 8 or 16 kHz — small enough that a
     100k-row store stays in MBs, structured enough that RMS/peak/ZCR
-    features differ per row. The reference has no audio (SURVEY §2);
-    this extends the input_hint's opaque-binary payload column family
-    to the audio modality."""
+    features differ per row. ``dup_every=k`` plants near-duplicates:
+    every k-th clip (i % k == 0, i > 0) reuses clip i-1's waveform with
+    tiny fresh noise — same energy envelope, different samples (the
+    audio analog of the page-store's planted near-dup images). The
+    reference has no audio (SURVEY §2); this extends the input_hint's
+    opaque-binary payload column family to the audio modality."""
     rows = []
+    prev_wave = None
     for i in range(n):
         r = np.random.default_rng((seed, 11, i))
         rate = 8000 if i % 2 == 0 else 16000
@@ -330,6 +334,11 @@ def make_audiostore(n: int, seed: int = 42) -> pa.Table:
             2 * np.pi * 2.7 * f0 * t
         )
         wave = wave + r.integers(-500, 500, size=n_samp)
+        if dup_every and i > 0 and i % dup_every == 0:
+            wave = prev_wave + r.integers(-40, 40, size=len(prev_wave))
+            rate = 8000 if (i - 1) % 2 == 0 else 16000
+            n_samp = len(wave)
+        prev_wave = wave
         samples = np.clip(np.rint(wave), -32768, 32767).astype(np.int16)
         rows.append(
             {
@@ -359,7 +368,7 @@ def make_audiostore(n: int, seed: int = 42) -> pa.Table:
 
 
 def make_videostore(
-    n: int, seed: int = 42, sizes: tuple = (32, 48)
+    n: int, seed: int = 42, sizes: tuple = (32, 48), cut_every: int = 0
 ) -> pa.Table:
     """Video store: (video_id, bytes:large_binary NCV1 length-framed
     frames, fps:int32, n_frames:int32, fmt). Frames are a moving bright
@@ -379,6 +388,10 @@ def make_videostore(
         frames = []
         sq = max(4, min(w, h) // 4)
         for f in range(n_frames):
+            if cut_every and f > 0 and f % cut_every == 0:
+                # planted SCENE CUT: a fresh background (large luma jump
+                # vs the moving-square-only deltas between other frames)
+                bg = r.integers(0, 128, size=(h, w, 3), dtype=np.uint8)
             px = bg.copy()
             x0 = (f * 3) % max(1, w - sq)
             y0 = (f * 2) % max(1, h - sq)

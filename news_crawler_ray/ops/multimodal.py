@@ -724,6 +724,144 @@ class VideoFrameSampleStage:
         )
 
 
+def audio_envelope_hash64(samples: np.ndarray) -> int:
+    """64-bit energy-envelope perceptual hash of an int16 waveform —
+    the audio analog of the image phash: 64 equal-split windows, bit k
+    set iff window k's mean |amplitude| exceeds the clip's overall mean
+    |amplitude|. The comparison is an exact integer cross-multiply
+    (sum_k · n_total > total · len_k), so the hash is bit-identical at
+    any parallelism and robust to small additive noise (near-dup clips
+    share an envelope even when their samples differ). Shared pure
+    kernel: the distributed stage and the sequential oracle both call
+    this."""
+    s = np.abs(samples.astype(np.int64))
+    n = len(s)
+    if n == 0:
+        return 0
+    total = int(s.sum())
+    offs = (np.arange(65, dtype=np.int64) * n) // 64
+    sums = np.add.reduceat(s, offs[:-1])
+    # reduceat quirk: empty slices (offs[k] == offs[k+1]) return s[offs[k]]
+    lens = np.diff(offs)
+    sums = np.where(lens > 0, sums, 0)
+    bits = (sums * n) > (total * lens)
+    val = int(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+    return int(np.int64(np.uint64(val)))
+
+
+class AudioHashStage:
+    """Audio binary → (id_col passthrough, ahash:int64) via real WAV
+    decode + :func:`audio_envelope_hash64`. Feeds the shared
+    ``hash64_near_dup_pairs`` banded-hamming family — audio near-dup
+    detection rides the exact same exchange machinery as simhash /
+    image phash."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures import codec as fcodec
+
+        hashes = []
+        for buf in batch[self.bytes_col].to_pylist():
+            samples, _rate = fcodec.decode_wav(buf)
+            hashes.append(audio_envelope_hash64(samples))
+        return batch.drop_columns([self.bytes_col]).append_column(
+            "ahash", pa.array(hashes, pa.int64())
+        )
+
+
+def audio_near_dup_pairs(
+    ds,
+    id_col: str = "aid",
+    max_hamming: int = 6,
+    bands: int = 8,
+    max_bucket: int = 1024,
+    concurrency=(1, 4),
+):
+    """Audio near-dup pairs: envelope-hash actor pool → the generic
+    banded-hamming pairing (one narrow (id, band, bucket, hash)
+    exchange — no all-pairs). ``id_col`` must be int64. Default
+    ``bands=8`` keeps the pigeonhole guarantee exact for
+    ``max_hamming`` ≤ 7 (noisy near-dup envelopes differ in more bits
+    than image phashes)."""
+    from .dedup import hash64_near_dup_pairs
+
+    hashed = ds.map_batches(
+        AudioHashStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=concurrency,
+    )
+    return hash64_near_dup_pairs(
+        hashed,
+        hash_col="ahash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        bands=bands,
+        max_bucket=max_bucket,
+        kind="audio",
+    )
+
+
+class VideoSceneCutStage:
+    """Video binary → per-video scene-cut stats. Decodes consecutive
+    frames (a cut detector inherently needs adjacent frames — this is
+    the one video op that reads every frame) and flags a cut when the
+    inter-frame SAD (sum of absolute per-pixel differences — a
+    luma-SUM delta cannot see a same-brightness scene change) exceeds
+    ``threshold_milli`` permille of the maximum possible difference
+    (n_px·3·255). All-integer: results are bit-identical at any
+    parallelism. Output: (video_id, n_frames:int32, n_cuts:int64,
+    max_delta_milli:int64)."""
+
+    def __init__(self, threshold_milli: int = 120):
+        self.threshold_milli = threshold_milli
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures import codec as fcodec
+
+        vids, nfs, cuts, maxd = [], [], [], []
+        for vid, buf in zip(
+            batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
+        ):
+            frames = [px.astype(np.int64) for _, px in fcodec.decode_video_frames(buf)]
+            h, w = frames[0].shape[0], frames[0].shape[1]
+            full = h * w * 3 * 255
+            n_cuts = 0
+            max_delta = 0
+            for a, b in zip(frames, frames[1:]):
+                sad = int(np.abs(b - a).sum())
+                dm = sad * 1000 // full
+                max_delta = max(max_delta, dm)
+                if dm >= self.threshold_milli:
+                    n_cuts += 1
+            vids.append(vid)
+            nfs.append(len(frames))
+            cuts.append(n_cuts)
+            maxd.append(max_delta)
+        return pa.table(
+            {
+                "video_id": pa.array(vids, pa.string()),
+                "n_frames": pa.array(nfs, pa.int32()),
+                "n_cuts": pa.array(cuts, pa.int64()),
+                "max_delta_milli": pa.array(maxd, pa.int64()),
+            }
+        )
+
+
+def video_scene_cuts(ds, threshold_milli: int = 120, concurrency=(1, 4)):
+    return ds.map_batches(
+        VideoSceneCutStage,
+        fn_constructor_kwargs={"threshold_milli": threshold_milli},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
+        concurrency=concurrency,
+    )
+
+
 def sample_video_frames(ds, every_n: int = 30, concurrency=(1, 4), batch_size: int = 64):
     """Actor-pool frame sampling; small batches bound in-flight video
     payload bytes (the multimodal batch-size rule from the build brief)."""

@@ -1691,6 +1691,90 @@ def expected_video_frame_stats() -> pa.Table:
     )
 
 
+def expected_audio_near_dup() -> pa.Table:
+    """Sequential all-pairs replica of q_audio_near_dup: independent
+    stdlib-wave decode, the shared envelope-hash kernel, NO banding —
+    verifies the pigeonhole bucketing finds the exact pair set."""
+    import io
+    import wave as wavmod
+
+    from ..ops.multimodal import audio_envelope_hash64
+    from .queries import AUDIO_DUP_EVERY, AUDIO_DUP_HAMMING, AUDIO_DUP_N
+
+    t = synth.make_audiostore(AUDIO_DUP_N, seed=42, dup_every=AUDIO_DUP_EVERY)
+    hashes = []
+    ids = []
+    for aid, buf in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
+        with wavmod.open(io.BytesIO(buf)) as w:
+            pcm = w.readframes(w.getnframes())
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int16)
+        hashes.append(np.uint64(np.int64(audio_envelope_hash64(samples))))
+        ids.append(int(aid[2:]))
+    h = np.array(hashes, dtype=np.uint64)
+    pairs: set[tuple[int, int]] = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if int(H.hamming_distance64(h[x : x + 1], h[y : y + 1])[0]) <= AUDIO_DUP_HAMMING:
+                pairs.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    if not pairs:
+        raise RuntimeError("audio_near_dup oracle found no planted pairs")
+    return _pairs_table(pairs)
+
+
+def expected_video_scene_cuts() -> pa.Table:
+    """Sequential replica of q_video_scene_cuts: explicit struct walk +
+    per-pixel luma loops re-derive every inter-frame delta."""
+    import struct as structmod
+
+    from ..fixtures import codec
+    from .queries import SCENE_CUT_MILLI, VIDEO_CUT_EVERY, VIDEO_CUT_N
+
+    t = synth.make_videostore(VIDEO_CUT_N, seed=42, cut_every=VIDEO_CUT_EVERY)
+    rows = []
+    for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        assert buf[:4] == b"NCV1"
+        _fps, fmt_code, n_frames = structmod.unpack("<HBI", buf[4:11])
+        fmt = {0: "png", 1: "jpeg"}[fmt_code]
+        pos = 11
+        frames = []
+        for _f in range(n_frames):
+            (length,) = structmod.unpack("<I", buf[pos : pos + 4])
+            frames.append(codec.decode(buf[pos + 4 : pos + 4 + length], fmt))
+            pos += 4 + length
+        h_, w_ = frames[0].shape[0], frames[0].shape[1]
+        full = h_ * w_ * 3 * 255
+        n_cuts = 0
+        max_delta = 0
+        for a, b in zip(frames, frames[1:]):
+            sad = 0
+            for y in range(h_):
+                ra, rb = a[y], b[y]
+                for x in range(w_):
+                    sad += (
+                        abs(int(ra[x][0]) - int(rb[x][0]))
+                        + abs(int(ra[x][1]) - int(rb[x][1]))
+                        + abs(int(ra[x][2]) - int(rb[x][2]))
+                    )
+            dm = sad * 1000 // full
+            max_delta = max(max_delta, dm)
+            if dm >= SCENE_CUT_MILLI:
+                n_cuts += 1
+        rows.append(
+            {
+                "video_id": vid,
+                "n_frames": len(frames),
+                "n_cuts": n_cuts,
+                "max_delta_milli": max_delta,
+            }
+        )
+    tbl = pa.Table.from_pylist(rows)
+    return tbl.set_column(
+        tbl.column_names.index("n_frames"),
+        "n_frames",
+        pa.array([r["n_frames"] for r in rows], pa.int32()),
+    )
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -1740,6 +1824,8 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["sharpness"] = values_sql(expected_sharpness())
     sql["audio_features"] = values_sql(expected_audio_features())
     sql["video_frame_stats"] = values_sql(expected_video_frame_stats())
+    sql["audio_near_dup"] = values_sql(expected_audio_near_dup())
+    sql["video_scene_cuts"] = values_sql(expected_video_scene_cuts())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the

@@ -455,6 +455,8 @@ def build_queries() -> dict:
         "dedup_spans": q_dedup_spans,
         "dominant_color": q_dominant_color,
         "audio_features": q_audio_features,
+        "audio_near_dup": q_audio_near_dup,
+        "video_scene_cuts": q_video_scene_cuts,
         "video_frame_stats": q_video_frame_stats,
         "sharpness": q_sharpness,
         "char_entropy": q_char_entropy,

@@ -113,6 +113,64 @@ def q_video_frame_stats(sf_dir: str):
     return sample_video_frames(store, every_n=VIDEO_EVERY_N)
 
 
+AUDIO_DUP_N = 120
+AUDIO_DUP_EVERY = 4
+AUDIO_DUP_HAMMING = 6
+VIDEO_CUT_N = 40
+VIDEO_CUT_EVERY = 6
+# planted cut (fresh uniform background) SAD ≈ 167‰ of max; the moving
+# square's worst frame-to-frame SAD (wrap jump) ≈ 67‰ — 120 separates
+SCENE_CUT_MILLI = 120
+
+
+def q_audio_near_dup(sf_dir: str):
+    """Audio near-duplicate pairs over a planted-dup WAV store: real
+    decode → 64-bit energy-envelope hash (the audio phash,
+    ops/multimodal.audio_envelope_hash64, exact integer
+    cross-multiplies) → the SHARED banded-hamming pairing
+    (hash64_near_dup_pairs, bands=8 keeps the pigeonhole exact at
+    hamming ≤ 6) — audio dedup rides the same one-exchange machinery
+    as simhash/image phash. Oracle: sequential all-pairs hamming over
+    independently decoded clips (no banding), so a bucketing bug
+    cannot self-confirm."""
+    from ..fixtures import synth
+    from ..ops.multimodal import audio_near_dup_pairs
+
+    store = synth.make_audiostore(
+        AUDIO_DUP_N, seed=42, dup_every=AUDIO_DUP_EVERY
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(t["audio_id"], 2, 32), pa.int64())
+        return pa.table({"aid": ids, "bytes": t["bytes"]})
+
+    ds = ray.data.from_arrow(store).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return audio_near_dup_pairs(
+        ds, id_col="aid", max_hamming=AUDIO_DUP_HAMMING, bands=8
+    ).map_batches(
+        lambda t: t.select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Scene-cut detection over a planted-cut video store: consecutive
+    frame decode per clip, cut = inter-frame SAD over SCENE_CUT_MILLI
+    permille of the max possible difference — all-integer
+    (ops/multimodal.VideoSceneCutStage). Oracle: sequential
+    struct-walk + per-pixel loops re-derives every delta."""
+    from ..fixtures import synth
+    from ..ops.multimodal import video_scene_cuts
+
+    store = ray.data.from_arrow(
+        synth.make_videostore(VIDEO_CUT_N, seed=42, cut_every=VIDEO_CUT_EVERY)
+    )
+    return video_scene_cuts(store, threshold_milli=SCENE_CUT_MILLI)
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order clustering layout over events: Morton-interleave
     (user_id, value-cents) low 16 bits into a space-filling key, then

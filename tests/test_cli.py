@@ -75,3 +75,56 @@ def test_cli_export_resumable(ray_session, tmp_path, capsys):
     assert main(["export", "--store", store, "--out", out, "--shards", "4"]) == 0
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m2 == m1
+
+
+def test_cron_next_delay_pure():
+    """Clock math for the cron launcher: next HH:MM today, else the
+    earliest listed time tomorrow."""
+    import datetime as dt
+
+    from news_crawler_ray.__main__ import cron_next_delay
+
+    base = dt.datetime(2026, 8, 20, 10, 0, 0).timestamp()  # 10:00 local
+    assert cron_next_delay(base, ["16:00"]) == 6 * 3600
+    assert cron_next_delay(base, ["06:00"]) == 20 * 3600  # tomorrow
+    assert cron_next_delay(base, ["06:00", "16:00"]) == 6 * 3600
+    # exactly-now rolls to tomorrow (strict inequality)
+    assert cron_next_delay(base, ["10:00"]) == 24 * 3600
+
+
+def test_cli_crawl_cron_mode(ray_session, tmp_path, capsys):
+    """--cron-interval mode: two day-scoped firings; the second resumes
+    the same window idempotently (drained — no duplicate fetches)."""
+    import datetime as dt
+    import json as js
+    import os
+
+    from news_crawler_ray.__main__ import main
+
+    fix = str(tmp_path / "fix")
+    assert main(["synth", "--out", fix, "--pages", "120", "--frontier", "60"]) == 0
+    out = str(tmp_path / "cronout")
+    assert (
+        main(
+            [
+                "crawl",
+                "--frontier", os.path.join(fix, "frontier.parquet"),
+                "--store", os.path.join(fix, "pagestore.parquet"),
+                "--robots", os.path.join(fix, "robots.parquet"),
+                "--out", out,
+                "--max-waves", "2",
+                "--cron-interval", "0",
+                "--cron-runs", "2",
+            ]
+        )
+        == 0
+    )
+    lines = [js.loads(L) for L in capsys.readouterr().out.strip().splitlines() if L.startswith("{")]
+    summaries = [d for d in lines if "out_dir" in d]
+    assert len(summaries) == 2
+    scope = dt.date.today().isoformat()
+    win = os.path.join(out, f"window-{scope}")
+    assert os.path.isdir(win)  # day-scoped layout
+    assert summaries[0]["waves"] == 2 and summaries[0]["total_fetched"] > 0
+    # second firing resumed a drained window: nothing re-fetched
+    assert summaries[1]["total_fetched"] == summaries[0]["total_fetched"]

@@ -2853,3 +2853,74 @@ def test_attach_group_agg_empty_input_keeps_schema(ray_session):
     assert blocks, "empty path must still emit one schema-bearing block"
     for b in blocks:
         assert b.drop_columns(["s", "n", "first"]).schema.names == ["k", "v"]
+
+
+def test_audio_envelope_hash_noise_robust_and_exact():
+    """Near-dup clips (tiny additive noise) hash within 6 bits; the
+    bit rule is the exact integer cross-multiply."""
+    import numpy as np
+
+    from news_crawler_ray.ops.hashing import hamming_distance64
+    from news_crawler_ray.ops.multimodal import audio_envelope_hash64
+
+    r = np.random.default_rng(5)
+    t = np.arange(2000) / 8000.0
+    base = (6000 * np.sin(2 * np.pi * 440 * t)).astype(np.int64)
+    a = np.clip(base + r.integers(-300, 300, 2000), -32768, 32767).astype("int16")
+    b = np.clip(base + r.integers(-40, 40, 2000), -32768, 32767).astype("int16")
+    c = (np.abs(base[::-1]) // 3 * np.sign(np.roll(base, 777))).astype("int16")
+    ha, hb, hc = (audio_envelope_hash64(x) for x in (a, b, c))
+    d_ab = int(hamming_distance64(
+        np.array([ha], np.int64).astype(np.uint64),
+        np.array([hb], np.int64).astype(np.uint64))[0])
+    assert d_ab <= 6
+    # manual replica of the bit rule on `a`
+    s = np.abs(a.astype(np.int64)); n = len(s); total = int(s.sum())
+    bits = []
+    for k in range(64):
+        lo, hi = k * n // 64, (k + 1) * n // 64
+        bits.append(int(s[lo:hi].sum()) * n > total * (hi - lo))
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    assert np.int64(np.uint64(val)) == ha
+    assert audio_envelope_hash64(np.array([], np.int16)) == 0
+
+
+def test_audio_near_dup_pairs_planted(ray_session):
+    """Planted near-dups are found via the banded exchange; the pair
+    set equals the sequential all-pairs oracle (expected.py)."""
+    from news_crawler_ray.pipelines.expected import expected_audio_near_dup
+    from news_crawler_ray.pipelines.queries import q_audio_near_dup
+
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in q_audio_near_dup("unused").take_all()
+    )
+    exp_tbl = expected_audio_near_dup()
+    exp = sorted(zip(exp_tbl["id_a"].to_pylist(), exp_tbl["id_b"].to_pylist()))
+    assert got == exp
+    # planted (i-1, i) dups at i % 4 == 0 are all present
+    planted = {(i - 1, i) for i in range(4, 120, 4)}
+    assert planted <= set(got)
+
+
+def test_video_scene_cuts_planted(ray_session):
+    """Planted scene cuts (fresh background every 6th frame) are
+    counted exactly; clips with fewer frames than the cut interval have
+    zero cuts; matches the sequential oracle."""
+    from news_crawler_ray.pipelines.expected import expected_video_scene_cuts
+    from news_crawler_ray.pipelines.queries import q_video_scene_cuts
+
+    got = {r["video_id"]: r for r in q_video_scene_cuts("unused").take_all()}
+    exp = expected_video_scene_cuts().to_pylist()
+    assert len(got) == len(exp)
+    any_cut = False
+    for e in exp:
+        g = got[e["video_id"]]
+        assert (g["n_frames"], g["n_cuts"], g["max_delta_milli"]) == (
+            e["n_frames"], e["n_cuts"], e["max_delta_milli"]
+        )
+        expected_cuts = (e["n_frames"] - 1) // 6
+        assert g["n_cuts"] == expected_cuts
+        any_cut |= g["n_cuts"] > 0
+    assert any_cut

@@ -494,3 +494,53 @@ def test_extract_anchor_texts_batch():
         {"doc_id": 3, "host": "c.example", "href": "https://c.example/z", "anchor": "has bold text"},
         {"doc_id": 3, "host": "d.example", "href": "https://d.example/sq", "anchor": "single quoted"},
     ]
+
+
+def test_read_pagestore_lance_branch_by_mock(monkeypatch, tmp_path):
+    """The read_lance branch (BASELINE.json input_hint names Lance
+    tables; the sandbox lacks the package) stays exercised: a mock
+    lance module + read_lance spy assert the Lance path routes with
+    pruned columns, and a missing package raises the documented error
+    instead of silently reading parquet."""
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from news_crawler_ray.sources import pagestore
+
+    calls = []
+
+    def fake_read_lance(path, columns=None):
+        calls.append((path, tuple(columns or [])))
+        return "LANCE_DS"
+
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(rd, "read_lance", fake_read_lance, raising=False)
+    out = pagestore.read_pagestore(
+        str(tmp_path / "store.lance"), columns=["image_id", "phash"]
+    )
+    assert out == "LANCE_DS"
+    assert calls == [(str(tmp_path / "store.lance"), ("image_id", "phash"))]
+
+    # the _versions-dir layout detection routes to Lance too
+    vdir = tmp_path / "pages"
+    (vdir / "_versions").mkdir(parents=True)
+    assert pagestore.read_pagestore(str(vdir)) == "LANCE_DS"
+
+    # without the package the Lance path is a loud error, not a fallback
+    monkeypatch.delitem(sys.modules, "lance")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def no_lance(name, *a, **k):
+        if name == "lance":
+            raise ImportError("No module named 'lance'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_lance)
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError, match="Lance"):
+        pagestore.read_pagestore(str(tmp_path / "store.lance"))

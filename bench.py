@@ -216,6 +216,8 @@ QUERY_SUBSET = [
     "image_features",
     "audio_features",
     "video_frame_stats",
+    "audio_near_dup",
+    "video_scene_cuts",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

@@ -218,6 +218,8 @@ QUERY_SUBSET = [
     "video_frame_stats",
     "audio_near_dup",
     "video_scene_cuts",
+    "audio_spectral",
+    "caption_retrieval",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

@@ -805,6 +805,58 @@ def audio_near_dup_pairs(
     )
 
 
+def audio_spectral_kernel(samples: np.ndarray, rate: int) -> "tuple[int, int, int]":
+    """(dominant_bin, dominant_hz, n_bins) of an int16 clip via one
+    rfft: DC excluded, argmax ties → lowest bin, dominant_hz = exact
+    integer floor of bin·rate/n. Whole-clip single-task transform —
+    parallelism cannot change it. Shared pure kernel (stage + oracle),
+    like codec.phash64."""
+    n = len(samples)
+    if n == 0:
+        return 0, 0, 0
+    sp = np.abs(np.fft.rfft(samples.astype(np.float64)))
+    sp[0] = 0.0  # DC carries the clip offset, not a tone
+    b = int(np.argmax(sp))
+    return b, b * rate // n, len(sp)
+
+
+class AudioSpectralStage:
+    """Audio binary → spectral features: real WAV decode + one rfft per
+    clip (:func:`audio_spectral_kernel`). Output adds (dominant_bin:
+    int64, dominant_hz:int64, n_bins:int64); integer outputs keep the
+    query oracle exact."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures import codec as fcodec
+
+        bins, hzs, nbs = [], [], []
+        for buf in batch[self.bytes_col].to_pylist():
+            samples, rate = fcodec.decode_wav(buf)
+            b, hz, nb = audio_spectral_kernel(samples, rate)
+            bins.append(b)
+            hzs.append(hz)
+            nbs.append(nb)
+        return (
+            batch.drop_columns([self.bytes_col])
+            .append_column("dominant_bin", pa.array(bins, pa.int64()))
+            .append_column("dominant_hz", pa.array(hzs, pa.int64()))
+            .append_column("n_bins", pa.array(nbs, pa.int64()))
+        )
+
+
+def audio_spectral(ds, concurrency=(1, 4), batch_size: int = 256):
+    return ds.map_batches(
+        AudioSpectralStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class VideoSceneCutStage:
     """Video binary → per-video scene-cut stats. Decodes consecutive
     frames (a cut detector inherently needs adjacent frames — this is
@@ -1276,6 +1328,102 @@ def caption_image_consistency(ds, batch_size: int = 64):
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
+    )
+
+
+RETRIEVAL_Q = 1 << 20
+
+
+def unit_q64(v: np.ndarray, q: int = RETRIEVAL_Q) -> np.ndarray:
+    """Unit-normalize a 64-dim float vector and quantize to int64
+    (×q, half-away rounding via rint on non-adversarial values). Shared
+    pure kernel: retrieval scores become EXACT integer dot products —
+    bit-identical at any batch split, where a float BLAS matmul is not
+    row-slice deterministic (measured, round 2)."""
+    n = float(np.linalg.norm(v))
+    return np.rint(v / max(n, 1e-12) * q).astype(np.int64)
+
+
+def caption_retrieval_eval(ds, ks: tuple = (1, 5, 10), batch_size: int = 64):
+    """Caption→image retrieval recall@k over the whole store — the
+    cross-modal EVAL metric of a CLIP-style corpus (does this caption
+    retrieve its own image from the gallery?).
+
+    Gallery = every image's quantized unit cell embedding, assembled
+    from per-block partials (ordinal + 64 ints per row — a documented
+    small-side materialization, the brute-force baseline; the IVF path
+    is the gallery-scale answer) and broadcast ONCE via ``ray.put``.
+    Each caption batch builds its signed-feature-hash unit vectors,
+    scores the gallery with ONE int64 matmul (exact — no float
+    accumulation), and ranks the TRUE image by (score desc, ordinal
+    asc). Output: one row per k — (k:int64, n_queries:int64,
+    n_hits:int64)."""
+    import ray as _ray
+
+    from .agg import partial_group_agg
+    from .hashing import tokenize_batch
+
+    def gal_part(t: pa.Table) -> pa.Table:
+        vecs = [
+            unit_q64(cell_vector64_f64(b, f))
+            for b, f in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist())
+        ]
+        flat = (
+            np.stack(vecs).ravel() if vecs else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "ordinal": t["ordinal"],
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.int64()), 64
+                ),
+            }
+        )
+
+    parts = ds.map_batches(
+        gal_part, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    parts.sort(key=lambda r: r["ordinal"])
+    G = np.array([r["vec"] for r in parts], dtype=np.int64)  # (N, 64)
+    g_ref = _ray.put(G)
+    ks_arr = np.array(sorted(ks), dtype=np.int64)
+
+    def score(t: pa.Table) -> pa.Table:
+        gal = _ray.get(g_ref)
+        n = t.num_rows
+        hashes, offsets = tokenize_batch(t["caption"].combine_chunks())
+        M = np.zeros((n, 64), dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n), np.diff(offsets))
+        dims = (hashes % np.uint64(64)).astype(np.int64)
+        signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+        np.add.at(M, (doc_idx, dims), signs)
+        Mq = np.stack(
+            [unit_q64(M[i].astype(np.float64)) for i in range(n)]
+        ) if n else np.zeros((0, 64), np.int64)
+        true_ord = np.asarray(t["ordinal"], dtype=np.int64)
+        S = Mq @ gal.T  # exact int64 scores (B, N)
+        s_true = S[np.arange(n), true_ord]
+        better = (S > s_true[:, None]).sum(axis=1)
+        ties_before = (
+            (S == s_true[:, None]) & (np.arange(gal.shape[0])[None, :] < true_ord[:, None])
+        ).sum(axis=1)
+        rank = better + ties_before
+        hits = (rank[:, None] < ks_arr[None, :]).sum(axis=0)
+        return pa.table(
+            {
+                "k": pa.array(ks_arr, pa.int64()),
+                "n_queries": pa.array(np.full(len(ks_arr), n), pa.int64()),
+                "n_hits": pa.array(hits.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+    return partial_group_agg(
+        scored,
+        ["k"],
+        [("n_queries", "sum", "n_queries"), ("n_hits", "sum", "n_hits")],
     )
 
 

@@ -1775,6 +1775,71 @@ def expected_video_scene_cuts() -> pa.Table:
     )
 
 
+def expected_audio_spectral() -> pa.Table:
+    """Sequential replica of q_audio_spectral: independent stdlib-wave
+    decode, shared rfft kernel per clip."""
+    import io
+    import wave as wavmod
+
+    from ..ops.multimodal import audio_spectral_kernel
+    from .queries import AUDIO_N
+
+    t = synth.make_audiostore(AUDIO_N, seed=42)
+    rows = []
+    for aid, buf in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
+        with wavmod.open(io.BytesIO(buf)) as w:
+            rate = w.getframerate()
+            pcm = w.readframes(w.getnframes())
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int16)
+        b, hz, nb = audio_spectral_kernel(samples, rate)
+        rows.append(
+            {"audio_id": aid, "dominant_bin": b, "dominant_hz": hz, "n_bins": nb}
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def expected_caption_retrieval() -> pa.Table:
+    """Sequential full-matrix replica of q_caption_retrieval: shared
+    quantized-int kernels, one whole-gallery loop per caption (no
+    batching, no broadcast)."""
+    from ..ops import hashing as oph
+    from ..ops.multimodal import cell_vector64_f64, unit_q64
+    from .queries import RETR_KS, RETR_N
+
+    t = synth.make_pagestore(RETR_N, seed=42)
+    n = t.num_rows
+    G = np.stack(
+        [
+            unit_q64(cell_vector64_f64(b, f))
+            for b, f in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist())
+        ]
+    )
+    hashes, offsets = oph.tokenize_batch(t["caption"].combine_chunks())
+    M = np.zeros((n, 64), dtype=np.int64)
+    doc_idx = np.repeat(np.arange(n), np.diff(offsets))
+    dims = (hashes % np.uint64(64)).astype(np.int64)
+    signs = 1 - 2 * ((hashes >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+    np.add.at(M, (doc_idx, dims), signs)
+    hits = {k: 0 for k in RETR_KS}
+    for i in range(n):
+        q = unit_q64(M[i].astype(np.float64))
+        scores = [int(q @ G[j]) for j in range(n)]
+        s_true = scores[i]
+        rank = sum(1 for j in range(n) if scores[j] > s_true) + sum(
+            1 for j in range(i) if scores[j] == s_true
+        )
+        for k in RETR_KS:
+            if rank < k:
+                hits[k] += 1
+    return pa.table(
+        {
+            "k": pa.array(sorted(RETR_KS), pa.int64()),
+            "n_queries": pa.array([n] * len(RETR_KS), pa.int64()),
+            "n_hits": pa.array([hits[k] for k in sorted(RETR_KS)], pa.int64()),
+        }
+    )
+
+
 def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     """DuckDB oracle statements for the formerly rows-only queries.
 
@@ -1826,6 +1891,8 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["video_frame_stats"] = values_sql(expected_video_frame_stats())
     sql["audio_near_dup"] = values_sql(expected_audio_near_dup())
     sql["video_scene_cuts"] = values_sql(expected_video_scene_cuts())
+    sql["audio_spectral"] = values_sql(expected_audio_spectral())
+    sql["caption_retrieval"] = values_sql(expected_caption_retrieval())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the

@@ -456,6 +456,8 @@ def build_queries() -> dict:
         "dominant_color": q_dominant_color,
         "audio_features": q_audio_features,
         "audio_near_dup": q_audio_near_dup,
+        "audio_spectral": q_audio_spectral,
+        "caption_retrieval": q_caption_retrieval,
         "video_scene_cuts": q_video_scene_cuts,
         "video_frame_stats": q_video_frame_stats,
         "sharpness": q_sharpness,

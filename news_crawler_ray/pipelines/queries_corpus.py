@@ -32,6 +32,7 @@ from .queries_rel import (
     BOILER_MIN_LEN,
     ORACLE_SQL,
     PACK_SEQ_LEN,
+    _ds_from_table,
     _read,
     _rename,
 )
@@ -169,6 +170,45 @@ def q_video_scene_cuts(sf_dir: str):
         synth.make_videostore(VIDEO_CUT_N, seed=42, cut_every=VIDEO_CUT_EVERY)
     )
     return video_scene_cuts(store, threshold_milli=SCENE_CUT_MILLI)
+
+
+RETR_N = 80
+RETR_KS = (1, 5, 10)
+
+
+def q_audio_spectral(sf_dir: str):
+    """Audio spectral features: real WAV decode + one rfft per clip,
+    dominant non-DC bin + exact integer frequency
+    (ops/multimodal.AudioSpectralStage). Oracle: sequential stdlib-wave
+    decode + the shared rfft kernel per clip (codec-kernel-sharing
+    convention, like phash64)."""
+    from ..fixtures import synth
+    from ..ops.multimodal import audio_spectral
+
+    store = ray.data.from_arrow(synth.make_audiostore(AUDIO_N, seed=42))
+    return audio_spectral(store).select_columns(
+        ["audio_id", "dominant_bin", "dominant_hz", "n_bins"]
+    )
+
+
+def q_caption_retrieval(sf_dir: str):
+    """Caption→image retrieval recall@k — the cross-modal eval metric
+    of a CLIP-style corpus (ops/multimodal.caption_retrieval_eval):
+    quantized-int unit embeddings on BOTH sides so every score is an
+    exact int64 dot (float matmul is not batch-split deterministic),
+    gallery broadcast once, per-batch rank partials, combiner rollup.
+    Oracle: sequential full-matrix replica with the shared kernels."""
+    from ..fixtures import synth
+    from ..ops.multimodal import caption_retrieval_eval
+
+    t = synth.make_pagestore(RETR_N, seed=42)
+    t = t.append_column(
+        "ordinal", pa.array(np.arange(t.num_rows, dtype=np.int64), pa.int64())
+    )
+    return caption_retrieval_eval(
+        _ds_from_table(t.select(["ordinal", "bytes", "fmt", "caption"])),
+        ks=RETR_KS,
+    )
 
 
 def q_zorder_layout(sf_dir: str):

@@ -220,6 +220,7 @@ QUERY_SUBSET = [
     "video_scene_cuts",
     "audio_spectral",
     "caption_retrieval",
+    "decontaminate_scaled",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

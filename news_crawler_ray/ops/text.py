@@ -333,6 +333,114 @@ def flag_contaminated(ds, needles: list[str], text_col: str = "text", id_col: st
     )
 
 
+def _shingle_strings_batch(
+    batch: pa.Table, text_col: str, id_col: str, k: int
+) -> pa.Table:
+    """Per-doc DISTINCT k-token shingle STRINGS for one batch:
+    (doc_id, s) rows, block-locally distinct. Fully vectorized: one
+    regex split, k strided takes, one ``binary_join_element_wise``, one
+    C group_by for the distinct. String shingles (vs the uint64
+    ``hashing.shingle_hashes`` form) keep the op SQL-oracle-checkable;
+    the hash form is the drop-in when shingle bytes dominate at 100 TB."""
+    text = pc.coalesce(batch[text_col], "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    # re-pack non-empty tokens and recompute per-doc lengths
+    doc_of_tok = np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), np.diff(offsets)
+    )[keep]
+    flat = flat.filter(pa.array(keep))
+    lens = np.bincount(doc_of_tok, minlength=batch.num_rows).astype(np.int64)
+    tok_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    counts = np.maximum(lens - k + 1, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "s": pa.array([], pa.string())}
+        )
+    doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+    base = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(base, counts)
+    starts = np.repeat(tok_starts, counts) + pos_in_doc
+    cols = [flat.take(pa.array(starts + j, pa.int64())) for j in range(k)]
+    sh = pc.binary_join_element_wise(*cols, " ")
+    t = pa.table(
+        {
+            id_col: pa.array(
+                np.asarray(batch[id_col], dtype=np.int64)[doc_of], pa.int64()
+            ),
+            "s": sh,
+        }
+    )
+    return t.group_by([id_col, "s"]).aggregate([])
+
+
+def shingle_decontaminate(
+    docs,
+    needles,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_col: str = "contaminated",
+):
+    """Needle-SCALE benchmark decontamination — the documented scale
+    path of :func:`flag_contaminated` (whose broadcast substring scan
+    is right only while the benchmark set is small): flag every doc
+    sharing at least one k-token shingle with ANY needle document.
+    Both sides explode into narrow (id, shingle) rows block-locally
+    (never the texts), ONE sort-merge SEMI join co-locates equal
+    shingles, and the distinct hit ids attach back onto the full doc
+    id set with a left join — no broadcast of either side, so the
+    needle corpus may be as large as the training corpus. Output:
+    (doc_id, contaminated:bool) for every doc."""
+    from .agg import sorted_distinct
+    from .join import sort_merge_inner_join, sort_merge_semi_join
+
+    doc_sh = docs.map_batches(
+        lambda b: _shingle_strings_batch(b, text_col, id_col, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    needle_sh = needles.map_batches(
+        lambda b: _shingle_strings_batch(b, text_col, id_col, k).select(["s"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hits = sorted_distinct(
+        sort_merge_semi_join(doc_sh, needle_sh, "s").map_batches(
+            lambda t: t.select([id_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        [id_col],
+    ).map_batches(
+        lambda t: t.append_column(
+            "_hit", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ids = docs.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = sort_merge_inner_join(
+        ids, hits, id_col, [], ["_hit"], how="left"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                flag_col: pc.is_valid(t["_hit"]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # Corpus term statistics: heavy hitters, per-doc repetition, term search
 # --------------------------------------------------------------------------

@@ -438,6 +438,7 @@ def build_queries() -> dict:
         "canonical_docs": q_canonical_docs,
         "leakage_safe_split": q_leakage_safe_split,
         "decontaminate_docs": q_decontaminate_docs,
+        "decontaminate_scaled": q_decontaminate_scaled,
         "pii_redact": q_pii_redact,
         "remove_boilerplate": q_remove_boilerplate,
         "pack_sequences": q_pack_sequences,

@@ -706,3 +706,45 @@ def q_ioc_extract(sf_dir: str):
     return merged_distinct_iocs(pages)
 
 
+
+
+DECON_SHINGLE_K = 8
+DECON_NEEDLE_MOD = 50
+
+
+def q_decontaminate_scaled(sf_dir: str):
+    """Needle-SCALE benchmark decontamination (the documented scale
+    path of flag_contaminated's broadcast scan): benchmark corpus =
+    every doc_id % 50 == 0 document, flag = shares any 8-token shingle
+    with any benchmark doc. Both sides explode block-locally into
+    narrow (id, shingle) rows; ONE semi join + one left join back —
+    neither side is broadcast (ops/text.shingle_decontaminate). REAL
+    SQL oracle re-derives the identical shingle strings with list
+    slicing + the same joins."""
+    from ..ops.text import shingle_decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    needles = docs.map_batches(
+        lambda t: t.filter(
+            pa.array(np.asarray(t["doc_id"], dtype=np.int64) % DECON_NEEDLE_MOD == 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return shingle_decontaminate(docs, needles, k=DECON_SHINGLE_K)
+
+
+ORACLE_SQL["decontaminate_scaled"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS BIGINT):CAST(i AS BIGINT)+{DECON_SHINGLE_K - 1}], ' ') AS s
+  FROM toks, UNNEST(range(1, len(t) - {DECON_SHINGLE_K} + 2)) AS u(i)),
+nsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {DECON_NEEDLE_MOD} = 0),
+hits AS (SELECT DISTINCT sh.doc_id FROM sh JOIN nsh USING (s))
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""

@@ -364,3 +364,31 @@ def test_resume_before_wave0_rereads_seed_source(
         json.dump({"completed_through": -1, "waves": []}, f)
     with pytest.raises(RuntimeError, match="seed_source"):
         cp.run_crawl(None, ps, robots, out2, config=cfg, resume=True)
+
+
+def test_resume_with_lagging_manifest_reruns_idempotently(
+    ray_session, tmp_path, fixture_tables
+):
+    """Deferred-finalize crash window: a wave's artifacts (fetched dir,
+    candidates, epoch delta) are all durable but its manifest entry
+    never landed. Resume must re-run that wave idempotently (atomic
+    overwrites) and converge to the uninterrupted run's crawl order and
+    seen-set."""
+    import json
+    import os
+
+    full = _run(tmp_path, fixture_tables, max_waves=3, out="lag_full")
+    _run(tmp_path, fixture_tables, max_waves=2, out="lag")
+    mpath = os.path.join(str(tmp_path / "lag"), "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m["completed_through"] == 1
+    # rewind the manifest one wave: wave 1's entry "never landed"
+    m["completed_through"] = 0
+    m["waves"] = m["waves"][:1]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    resumed = _run(tmp_path, fixture_tables, max_waves=3, resume=True, out="lag")
+    assert _engine_order(resumed) == _engine_order(full)
+    assert resumed.seen.all_keys() == full.seen.all_keys()
+    assert [w.wave for w in resumed.waves] == [w.wave for w in full.waves]

@@ -146,6 +146,56 @@ def bench_fetch_schedule(fix_dir: str) -> dict:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def bench_multiwave(fix_dir: str, max_waves: int = 3) -> dict:
+    """Multi-wave crawl over the suite frontier — measures the wave-
+    PIPELINING structure (async seen checkpoints, background candidates
+    write + deferred finalize, in-memory outlink handoff) that a
+    single-wave run cannot see. Metric: total scheduled URLs across all
+    waves / total wall."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    robots = pq.read_table(os.path.join(fix_dir, "robots.parquet"))
+    # seed with a QUARTER of the frontier so outlink expansion
+    # discovers genuinely-unseen pages wave over wave (the full
+    # frontier covers every page and drains wave 1 immediately)
+    full_frontier = pq.read_table(os.path.join(fix_dir, "frontier.parquet"))
+    frontier_path = os.path.join(
+        BENCH_IO_DIR, f"mw_seeds_{os.path.basename(fix_dir)}.parquet"
+    )
+    if not os.path.exists(frontier_path):
+        os.makedirs(os.path.dirname(frontier_path), exist_ok=True)
+        pq.write_table(full_frontier.slice(0, full_frontier.num_rows // 4), frontier_path)
+    ps = pq.read_table(os.path.join(fix_dir, "pagestore.parquet"))
+    out_dir = os.path.join(BENCH_IO_DIR, "out_mw", str(time.monotonic_ns()))
+    cfg = CrawlConfig(
+        max_waves=max_waves,
+        num_seen_shards=16,
+        dedup_partitions=32,
+        fetch_batch_size=4096,
+        verify_payloads=True,
+        compute_crawl_rank=False,
+    )
+    t0 = time.monotonic()
+    try:
+        res = run_crawl(
+            None, ps, robots, out_dir, config=cfg, seeds_path=frontier_path
+        )
+        dt = time.monotonic() - t0
+        total = sum(w.scheduled for w in res.waves)
+        return {
+            "wall_s": dt,
+            "waves": len(res.waves),
+            "scheduled_total": total,
+            "urls_per_sec": total / dt if dt > 0 else 0.0,
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def bench_phash_pairs(n: int = 500_000) -> dict:
     """On-axis image-dedup rate: banded hamming pairing over ``n``
     synthetic phashes (5% planted ≤3-bit near-dups). Hash-only — decode
@@ -432,6 +482,13 @@ def run_suite(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
         "queries": {},
     }
     if not headline_only:
+        mw = bench_multiwave(fix_dir)
+        result["multiwave"] = {
+            "wall_s": round(mw["wall_s"], 3),
+            "waves": mw["waves"],
+            "scheduled_total": mw["scheduled_total"],
+            "urls_per_sec": round(mw["urls_per_sec"], 1),
+        }
         ph = bench_phash_pairs()
         result["phash_pairs"] = {
             "wall_s": round(ph["wall_s"], 3),

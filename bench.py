@@ -271,6 +271,7 @@ QUERY_SUBSET = [
     "audio_spectral",
     "caption_retrieval",
     "decontaminate_scaled",
+    "augment_images",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

@@ -724,6 +724,75 @@ class VideoFrameSampleStage:
         )
 
 
+class ImageAugmentStage:
+    """Deterministic training-data augmentation: per-image horizontal
+    flip + edge crop chosen by a CONTENT-STABLE hash of the image id
+    (splitmix64 — rerun-, layout- and parallelism-proof, like the
+    sampling family's md5 decisions): bit 0 → hflip, bits 1-2 → crop
+    margin ∈ {0, 2, 4, 6} px per side (clamped so ≥8 px survive).
+    Decodes with the real codec, re-encodes in the row's own format.
+    Emits (image_id, bytes, w, h, fmt, aug_flip:bool,
+    aug_crop:int32) — the augmented store is a drop-in page-store."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..fixtures.synth import _splitmix64
+
+        ids = batch["image_id"].to_pylist()
+        base = np.array([_stable_id64(s) for s in ids], dtype=np.uint64)
+        h64 = _splitmix64(base) if len(base) else base
+        flips = (h64 & np.uint64(1)).astype(bool)
+        crops = (((h64 >> np.uint64(1)) & np.uint64(3)) * np.uint64(2)).astype(np.int64)
+        out_b, ws, hs = [], [], []
+        for buf, fmt, fl, cr in zip(
+            batch[self.bytes_col].to_pylist(),
+            batch["fmt"].to_pylist(),
+            flips.tolist(),
+            crops.tolist(),
+        ):
+            px = codec.decode(buf, fmt)
+            if fl:
+                px = px[:, ::-1]
+            c = int(cr)
+            if c and px.shape[0] > 2 * c + 8 and px.shape[1] > 2 * c + 8:
+                px = px[c:-c, c:-c]
+            px = np.ascontiguousarray(px)
+            out_b.append(codec.encode(px, fmt))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return pa.table(
+            {
+                "image_id": batch["image_id"],
+                "bytes": pa.array(out_b, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": batch["fmt"],
+                "aug_flip": pa.array(flips.tolist(), pa.bool_()),
+                "aug_crop": pa.array(crops.tolist(), pa.int32()),
+            }
+        )
+
+
+def _stable_id64(s: str) -> int:
+    """Content-stable 64-bit int of a string id (md5 low bits — no
+    Python hash() randomization)."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+
+
+def augment_images(ds, concurrency=(1, 4), batch_size: int = 64):
+    return ds.map_batches(
+        ImageAugmentStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def audio_envelope_hash64(samples: np.ndarray) -> int:
     """64-bit energy-envelope perceptual hash of an int16 waveform —
     the audio analog of the image phash: 64 equal-split windows, bit k

@@ -1893,6 +1893,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["video_scene_cuts"] = values_sql(expected_video_scene_cuts())
     sql["audio_spectral"] = values_sql(expected_audio_spectral())
     sql["caption_retrieval"] = values_sql(expected_caption_retrieval())
+    sql["augment_images"] = values_sql(expected_augment_images())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
@@ -2230,3 +2231,51 @@ def expected_jsonl_ingest() -> pa.Table:
             "sum_tokens": pa.array([s[k] for k in kinds], pa.int64()),
         }
     )
+
+
+def expected_augment_images() -> pa.Table:
+    """Sequential replica of q_augment_images: same content-stable
+    hash decisions, explicit flip/crop loops on independently decoded
+    pixels, per-pixel integer sums."""
+    from ..fixtures import codec
+    from ..ops.multimodal import _stable_id64
+    from .queries import AUG_N
+
+    t = synth.make_pagestore(AUG_N, seed=42)
+    rows = []
+    for iid, buf, fmt in zip(
+        t["image_id"].to_pylist(), t["bytes"].to_pylist(), t["fmt"].to_pylist()
+    ):
+        h64 = int(synth._splitmix64(np.array([_stable_id64(iid)], np.uint64))[0])
+        flip = bool(h64 & 1)
+        crop = ((h64 >> 1) & 3) * 2
+        px = codec.decode(buf, fmt)
+        if flip:
+            px = px[:, ::-1]
+        if crop and px.shape[0] > 2 * crop + 8 and px.shape[1] > 2 * crop + 8:
+            px = px[crop:-crop, crop:-crop]
+        # lossy formats round-trip through the codec exactly like the
+        # stage (encode→decode is idempotent on already-quantized px)
+        px2 = codec.decode(codec.encode(np.ascontiguousarray(px), fmt), fmt)
+        luma = 0
+        for y in range(px2.shape[0]):
+            row = px2[y]
+            for x in range(px2.shape[1]):
+                luma += int(row[x][0]) + int(row[x][1]) + int(row[x][2])
+        rows.append(
+            {
+                "image_id": iid,
+                "aug_flip": flip,
+                "aug_crop": crop,
+                "w": px2.shape[1],
+                "h": px2.shape[0],
+                "luma_sum": luma,
+            }
+        )
+    tbl = pa.Table.from_pylist(rows)
+    for c in ("aug_crop", "w", "h"):
+        tbl = tbl.set_column(
+            tbl.column_names.index(c), c,
+            pa.array([r[c] for r in rows], pa.int32()),
+        )
+    return tbl

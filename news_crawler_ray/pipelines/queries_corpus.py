@@ -1168,3 +1168,41 @@ CLIP_SCORE_N = 120
 OUTLINK_DEG_N = 150
 
 
+
+
+AUG_N = 80
+
+
+def q_augment_images(sf_dir: str):
+    """Deterministic per-image augmentation (content-stable hflip +
+    edge crop, real decode/re-encode — ops/multimodal.ImageAugmentStage)
+    verified by exact integer pixel moments of the AUGMENTED store:
+    (image_id, aug_flip, aug_crop, w, h, luma_sum). Oracle: sequential
+    per-image replica with explicit flip/crop on independently decoded
+    pixels."""
+    from ..fixtures import synth
+    from ..ops.multimodal import augment_images
+
+    ps = synth.make_pagestore(AUG_N, seed=42).select(
+        ["image_id", "bytes", "fmt"]
+    )
+    aug = augment_images(_ds_from_table(ps))
+
+    def stats(t: pa.Table) -> pa.Table:
+        from ..fixtures import codec as fcodec
+
+        sums = []
+        for buf, fmt in zip(t["bytes"].to_pylist(), t["fmt"].to_pylist()):
+            sums.append(int(fcodec.decode(buf, fmt).astype(np.int64).sum()))
+        return pa.table(
+            {
+                "image_id": t["image_id"],
+                "aug_flip": t["aug_flip"],
+                "aug_crop": t["aug_crop"],
+                "w": t["w"],
+                "h": t["h"],
+                "luma_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return aug.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)

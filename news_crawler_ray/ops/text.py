@@ -391,13 +391,16 @@ def shingle_decontaminate(
     is right only while the benchmark set is small): flag every doc
     sharing at least one k-token shingle with ANY needle document.
     Both sides explode into narrow (id, shingle) rows block-locally
-    (never the texts), ONE sort-merge SEMI join co-locates equal
-    shingles, and the distinct hit ids attach back onto the full doc
-    id set with a left join — no broadcast of either side, so the
-    needle corpus may be as large as the training corpus. Output:
+    (never the texts); the needle shingles build a BLOOM bitmap
+    broadcast once, the doc shingles prefilter block-locally (the bulk
+    of the corpus never enters an exchange), the survivors take the
+    exact sort-merge semi join (bloom false positives removed), and the
+    distinct hit ids attach back onto the full doc id set with a left
+    join — neither side is broadcast as an exact key set, so the needle
+    corpus may be as large as the training corpus. Output:
     (doc_id, contaminated:bool) for every doc."""
     from .agg import sorted_distinct
-    from .join import sort_merge_inner_join, sort_merge_semi_join
+    from .join import bloom_semi_join, sort_merge_inner_join
 
     doc_sh = docs.map_batches(
         lambda b: _shingle_strings_batch(b, text_col, id_col, k),
@@ -410,7 +413,7 @@ def shingle_decontaminate(
         zero_copy_batch=True,
     )
     hits = sorted_distinct(
-        sort_merge_semi_join(doc_sh, needle_sh, "s").map_batches(
+        bloom_semi_join(doc_sh, needle_sh, "s").map_batches(
             lambda t: t.select([id_col]),
             batch_format="pyarrow",
             zero_copy_batch=True,

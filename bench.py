@@ -272,6 +272,7 @@ QUERY_SUBSET = [
     "caption_retrieval",
     "decontaminate_scaled",
     "augment_images",
+    "value_ks_test",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

@@ -2069,3 +2069,99 @@ def poisson_bootstrap_mean(
             "reps": pa.array([reps], pa.int64()),
         }
     )
+
+
+@ray.remote
+def _ks_block_sums(t: "pa.Table") -> "tuple[int, int]":
+    if t.num_rows == 0:
+        return 0, 0
+    return (
+        int(pc.sum(t["n1"]).as_py() or 0),
+        int(pc.sum(t["n2"]).as_py() or 0),
+    )
+
+
+@ray.remote
+def _ks_block_max(t: "pa.Table", b1: int, b2: int, N1: int, N2: int) -> int:
+    if t.num_rows == 0:
+        return 0
+    c1 = b1 + np.cumsum(np.asarray(t["n1"], np.int64))
+    c2 = b2 + np.cumsum(np.asarray(t["n2"], np.int64))
+    return int(np.max(np.abs(c1 * N2 - c2 * N1)))
+
+
+def ks_two_sample(ds, value_col: str, cohort_col: str) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic between cohort 0
+    and cohort 1 rows — the distribution-level drift test completing
+    the audit family (type_drift = mean-level KL, value_ranksum =
+    location shift; KS is sup-norm ECDF distance, sensitive to ANY
+    distributional change).
+
+    All-integer until one final division: per-block (value, n1, n2)
+    combiner partials → one value-sorted group-agg exchange → a
+    two-ints-per-block metadata pass (exclusive prefix bases, the
+    distributed-scan shape of window.global_scan_sum) → per-block
+    max |c1·N2 − c2·N1| partials → driver max. Ties are handled
+    exactly (the ECDF is evaluated after each distinct value's whole
+    tie group). D = max/(N1·N2) — exact at any parallelism. Loud
+    guard: N1·N2 must fit int64 (N ≤ ~3·10⁹ per cohort; past that,
+    scale the integers by gcd or use the two-scan float128 form).
+    Returns a 1-row table (n1, n2, d_num, d_den, d:float64)."""
+    from .exchange import sorted_mat
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {value_col: pa.array([], pa.int64()),
+                 "n1": pa.array([], pa.int64()),
+                 "n2": pa.array([], pa.int64())}
+            )
+        g = np.asarray(t[cohort_col], np.int64)
+        tb = pa.table(
+            {
+                "v": t[value_col],
+                "n1": pa.array((g == 0).astype(np.int64)),
+                "n2": pa.array((g == 1).astype(np.int64)),
+            }
+        )
+        a = tb.group_by(["v"]).aggregate([("n1", "sum"), ("n2", "sum")])
+        return pa.table(
+            {
+                value_col: a["v"],
+                "n1": pc.cast(a["n1_sum"], pa.int64()),
+                "n2": pc.cast(a["n2_sum"], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    agg = sorted_group_agg(
+        parts, [value_col], [("n1", "sum", "n1"), ("n2", "sum", "n2")]
+    )
+    mat = sorted_mat(agg, [value_col])
+    refs = mat.to_arrow_refs()
+    sums = ray.get([_ks_block_sums.remote(r) for r in refs]) if refs else []
+    N1 = sum(s[0] for s in sums)
+    N2 = sum(s[1] for s in sums)
+    if N1 == 0 or N2 == 0:
+        raise ValueError("ks_two_sample: both cohorts must be non-empty")
+    if N1 * N2 >= (1 << 62):
+        raise ValueError(
+            "ks_two_sample: N1*N2 overflows the exact int64 numerator — "
+            "rescale (gcd) or use a two-pass float form at this size"
+        )
+    b1 = b2 = 0
+    maxes = []
+    for r, (s1, s2) in zip(refs, sums):
+        maxes.append(_ks_block_max.remote(r, b1, b2, N1, N2))
+        b1 += s1
+        b2 += s2
+    d_num = max(ray.get(maxes)) if maxes else 0
+    return pa.table(
+        {
+            "n1": pa.array([N1], pa.int64()),
+            "n2": pa.array([N2], pa.int64()),
+            "d_num": pa.array([d_num], pa.int64()),
+            "d_den": pa.array([N1 * N2], pa.int64()),
+            "d": pa.array([d_num / (N1 * N2)], pa.float64()),
+        }
+    )

@@ -593,6 +593,7 @@ def build_queries() -> dict:
         "audience_overlap": q_audience_overlap,
         "ab_lift": q_ab_lift,
         "value_ranksum": q_value_ranksum,
+        "value_ks_test": q_value_ks_test,
         "value_mean_ci": q_value_mean_ci,
         "embedding_pca": q_embedding_pca,
         "embedding_pca_proj": q_embedding_pca_proj,

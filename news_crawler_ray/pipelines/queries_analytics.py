@@ -25,6 +25,7 @@ from ..stages.index import assign_stable_ids
 from ..stages.parse import merged_distinct_iocs
 
 from .queries_rel import (
+    ORACLE_SQL,
     _read,
 )
 
@@ -1289,3 +1290,57 @@ def q_user_entropy_by_type(sf_dir: str):
     return group_entropy(ev, ["event_type"], "user_id")
 
 
+
+
+def q_value_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift test between user-parity
+    cohorts over event value-cents (ops/agg.ks_two_sample: all-integer
+    sup-norm ECDF distance, exact tie handling, one value-sorted
+    exchange + a two-ints-per-block scan). REAL SQL oracle: windowed
+    cumulative counts over distinct values, identical integer
+    numerator."""
+    from ..ops.agg import ks_two_sample
+
+    ev = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"], np.float64)
+        if v.size and v.min() < 0:
+            raise ValueError("value_ks_test: negative values break the "
+                             "half-away-from-zero cents rounding match")
+        return pa.table(
+            {
+                "cents": pa.array(np.floor(v * 100 + 0.5).astype(np.int64)),
+                "cohort": pa.array(
+                    (np.asarray(t["user_id"], np.int64) % 2).astype(np.int64)
+                ),
+            }
+        )
+
+    return ks_two_sample(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "cents",
+        "cohort",
+    )
+
+
+ORACLE_SQL["value_ks_test"] = """
+WITH e AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v, user_id % 2 AS g FROM events),
+pv AS (
+  SELECT v,
+         SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n2
+  FROM e GROUP BY v),
+c AS (
+  SELECT v,
+         SUM(n1) OVER (ORDER BY v) AS c1,
+         SUM(n2) OVER (ORDER BY v) AS c2
+  FROM pv),
+t AS (SELECT CAST(SUM(n1) AS BIGINT) AS N1, CAST(SUM(n2) AS BIGINT) AS N2 FROM pv)
+SELECT N1 AS n1, N2 AS n2,
+       CAST(MAX(ABS(c1 * N2 - c2 * N1)) AS BIGINT) AS d_num,
+       N1 * N2 AS d_den,
+       CAST(MAX(ABS(c1 * N2 - c2 * N1)) AS DOUBLE) / (N1 * N2) AS d
+FROM c, t GROUP BY N1, N2
+"""

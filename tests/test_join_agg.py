@@ -2218,3 +2218,38 @@ def test_value_trimmed_mean_hand_case(tmp_path):
     r = q_value_trimmed_mean(str(tmp_path)).to_pylist()[0]
     assert r["n_total"] == 100 and r["n_kept"] == 90
     assert r["trimmed_mean_cents"] == 50.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_two_sample_exact_and_layout_proof():
+    """KS statistic equals scipy-free sequential ECDF math, is
+    identical at 1 vs 9 blocks (integer scan), handles ties exactly,
+    and raises loudly on an empty cohort."""
+    from news_crawler_ray.ops.agg import ks_two_sample
+
+    rng = np.random.default_rng(11)
+    v0 = rng.integers(0, 50, 400)          # cohort 0
+    v1 = rng.integers(5, 60, 300)          # cohort 1, shifted
+    vals = np.concatenate([v0, v1])
+    coh = np.concatenate([np.zeros(400, np.int64), np.ones(300, np.int64)])
+    t = pa.table({"v": pa.array(vals, pa.int64()), "g": pa.array(coh)})
+
+    # sequential replica: ECDF after each distinct value's tie group
+    uniq = np.unique(vals)
+    c1 = np.array([(v0 <= u).sum() for u in uniq], np.int64)
+    c2 = np.array([(v1 <= u).sum() for u in uniq], np.int64)
+    d_num = int(np.max(np.abs(c1 * 300 - c2 * 400)))
+
+    for blocks in (1, 9):
+        out = ks_two_sample(_ds(t, blocks), "v", "g").to_pylist()[0]
+        assert (out["n1"], out["n2"]) == (400, 300)
+        assert out["d_num"] == d_num
+        assert out["d_den"] == 400 * 300
+        assert out["d"] == d_num / (400 * 300)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        ks_two_sample(
+            _ds(pa.table({"v": pa.array([1, 2], pa.int64()),
+                          "g": pa.array([0, 0], pa.int64())}), 1),
+            "v", "g",
+        )

@@ -273,6 +273,7 @@ QUERY_SUBSET = [
     "decontaminate_scaled",
     "augment_images",
     "value_ks_test",
+    "curate_audio_corpus",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

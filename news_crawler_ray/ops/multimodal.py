@@ -926,6 +926,80 @@ def audio_spectral(ds, concurrency=(1, 4), batch_size: int = 256):
     )
 
 
+def curate_audio_manifest_batch(
+    t: pa.Table,
+    min_duration_us: int = 40_000,
+    min_rms_milli: int = 1_500_000,
+) -> pa.Table:
+    """ONE fused pass of the audio-corpus curation pipeline (the audio
+    analog of curate_image_manifest_batch): each clip decodes ONCE;
+    admission = decode_ok AND duration ≥ min_duration_us AND rms ≥
+    min_rms_milli/1000 — the rms gate as the EXACT integer
+    cross-multiply sum_sq·10⁶ ≥ n·(min_rms_milli/1000)² ⇒
+    sum_sq·10⁶·10⁶ ≥ n·min_rms_milli² (no float compare); survivors
+    emit manifest rows (audio_id, n_samples, duration_us, sum_sq,
+    ahash) for downstream exact-envelope dedup on the narrow rows."""
+    from ..fixtures import codec as fcodec
+
+    ids, ns, dur, ssq, ah = [], [], [], [], []
+    for aid, buf, sr in zip(
+        t["audio_id"].to_pylist(),
+        t["bytes"].to_pylist(),
+        t["sample_rate"].to_pylist(),
+    ):
+        try:
+            samples, rate = fcodec.decode_wav(buf)
+            if rate != sr:
+                raise ValueError("rate drift")
+        except (ValueError, struct.error, IndexError):
+            continue
+        n = len(samples)
+        if n == 0:
+            continue
+        d_us = n * 1_000_000 // rate
+        s64 = samples.astype(np.int64)
+        s_sq = int(np.dot(s64, s64))
+        if d_us < min_duration_us:
+            continue
+        # integer rms gate: rms >= m/1000  <=>  sum_sq*10^6 >= n*m^2
+        if s_sq * 1_000_000 < n * min_rms_milli * min_rms_milli:
+            continue
+        ids.append(aid)
+        ns.append(n)
+        dur.append(d_us)
+        ssq.append(s_sq)
+        ah.append(audio_envelope_hash64(samples))
+    return pa.table(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "duration_us": pa.array(dur, pa.int64()),
+            "sum_sq": pa.array(ssq, pa.int64()),
+            "ahash": pa.array(ah, pa.int64()),
+        }
+    )
+
+
+def curate_audio_corpus(
+    ds, min_duration_us: int = 40_000, min_rms_milli: int = 1_500_000
+):
+    """Admission → features+hash (fused single-decode map) → EXACT
+    envelope-hash dedup keeping the min admitted audio_id per hash
+    (group_top_k on the narrow manifest — payload bytes never enter
+    the exchange). The audio analog of curate_image_corpus."""
+    from .agg import group_top_k
+
+    manifest = ds.map_batches(
+        lambda t: curate_audio_manifest_batch(t, min_duration_us, min_rms_milli),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+    )
+    return group_top_k(
+        manifest, "ahash", ["audio_id"], [False], 1
+    )
+
+
 class VideoSceneCutStage:
     """Video binary → per-video scene-cut stats. Decodes consecutive
     frames (a cut detector inherently needs adjacent frames — this is

@@ -1894,6 +1894,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["audio_spectral"] = values_sql(expected_audio_spectral())
     sql["caption_retrieval"] = values_sql(expected_caption_retrieval())
     sql["augment_images"] = values_sql(expected_augment_images())
+    sql["curate_audio_corpus"] = values_sql(expected_curate_audio())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
@@ -2279,3 +2280,39 @@ def expected_augment_images() -> pa.Table:
             pa.array([r[c] for r in rows], pa.int32()),
         )
     return tbl
+
+
+def expected_curate_audio() -> pa.Table:
+    """Sequential replica of q_curate_audio_corpus: stdlib-wave decode,
+    identical integer admission predicates, shared envelope-hash
+    kernel, keep-min-audio_id-per-hash dict dedup."""
+    import io
+    import wave as wavmod
+
+    from ..ops.multimodal import audio_envelope_hash64
+    from .queries import AUDIO_DUP_EVERY, AUDIO_DUP_N
+
+    t = synth.make_audiostore(AUDIO_DUP_N, seed=42, dup_every=AUDIO_DUP_EVERY)
+    best: dict = {}
+    for aid, buf in zip(t["audio_id"].to_pylist(), t["bytes"].to_pylist()):
+        with wavmod.open(io.BytesIO(buf)) as w:
+            rate = w.getframerate()
+            pcm = w.readframes(w.getnframes())
+        samples = np.frombuffer(pcm, dtype="<i2").astype(np.int16)
+        n = len(samples)
+        if n == 0:
+            continue
+        d_us = n * 1_000_000 // rate
+        s_sq = 0
+        for s in samples.tolist():
+            s_sq += s * s
+        if d_us < 40_000:
+            continue
+        if s_sq * 1_000_000 < n * 1_500_000 * 1_500_000:
+            continue
+        h = audio_envelope_hash64(samples)
+        row = {"audio_id": aid, "n_samples": n, "duration_us": d_us,
+               "sum_sq": s_sq, "ahash": h}
+        if h not in best or aid < best[h]["audio_id"]:
+            best[h] = row
+    return pa.Table.from_pylist(sorted(best.values(), key=lambda r: r["audio_id"]))

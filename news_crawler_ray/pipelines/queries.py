@@ -460,6 +460,7 @@ def build_queries() -> dict:
         "audio_spectral": q_audio_spectral,
         "caption_retrieval": q_caption_retrieval,
         "augment_images": q_augment_images,
+        "curate_audio_corpus": q_curate_audio_corpus,
         "video_scene_cuts": q_video_scene_cuts,
         "video_frame_stats": q_video_frame_stats,
         "sharpness": q_sharpness,

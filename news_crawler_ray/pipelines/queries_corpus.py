@@ -1206,3 +1206,27 @@ def q_augment_images(sf_dir: str):
         )
 
     return aug.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_curate_audio_corpus(sf_dir: str):
+    """End-to-end audio-corpus curation (the audio analog of
+    curate_image_corpus): ONE fused decode pass per clip — row-level
+    decode validation, integer duration + exact cross-multiplied rms
+    admission gates, envelope hash — then exact-envelope dedup keeping
+    the min admitted audio_id per hash on the NARROW manifest
+    (ops/multimodal.curate_audio_corpus; payload bytes never enter the
+    exchange). Oracle: sequential stdlib-wave replica with the same
+    integer predicates and a keep-min dict."""
+    from ..fixtures import synth
+    from ..ops.multimodal import curate_audio_corpus
+
+    store = ray.data.from_arrow(
+        synth.make_audiostore(AUDIO_DUP_N, seed=42, dup_every=AUDIO_DUP_EVERY)
+    )
+    return curate_audio_corpus(store).map_batches(
+        lambda t: t.select(
+            ["audio_id", "n_samples", "duration_us", "sum_sq", "ahash"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -274,6 +274,7 @@ QUERY_SUBSET = [
     "augment_images",
     "value_ks_test",
     "curate_audio_corpus",
+    "curate_video_corpus",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

@@ -1057,6 +1057,74 @@ def video_scene_cuts(ds, threshold_milli: int = 120, concurrency=(1, 4)):
     )
 
 
+def curate_video_manifest_batch(
+    t: pa.Table,
+    min_frames: int = 8,
+    max_cut_ratio_milli: int = 400,
+    cut_threshold_milli: int = 120,
+) -> pa.Table:
+    """ONE fused pass of the video-corpus curation pipeline: each clip
+    walks its container once — admission = frame count ≥ ``min_frames``
+    AND scene-cut density below ``max_cut_ratio_milli`` permille of
+    transitions (jump-cut-heavy clips are poor training video), with
+    the SAD cut detector inlined; survivors emit manifest rows
+    (video_id, n_frames, n_cuts, first_phash) where ``first_phash`` is
+    the shared phash64 of frame 0 — the dedup key downstream."""
+    from ..fixtures import codec as fcodec
+
+    ids, nfs, cuts, ph = [], [], [], []
+    for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        try:
+            _, _, n_frames = fcodec.video_info(buf)
+        except (ValueError, struct.error):
+            continue
+        if n_frames < min_frames:
+            continue
+        frames = [px.astype(np.int64) for _, px in fcodec.decode_video_frames(buf)]
+        h, w = frames[0].shape[0], frames[0].shape[1]
+        full = h * w * 3 * 255
+        n_cuts = 0
+        for a, b in zip(frames, frames[1:]):
+            if int(np.abs(b - a).sum()) * 1000 // full >= cut_threshold_milli:
+                n_cuts += 1
+        if n_cuts * 1000 > (n_frames - 1) * max_cut_ratio_milli:
+            continue
+        ids.append(vid)
+        nfs.append(n_frames)
+        cuts.append(n_cuts)
+        ph.append(fcodec.phash64(frames[0].astype(np.uint8)))
+    return pa.table(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "n_cuts": pa.array(cuts, pa.int64()),
+            "first_phash": pa.array(ph, pa.int64()),
+        }
+    )
+
+
+def curate_video_corpus(
+    ds,
+    min_frames: int = 8,
+    max_cut_ratio_milli: int = 400,
+    cut_threshold_milli: int = 120,
+):
+    """Admission (frame floor + jump-cut density) → exact first-frame
+    phash dedup keeping the min admitted video_id per hash on the
+    narrow manifest — the video analog of curate_image/audio_corpus."""
+    from .agg import group_top_k
+
+    manifest = ds.map_batches(
+        lambda t: curate_video_manifest_batch(
+            t, min_frames, max_cut_ratio_milli, cut_threshold_milli
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32,
+    )
+    return group_top_k(manifest, "first_phash", ["video_id"], [False], 1)
+
+
 def sample_video_frames(ds, every_n: int = 30, concurrency=(1, 4), batch_size: int = 64):
     """Actor-pool frame sampling; small batches bound in-flight video
     payload bytes (the multimodal batch-size rule from the build brief)."""

@@ -1895,6 +1895,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["caption_retrieval"] = values_sql(expected_caption_retrieval())
     sql["augment_images"] = values_sql(expected_augment_images())
     sql["curate_audio_corpus"] = values_sql(expected_curate_audio())
+    sql["curate_video_corpus"] = values_sql(expected_curate_video())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
@@ -2316,3 +2317,53 @@ def expected_curate_audio() -> pa.Table:
         if h not in best or aid < best[h]["audio_id"]:
             best[h] = row
     return pa.Table.from_pylist(sorted(best.values(), key=lambda r: r["audio_id"]))
+
+
+def expected_curate_video() -> pa.Table:
+    """Sequential replica of q_curate_video_corpus: explicit struct
+    walk, per-pixel SAD loops, same integer gates, keep-min dict."""
+    import struct as structmod
+
+    from ..fixtures import codec
+    from .queries import SCENE_CUT_MILLI, VIDEO_CUT_EVERY, VIDEO_CUT_N
+
+    t = synth.make_videostore(VIDEO_CUT_N, seed=42, cut_every=VIDEO_CUT_EVERY)
+    best: dict = {}
+    for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        _fps, fmt_code, n_frames = structmod.unpack("<HBI", buf[4:11])
+        fmt = {0: "png", 1: "jpeg"}[fmt_code]
+        if n_frames < 8:
+            continue
+        pos = 11
+        frames = []
+        for _f in range(n_frames):
+            (length,) = structmod.unpack("<I", buf[pos : pos + 4])
+            frames.append(codec.decode(buf[pos + 4 : pos + 4 + length], fmt))
+            pos += 4 + length
+        h_, w_ = frames[0].shape[0], frames[0].shape[1]
+        full = h_ * w_ * 3 * 255
+        n_cuts = 0
+        for a, b in zip(frames, frames[1:]):
+            sad = 0
+            for y in range(h_):
+                ra, rb = a[y], b[y]
+                for x in range(w_):
+                    sad += (
+                        abs(int(ra[x][0]) - int(rb[x][0]))
+                        + abs(int(ra[x][1]) - int(rb[x][1]))
+                        + abs(int(ra[x][2]) - int(rb[x][2]))
+                    )
+            if sad * 1000 // full >= SCENE_CUT_MILLI:
+                n_cuts += 1
+        if n_cuts * 1000 > (n_frames - 1) * 400:
+            continue
+        ph = codec.phash64(frames[0])
+        row = {"video_id": vid, "n_frames": n_frames, "n_cuts": n_cuts,
+               "first_phash": ph}
+        if ph not in best or vid < best[ph]["video_id"]:
+            best[ph] = row
+    tbl = pa.Table.from_pylist(sorted(best.values(), key=lambda r: r["video_id"]))
+    return tbl.set_column(
+        tbl.column_names.index("n_frames"), "n_frames",
+        pa.array([r["n_frames"] for r in sorted(best.values(), key=lambda r: r["video_id"])], pa.int32()),
+    )

@@ -461,6 +461,7 @@ def build_queries() -> dict:
         "caption_retrieval": q_caption_retrieval,
         "augment_images": q_augment_images,
         "curate_audio_corpus": q_curate_audio_corpus,
+        "curate_video_corpus": q_curate_video_corpus,
         "video_scene_cuts": q_video_scene_cuts,
         "video_frame_stats": q_video_frame_stats,
         "sharpness": q_sharpness,

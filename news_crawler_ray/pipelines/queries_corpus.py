@@ -1230,3 +1230,23 @@ def q_curate_audio_corpus(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def q_curate_video_corpus(sf_dir: str):
+    """End-to-end video-corpus curation (the video analog of the image
+    and audio chains): ONE fused container walk per clip — frame-count
+    floor, jump-cut-density gate (inlined SAD detector), first-frame
+    phash — then exact keep-min dedup on the narrow manifest
+    (ops/multimodal.curate_video_corpus). Oracle: sequential
+    struct-walk replica with the same integer predicates."""
+    from ..fixtures import synth
+    from ..ops.multimodal import curate_video_corpus
+
+    store = ray.data.from_arrow(
+        synth.make_videostore(VIDEO_CUT_N, seed=42, cut_every=VIDEO_CUT_EVERY)
+    )
+    return curate_video_corpus(store).map_batches(
+        lambda t: t.select(["video_id", "n_frames", "n_cuts", "first_phash"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

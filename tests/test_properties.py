@@ -132,3 +132,76 @@ def test_wet_roundtrip_property(ray_session, tmp_path):
         ]
 
     check()
+
+
+def test_wav_codec_roundtrip_property():
+    """Property: ANY int16 sample array at any common rate round-trips
+    the RIFF/WAVE encode→decode byte-exactly, and the envelope hash is
+    invariant to container round-trips."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from news_crawler_ray.fixtures.codec import decode_wav, encode_wav
+    from news_crawler_ray.ops.multimodal import audio_envelope_hash64
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=400,
+        ),
+        st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    def check(vals, rate):
+        samples = np.array(vals, dtype=np.int16)
+        data = encode_wav(samples, rate)
+        back, r2 = decode_wav(data)
+        assert r2 == rate
+        assert (back == samples).all()
+        assert audio_envelope_hash64(back) == audio_envelope_hash64(samples)
+
+    check()
+
+
+def test_video_container_roundtrip_property():
+    """Property: any list of PNG frames (arbitrary small dims per
+    video) round-trips the NCV1 container byte-exactly, and sampled
+    decode equals full decode at the sampled indices."""
+    from hypothesis import given, settings, strategies as st
+
+    import numpy as np
+
+    from news_crawler_ray.fixtures.codec import (
+        decode_video_frames,
+        encode_video,
+        video_info,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.integers(min_value=1, max_value=3),
+    )
+    def check(n_frames, h, w, seed, every):
+        rng = np.random.default_rng(seed)
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for _ in range(n_frames)
+        ]
+        data = encode_video(frames, 24, "png")
+        assert video_info(data) == (24, "png", n_frames)
+        full = decode_video_frames(data)
+        for i, px in full:
+            assert (px == frames[i]).all()
+        want = list(range(0, n_frames, every))
+        sampled = decode_video_frames(data, want)
+        assert [i for i, _ in sampled] == want
+        for i, px in sampled:
+            assert (px == frames[i]).all()
+
+    check()

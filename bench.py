@@ -275,6 +275,7 @@ QUERY_SUBSET = [
     "value_ks_test",
     "curate_audio_corpus",
     "curate_video_corpus",
+    "video_near_dup",
     "phash_near_dup",
     "image_dup_clusters",
     "image_knn",

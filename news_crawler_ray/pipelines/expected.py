@@ -1896,6 +1896,7 @@ def expected_oracle_sql(sf_dir: str) -> dict[str, str]:
     sql["augment_images"] = values_sql(expected_augment_images())
     sql["curate_audio_corpus"] = values_sql(expected_curate_audio())
     sql["curate_video_corpus"] = values_sql(expected_curate_video())
+    sql["video_near_dup"] = values_sql(expected_video_near_dup())
     sql["pq_codes"] = values_sql(expected_pq_codes(sf_dir))
     sql["knn_pq"] = values_sql(expected_pq_knn(sf_dir))
     # dup_components: exact transitive closure (recursive CTE) over the
@@ -2367,3 +2368,29 @@ def expected_curate_video() -> pa.Table:
         tbl.column_names.index("n_frames"), "n_frames",
         pa.array([r["n_frames"] for r in sorted(best.values(), key=lambda r: r["video_id"])], pa.int32()),
     )
+
+
+def expected_video_near_dup() -> pa.Table:
+    """Sequential all-pairs replica of q_video_near_dup: independent
+    struct walk to frame 0, shared phash kernel, NO banding."""
+    import struct as structmod
+
+    from ..fixtures import codec
+    from .queries import VIDEO_DUP_N
+
+    t = synth.make_videostore(VIDEO_DUP_N, seed=42)
+    ids, hs = [], []
+    for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        _fps, fmt_code, _n = structmod.unpack("<HBI", buf[4:11])
+        fmt = {0: "png", 1: "jpeg"}[fmt_code]
+        (length,) = structmod.unpack("<I", buf[11:15])
+        px = codec.decode(buf[15 : 15 + length], fmt)
+        ids.append(int(vid[3:]))
+        hs.append(np.uint64(np.int64(codec.phash64(px))))
+    h = np.array(hs, dtype=np.uint64)
+    pairs: set[tuple[int, int]] = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            if int(H.hamming_distance64(h[x : x + 1], h[y : y + 1])[0]) <= 1:
+                pairs.add((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    return _pairs_table(pairs)

@@ -462,6 +462,7 @@ def build_queries() -> dict:
         "augment_images": q_augment_images,
         "curate_audio_corpus": q_curate_audio_corpus,
         "curate_video_corpus": q_curate_video_corpus,
+        "video_near_dup": q_video_near_dup,
         "video_scene_cuts": q_video_scene_cuts,
         "video_frame_stats": q_video_frame_stats,
         "sharpness": q_sharpness,

@@ -1250,3 +1250,41 @@ def q_curate_video_corpus(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+VIDEO_DUP_N = 60
+
+
+def q_video_near_dup(sf_dir: str):
+    """Video near-duplicate pairs: first-frame perceptual hash per clip
+    (seek to frame 0 only — the container's length framing makes this a
+    header-offset read + one decode) through the SHARED banded-hamming
+    exchange. Completes the near-dup matrix across text / image /
+    audio / video on one pairing machinery. Oracle: sequential
+    all-pairs hamming over independently struct-walked first frames."""
+    from ..fixtures import codec as fcodec
+    from ..fixtures import synth
+    from ..ops.dedup import hash64_near_dup_pairs
+
+    store = synth.make_videostore(VIDEO_DUP_N, seed=42)
+
+    def first_phash(t: pa.Table) -> pa.Table:
+        ids, ph = [], []
+        for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+            px = fcodec.decode_video_frames(buf, [0])[0][1]
+            ids.append(int(vid[3:]))
+            ph.append(fcodec.phash64(px))
+        return pa.table(
+            {"vid": pa.array(ids, pa.int64()), "vhash": pa.array(ph, pa.int64())}
+        )
+
+    ds = ray.data.from_arrow(store).map_batches(
+        first_phash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hash64_near_dup_pairs(
+        ds, hash_col="vhash", id_col="vid", max_hamming=1, bands=2, kind="video"
+    ).map_batches(
+        lambda t: t.select(["id_a", "id_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

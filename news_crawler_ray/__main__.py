@@ -94,14 +94,23 @@ def cron_next_delay(now_s: float, times: list[str]) -> float:
 
 def _run_crawl_once(args: argparse.Namespace, resume: bool, scope: str | None) -> dict:
     from .pipelines.crawl import CrawlConfig, run_crawl
+    from .settings import crawl_config_env_overrides
 
-    cfg = CrawlConfig(
+    # precedence CLI > NC_* env > default: env overrides seed the kwargs
+    # (covering every CrawlConfig field), CLI-mapped flags layer on top
+    # (their argparse defaults already fell back to env via env_default,
+    # so an un-passed flag carries the env value, not the built-in one),
+    # and an explicit cron day-scope wins over everything.
+    cfg_kwargs = crawl_config_env_overrides()
+    cfg_kwargs.update(
         max_waves=args.max_waves,
         num_seen_shards=args.seen_shards,
         dedup_partitions=args.dedup_partitions,
         compute_crawl_rank=not args.no_crawl_rank,
-        **({"seen_epoch_scope": scope} if scope else {}),
     )
+    if scope:
+        cfg_kwargs["seen_epoch_scope"] = scope
+    cfg = CrawlConfig(**cfg_kwargs)
     frontier = pq.read_table(args.frontier) if os.path.isfile(args.frontier) else args.frontier
     if isinstance(frontier, str):
         import ray.data
@@ -227,10 +236,22 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--store", required=True, help="page-store parquet file or shard dir")
     cr.add_argument("--robots", required=True, help="robots parquet file")
     cr.add_argument("--out", required=True, help="run output dir (checkpoints live here)")
-    cr.add_argument("--max-waves", type=int, default=3)
-    cr.add_argument("--seen-shards", type=int, default=4)
-    cr.add_argument("--dedup-partitions", type=int, default=8)
-    cr.add_argument("--no-crawl-rank", action="store_true")
+    from .settings import env_default
+
+    cr.add_argument("--max-waves", type=int, default=env_default("max_waves", 3))
+    cr.add_argument(
+        "--seen-shards", type=int, default=env_default("num_seen_shards", 4)
+    )
+    cr.add_argument(
+        "--dedup-partitions",
+        type=int,
+        default=env_default("dedup_partitions", 8),
+    )
+    cr.add_argument(
+        "--no-crawl-rank",
+        action="store_true",
+        default=not env_default("compute_crawl_rank", True),
+    )
     cr.add_argument("--resume", action="store_true")
     cr.add_argument(
         "--cron",

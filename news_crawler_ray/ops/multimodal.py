@@ -1,19 +1,28 @@
-"""Multimodal column operators: image decode / resize / feature-extract,
-audio & video stubs.
+"""Multimodal column operators: image / audio / video decode, resize,
+feature-extract, hashing, and curation stages.
 
-Images ride as opaque Arrow ``binary`` columns with typed metadata
-(``w:int32, h:int32, fmt:string`` — the input_hint schema). Decode-class
-stages are actor pools (``map_batches(Cls, concurrency=..)``): codec
-state initialises once per actor, batches stay small because each row is
-~KB-MB of pixels (SURVEY.md §7 "wide binary rows" — tune ``batch_size``
-× concurrency to worker heap, never convert binary blocks to pandas).
+Media rides as opaque Arrow ``binary`` columns with typed metadata
+(images: ``w:int32, h:int32, fmt:string`` — the input_hint schema).
+Decode-class stages are actor pools (``map_batches(Cls, concurrency=..)``):
+codec state initialises once per actor, batches stay small because each
+row is ~KB-MB of payload (SURVEY.md §7 "wide binary rows" — tune
+``batch_size`` × concurrency to worker heap, never convert binary blocks
+to pandas).
 
-The image codec here is the repo's pure-Python PNG/lossy pair
-(fixtures/codec.py) — real decode, real PSNR invariant. PIL/libjpeg are
-not in this container; swapping them in changes only ``__init__``. Audio
-and video decoding have no pure-Python stand-in, so those stages carry
-the full Ray-side plumbing (schema, actor signature, batching) and raise
-``NotImplementedError`` at the codec call, per the build contract.
+All three codecs are real, pure-Python, and oracled:
+
+- images: the repo's PNG/lossy pair (fixtures/codec.py) — real decode,
+  real PSNR invariant;
+- audio: a RIFF/PCM16 WAV walk (``decode_wav``) — chunk parse, sample
+  extraction, spectral features;
+- video: the length-framed NCV1 container (``decode_video_frames``) —
+  per-frame decode, scene cuts, frame sampling.
+
+PIL/libjpeg/ffmpeg are not in this container; swapping a system codec in
+changes only the actor ``__init__``/decode call, not the Ray plumbing.
+Decode failures follow the T5 row-level-error contract: corrupt payloads
+yield a ``decode_ok=False`` sentinel row (or are skipped, where the
+output is a manifest), never a stage-wide exception.
 """
 
 from __future__ import annotations
@@ -26,6 +35,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..fixtures import codec
+
+# Everything a corrupt/truncated payload can raise across the three
+# codecs (struct walks, reshape size mismatches, zlib streams) — the T5
+# row-level-error catch set shared by every decode-class stage below.
+_DECODE_ERRORS = (ValueError, struct.error, IndexError, zlib.error)
 
 IMG_FEATURE_COLS = [
     "mean_r", "mean_g", "mean_b", "std_gray", "phash_check",
@@ -627,7 +641,7 @@ class AudioFeatureStage:
                 samples, rate = codec.decode_wav(buf)
                 if rate != sr_meta:
                     raise ValueError("sample_rate metadata != payload rate")
-            except (ValueError, struct.error, IndexError):
+            except _DECODE_ERRORS:
                 n_s.append(0)
                 dur.append(0)
                 ssq.append(0)
@@ -705,9 +719,15 @@ class VideoFrameSampleStage:
         for vid, buf in zip(
             batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
         ):
-            _, _, n_frames = codec.video_info(buf)
-            want = list(range(0, n_frames, self.every_n))
-            for f, px in codec.decode_video_frames(buf, want):
+            # T5 row-level errors: corrupt containers (bad header OR
+            # truncated frame data) skip the clip, not the batch.
+            try:
+                _, _, n_frames = codec.video_info(buf)
+                want = list(range(0, n_frames, self.every_n))
+                sampled = list(codec.decode_video_frames(buf, want))
+            except _DECODE_ERRORS:
+                continue
+            for f, px in sampled:
                 vids.append(vid)
                 idxs.append(f)
                 lsums.append(int(px.astype(np.int64).sum()))
@@ -831,12 +851,20 @@ class AudioHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..fixtures import codec as fcodec
 
-        hashes = []
-        for buf in batch[self.bytes_col].to_pylist():
-            samples, _rate = fcodec.decode_wav(buf)
+        hashes, keep = [], []
+        for i, buf in enumerate(batch[self.bytes_col].to_pylist()):
+            # T5 row-level errors: an undecodable clip cannot hash, so
+            # it is dropped row-locally, never failing the stage.
+            try:
+                samples, _rate = fcodec.decode_wav(buf)
+            except _DECODE_ERRORS:
+                continue
+            keep.append(i)
             hashes.append(audio_envelope_hash64(samples))
-        return batch.drop_columns([self.bytes_col]).append_column(
-            "ahash", pa.array(hashes, pa.int64())
+        return (
+            batch.drop_columns([self.bytes_col])
+            .take(pa.array(keep, pa.int64()))
+            .append_column("ahash", pa.array(hashes, pa.int64()))
         )
 
 
@@ -901,15 +929,22 @@ class AudioSpectralStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..fixtures import codec as fcodec
 
-        bins, hzs, nbs = [], [], []
-        for buf in batch[self.bytes_col].to_pylist():
-            samples, rate = fcodec.decode_wav(buf)
+        bins, hzs, nbs, keep = [], [], [], []
+        for i, buf in enumerate(batch[self.bytes_col].to_pylist()):
+            # T5 row-level errors: undecodable clips are dropped
+            # row-locally (no spectral features exist for them).
+            try:
+                samples, rate = fcodec.decode_wav(buf)
+            except _DECODE_ERRORS:
+                continue
             b, hz, nb = audio_spectral_kernel(samples, rate)
+            keep.append(i)
             bins.append(b)
             hzs.append(hz)
             nbs.append(nb)
         return (
             batch.drop_columns([self.bytes_col])
+            .take(pa.array(keep, pa.int64()))
             .append_column("dominant_bin", pa.array(bins, pa.int64()))
             .append_column("dominant_hz", pa.array(hzs, pa.int64()))
             .append_column("n_bins", pa.array(nbs, pa.int64()))
@@ -951,7 +986,7 @@ def curate_audio_manifest_batch(
             samples, rate = fcodec.decode_wav(buf)
             if rate != sr:
                 raise ValueError("rate drift")
-        except (ValueError, struct.error, IndexError):
+        except _DECODE_ERRORS:
             continue
         n = len(samples)
         if n == 0:
@@ -1021,7 +1056,17 @@ class VideoSceneCutStage:
         for vid, buf in zip(
             batch["video_id"].to_pylist(), batch["bytes"].to_pylist()
         ):
-            frames = [px.astype(np.int64) for _, px in fcodec.decode_video_frames(buf)]
+            # T5 row-level errors: a corrupt/truncated/zero-frame
+            # container skips this clip, never failing the batch.
+            try:
+                frames = [
+                    px.astype(np.int64)
+                    for _, px in fcodec.decode_video_frames(buf)
+                ]
+            except _DECODE_ERRORS:
+                continue
+            if not frames:
+                continue
             h, w = frames[0].shape[0], frames[0].shape[1]
             full = h * w * 3 * 255
             n_cuts = 0
@@ -1074,13 +1119,20 @@ def curate_video_manifest_batch(
 
     ids, nfs, cuts, ph = [], [], [], []
     for vid, buf in zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()):
+        # Full decode stays inside the try: a valid header over
+        # truncated frame data must skip the clip, not drop the batch.
         try:
             _, _, n_frames = fcodec.video_info(buf)
-        except (ValueError, struct.error):
+            if n_frames < min_frames:
+                continue
+            frames = [
+                px.astype(np.int64)
+                for _, px in fcodec.decode_video_frames(buf)
+            ]
+        except _DECODE_ERRORS:
             continue
-        if n_frames < min_frames:
+        if not frames:
             continue
-        frames = [px.astype(np.int64) for _, px in fcodec.decode_video_frames(buf)]
         h, w = frames[0].shape[0], frames[0].shape[1]
         full = h * w * 3 * 255
         n_cuts = 0

@@ -276,13 +276,14 @@ def q_events_hourly_dense(sf_dir: str):
             ),
         }
     )
-    merged = (
-        grid.to_pandas()
-        .merge(counts.to_pandas(), on=["event_type", "hour_start"], how="left")
-        .fillna({"n_events": 0})
+    merged = grid.join(
+        counts, keys=["event_type", "hour_start"], join_type="left outer"
+    ).sort_by([("event_type", "ascending"), ("hour_start", "ascending")])
+    return merged.set_column(
+        merged.column_names.index("n_events"),
+        "n_events",
+        pc.fill_null(merged["n_events"], 0).cast(pa.int64()),
     )
-    merged["n_events"] = merged["n_events"].astype("int64")
-    return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 Q3_SEGMENT = "BUILDING"

@@ -128,3 +128,100 @@ def test_cli_crawl_cron_mode(ray_session, tmp_path, capsys):
     assert summaries[0]["waves"] == 2 and summaries[0]["total_fetched"] > 0
     # second firing resumed a drained window: nothing re-fetched
     assert summaries[1]["total_fetched"] == summaries[0]["total_fetched"]
+
+
+def test_env_config_coercion_and_typo_guard(monkeypatch):
+    """NC_* env overrides coerce by CrawlConfig field annotation; a
+    typo'd NC_ name raises loudly instead of being silently ignored."""
+    import pytest
+
+    from news_crawler_ray.settings import (
+        crawl_config_env_overrides,
+        env_default,
+    )
+
+    env = {
+        "NC_MAX_WAVES": "7",
+        "NC_POOL_ACTOR_CPUS": "0.25",
+        "NC_VERIFY_PAYLOADS": "yes",
+        "NC_COMPUTE_CRAWL_RANK": "off",
+        "NC_FETCH_CONCURRENCY": "1,8",
+        "NC_ROBOTS_CONCURRENCY": "4",
+        "NC_SCHEDULE_CONCURRENCY": "auto",
+        "NC_SCHEDULE_PARTITIONS": "16",
+        "NC_SEEN_EPOCH_SCOPE": "2026-08-20",
+        "PATH": "/usr/bin",  # non-NC vars pass through untouched
+    }
+    got = crawl_config_env_overrides(env)
+    assert got == {
+        "max_waves": 7,
+        "pool_actor_cpus": 0.25,
+        "verify_payloads": True,
+        "compute_crawl_rank": False,
+        "fetch_concurrency": (1, 8),
+        "robots_concurrency": 4,
+        "schedule_concurrency": "auto",
+        "schedule_partitions": 16,
+        "seen_epoch_scope": "2026-08-20",
+    }
+    # empty string clears an optional field back to None
+    assert crawl_config_env_overrides({"NC_SEEN_EPOCH_SCOPE": ""}) == {
+        "seen_epoch_scope": None
+    }
+    with pytest.raises(ValueError, match="NC_MAX_WAVS"):
+        crawl_config_env_overrides({"NC_MAX_WAVS": "7"})
+    with pytest.raises(ValueError, match="boolean"):
+        crawl_config_env_overrides({"NC_VERIFY_PAYLOADS": "maybe"})
+
+    # env_default: env wins over fallback, coerced; absent -> fallback
+    assert env_default("max_waves", 3, {"NC_MAX_WAVES": "9"}) == 9
+    assert env_default("max_waves", 3, {}) == 3
+    assert env_default("compute_crawl_rank", True, {"NC_COMPUTE_CRAWL_RANK": "0"}) is False
+
+
+def test_env_config_precedence_cli_over_env(ray_session, tmp_path, capsys, monkeypatch):
+    """Precedence CLI > NC_* env > default, observed end-to-end through
+    the crawl CLI: NC_MAX_WAVES bounds the run when no flag is passed,
+    an explicit --max-waves beats the env var, and a pure-env field
+    with no CLI flag (NC_SEEN_CAPACITY_PER_SHARD) reaches CrawlConfig."""
+    import news_crawler_ray.pipelines.crawl as crawl_mod
+
+    fix = str(tmp_path / "fix")
+    assert main(["synth", "--out", fix, "--pages", "120", "--frontier", "100"]) == 0
+    capsys.readouterr()
+
+    seen_cfgs = []
+    real_run = crawl_mod.run_crawl
+
+    def spy_run(*a, **kw):
+        seen_cfgs.append(kw["config"])
+        return real_run(*a, **kw)
+
+    monkeypatch.setattr(crawl_mod, "run_crawl", spy_run)
+    monkeypatch.setenv("NC_MAX_WAVES", "1")
+    monkeypatch.setenv("NC_SEEN_CAPACITY_PER_SHARD", "4096")
+    monkeypatch.setenv("NC_DEDUP_PARTITIONS", "2")
+
+    base = [
+        "crawl",
+        "--frontier", os.path.join(fix, "frontier.parquet"),
+        "--store", os.path.join(fix, "pagestore.parquet"),
+        "--robots", os.path.join(fix, "robots.parquet"),
+    ]
+    # env only: max_waves=1 from NC_MAX_WAVES (default is 3)
+    assert main(base + ["--out", str(tmp_path / "r1")]) == 0
+    rows = _json_lines(capsys)
+    assert rows[-1]["waves"] == 1
+    cfg = seen_cfgs[-1]
+    assert cfg.max_waves == 1
+    assert cfg.seen_capacity_per_shard == 4096  # env-only field landed
+    assert cfg.dedup_partitions == 2
+
+    # CLI beats env: --max-waves 2 over NC_MAX_WAVES=1
+    assert main(base + ["--out", str(tmp_path / "r2"), "--max-waves", "2",
+                        "--dedup-partitions", "4"]) == 0
+    rows = _json_lines(capsys)
+    assert rows[-1]["waves"] == 2
+    cfg = seen_cfgs[-1]
+    assert cfg.max_waves == 2
+    assert cfg.dedup_partitions == 4

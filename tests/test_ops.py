@@ -2924,3 +2924,59 @@ def test_video_scene_cuts_planted(ray_session):
         assert g["n_cuts"] == expected_cuts
         any_cut |= g["n_cuts"] > 0
     assert any_cut
+
+
+def test_media_stages_row_level_corrupt_payloads(ray_session):
+    """ADVICE r4: corrupt/truncated media payloads must degrade
+    row-locally in EVERY audio/video stage — skip the clip (or mark it
+    failed), never abort the batch. Covers AudioHashStage,
+    AudioSpectralStage, VideoSceneCutStage, VideoFrameSampleStage, and
+    curate_video_manifest_batch, including the nasty case of a VALID
+    NCV1 header over truncated frame data and a zero-frame container."""
+    import struct as _struct
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.ops.multimodal import (
+        AudioHashStage,
+        AudioSpectralStage,
+        VideoFrameSampleStage,
+        VideoSceneCutStage,
+        curate_video_manifest_batch,
+    )
+
+    astore = synth.make_audiostore(2, seed=7)
+    bad_audio = pa.table(
+        {
+            "audio_id": pa.array(["g0", "bad", "g1"], pa.string()),
+            "bytes": pa.array(
+                [
+                    astore["bytes"][0].as_py(),
+                    b"not a wav",
+                    astore["bytes"][1].as_py(),
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    assert AudioHashStage()(bad_audio)["audio_id"].to_pylist() == ["g0", "g1"]
+    assert AudioSpectralStage()(bad_audio)["audio_id"].to_pylist() == ["g0", "g1"]
+
+    vstore = synth.make_videostore(1, seed=7)
+    good = vstore["bytes"][0].as_py()
+    truncated = good[: len(good) - max(64, len(good) // 3)]
+    zero_frames = b"NCV1" + _struct.pack("<HBI", 10, 0, 0)
+    bad_video = pa.table(
+        {
+            "video_id": pa.array(
+                ["v_good", "v_trunc", "v_garbage", "v_zero"], pa.string()
+            ),
+            "bytes": pa.array(
+                [good, truncated, b"garbage", zero_frames], pa.large_binary()
+            ),
+        }
+    )
+    assert VideoSceneCutStage()(bad_video)["video_id"].to_pylist() == ["v_good"]
+    sampled = VideoFrameSampleStage(every_n=4)(bad_video)
+    assert set(sampled["video_id"].to_pylist()) == {"v_good"}
+    manifest = curate_video_manifest_batch(bad_video, min_frames=1)
+    assert manifest["video_id"].to_pylist() == ["v_good"]

@@ -111,6 +111,11 @@ def _run_crawl_once(args: argparse.Namespace, resume: bool, scope: str | None) -
     if scope:
         cfg_kwargs["seen_epoch_scope"] = scope
     cfg = CrawlConfig(**cfg_kwargs)
+    if args.store is None and cfg.fetch_mode != "http":
+        raise SystemExit(
+            "--store is required unless fetch_mode is 'http' "
+            "(set NC_FETCH_MODE=http and NC_HTTP_BASE_URL)"
+        )
     frontier = pq.read_table(args.frontier) if os.path.isfile(args.frontier) else args.frontier
     if isinstance(frontier, str):
         import ray.data
@@ -119,7 +124,7 @@ def _run_crawl_once(args: argparse.Namespace, resume: bool, scope: str | None) -
     robots = pq.read_table(args.robots)
     res = run_crawl(
         frontier,
-        _load_table_or_path(args.store),
+        _load_table_or_path(args.store) if args.store is not None else None,
         robots,
         args.out,
         config=cfg,
@@ -233,7 +238,12 @@ def main(argv: list[str] | None = None) -> int:
 
     cr = sub.add_parser("crawl", help="run or resume the multi-wave crawl")
     cr.add_argument("--frontier", required=True, help="seed frontier parquet file/dir")
-    cr.add_argument("--store", required=True, help="page-store parquet file or shard dir")
+    cr.add_argument(
+        "--store",
+        default=None,
+        help="page-store parquet file or shard dir (omit with "
+        "NC_FETCH_MODE=http: the network is the store)",
+    )
     cr.add_argument("--robots", required=True, help="robots parquet file")
     cr.add_argument("--out", required=True, help="run output dir (checkpoints live here)")
     from .settings import env_default

@@ -112,8 +112,22 @@ class CrawlConfig:
     # "broadcast": ray.put the store once, keyed lookup per batch (small
     # stores — a multi-GB ray.put serializes for minutes); "join":
     # hash-partitioned left-outer join on image_id (the 100 TB path);
-    # "auto": broadcast under broadcast_limit_bytes, else join.
+    # "auto": broadcast under broadcast_limit_bytes, else join;
+    # "http": live-transport fetch (stages/transport.HTTPFetcher) —
+    # real GETs with per-host wall-clock politeness; the pagestore
+    # argument is ignored (the network IS the store).
     fetch_mode: str = "auto"
+    # fetch_mode="http" knobs. http_base_url: loopback/proxy root — a
+    # row's GET goes to {base}/{host}{path} (None = request the row's
+    # URL directly). Rate/burst feed the shared token-bucket shards
+    # (stages/ratelimit.py): budget is per TRUE host, wall-clock.
+    http_base_url: str | None = None
+    http_timeout_s: float = 5.0
+    http_attempts: int = 3
+    http_rate_per_s: float = 8.0
+    http_burst: float = 1.0
+    http_rate_shards: int = 2
+    http_batch_size: int = 256
     broadcast_limit_bytes: int = 1 << 30
     default_delay_ms: int = 1000
     outlink_decay: float = 0.5
@@ -134,6 +148,14 @@ class CrawlConfig:
     # day-window semantics as config, not accident (reference resets the
     # seen-set daily, scheduler.py:43-44): None = never reset
     seen_epoch_scope: str | None = None
+    # fold seen-set delta checkpoints once this many MANIFEST-FINALIZED
+    # epochs have accumulated past the last fold (0 = never): bounds the
+    # per-shard file count — and so resume replay cost — at
+    # O(seen_compact_every) instead of one file per wave forever. Only
+    # finalized epochs fold; the in-flight wave's delta (and any orphan
+    # from a crash) stays a separate file so resume's orphan-skip
+    # semantics are untouched.
+    seen_compact_every: int = 8
 
 
 @dataclass
@@ -247,7 +269,10 @@ def run_crawl(
     ``pagestore`` may be an in-memory Table (broadcast for small
     stores), a Dataset, or a parquet/Lance path (both → hash-join fetch,
     the at-scale path; a Table above ``broadcast_limit_bytes`` is also
-    joined). The wave loop is identical in every mode.
+    joined), or ``None`` with ``fetch_mode="http"`` (live transport:
+    real GETs via stages/transport.HTTPFetcher with wall-clock per-host
+    politeness — the network is the store). The wave loop is identical
+    in every mode.
 
     ``seeds_path``: path of an ALREADY-DURABLE frontier parquet dir to
     reference as wave 0 instead of copying it under
@@ -280,7 +305,20 @@ def run_crawl(
     )
 
     shard_dir, num_store_shards = None, 0
-    if isinstance(pagestore, str):
+    use_http = cfg.fetch_mode == "http"
+    limiter_shards: list | None = None
+    if use_http:
+        # live transport: the network is the store — no broadcast, no
+        # join, no shards. One set of token-bucket actors serves the
+        # whole run (politeness budget is global per host, however wide
+        # the fetch pool is).
+        from ..stages.ratelimit import TokenBucketShard
+
+        pagestore = None
+        limiter_shards = [
+            TokenBucketShard.remote() for _ in range(cfg.http_rate_shards)
+        ]
+    elif isinstance(pagestore, str):
         if os.path.isdir(os.path.join(pagestore, "shard-0")):
             # hash-partitioned store (stages.fetch.partition_pagestore):
             # the preferred at-scale layout — waves shuffle only narrow
@@ -293,7 +331,11 @@ def run_crawl(
             from ..sources.pagestore import read_pagestore
 
             pagestore = read_pagestore(pagestore)
-    use_join = shard_dir is None and not isinstance(pagestore, pa.Table)
+    use_join = (
+        not use_http
+        and shard_dir is None
+        and not isinstance(pagestore, pa.Table)
+    )
     if cfg.fetch_mode == "join":
         use_join = True
         if isinstance(pagestore, pa.Table):
@@ -307,7 +349,7 @@ def run_crawl(
         pagestore = ray.data.from_arrow(pagestore)
     store_ref = (
         broadcast_pagestore(pagestore)
-        if (shard_dir is None and not use_join)
+        if (shard_dir is None and not use_join and not use_http)
         else None
     )
 
@@ -496,7 +538,22 @@ def run_crawl(
         fused_decode = (
             shard_dir is not None and cfg.verify_payloads and cfg.fuse_fetch_decode
         )
-        if fused_decode:
+        if use_http:
+            from ..stages.transport import fetch_http
+
+            fetched_raw = fetch_http(
+                scheduled,
+                cfg.http_base_url,
+                limiter_shards=limiter_shards,
+                rate_per_s=cfg.http_rate_per_s,
+                burst=cfg.http_burst,
+                timeout_s=cfg.http_timeout_s,
+                attempts=cfg.http_attempts,
+                concurrency=pools["fetch"]["concurrency"],
+                num_cpus=pools["fetch"].get("num_cpus"),
+                batch_size=cfg.http_batch_size,
+            )
+        elif fused_decode:
             fetched_raw = fetch_decode_sharded(
                 scheduled,
                 shard_dir,
@@ -649,6 +706,7 @@ def run_crawl(
         # discipline on every wave artifact.
         if pending is not None:
             _finalize_wave(pending, result, manifest, out_dir)
+            _maybe_compact_seen(cfg, seen_dir, manifest, out_dir)
         pending = {"writer": writer, "err": writer_err, "wm": wm, "wave": wave}
 
         if n_outlinks == 0:
@@ -662,7 +720,38 @@ def run_crawl(
 
     if pending is not None:
         _finalize_wave(pending, result, manifest, out_dir)
+        _maybe_compact_seen(cfg, seen_dir, manifest, out_dir)
     return result
+
+
+def _maybe_compact_seen(
+    cfg: CrawlConfig, seen_dir: str, manifest: dict, out_dir: str
+) -> None:
+    """Retention policy for seen-set delta checkpoints (VERDICT r4 #4):
+    once ``seen_compact_every`` finalized epochs have accumulated past
+    ``manifest["seen_compacted_through"]``, fold every shard's deltas up
+    to the last FINALIZED epoch (``completed_through + 1`` — the
+    in-flight wave's epoch and any crash orphan stay out, preserving
+    resume's ``max_epoch`` orphan-skip exactly), then record the fold in
+    the manifest. Compaction is idempotent and crash-safe
+    (stages/seen.compact_checkpoints), so a crash between the folds and
+    the manifest write only means one redundant re-fold on resume."""
+    if not cfg.seen_compact_every:
+        return
+    finalized_epoch = manifest["completed_through"] + 1
+    done_through = manifest.get("seen_compacted_through", 0)
+    if finalized_epoch - done_through < cfg.seen_compact_every:
+        return
+    from ..stages.seen import compact_shard_task
+
+    ray.get(
+        [
+            compact_shard_task.remote(seen_dir, s, finalized_epoch)
+            for s in range(cfg.num_seen_shards)
+        ]
+    )
+    manifest["seen_compacted_through"] = finalized_epoch
+    _write_manifest(out_dir, manifest)
 
 
 def _finalize_wave(pending: dict, result: "CrawlResult", manifest: dict, out_dir: str) -> None:

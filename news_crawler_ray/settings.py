@@ -38,6 +38,10 @@ from typing import Any, Mapping
 
 ENV_PREFIX = "NC_"
 
+# NC_-prefixed env vars that are NOT CrawlConfig fields (debug/trace
+# switches read directly where they act) — exempt from the typo guard.
+RESERVED_ENV = frozenset({"NC_CRAWL_TRACE", "NC_CRAWL_STATS"})
+
 _TRUE = frozenset({"1", "true", "yes", "on"})
 _FALSE = frozenset({"0", "false", "no", "off"})
 
@@ -94,7 +98,7 @@ def crawl_config_env_overrides(
     out: dict[str, Any] = {}
     unknown = []
     for key, raw in env.items():
-        if not key.startswith(ENV_PREFIX):
+        if not key.startswith(ENV_PREFIX) or key in RESERVED_ENV:
             continue
         name = key[len(ENV_PREFIX):].lower()
         f = fields.get(name)

@@ -1,0 +1,136 @@
+"""Loopback HTTP page-store server: the fetch seam's test double.
+
+Serves a synthetic page-store table over real sockets in the wire
+format ``stages.transport`` speaks (Arrow IPC payload rows), so a crawl
+run with ``fetch_mode="http"`` against this server exercises the ENTIRE
+live-transport path — persistent connections, timeouts, retries,
+wall-clock politeness — and must reproduce the store-lookup crawl's
+exact output (tests/test_transport.py asserts it).
+
+URL layout: ``GET /{host}/p/{image_id}`` — one server plays every
+logical host (the crawl's politeness budgets key on the path's host
+segment, carried by the fetcher from the row's ``host`` column).
+
+Fault injection (per image_id, counted down under a lock so retries
+observe the fault exactly N times):
+
+* ``{"status": 429, "times": 1}`` — respond 429 once, then serve
+  normally (a retrying fetcher recovers to ``ok``).
+* ``{"status": 503, "times": 10**9}`` — persistent server error
+  (retry-exhausted → ``error:http_503`` row).
+* ``{"sleep": 2.0, "times": 1}`` — hold the response longer than the
+  client timeout (socket timeout → retry → ``error:timeout`` when
+  persistent).
+
+Every handled request is appended to ``request_log`` as
+``(monotonic_s, host, image_id)`` — the wall-clock politeness test
+reads real per-host request timestamps from here.
+"""
+
+from __future__ import annotations
+
+import http.server
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class LoopbackStoreServer:
+    """In-process ``ThreadingHTTPServer`` over a page-store table."""
+
+    def __init__(
+        self,
+        store: pa.Table,
+        faults: "dict[str, dict] | None" = None,
+        host: str = "127.0.0.1",
+    ):
+        self.store = store.combine_chunks()
+        self.ids = self.store["image_id"].combine_chunks()
+        self._lock = threading.Lock()
+        self.faults = {k: dict(v) for k, v in (faults or {}).items()}
+        self.request_log: list[tuple[float, str, str]] = []
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            # keep-alive so HTTPTransport's persistent connections are real
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # silence default stderr spam
+                pass
+
+            def do_GET(self):
+                outer._serve(self)
+
+        self._httpd = http.server.ThreadingHTTPServer((host, 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> str:
+        self._thread.start()
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def __enter__(self) -> str:
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # ------------------------------------------------------------- handling
+    def _take_fault(self, image_id: str) -> "dict | None":
+        with self._lock:
+            f = self.faults.get(image_id)
+            if not f or f.get("times", 0) <= 0:
+                return None
+            f["times"] -= 1
+            return f
+
+    def _serve(self, handler: http.server.BaseHTTPRequestHandler) -> None:
+        from ..stages.transport import payload_to_body
+
+        path = handler.path.split("?", 1)[0]
+        parts = [p for p in path.split("/") if p]
+        # /{host}/p/{image_id}  (also accepts bare /p/{image_id});
+        # any other path is an unknown resource → 404, the same
+        # row-level "missing" a store lookup yields for an unkeyable URL
+        if len(parts) >= 2 and parts[-2] == "p":
+            image_id = parts[-1]
+            host = parts[0] if len(parts) >= 3 else ""
+        else:
+            handler.send_response(404)
+            handler.send_header("Content-Length", "0")
+            handler.end_headers()
+            return
+        with self._lock:
+            self.request_log.append((time.monotonic(), host, image_id))
+        fault = self._take_fault(image_id)
+        if fault is not None:
+            if "sleep" in fault:
+                time.sleep(fault["sleep"])
+                # fall through and answer normally: the CLIENT timed out;
+                # a server that also errors would mask the timeout path
+            elif "status" in fault:
+                handler.send_response(int(fault["status"]))
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
+                return
+        pos = pc.index_in(pa.array([image_id]), value_set=self.ids)[0].as_py()
+        if pos is None:
+            handler.send_response(404)
+            handler.send_header("Content-Length", "0")
+            handler.end_headers()
+            return
+        body = payload_to_body(self.store.slice(pos, 1))
+        handler.send_response(200)
+        handler.send_header("Content-Type", "application/vnd.apache.arrow.stream")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)

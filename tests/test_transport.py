@@ -1,0 +1,237 @@
+"""Live-transport fetch seam (stages/transport.py + testing/httpstore):
+
+the one reference behavior (S1/T1 session fetch, news.py:85-124) whose
+engine counterpart had never touched a socket. These tests drive the
+HTTP path over a REAL in-process loopback server and assert:
+
+1. the wire basics (persistent connections, IPC payload round-trip,
+   404 semantics);
+2. row-level error semantics under injected 429 / 5xx / timeout faults
+   (T5: error rows, never a dead job);
+3. wall-clock per-host politeness observed from the SERVER's request
+   timestamps (the token buckets honoring budgets against real sockets);
+4. a full crawl over the loopback transport reproducing the page-store
+   crawl's exact fetched output and seen-set.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from news_crawler_ray.fixtures import synth
+from news_crawler_ray.stages.transport import (
+    HTTPFetcher,
+    HTTPTransport,
+    StoreTransport,
+    body_to_payload,
+)
+from news_crawler_ray.testing.httpstore import LoopbackStoreServer
+
+
+def _mini_batch(store: pa.Table, ids: list[str], host: str = "h0.example") -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array([f"https://{host}/p/{i}" for i in ids], pa.string()),
+            "host": pa.array([host] * len(ids), pa.string()),
+        }
+    )
+
+
+def test_http_transport_roundtrip_and_reuse():
+    store = synth.make_pagestore(8, seed=3)
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        tr = HTTPTransport(timeout_s=5.0)
+        iid = store["image_id"][0].as_py()
+        resp = tr.get(f"{base}/h0.example/p/{iid}")
+        assert resp.status == 200
+        row = body_to_payload(resp.body)
+        assert row["bytes"][0].as_py() == store["bytes"][0].as_py()
+        assert row["caption"][0].as_py() == store["caption"][0].as_py()
+        # unknown id → 404; unparseable path → 404 (store-miss analog)
+        assert tr.get(f"{base}/h0.example/p/nope").status == 404
+        assert tr.get(f"{base}/h0.example/robots.txt").status == 404
+        # session reuse: many GETs, ONE connection per netloc
+        for _ in range(5):
+            assert tr.get(f"{base}/h0.example/p/{iid}").status == 200
+        assert len(tr._conns) == 1
+        tr.close()
+    # 7 keyed requests logged (the unparseable robots.txt 404s pre-log)
+    assert len(srv.request_log) == 7
+
+
+def test_store_transport_same_wire_contract():
+    store = synth.make_pagestore(6, seed=3)
+    tr = StoreTransport(store)
+    iid = store["image_id"][2].as_py()
+    resp = tr.get(f"https://h/p/{iid}")
+    assert resp.status == 200
+    assert body_to_payload(resp.body)["phash"][0].as_py() == store["phash"][2].as_py()
+    assert tr.get("https://h/p/absent").status == 404
+
+
+def test_http_fetcher_fault_injection_row_level():
+    """Injected faults become row-level fetch_status values: a one-shot
+    429 recovers via retry; persistent 503 exhausts retries to an
+    error row; a response held past the client timeout becomes
+    error:timeout; 404 is byte-identical to a store miss."""
+    store = synth.make_pagestore(6, seed=5)
+    ids = store["image_id"].to_pylist()
+    faults = {
+        ids[1]: {"status": 429, "times": 1},       # recovers on retry
+        ids[2]: {"status": 503, "times": 10**9},   # persistent error
+        ids[3]: {"sleep": 1.2, "times": 10**9},    # client times out
+    }
+    srv = LoopbackStoreServer(store, faults=faults)
+    with srv as base:
+        f = HTTPFetcher(
+            base_url=base, timeout_s=0.3, attempts=2, initial_delay_s=0.01
+        )
+        batch = _mini_batch(store, [ids[0], ids[1], ids[2], ids[3], "ghost"])
+        out = f.__call__(batch)
+        assert out["fetch_status"].to_pylist() == [
+            "ok", "ok", "error:http_503", "error:timeout", "missing"
+        ]
+        # ok rows carry real payload; error rows carry nulls
+        vals = out["bytes"].to_pylist()
+        assert vals[0] == store["bytes"][0].as_py()
+        assert vals[1] == store["bytes"][1].as_py()
+        assert vals[2] is None and vals[3] is None and vals[4] is None
+        # the 429 id was requested exactly twice (fault once, then ok)
+        n_req_1 = sum(1 for _, _, i in srv.request_log if i == ids[1])
+        assert n_req_1 == 2
+        # the 503 id burned every attempt
+        n_req_2 = sum(1 for _, _, i in srv.request_log if i == ids[2])
+        assert n_req_2 == 2
+        f.transport.close()
+
+
+def test_http_politeness_wall_clock(ray_session):
+    """The token buckets honor per-TRUE-host budgets against REAL
+    request timestamps: with rate R and burst 1, the server must see
+    consecutive same-host requests ≥ ~1/R apart, while a second host
+    proceeds on its own budget (per-host, not global)."""
+    from news_crawler_ray.stages.ratelimit import TokenBucketShard
+
+    store = synth.make_pagestore(12, seed=9)
+    ids = store["image_id"].to_pylist()
+    rate = 25.0
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        shards = [TokenBucketShard.remote() for _ in range(2)]
+        f = HTTPFetcher(
+            base_url=base,
+            timeout_s=5.0,
+            limiter_shards=shards,
+            rate_per_s=rate,
+            burst=1.0,
+        )
+        a = _mini_batch(store, ids[:5], host="ha.example")
+        b = _mini_batch(store, ids[5:10], host="hb.example")
+        out = f.__call__(pa.concat_tables([a, b]))
+        assert out["fetch_status"].to_pylist() == ["ok"] * 10
+        f.transport.close()
+    by_host: dict[str, list[float]] = {}
+    for ts, host, _ in srv.request_log:
+        by_host.setdefault(host, []).append(ts)
+    assert set(by_host) == {"ha.example", "hb.example"}
+    min_gap = 1.0 / rate
+    for host, times in by_host.items():
+        gaps = np.diff(sorted(times))
+        assert len(gaps) == 4
+        # real sockets + sleep granularity: allow 20% tolerance under
+        assert gaps.min() >= min_gap * 0.8, (host, gaps.tolist())
+
+
+def test_http_crawl_matches_store_crawl(ray_session, tmp_path):
+    """A 2-wave crawl over the loopback HTTP transport reproduces the
+    broadcast page-store crawl EXACTLY: same fetched rows in the same
+    (wave, crawl_rank) order with identical payload bytes and statuses,
+    and an identical final seen-set — the deployment story ('swap the
+    store lookup for an HTTP session') exercised, not asserted."""
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    store = synth.make_pagestore(220, seed=42)
+    frontier = synth.make_frontier(160, seed=42)
+    robots = synth.make_robots(seed=42)
+
+    base_cfg = dict(max_waves=2, num_seen_shards=2, dedup_partitions=2)
+    res_store = run_crawl(
+        frontier, store, robots, str(tmp_path / "store_run"),
+        config=CrawlConfig(**base_cfg),
+    )
+
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        res_http = run_crawl(
+            frontier, None, robots, str(tmp_path / "http_run"),
+            config=CrawlConfig(
+                **base_cfg,
+                fetch_mode="http",
+                http_base_url=base,
+                # politeness budget high enough not to slow the test;
+                # wall-clock enforcement itself is asserted above
+                http_rate_per_s=10_000.0,
+                http_burst=64.0,
+            ),
+        )
+
+    t_store = pq.read_table(os.path.join(res_store.out_dir, "fetched"))
+    t_http = pq.read_table(os.path.join(res_http.out_dir, "fetched"))
+    assert t_store.num_rows == t_http.num_rows > 0
+    order = [("wave", "ascending"), ("crawl_rank", "ascending")]
+    t_store = t_store.sort_by(order)
+    t_http = t_http.sort_by(order)
+    for col in ("url", "host", "fetch_status", "bytes", "caption", "phash",
+                "w", "h", "fmt", "wave", "crawl_rank"):
+        assert t_http[col].to_pylist() == t_store[col].to_pylist(), col
+    # both ok and missing rows actually occurred (miss path exercised)
+    statuses = set(t_http["fetch_status"].to_pylist())
+    assert "ok" in statuses
+    # identical seen-set state after both runs
+    assert res_http.seen.all_keys() == res_store.seen.all_keys()
+    # identical wave funnels
+    for ws, wh in zip(res_store.waves, res_http.waves):
+        assert (ws.candidates, ws.scheduled, ws.fetched_ok, ws.missing,
+                ws.outlinks) == (
+            wh.candidates, wh.scheduled, wh.fetched_ok, wh.missing,
+            wh.outlinks,
+        )
+
+
+def test_cli_http_crawl_via_env(ray_session, tmp_path, capsys, monkeypatch):
+    """The full env-configured deployment shape: NC_FETCH_MODE=http +
+    NC_HTTP_BASE_URL drive the CLI crawl over the loopback transport
+    with no --store at all; omitting --store WITHOUT http mode fails
+    loudly."""
+    import json
+
+    from news_crawler_ray.__main__ import main
+
+    store = synth.make_pagestore(80, seed=11)
+    frontier = synth.make_frontier(60, seed=11)
+    robots = synth.make_robots(seed=11)
+    fp = str(tmp_path / "frontier.parquet")
+    rp = str(tmp_path / "robots.parquet")
+    pq.write_table(frontier, fp)
+    pq.write_table(robots, rp)
+
+    base_args = ["crawl", "--frontier", fp, "--robots", rp,
+                 "--out", str(tmp_path / "run"), "--max-waves", "1"]
+    with pytest.raises(SystemExit, match="--store is required"):
+        main(base_args)
+
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        monkeypatch.setenv("NC_FETCH_MODE", "http")
+        monkeypatch.setenv("NC_HTTP_BASE_URL", base)
+        monkeypatch.setenv("NC_HTTP_RATE_PER_S", "10000")
+        monkeypatch.setenv("NC_HTTP_BURST", "64")
+        assert main(base_args) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows[-1]["total_fetched"] > 0
+    assert len(srv.request_log) > 0

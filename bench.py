@@ -167,15 +167,28 @@ def bench_multiwave(fix_dir: str, max_waves: int = 3) -> dict:
     if not os.path.exists(frontier_path):
         os.makedirs(os.path.dirname(frontier_path), exist_ok=True)
         pq.write_table(full_frontier.slice(0, full_frontier.num_rows // 4), frontier_path)
-    ps = pq.read_table(os.path.join(fix_dir, "pagestore.parquet"))
+    # same store policy as the headline wave: broadcast small stores,
+    # hash-partitioned shards (+ optional plasma staging) at scale —
+    # the multiwave SCALING window runs at the 2 M frontier where a
+    # broadcast table would serialize for minutes per child
+    big = FRONTIER_N > 500_000
+    ps = (
+        _ensure_sharded(fix_dir)
+        if big
+        else pq.read_table(os.path.join(fix_dir, "pagestore.parquet"))
+    )
     out_dir = os.path.join(BENCH_IO_DIR, "out_mw", str(time.monotonic_ns()))
     cfg = CrawlConfig(
         max_waves=max_waves,
         num_seen_shards=16,
+        seen_capacity_per_shard=max(1 << 16, int(FRONTIER_N * 1.6 / 16)),
         dedup_partitions=32,
         fetch_batch_size=4096,
         verify_payloads=True,
         compute_crawl_rank=False,
+        stage_store_to_plasma=(
+            big and os.environ.get("BENCH_STAGE_PLASMA", "1") != "0"
+        ),
     )
     t0 = time.monotonic()
     try:
@@ -440,7 +453,12 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_suite(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
+def run_suite(
+    num_cpus: int,
+    sf_dir: str,
+    headline_only: bool = False,
+    child_job: str = "headline",
+) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -467,6 +485,28 @@ def run_suite(num_cpus: int, sf_dir: str, headline_only: bool = False) -> dict:
     ray.data.range(64 * num_cpus, override_num_blocks=2 * num_cpus).map_batches(
         _warm, num_cpus=0.5
     ).count()
+    if headline_only and child_job == "multiwave":
+        # multiwave SCALING child: the 3-wave crawl is the whole job —
+        # scaling criterion math reads the top-level urls_per_sec
+        mw = bench_multiwave(fix_dir)
+        result = {
+            "metric": "multiwave_urls_per_sec",
+            "value": round(mw["wall_s"], 3),
+            "unit": "sec",
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "frontier_rows": FRONTIER_N,
+            "urls_per_sec": round(mw["urls_per_sec"], 1),
+            "multiwave": {
+                "wall_s": round(mw["wall_s"], 3),
+                "waves": mw["waves"],
+                "scheduled_total": mw["scheduled_total"],
+                "urls_per_sec": round(mw["urls_per_sec"], 1),
+            },
+            "queries": {},
+        }
+        ray.shutdown()
+        return result
     fetch = bench_fetch_schedule(fix_dir)
     dedup = bench_frontier_dedup(fix_dir)
     result = {
@@ -616,22 +656,30 @@ def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
     eff = (thr_hi / thr_lo) / ratio if thr_lo > 0 else 0.0
     calib = _cpu_calibration(cpus_lo, cpus_hi)
     bw = _bandwidth_calibration(cpus_lo, cpus_hi)
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "job": os.environ.get("BENCH_CHILD_JOB", "headline"),
         "cpu_calibration_ceiling": round(calib["ceiling"], 3),
         "bandwidth_calibration": bw,
         "normalized_efficiency": round(eff / calib["ceiling"], 3) if calib["ceiling"] else None,
         "sf": sf_dir,
         "cpus": [cpus_lo, cpus_hi],
         "urls_per_sec": {str(cpus_lo): thr_lo, str(cpus_hi): thr_hi},
-        "dedup_urls_per_sec": {
-            str(cpus_lo): runs[cpus_lo]["frontier_dedup"]["urls_per_sec"],
-            str(cpus_hi): runs[cpus_hi]["frontier_dedup"]["urls_per_sec"],
-        },
         "frontier_rows": n,
     }
+    if "frontier_dedup" in runs[cpus_lo]:
+        out["dedup_urls_per_sec"] = {
+            str(cpus_lo): runs[cpus_lo]["frontier_dedup"]["urls_per_sec"],
+            str(cpus_hi): runs[cpus_hi]["frontier_dedup"]["urls_per_sec"],
+        }
+    if "multiwave" in runs[cpus_lo]:
+        out["multiwave"] = {
+            str(cpus_lo): runs[cpus_lo]["multiwave"],
+            str(cpus_hi): runs[cpus_hi]["multiwave"],
+        }
+    return out
 
 
 def main() -> None:
@@ -653,7 +701,15 @@ def main() -> None:
             cpus_hi=int(os.environ.get("BENCH_CPUS_HI", "32")),
         )
     else:
-        out = run_suite(num_cpus, sf_dir, headline_only=args.child)
+        out = run_suite(
+            num_cpus,
+            sf_dir,
+            headline_only=args.child,
+            # BENCH_CHILD_JOB=multiwave makes --scaling measure the
+            # 3-wave crawl (wave-pipelining structure) instead of the
+            # single headline wave
+            child_job=os.environ.get("BENCH_CHILD_JOB", "headline"),
+        )
     print(json.dumps(out))
 
 

@@ -398,3 +398,11 @@ def compact_checkpoints(
     for p in paths[:-1]:
         os.unlink(p)
     return len(paths)
+
+
+@ray.remote(num_cpus=0.25)
+def compact_shard_task(seen_dir: str, shard_id: int, up_to_epoch: int | None) -> int:
+    """Remote form of :func:`compact_checkpoints` — the wave loop folds
+    all shards in parallel off the driver (fractional CPU: the fold is
+    IO + a dict walk, and it overlaps the next wave's pipeline)."""
+    return compact_checkpoints(seen_dir, shard_id, up_to_epoch)

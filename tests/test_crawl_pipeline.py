@@ -392,3 +392,78 @@ def test_resume_with_lagging_manifest_reruns_idempotently(
     assert _engine_order(resumed) == _engine_order(full)
     assert resumed.seen.all_keys() == full.seen.all_keys()
     assert [w.wave for w in resumed.waves] == [w.wave for w in full.waves]
+
+
+def test_seen_compaction_bounded_files_and_resume(ray_session, tmp_path):
+    """VERDICT r4 #4: the wave loop compacts seen-set delta checkpoints
+    (retention seen_compact_every finalized epochs, manifest-recorded),
+    so a long run keeps a BOUNDED per-shard file count — and a restore
+    over the compacted layout reproduces the exact seen-set."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from news_crawler_ray.stages.seen import SeenSet
+
+    # chain store: page i's caption links to page i+1 → exactly one
+    # candidate per wave, so the crawl sustains max_waves waves
+    n = 12
+    host = "news0.example.com"
+    store = synth.make_pagestore(n, seed=13)
+    ids = store["image_id"].to_pylist()
+    caps = [
+        "scene detail"
+        + (f" link:https://{host}/p/{ids[i + 1]}" if i + 1 < n else "")
+        for i in range(n)
+    ]
+    store = store.set_column(
+        store.column_names.index("caption"), "caption",
+        pa.array(caps, pa.string()),
+    )
+    frontier = pa.table(
+        {
+            "url": pa.array([f"https://{host}/p/{ids[0]}"], pa.string()),
+            "host": pa.array([host], pa.string()),
+            "depth": pa.array([0], pa.int32()),
+            "discovered_at": pa.array([0], pa.timestamp("us")),
+            "priority": pa.array([1.0], pa.float64()),
+        }
+    )
+    robots = synth.make_robots(seed=42)
+
+    out = str(tmp_path / "run")
+    cfg = CrawlConfig(
+        max_waves=10, num_seen_shards=2, dedup_partitions=2,
+        seen_compact_every=3,
+    )
+    res = run_crawl(frontier, store, robots, out, config=cfg)
+    assert len(res.waves) == 10
+    assert all(w.fetched_ok == 1 for w in res.waves)
+
+    # folds landed at finalized epochs 3, 6, 9 → per shard exactly
+    # {epoch-9 consolidated, epoch-10 tail} — bounded, not 10 files
+    seen_dir = os.path.join(out, "seen")
+    for s in range(cfg.num_seen_shards):
+        files = sorted(
+            _glob.glob(os.path.join(seen_dir, f"part={s}", "epoch-*.parquet"))
+        )
+        assert len(files) == 2, files
+        assert files[-1].endswith("epoch-00000010.parquet")
+    import json
+
+    with open(os.path.join(out, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert manifest["seen_compacted_through"] == 9
+
+    # identical resume semantics over the compacted layout: a fresh
+    # restore reproduces the run's exact seen-set...
+    s2 = SeenSet(cfg.num_seen_shards, 1 << 12)
+    s2.restore(seen_dir, max_epoch=10)
+    assert s2.all_keys() == res.seen.all_keys()
+    # ...and a resumed run restores the same state through run_crawl
+    res2 = run_crawl(None, store, robots, out, config=cfg, resume=True)
+    assert res2.seen.all_keys() == res.seen.all_keys()
+    assert len(res2.waves) == 10

@@ -712,10 +712,19 @@ def run_crawl(
         if n_outlinks == 0:
             break
         nb = out_mat.num_blocks()
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
         if nb > 512:
             # bound the next schedule sort's partition count (sort cost
             # grows with input_blocks × partitions)
             out_mat = out_mat.repartition(512).materialize()
+        elif nb < ncpu and n_outlinks > 4096 * ncpu:
+            # floor it too: the schedule sort emits as many partitions
+            # as input blocks, so a narrow outlink materialization
+            # (e.g. 3 extract tasks after a small wave) would run the
+            # next wave's whole exchange at a fraction of the cluster —
+            # the multiwave scaling window showed later waves starving.
+            # One cheap narrow-row repartition buys full sort width.
+            out_mat = out_mat.repartition(2 * ncpu).materialize()
         candidates, cand_n = out_mat, n_outlinks
 
     if pending is not None:

@@ -1,21 +1,28 @@
 """Fetch stage: resolve scheduled URLs against the image+caption page-store.
 
-In this sandbox "fetch" = keyed lookup into the synthetic page-store
+The default "fetch" is a keyed lookup into the synthetic page-store
 (SURVEY.md §2.1 S1/S4: the reference's cloudscraper/requests session
 becomes a stateful lookup stage; the page-store stands in for the web).
-Two execution modes, chosen by page-store size:
+Execution modes, chosen by page-store size/layout (``fetch_mode``):
 
 * ``broadcast`` — page-store fits comfortably in the object store:
   ``ray.put`` the Arrow table once; each fetch actor builds an
   image_id -> row-index dict in ``__init__`` (once per actor, T1
   session analog) and serves batches zero-copy with ``Table.take``.
-* ``join`` — both sides large: hash-partitioned ``Dataset.join`` on
-  ``image_id`` (J3), left-outer so missing pages surface as
-  ``fetch_status="missing"`` rows instead of failing the job (row-level
-  error semantics, reference skips rows not jobs: news.py:136-138).
+* sharded — the at-scale layout: the store is hash-partitioned on disk
+  once (:func:`partition_pagestore`); waves co-locate NARROW frontier
+  rows by shard and do per-shard keyed lookups (optionally fused with
+  payload decode so bytes never enter the block stream).
+* ``join`` — both sides large and unpartitioned: hash-partitioned
+  ``Dataset.join`` on ``image_id`` (J3), left-outer so missing pages
+  surface as ``fetch_status="missing"`` rows instead of failing the job
+  (row-level error semantics, reference skips rows not jobs:
+  news.py:136-138).
+* ``http`` — live transport (stages/transport.py): real keyed GETs
+  with per-host wall-clock politeness, same output schema.
 
 Payload columns ride through as zero-copy Arrow ``binary``; nothing is
-decoded here.
+decoded here (except the opt-in fused fetch+decode kernel below).
 """
 
 from __future__ import annotations

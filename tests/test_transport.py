@@ -235,3 +235,61 @@ def test_cli_http_crawl_via_env(ray_session, tmp_path, capsys, monkeypatch):
             if l.startswith("{")]
     assert rows[-1]["total_fetched"] > 0
     assert len(srv.request_log) > 0
+
+
+def test_http_crawl_with_faults_row_level(ray_session, tmp_path):
+    """Injected faults surface as row-level fetch_status values in the
+    CRAWL's durable output (partitioned parquet dirs handle the
+    error:* status strings), and the wave completes instead of dying —
+    T5 end-to-end over real sockets."""
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    store = synth.make_pagestore(120, seed=21)
+    frontier = synth.make_frontier(90, seed=21)
+    robots = synth.make_robots(seed=21)
+    # fault targets must be URLs the crawl will actually schedule: in
+    # the store, AND not robots-disallowed (the frontier carries rows
+    # the politeness gate drops)
+    store_ids = set(store["image_id"].to_pylist())
+    rob = {
+        h: list(p)
+        for h, p in zip(
+            robots["host"].to_pylist(),
+            robots["disallow_prefixes"].to_pylist(),
+        )
+    }
+    sched_ids = []
+    for u, h in zip(frontier["url"].to_pylist(), frontier["host"].to_pylist()):
+        iid = u.rsplit("/", 1)[-1]
+        path = "/p/" + iid
+        if iid in store_ids and not any(
+            path.startswith(px) for px in rob.get(h, [])
+        ):
+            sched_ids.append(iid)
+    ids = sorted(set(sched_ids))[:2]
+    assert len(ids) == 2
+    faults = {
+        ids[0]: {"status": 429, "times": 1},      # retried → ok
+        ids[1]: {"status": 503, "times": 10**9},  # error row
+    }
+    srv = LoopbackStoreServer(store, faults=faults)
+    with srv as base:
+        res = run_crawl(
+            frontier, None, robots, str(tmp_path / "run"),
+            config=CrawlConfig(
+                max_waves=1, num_seen_shards=2, dedup_partitions=2,
+                fetch_mode="http", http_base_url=base,
+                http_rate_per_s=10_000.0, http_burst=64.0,
+                http_attempts=2,
+            ),
+        )
+    t = pq.read_table(os.path.join(res.out_dir, "fetched"))
+    by_id = {}
+    for url, st in zip(t["url"].to_pylist(), t["fetch_status"].to_pylist()):
+        by_id[url.rsplit("/", 1)[-1]] = st
+    assert by_id[ids[0]] == "ok"                # 429 recovered via retry
+    assert by_id[ids[1]] == "error:http_503"    # persistent fault → row
+    assert res.waves[0].fetched_ok > 0
+    # error rows are excluded from fetched_ok but present in the output
+    n_err = sum(1 for s in by_id.values() if s.startswith("error:"))
+    assert n_err >= 1

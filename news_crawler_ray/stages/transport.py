@@ -97,12 +97,19 @@ class HTTPTransport:
 
     def get(self, url: str) -> TransportResponse:
         parts = urlsplit(url)
-        netloc = parts.netloc
+        # key by scheme too: the same netloc may be reached over both
+        # in redirect chains, and the two need different socket types
+        netloc = f"{parts.scheme}://{parts.netloc}"
         conn = self._conns.get(netloc)
         if conn is None:
-            conn = http.client.HTTPConnection(
-                parts.hostname, parts.port or 80, timeout=self.timeout_s
-            )
+            if parts.scheme == "https":
+                conn = http.client.HTTPSConnection(
+                    parts.hostname, parts.port or 443, timeout=self.timeout_s
+                )
+            else:
+                conn = http.client.HTTPConnection(
+                    parts.hostname, parts.port or 80, timeout=self.timeout_s
+                )
             self._conns[netloc] = conn
         path = parts.path or "/"
         if parts.query:

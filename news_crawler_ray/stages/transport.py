@@ -49,13 +49,21 @@ from .fetch import PAYLOAD_COLS, PAYLOAD_SCHEMA, add_image_id
 # statuses worth a retry: rate-limit + transient server errors
 RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 MISSING_STATUSES = frozenset({404, 410})
-# transport-level errors surfaced as a pseudo-status
+# transport-level errors surfaced as pseudo-statuses
 _STATUS_SOCKET_ERROR = -1
+_STATUS_REDIRECT_LOOP = -2
+
+
+REDIRECT_STATUSES = frozenset({301, 302, 303, 307, 308})
 
 
 class TransportResponse(NamedTuple):
     status: int
     body: bytes | None
+    # Location header on 3xx; Retry-After seconds on 429/503 (None when
+    # absent) — the two response headers a polite crawler acts on
+    location: "str | None" = None
+    retry_after_s: "float | None" = None
 
 
 def payload_to_body(row: pa.Table) -> bytes:
@@ -118,7 +126,14 @@ class HTTPTransport:
             conn.request("GET", path)
             resp = conn.getresponse()
             body = resp.read()
-            return TransportResponse(resp.status, body)
+            ra = resp.getheader("Retry-After")
+            try:
+                ra_s = float(ra) if ra is not None else None
+            except ValueError:
+                ra_s = None  # HTTP-date form: treat as absent
+            return TransportResponse(
+                resp.status, body, resp.getheader("Location"), ra_s
+            )
         except Exception:
             conn.close()
             self._conns.pop(netloc, None)
@@ -188,6 +203,8 @@ class HTTPFetcher:
         rate_per_s: float = 8.0,
         burst: float = 1.0,
         transport_factory=None,
+        max_redirects: int = 5,
+        max_retry_after_s: float = 30.0,
     ):
         from .ratelimit import RateLimiter
 
@@ -195,6 +212,8 @@ class HTTPFetcher:
         self.attempts = attempts
         self.initial_delay_s = initial_delay_s
         self.backoff = backoff
+        self.max_redirects = max_redirects
+        self.max_retry_after_s = max_retry_after_s
         self.transport = (
             transport_factory() if transport_factory is not None
             else HTTPTransport(timeout_s=timeout_s)
@@ -213,27 +232,67 @@ class HTTPFetcher:
         path = urlsplit(url).path or "/"
         return f"{self.base_url}/{host}{path}"
 
-    def _get_with_retry(self, url: str, host: str) -> TransportResponse:
-        """Bounded retry (T5: reference utils/retry.py policy — here it
-        guards a REAL socket). Every attempt draws a politeness token
-        first: a retry is a request too, and hammering a 429ing host
-        faster than its budget defeats the point of the 429."""
-        delay = self.initial_delay_s
-        resp = TransportResponse(_STATUS_SOCKET_ERROR, None)
-        for attempt in range(self.attempts):
+    def _logical_host(self, url: str, fallback: str) -> str:
+        """Politeness host of a request URL: in base_url (loopback/
+        proxy) mode the logical host is the first path segment — the
+        socket endpoint is always the proxy and must not be the budget
+        key; in direct mode it is the URL's own hostname."""
+        if self.base_url is None:
+            return urlsplit(url).hostname or fallback
+        segs = [s for s in urlsplit(url).path.split("/") if s]
+        return segs[0] if len(segs) >= 3 else fallback
+
+    def _get_following(self, url: str, host: str) -> TransportResponse:
+        """One GET, following up to ``max_redirects`` 3xx hops (what the
+        reference's requests session does implicitly). Every hop draws a
+        politeness token against the hop's OWN logical host — a
+        cross-host redirect spends the target's budget, not the
+        referrer's. A Location cycle or hop overrun returns the
+        redirect-loop pseudo-status (row-level error downstream)."""
+        from urllib.parse import urljoin
+
+        seen: set[str] = set()
+        for _hop in range(self.max_redirects + 1):
             if self.limiter is not None:
                 self.limiter.wait_turn(host)
             try:
                 resp = self.transport.get(url)
             except (OSError, http.client.HTTPException):
-                resp = TransportResponse(_STATUS_SOCKET_ERROR, None)
+                return TransportResponse(_STATUS_SOCKET_ERROR, None)
+            if resp.status in REDIRECT_STATUSES and resp.location:
+                target = urljoin(url, resp.location)
+                if target == url or target in seen:
+                    return TransportResponse(_STATUS_REDIRECT_LOOP, None)
+                seen.add(url)
+                url = target
+                host = self._logical_host(target, host)
+                continue
+            return resp
+        return TransportResponse(_STATUS_REDIRECT_LOOP, None)
+
+    def _get_with_retry(self, url: str, host: str) -> TransportResponse:
+        """Bounded retry (T5: reference utils/retry.py policy — here it
+        guards a REAL socket). Every attempt draws a politeness token
+        first (inside ``_get_following``): a retry is a request too, and
+        hammering a 429ing host faster than its budget defeats the point
+        of the 429. A server-sent ``Retry-After`` (capped at
+        ``max_retry_after_s``) overrides our own backoff when longer."""
+        delay = self.initial_delay_s
+        resp = TransportResponse(_STATUS_SOCKET_ERROR, None)
+        for attempt in range(self.attempts):
+            resp = self._get_following(url, host)
             if (
-                resp.status != _STATUS_SOCKET_ERROR
+                resp.status not in (_STATUS_SOCKET_ERROR,)
                 and resp.status not in RETRYABLE_STATUSES
             ):
                 return resp
             if attempt < self.attempts - 1:
-                time.sleep(delay)
+                wait = delay
+                if resp.retry_after_s is not None:
+                    wait = max(
+                        wait, min(resp.retry_after_s, self.max_retry_after_s)
+                    )
+                time.sleep(wait)
                 delay *= self.backoff
         return resp
 
@@ -260,6 +319,8 @@ class HTTPFetcher:
                 statuses.append("missing")
             elif resp.status == _STATUS_SOCKET_ERROR:
                 statuses.append("error:timeout")
+            elif resp.status == _STATUS_REDIRECT_LOOP:
+                statuses.append("error:redirect_loop")
             else:
                 statuses.append(f"error:http_{resp.status}")
         cols = dict(zip(batch.column_names, batch.columns))

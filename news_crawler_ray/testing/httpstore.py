@@ -21,6 +21,11 @@ observe the fault exactly N times):
 * ``{"sleep": 2.0, "times": 1}`` — hold the response longer than the
   client timeout (socket timeout → retry → ``error:timeout`` when
   persistent).
+* ``{"redirect": "/hostB/p/other", "times": 1[, "status": 301]}`` —
+  3xx + Location (the fetcher follows up to ``max_redirects`` hops;
+  cycles become ``error:redirect_loop`` rows).
+* ``{"status": 429, "retry_after": 0.5, "times": 1}`` — rate-limit
+  with a Retry-After header the fetcher must honor before retrying.
 
 Every handled request is appended to ``request_log`` as
 ``(monotonic_s, host, image_id)`` — the wall-clock politeness test
@@ -117,8 +122,19 @@ class LoopbackStoreServer:
                 time.sleep(fault["sleep"])
                 # fall through and answer normally: the CLIENT timed out;
                 # a server that also errors would mask the timeout path
+            elif "redirect" in fault:
+                # {"redirect": "/hostB/p/other", "times": N[, "status": 301]}
+                handler.send_response(int(fault.get("status", 301)))
+                handler.send_header("Location", fault["redirect"])
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
+                return
             elif "status" in fault:
                 handler.send_response(int(fault["status"]))
+                if "retry_after" in fault:
+                    handler.send_header(
+                        "Retry-After", str(fault["retry_after"])
+                    )
                 handler.send_header("Content-Length", "0")
                 handler.end_headers()
                 return

@@ -293,3 +293,58 @@ def test_http_crawl_with_faults_row_level(ray_session, tmp_path):
     # error rows are excluded from fetched_ok but present in the output
     n_err = sum(1 for s in by_id.values() if s.startswith("error:"))
     assert n_err >= 1
+
+
+def test_http_fetcher_follows_redirects_and_detects_loops():
+    """3xx handling (the reference's requests session follows
+    redirects implicitly): a 2-hop chain resolves to the terminal
+    payload; a Location cycle becomes an error:redirect_loop row; every
+    hop is a real request in the server log."""
+    store = synth.make_pagestore(6, seed=31)
+    ids = store["image_id"].to_pylist()
+    faults = {
+        # chain: ids[0] -> ids[1] -> ids[2] (terminal serves payload)
+        ids[0]: {"redirect": f"/hb.example/p/{ids[1]}", "times": 10**9},
+        ids[1]: {"redirect": f"/hc.example/p/{ids[2]}", "times": 10**9,
+                 "status": 302},
+        # cycle: ids[3] -> ids[4] -> ids[3]
+        ids[3]: {"redirect": f"/ha.example/p/{ids[4]}", "times": 10**9},
+        ids[4]: {"redirect": f"/ha.example/p/{ids[3]}", "times": 10**9},
+    }
+    srv = LoopbackStoreServer(store, faults=faults)
+    with srv as base:
+        f = HTTPFetcher(base_url=base, timeout_s=5.0, attempts=1)
+        out = f.__call__(_mini_batch(store, [ids[0], ids[3], ids[5]],
+                                     host="ha.example"))
+        assert out["fetch_status"].to_pylist() == [
+            "ok", "error:redirect_loop", "ok"
+        ]
+        # the chain row carries the TERMINAL page's payload
+        assert out["bytes"][0].as_py() == store["bytes"][2].as_py()
+        f.transport.close()
+    hops = [i for _, _, i in srv.request_log]
+    assert hops.count(ids[0]) == 1 and hops.count(ids[1]) == 1
+    assert hops.count(ids[2]) == 1  # chain: exactly one request per hop
+
+
+def test_http_fetcher_honors_retry_after(ray_session):
+    """A 429 carrying Retry-After delays the retry by at least that
+    long (server-timestamp evidence), then succeeds."""
+    store = synth.make_pagestore(3, seed=33)
+    ids = store["image_id"].to_pylist()
+    ra = 0.6
+    srv = LoopbackStoreServer(
+        store, faults={ids[0]: {"status": 429, "retry_after": ra, "times": 1}}
+    )
+    with srv as base:
+        f = HTTPFetcher(
+            base_url=base, timeout_s=5.0, attempts=2, initial_delay_s=0.01
+        )
+        out = f.__call__(_mini_batch(store, [ids[0]]))
+        assert out["fetch_status"].to_pylist() == ["ok"]
+        f.transport.close()
+    times = [t for t, _, i in srv.request_log if i == ids[0]]
+    assert len(times) == 2
+    gap = times[1] - times[0]
+    assert gap >= ra * 0.9, gap          # honored the header...
+    assert gap < ra * 3                  # ...and didn't oversleep wildly

@@ -121,7 +121,26 @@ def _run_crawl_once(args: argparse.Namespace, resume: bool, scope: str | None) -
         import ray.data
 
         frontier = ray.data.read_parquet(frontier)
-    robots = pq.read_table(args.robots)
+    if args.robots == "http":
+        # discover politeness rules from each frontier host's live
+        # /robots.txt (sources/robotstxt) instead of a parquet table —
+        # requires the http transport config for routing
+        from .sources.robotstxt import fetch_robots_table
+
+        if isinstance(frontier, pa.Table):
+            hosts = sorted(set(frontier["host"].to_pylist()))
+        else:
+            hosts = sorted(
+                r["host"] for r in frontier.select_columns(["host"]).unique("host").take_all()
+            )
+        robots = fetch_robots_table(
+            hosts,
+            base_url=cfg.http_base_url,
+            default_delay_ms=cfg.default_delay_ms,
+            timeout_s=cfg.http_timeout_s,
+        )
+    else:
+        robots = pq.read_table(args.robots)
     res = run_crawl(
         frontier,
         _load_table_or_path(args.store) if args.store is not None else None,
@@ -244,7 +263,12 @@ def main(argv: list[str] | None = None) -> int:
         help="page-store parquet file or shard dir (omit with "
         "NC_FETCH_MODE=http: the network is the store)",
     )
-    cr.add_argument("--robots", required=True, help="robots parquet file")
+    cr.add_argument(
+        "--robots",
+        required=True,
+        help="robots parquet file, or the literal 'http' to discover "
+        "rules from each frontier host's live /robots.txt",
+    )
     cr.add_argument("--out", required=True, help="run output dir (checkpoints live here)")
     from .settings import env_default
 

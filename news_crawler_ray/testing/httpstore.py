@@ -50,12 +50,23 @@ class LoopbackStoreServer:
         store: pa.Table,
         faults: "dict[str, dict] | None" = None,
         host: str = "127.0.0.1",
+        robots: "pa.Table | None" = None,
     ):
         self.store = store.combine_chunks()
         self.ids = self.store["image_id"].combine_chunks()
         self._lock = threading.Lock()
         self.faults = {k: dict(v) for k, v in (faults or {}).items()}
         self.request_log: list[tuple[float, str, str]] = []
+        # optional robots table → served as /{host}/robots.txt (absent
+        # hosts 404, the allow-all path)
+        self.robots: dict[str, tuple] = {}
+        if robots is not None:
+            for h, d, ms in zip(
+                robots["host"].to_pylist(),
+                robots["disallow_prefixes"].to_pylist(),
+                robots["crawl_delay_ms"].to_pylist(),
+            ):
+                self.robots[h] = (list(d or []), ms)
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -103,6 +114,28 @@ class LoopbackStoreServer:
 
         path = handler.path.split("?", 1)[0]
         parts = [p for p in path.split("/") if p]
+        # /{host}/robots.txt — per-host politeness rules, rendered from
+        # the robots table (hosts without an entry 404 = allow-all)
+        if len(parts) == 2 and parts[1] == "robots.txt":
+            from ..sources.robotstxt import render_robots_txt
+
+            with self._lock:
+                self.request_log.append(
+                    (time.monotonic(), parts[0], "robots.txt")
+                )
+            entry = self.robots.get(parts[0])
+            if entry is None:
+                handler.send_response(404)
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
+                return
+            body = render_robots_txt(entry[0], entry[1]).encode()
+            handler.send_response(200)
+            handler.send_header("Content-Type", "text/plain")
+            handler.send_header("Content-Length", str(len(body)))
+            handler.end_headers()
+            handler.wfile.write(body)
+            return
         # /{host}/p/{image_id}  (also accepts bare /p/{image_id});
         # any other path is an unknown resource → 404, the same
         # row-level "missing" a store lookup yields for an unkeyable URL

@@ -59,8 +59,8 @@ def test_http_transport_roundtrip_and_reuse():
             assert tr.get(f"{base}/h0.example/p/{iid}").status == 200
         assert len(tr._conns) == 1
         tr.close()
-    # 7 keyed requests logged (the unparseable robots.txt 404s pre-log)
-    assert len(srv.request_log) == 7
+    # 8 requests logged: 7 keyed page lookups + the robots.txt probe
+    assert len(srv.request_log) == 8
 
 
 def test_store_transport_same_wire_contract():
@@ -348,3 +348,140 @@ def test_http_fetcher_honors_retry_after(ray_session):
     gap = times[1] - times[0]
     assert gap >= ra * 0.9, gap          # honored the header...
     assert gap < ra * 3                  # ...and didn't oversleep wildly
+
+
+def test_parse_robots_txt_groups_and_edge_cases():
+    """Pure-parser conformance: UA group selection by longest matching
+    token, * fallback, empty Disallow as allow-all no-op, fractional
+    Crawl-delay, comments, case-insensitive keys."""
+    from news_crawler_ray.sources.robotstxt import (
+        parse_robots_txt,
+        render_robots_txt,
+    )
+
+    txt = """
+# global rules
+User-Agent: *
+Disallow: /private/
+Crawl-Delay: 2
+
+User-agent: newsbot
+User-agent: otherbot
+Disallow: /p/img000000   # inline comment is stripped
+Disallow:
+CRAWL-DELAY: 0.5
+
+User-agent: news
+Disallow: /only-for-news/
+"""
+    # generic agent → the * group
+    dis, ms = parse_robots_txt(txt, "randombot/1.0")
+    assert dis == ["/private/"] and ms == 2000
+    # 'newsbot' matches BOTH 'newsbot' (len 7) and 'news' (len 4):
+    # longest token wins; empty Disallow is a no-op; 0.5 s → 500 ms
+    dis, ms = parse_robots_txt(txt, "NewsBot/2.1 (+crawler)")
+    assert dis == ["/p/img000000"] and ms == 500
+    # no groups at all → allow-all + default
+    assert parse_robots_txt("", "x") == ([], 1000)
+    assert parse_robots_txt("junk without colons\n", "x") == ([], 1000)
+    # round-trip through the renderer
+    dis2, ms2 = parse_robots_txt(render_robots_txt(["/a", "/b/c"], 750), "any")
+    assert dis2 == ["/a", "/b/c"] and ms2 == 750
+
+
+def test_fetch_robots_table_over_loopback(ray_session):
+    """The robots HTTP source reproduces the fixture robots table
+    exactly over real sockets — and hosts WITHOUT a robots.txt (404)
+    become allow-all rows with the default delay instead of errors."""
+    from news_crawler_ray.sources.robotstxt import fetch_robots_table
+
+    store = synth.make_pagestore(4, seed=3)
+    robots = synth.make_robots(seed=42)
+    srv = LoopbackStoreServer(store, robots=robots)
+    with srv as base:
+        hosts = robots["host"].to_pylist() + ["norobots.example.com"]
+        got = fetch_robots_table(
+            hosts, base_url=base, default_delay_ms=1234, concurrency=1
+        )
+    want = {
+        h: (list(d or []), ms)
+        for h, d, ms in zip(
+            robots["host"].to_pylist(),
+            robots["disallow_prefixes"].to_pylist(),
+            robots["crawl_delay_ms"].to_pylist(),
+        )
+    }
+    got_map = {
+        h: (list(d or []), ms)
+        for h, d, ms in zip(
+            got["host"].to_pylist(),
+            got["disallow_prefixes"].to_pylist(),
+            got["crawl_delay_ms"].to_pylist(),
+        )
+    }
+    assert got_map.pop("norobots.example.com") == ([], 1234)
+    assert got_map == want
+
+
+def test_crawl_with_http_fetched_robots_matches_table(ray_session, tmp_path):
+    """End-to-end: a crawl whose robots came over HTTP equals the crawl
+    with the fixture robots table — discovery closes the loop."""
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from news_crawler_ray.sources.robotstxt import fetch_robots_table
+
+    store = synth.make_pagestore(150, seed=42)
+    frontier = synth.make_frontier(120, seed=42)
+    robots = synth.make_robots(seed=42)
+    cfg = dict(max_waves=1, num_seen_shards=2, dedup_partitions=2)
+    res_table = run_crawl(
+        frontier, store, robots, str(tmp_path / "t"),
+        config=CrawlConfig(**cfg),
+    )
+    srv = LoopbackStoreServer(store, robots=robots)
+    with srv as base:
+        robots_http = fetch_robots_table(
+            robots["host"].to_pylist(), base_url=base, concurrency=1
+        )
+        res_http = run_crawl(
+            frontier, store, robots_http, str(tmp_path / "h"),
+            config=CrawlConfig(**cfg),
+        )
+    a = pq.read_table(os.path.join(res_table.out_dir, "fetched"))
+    b = pq.read_table(os.path.join(res_http.out_dir, "fetched"))
+    order = [("crawl_rank", "ascending")]
+    assert a.sort_by(order)["url"].to_pylist() == b.sort_by(order)["url"].to_pylist()
+    assert a.num_rows == b.num_rows > 0
+
+
+def test_cli_http_crawl_with_live_robots(ray_session, tmp_path, capsys, monkeypatch):
+    """--robots http: the CLI discovers politeness rules from each
+    frontier host's live /robots.txt over the same loopback transport
+    that serves the pages — the fully self-configured deployment."""
+    import json
+
+    from news_crawler_ray.__main__ import main
+
+    store = synth.make_pagestore(80, seed=11)
+    frontier = synth.make_frontier(60, seed=11)
+    robots = synth.make_robots(seed=11)
+    fp = str(tmp_path / "frontier.parquet")
+    pq.write_table(frontier, fp)
+
+    srv = LoopbackStoreServer(store, robots=robots)
+    with srv as base:
+        monkeypatch.setenv("NC_FETCH_MODE", "http")
+        monkeypatch.setenv("NC_HTTP_BASE_URL", base)
+        monkeypatch.setenv("NC_HTTP_RATE_PER_S", "10000")
+        monkeypatch.setenv("NC_HTTP_BURST", "64")
+        assert main([
+            "crawl", "--frontier", fp, "--robots", "http",
+            "--out", str(tmp_path / "run"), "--max-waves", "1",
+        ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows[-1]["total_fetched"] > 0
+    # the server really served robots.txt (one per frontier host)...
+    n_robots = sum(1 for _, _, i in srv.request_log if i == "robots.txt")
+    assert n_robots == len(set(frontier["host"].to_pylist()))
+    # ...and page requests flowed after rule discovery
+    assert sum(1 for _, _, i in srv.request_log if i.startswith("img")) > 0

@@ -61,9 +61,11 @@ class TransportResponse(NamedTuple):
     status: int
     body: bytes | None
     # Location header on 3xx; Retry-After seconds on 429/503 (None when
-    # absent) — the two response headers a polite crawler acts on
+    # absent); ETag on 200s — the response headers a polite, efficient
+    # crawler acts on
     location: "str | None" = None
     retry_after_s: "float | None" = None
+    etag: "str | None" = None
 
 
 def payload_to_body(row: pa.Table) -> bytes:
@@ -103,7 +105,9 @@ class HTTPTransport:
         self.timeout_s = timeout_s
         self._conns: dict[str, http.client.HTTPConnection] = {}
 
-    def get(self, url: str) -> TransportResponse:
+    def get(
+        self, url: str, headers: "dict[str, str] | None" = None
+    ) -> TransportResponse:
         parts = urlsplit(url)
         # key by scheme too: the same netloc may be reached over both
         # in redirect chains, and the two need different socket types
@@ -123,7 +127,7 @@ class HTTPTransport:
         if parts.query:
             path += "?" + parts.query
         try:
-            conn.request("GET", path)
+            conn.request("GET", path, headers=headers or {})
             resp = conn.getresponse()
             body = resp.read()
             ra = resp.getheader("Retry-After")
@@ -132,7 +136,11 @@ class HTTPTransport:
             except ValueError:
                 ra_s = None  # HTTP-date form: treat as absent
             return TransportResponse(
-                resp.status, body, resp.getheader("Location"), ra_s
+                resp.status,
+                body,
+                resp.getheader("Location"),
+                ra_s,
+                resp.getheader("ETag"),
             )
         except Exception:
             conn.close()
@@ -159,16 +167,23 @@ class StoreTransport:
         self.store = store.combine_chunks()
         self.ids = self.store["image_id"].combine_chunks()
 
-    def get(self, url: str) -> TransportResponse:
+    def get(
+        self, url: str, headers: "dict[str, str] | None" = None
+    ) -> TransportResponse:
+        import hashlib
+
         image_id = url.rsplit("/", 1)[-1]
         pos = self._pc.index_in(
             pa.array([image_id]), value_set=self.ids
         )[0].as_py()
         if pos is None:
             return TransportResponse(404, None)
-        return TransportResponse(
-            200, payload_to_body(self.store.slice(pos, 1))
-        )
+        body = payload_to_body(self.store.slice(pos, 1))
+        etag = '"' + hashlib.md5(body).hexdigest() + '"'
+        inm = (headers or {}).get("If-None-Match")
+        if inm is not None and inm == etag:
+            return TransportResponse(304, None, None, None, etag)
+        return TransportResponse(200, body, None, None, etag)
 
     def close(self) -> None:  # symmetry with HTTPTransport
         pass
@@ -205,6 +220,8 @@ class HTTPFetcher:
         transport_factory=None,
         max_redirects: int = 5,
         max_retry_after_s: float = 30.0,
+        prior_etags=None,
+        emit_etag: bool = False,
     ):
         from .ratelimit import RateLimiter
 
@@ -214,6 +231,19 @@ class HTTPFetcher:
         self.backoff = backoff
         self.max_redirects = max_redirects
         self.max_retry_after_s = max_retry_after_s
+        # recrawl economics: a url→etag map from a PRIOR crawl (plain
+        # dict, or an ObjectRef broadcast once via ray.put — resolved
+        # here, once per actor) makes every request conditional; an
+        # unchanged page answers 304 with no payload bytes on the wire
+        # (fetch_status="not_modified" — the prior content is already
+        # durable). emit_etag=True appends an `etag` output column so
+        # THIS crawl's output can seed the NEXT crawl's map.
+        if prior_etags is not None and not isinstance(prior_etags, dict):
+            import ray as _ray
+
+            prior_etags = _ray.get(prior_etags)
+        self.prior_etags: "dict[str, str] | None" = prior_etags
+        self.emit_etag = emit_etag
         self.transport = (
             transport_factory() if transport_factory is not None
             else HTTPTransport(timeout_s=timeout_s)
@@ -242,7 +272,9 @@ class HTTPFetcher:
         segs = [s for s in urlsplit(url).path.split("/") if s]
         return segs[0] if len(segs) >= 3 else fallback
 
-    def _get_following(self, url: str, host: str) -> TransportResponse:
+    def _get_following(
+        self, url: str, host: str, etag: "str | None" = None
+    ) -> TransportResponse:
         """One GET, following up to ``max_redirects`` 3xx hops (what the
         reference's requests session does implicitly). Every hop draws a
         politeness token against the hop's OWN logical host — a
@@ -252,11 +284,16 @@ class HTTPFetcher:
         from urllib.parse import urljoin
 
         seen: set[str] = set()
-        for _hop in range(self.max_redirects + 1):
+        for hop in range(self.max_redirects + 1):
             if self.limiter is not None:
                 self.limiter.wait_turn(host)
+            # conditional only on the FIRST hop: a redirect target is a
+            # different resource than the one the etag described
+            hdrs = (
+                {"If-None-Match": etag} if (etag and hop == 0) else None
+            )
             try:
-                resp = self.transport.get(url)
+                resp = self.transport.get(url, headers=hdrs)
             except (OSError, http.client.HTTPException):
                 return TransportResponse(_STATUS_SOCKET_ERROR, None)
             if resp.status in REDIRECT_STATUSES and resp.location:
@@ -270,7 +307,9 @@ class HTTPFetcher:
             return resp
         return TransportResponse(_STATUS_REDIRECT_LOOP, None)
 
-    def _get_with_retry(self, url: str, host: str) -> TransportResponse:
+    def _get_with_retry(
+        self, url: str, host: str, etag: "str | None" = None
+    ) -> TransportResponse:
         """Bounded retry (T5: reference utils/retry.py policy — here it
         guards a REAL socket). Every attempt draws a politeness token
         first (inside ``_get_following``): a retry is a request too, and
@@ -280,7 +319,7 @@ class HTTPFetcher:
         delay = self.initial_delay_s
         resp = TransportResponse(_STATUS_SOCKET_ERROR, None)
         for attempt in range(self.attempts):
-            resp = self._get_following(url, host)
+            resp = self._get_following(url, host, etag=etag)
             if (
                 resp.status not in (_STATUS_SOCKET_ERROR,)
                 and resp.status not in RETRYABLE_STATUSES
@@ -301,10 +340,19 @@ class HTTPFetcher:
             batch = add_image_id(batch)
         rows: list[pa.Table] = []
         statuses: list[str] = []
+        etags: list[str | None] = []
         for url, host in zip(
             batch["url"].to_pylist(), batch["host"].to_pylist()
         ):
-            resp = self._get_with_retry(self._request_url(url, host), host)
+            prior = (
+                self.prior_etags.get(url)
+                if self.prior_etags is not None
+                else None
+            )
+            resp = self._get_with_retry(
+                self._request_url(url, host), host, etag=prior
+            )
+            etags.append(resp.etag if resp.etag else prior)
             if resp.status == 200 and resp.body is not None:
                 try:
                     rows.append(body_to_payload(resp.body))
@@ -315,7 +363,11 @@ class HTTPFetcher:
                     statuses.append("error:bad_body")
                     continue
             rows.append(_null_payload_row())
-            if resp.status in MISSING_STATUSES:
+            if resp.status == 304:
+                # unchanged since the prior crawl: no payload crossed
+                # the wire; the prior content is already durable
+                statuses.append("not_modified")
+            elif resp.status in MISSING_STATUSES:
                 statuses.append("missing")
             elif resp.status == _STATUS_SOCKET_ERROR:
                 statuses.append("error:timeout")
@@ -332,6 +384,8 @@ class HTTPFetcher:
             for f in PAYLOAD_SCHEMA:
                 cols[f.name] = pa.array([], f.type)
         cols["fetch_status"] = pa.array(statuses, pa.string())
+        if self.emit_etag:
+            cols["etag"] = pa.array(etags, pa.string())
         return pa.table(cols)
 
 
@@ -346,6 +400,8 @@ def fetch_http(
     concurrency: int | tuple = (1, 8),
     batch_size: int = 256,
     num_cpus: float | None = None,
+    prior_etags=None,
+    emit_etag: bool = False,
 ) -> "ray.data.Dataset":
     """HTTP fetch over the scheduled wave — the live-transport analog
     of ``fetch_broadcast``/``fetch_sharded`` with an identical output
@@ -361,6 +417,10 @@ def fetch_http(
             limiter_shards=limiter_shards,
             rate_per_s=rate_per_s,
             burst=burst,
+            # recrawl mode: ray.put the url→etag map once; every actor
+            # resolves the ref zero-copy in __init__
+            prior_etags=prior_etags,
+            emit_etag=emit_etag,
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -178,8 +178,19 @@ class LoopbackStoreServer:
             handler.end_headers()
             return
         body = payload_to_body(self.store.slice(pos, 1))
+        import hashlib
+
+        etag = '"' + hashlib.md5(body).hexdigest() + '"'
+        if handler.headers.get("If-None-Match") == etag:
+            # conditional GET: unchanged content, zero payload bytes
+            handler.send_response(304)
+            handler.send_header("ETag", etag)
+            handler.send_header("Content-Length", "0")
+            handler.end_headers()
+            return
         handler.send_response(200)
         handler.send_header("Content-Type", "application/vnd.apache.arrow.stream")
+        handler.send_header("ETag", etag)
         handler.send_header("Content-Length", str(len(body)))
         handler.end_headers()
         handler.wfile.write(body)

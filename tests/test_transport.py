@@ -485,3 +485,58 @@ def test_cli_http_crawl_with_live_robots(ray_session, tmp_path, capsys, monkeypa
     assert n_robots == len(set(frontier["host"].to_pylist()))
     # ...and page requests flowed after rule discovery
     assert sum(1 for _, _, i in srv.request_log if i.startswith("img")) > 0
+
+
+def test_http_fetcher_conditional_get_recrawl():
+    """Recrawl economics: pass 1 collects ETags (emit_etag); pass 2
+    sends If-None-Match and every unchanged page answers 304 —
+    fetch_status='not_modified', zero payload bytes on the wire. A page
+    whose content CHANGED between passes re-downloads normally. The
+    same contract holds for StoreTransport (full test double)."""
+    from news_crawler_ray.stages.transport import StoreTransport
+
+    store = synth.make_pagestore(5, seed=37)
+    ids = store["image_id"].to_pylist()
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        f1 = HTTPFetcher(base_url=base, timeout_s=5.0, emit_etag=True)
+        out1 = f1.__call__(_mini_batch(store, ids))
+        assert out1["fetch_status"].to_pylist() == ["ok"] * 5
+        etag_map = dict(zip(
+            out1["url"].to_pylist(), out1["etag"].to_pylist()
+        ))
+        assert all(etag_map.values())
+        f1.transport.close()
+
+        # mutate one page's payload between crawls
+        mutated = store.set_column(
+            store.column_names.index("caption"), "caption",
+            pa.array(
+                ["CHANGED"] + store["caption"].to_pylist()[1:], pa.string()
+            ),
+        )
+        srv.store = mutated.combine_chunks()
+        srv.ids = srv.store["image_id"].combine_chunks()
+
+        f2 = HTTPFetcher(
+            base_url=base, timeout_s=5.0, prior_etags=etag_map,
+            emit_etag=True,
+        )
+        out2 = f2.__call__(_mini_batch(store, ids))
+        st = out2["fetch_status"].to_pylist()
+        assert st[0] == "ok"                      # changed → re-downloaded
+        assert st[1:] == ["not_modified"] * 4     # unchanged → 304
+        assert out2["caption"][0].as_py() == "CHANGED"
+        assert out2["bytes"][1].as_py() is None   # no payload re-shipped
+        # the changed page's NEW etag flows out for the next crawl
+        assert out2["etag"][0].as_py() != etag_map[out2["url"][0].as_py()]
+        assert out2["etag"][1].as_py() == etag_map[out2["url"][1].as_py()]
+        f2.transport.close()
+
+    # StoreTransport speaks the same conditional contract
+    tr = StoreTransport(store)
+    url = f"https://h/p/{ids[0]}"
+    r1 = tr.get(url)
+    assert r1.status == 200 and r1.etag
+    assert tr.get(url, headers={"If-None-Match": r1.etag}).status == 304
+    assert tr.get(url, headers={"If-None-Match": '"stale"'}).status == 200

@@ -128,6 +128,13 @@ class CrawlConfig:
     http_burst: float = 1.0
     http_rate_shards: int = 2
     http_batch_size: int = 256
+    # recrawl mode: emit an `etag` column on fetched output, and/or
+    # load a prior run's (url, etag) pairs (a fetched/ dir or any
+    # parquet with those columns) to make every GET conditional —
+    # unchanged pages answer 304 (fetch_status="not_modified", no
+    # payload bytes on the wire).
+    http_emit_etag: bool = False
+    http_prior_etags_path: str | None = None
     broadcast_limit_bytes: int = 1 << 30
     default_delay_ms: int = 1000
     outlink_decay: float = 0.5
@@ -318,6 +325,24 @@ def run_crawl(
         limiter_shards = [
             TokenBucketShard.remote() for _ in range(cfg.http_rate_shards)
         ]
+        if cfg.http_prior_etags_path:
+            # prior-crawl etags: column-pruned driver read (narrow — two
+            # strings per previously-fetched url), broadcast ONCE
+            import pyarrow.dataset as pads
+
+            et = pads.dataset(cfg.http_prior_etags_path).to_table(
+                columns=["url", "etag"]
+            )
+            etag_map = {
+                u: e
+                for u, e in zip(
+                    et["url"].to_pylist(), et["etag"].to_pylist()
+                )
+                if e is not None
+            }
+            prior_etags_ref = ray.put(etag_map)
+        else:
+            prior_etags_ref = None
     elif isinstance(pagestore, str):
         if os.path.isdir(os.path.join(pagestore, "shard-0")):
             # hash-partitioned store (stages.fetch.partition_pagestore):
@@ -552,6 +577,8 @@ def run_crawl(
                 concurrency=pools["fetch"]["concurrency"],
                 num_cpus=pools["fetch"].get("num_cpus"),
                 batch_size=cfg.http_batch_size,
+                prior_etags=prior_etags_ref,
+                emit_etag=cfg.http_emit_etag,
             )
         elif fused_decode:
             fetched_raw = fetch_decode_sharded(

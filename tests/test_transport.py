@@ -540,3 +540,58 @@ def test_http_fetcher_conditional_get_recrawl():
     assert r1.status == 200 and r1.etag
     assert tr.get(url, headers={"If-None-Match": r1.etag}).status == 304
     assert tr.get(url, headers={"If-None-Match": '"stale"'}).status == 200
+
+
+def test_http_recrawl_via_run_crawl(ray_session, tmp_path):
+    """Recrawl through the run surface: pass 1 (http_emit_etag) writes
+    an etag column; pass 2 points http_prior_etags_path at pass 1's
+    fetched/ dir and every previously-ok page comes back
+    fetch_status='not_modified' with no payload re-shipped, while
+    misses stay misses."""
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    store = synth.make_pagestore(150, seed=42)
+    frontier = synth.make_frontier(120, seed=42)
+    robots = synth.make_robots(seed=42)
+    common = dict(
+        max_waves=1, num_seen_shards=2, dedup_partitions=2,
+        fetch_mode="http", http_rate_per_s=10_000.0, http_burst=64.0,
+        http_emit_etag=True,
+    )
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        res1 = run_crawl(
+            frontier, None, robots, str(tmp_path / "r1"),
+            config=CrawlConfig(**common, http_base_url=base),
+        )
+        t1 = pq.read_table(os.path.join(res1.out_dir, "fetched"))
+        assert "etag" in t1.column_names
+        st1 = dict(zip(t1["url"].to_pylist(), t1["fetch_status"].to_pylist()))
+        assert "ok" in set(st1.values())
+
+        res2 = run_crawl(
+            frontier, None, robots, str(tmp_path / "r2"),
+            config=CrawlConfig(
+                **common,
+                http_base_url=base,
+                http_prior_etags_path=os.path.join(res1.out_dir, "fetched"),
+            ),
+        )
+    t2 = pq.read_table(os.path.join(res2.out_dir, "fetched"))
+    st2 = dict(zip(t2["url"].to_pylist(), t2["fetch_status"].to_pylist()))
+    assert set(st1) == set(st2)
+    n_nm = 0
+    for url, s1 in st1.items():
+        if s1 == "ok":
+            assert st2[url] == "not_modified", url
+            n_nm += 1
+        else:
+            assert st2[url] == s1, url
+    assert n_nm > 0
+    # not_modified rows carry no payload bytes
+    nm = t2.filter(
+        pa.compute.equal(t2["fetch_status"], "not_modified")
+    )
+    assert all(b is None for b in nm["bytes"].to_pylist())
+    # and the etag column survives for the NEXT recrawl's map
+    assert all(e is not None for e in nm["etag"].to_pylist())

@@ -116,7 +116,24 @@ def _run_crawl_once(args: argparse.Namespace, resume: bool, scope: str | None) -
             "--store is required unless fetch_mode is 'http' "
             "(set NC_FETCH_MODE=http and NC_HTTP_BASE_URL)"
         )
-    frontier = pq.read_table(args.frontier) if os.path.isfile(args.frontier) else args.frontier
+    if args.frontier is None:
+        # zero-local-input discovery: the host list is the only input —
+        # seeds come from each host's live /sitemap.xml
+        if not getattr(args, "hosts", None):
+            raise SystemExit("--frontier or --hosts is required")
+        if cfg.fetch_mode != "http":
+            raise SystemExit("--hosts discovery requires fetch_mode http")
+        from .sources.discovery import fetch_sitemap_frontier
+
+        with open(args.hosts) as f:
+            host_list = [l.strip() for l in f if l.strip()]
+        frontier = fetch_sitemap_frontier(
+            host_list,
+            base_url=cfg.http_base_url,
+            timeout_s=cfg.http_timeout_s,
+        )
+    else:
+        frontier = pq.read_table(args.frontier) if os.path.isfile(args.frontier) else args.frontier
     if isinstance(frontier, str):
         import ray.data
 
@@ -256,7 +273,18 @@ def main(argv: list[str] | None = None) -> int:
     sy.set_defaults(fn=cmd_synth)
 
     cr = sub.add_parser("crawl", help="run or resume the multi-wave crawl")
-    cr.add_argument("--frontier", required=True, help="seed frontier parquet file/dir")
+    cr.add_argument(
+        "--frontier",
+        default=None,
+        help="seed frontier parquet file/dir (omit with --hosts to "
+        "discover seeds from each host's live /sitemap.xml)",
+    )
+    cr.add_argument(
+        "--hosts",
+        default=None,
+        help="text file of hosts (one per line) for sitemap seed "
+        "discovery; requires fetch_mode http",
+    )
     cr.add_argument(
         "--store",
         default=None,

@@ -51,6 +51,7 @@ class LoopbackStoreServer:
         faults: "dict[str, dict] | None" = None,
         host: str = "127.0.0.1",
         robots: "pa.Table | None" = None,
+        sitemaps: "dict[str, str] | None" = None,
     ):
         self.store = store.combine_chunks()
         self.ids = self.store["image_id"].combine_chunks()
@@ -67,6 +68,8 @@ class LoopbackStoreServer:
                 robots["crawl_delay_ms"].to_pylist(),
             ):
                 self.robots[h] = (list(d or []), ms)
+        # optional {host: sitemap-xml} → served as /{host}/sitemap.xml
+        self.sitemaps: dict[str, str] = dict(sitemaps or {})
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -132,6 +135,25 @@ class LoopbackStoreServer:
             body = render_robots_txt(entry[0], entry[1]).encode()
             handler.send_response(200)
             handler.send_header("Content-Type", "text/plain")
+            handler.send_header("Content-Length", str(len(body)))
+            handler.end_headers()
+            handler.wfile.write(body)
+            return
+        # /{host}/sitemap.xml — seed discovery (absent hosts 404)
+        if len(parts) == 2 and parts[1] == "sitemap.xml":
+            with self._lock:
+                self.request_log.append(
+                    (time.monotonic(), parts[0], "sitemap.xml")
+                )
+            xml = self.sitemaps.get(parts[0])
+            if xml is None:
+                handler.send_response(404)
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
+                return
+            body = xml.encode()
+            handler.send_response(200)
+            handler.send_header("Content-Type", "application/xml")
             handler.send_header("Content-Length", str(len(body)))
             handler.end_headers()
             handler.wfile.write(body)

@@ -595,3 +595,139 @@ def test_http_recrawl_via_run_crawl(ray_session, tmp_path):
     assert all(b is None for b in nm["bytes"].to_pylist())
     # and the etag column survives for the NEXT recrawl's map
     assert all(e is not None for e in nm["etag"].to_pylist())
+
+
+def test_fetch_sitemap_frontier_over_loopback(ray_session):
+    """Live sitemap discovery: /sitemap.xml per host → frontier-schema
+    seeds (host parsed from loc, lastmod → discovered_at, date-less
+    entries at epoch); hosts without a sitemap contribute zero rows."""
+    from news_crawler_ray.sources.discovery import fetch_sitemap_frontier
+
+    store = synth.make_pagestore(4, seed=3)
+    sm = synth.make_sitemaps(6, seed=42)
+    sitemaps = dict(zip(sm["sitemap_id"].to_pylist(), sm["xml"].to_pylist()))
+    # re-key by HOST (the discovery URL layout): sm{i} -> sm{i}.example.com
+    sitemaps = {f"{k}.example.com": v for k, v in sitemaps.items()}
+    srv = LoopbackStoreServer(store, sitemaps=sitemaps)
+    with srv as base:
+        hosts = sorted(sitemaps) + ["nositemap.example.com"]
+        got = fetch_sitemap_frontier(hosts, base_url=base, concurrency=1)
+    # expected: every <loc> across the served sitemaps
+    import re
+
+    exp = []
+    for xml in sitemaps.values():
+        exp.extend(re.findall(r"<loc>([^<]*)</loc>", xml))
+    assert sorted(got["url"].to_pylist()) == sorted(exp)
+    assert len(exp) > 0
+    # schema + projections
+    for u, h, d, ts, p in zip(
+        got["url"].to_pylist(), got["host"].to_pylist(),
+        got["depth"].to_pylist(), got["discovered_at"].to_pylist(),
+        got["priority"].to_pylist(),
+    ):
+        assert h and u.startswith("http://" + h)
+        assert d == 0 and p == 1.0
+        assert ts is not None
+    # lastmod-bearing entries got real dates; date-less ones epoch
+    years = {t.year for t in got["discovered_at"].to_pylist()}
+    assert 1970 in years and 2025 in years
+
+
+def test_zero_local_input_discovery_crawl(ray_session, tmp_path):
+    """The complete discovery deployment: a HOST LIST is the crawl's
+    ONLY input — robots from live /robots.txt, seeds from live
+    /sitemap.xml, pages over live GETs — and it fetches real payloads
+    honoring the discovered disallow rules."""
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from news_crawler_ray.sources.discovery import fetch_sitemap_frontier
+    from news_crawler_ray.sources.robotstxt import fetch_robots_table
+
+    store = synth.make_pagestore(40, seed=51)
+    ids = store["image_id"].to_pylist()
+    hosts = ["ha.example.com", "hb.example.com"]
+    # each host's sitemap lists 20 real store pages
+    sitemaps = {}
+    for k, h in enumerate(hosts):
+        locs = "".join(
+            f"<url><loc>https://{h}/p/{i}</loc></url>"
+            for i in ids[k * 20:(k + 1) * 20]
+        )
+        sitemaps[h] = f'<?xml version="1.0"?><urlset>{locs}</urlset>'
+    robots = pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            # hb disallows its first 10 page ids by prefix
+            "disallow_prefixes": pa.array(
+                [[], [f"/p/{i}" for i in ids[20:30]]],
+                pa.list_(pa.string()),
+            ),
+            "crawl_delay_ms": pa.array([100, 100], pa.int32()),
+        }
+    )
+    srv = LoopbackStoreServer(store, robots=robots, sitemaps=sitemaps)
+    with srv as base:
+        seeds = fetch_sitemap_frontier(hosts, base_url=base, concurrency=1)
+        assert seeds.num_rows == 40
+        rules = fetch_robots_table(hosts, base_url=base, concurrency=1)
+        res = run_crawl(
+            seeds, None, rules, str(tmp_path / "run"),
+            config=CrawlConfig(
+                max_waves=1, num_seen_shards=2, dedup_partitions=2,
+                fetch_mode="http", http_base_url=base,
+                http_rate_per_s=10_000.0, http_burst=64.0,
+            ),
+        )
+    w = res.waves[0]
+    # 40 seeds - 10 disallowed on hb = 30 scheduled, all present in store
+    assert w.scheduled == 30
+    assert w.fetched_ok == 30
+    t = pq.read_table(os.path.join(res.out_dir, "fetched"))
+    assert t.num_rows == 30
+    assert not any(
+        u.rsplit("/", 1)[-1] in set(ids[20:30]) for u in t["url"].to_pylist()
+    )
+
+
+def test_cli_discovery_crawl_hosts_only(ray_session, tmp_path, capsys, monkeypatch):
+    """CLI zero-local-input deployment: `crawl --hosts hosts.txt
+    --robots http` with NC_FETCH_MODE=http — no frontier file, no
+    robots file, no store. Everything is discovered live."""
+    import json
+
+    from news_crawler_ray.__main__ import main
+
+    store = synth.make_pagestore(20, seed=61)
+    ids = store["image_id"].to_pylist()
+    host = "hc.example.com"
+    sitemaps = {
+        host: '<?xml version="1.0"?><urlset>' + "".join(
+            f"<url><loc>https://{host}/p/{i}</loc></url>" for i in ids[:10]
+        ) + "</urlset>"
+    }
+    robots = pa.table(
+        {
+            "host": pa.array([host], pa.string()),
+            "disallow_prefixes": pa.array([[]], pa.list_(pa.string())),
+            "crawl_delay_ms": pa.array([100], pa.int32()),
+        }
+    )
+    hosts_file = str(tmp_path / "hosts.txt")
+    with open(hosts_file, "w") as f:
+        f.write(host + "\n")
+
+    srv = LoopbackStoreServer(store, robots=robots, sitemaps=sitemaps)
+    with srv as base:
+        monkeypatch.setenv("NC_FETCH_MODE", "http")
+        monkeypatch.setenv("NC_HTTP_BASE_URL", base)
+        monkeypatch.setenv("NC_HTTP_RATE_PER_S", "10000")
+        monkeypatch.setenv("NC_HTTP_BURST", "64")
+        assert main([
+            "crawl", "--hosts", hosts_file, "--robots", "http",
+            "--out", str(tmp_path / "run"), "--max-waves", "1",
+        ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")]
+    assert rows[-1]["total_fetched"] == 10
+    served = {i for _, _, i in srv.request_log}
+    assert "sitemap.xml" in served and "robots.txt" in served

@@ -875,3 +875,31 @@ def make_entity_names(n: int = 120, seed: int = 42) -> tuple[list[dict], list[di
             s2 = t[:6] + t[7:]
         dirty.append({"id": 10_000 + i, "s": s2})
     return canon, dirty
+
+
+def render_rss_xml(rows: pa.Table, feed_title: str = "synthetic feed") -> str:
+    """Flat feed-entry rows (make_rss_feed schema, one feed) → RSS-ish
+    XML the vectorized parser (stages/rss.extract_rss_entries_batch)
+    reads back: channel header with a FEED <title> (must not leak into
+    entries), one <item> per row in seq order, null summary/description
+    → tag omitted (so the projection's coalesce fallback fires)."""
+    order = rows.sort_by("seq")
+    items = []
+    for r in order.to_pylist():
+        parts = ["<item>"]
+        for tag, col in (
+            ("title", "title"), ("link", "link"),
+            ("pubDate", "published"), ("summary", "summary"),
+            ("description", "description"),
+        ):
+            v = r.get(col)
+            if v is not None:
+                parts.append(f"<{tag}>{v}</{tag}>")
+        parts.append("</item>")
+        items.append("".join(parts))
+    return (
+        '<?xml version="1.0"?><rss><channel>'
+        f"<title>{feed_title}</title><link>http://feed.example</link>"
+        + "".join(items)
+        + "</channel></rss>"
+    )

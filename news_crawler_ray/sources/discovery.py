@@ -143,3 +143,78 @@ def fetch_sitemap_frontier(
         else FRONTIER_SCHEMA.empty_table()
     )
     return out.cast(FRONTIER_SCHEMA).sort_by("url")
+
+
+class FeedFetchStage:
+    """Actor-pool stage: (host) rows → (feed_id=host, xml) rows via
+    ``GET /feed.xml`` — the reference's RSS feed loop
+    (news.py RSS_FEEDS / advisory.py feedparser fetch) over the
+    injectable transport. Hosts without a feed yield no row."""
+
+    def __init__(
+        self,
+        base_url: "str | None" = None,
+        timeout_s: float = 5.0,
+        transport_factory=None,
+        path: str = "/feed.xml",
+    ):
+        from ..stages.transport import HTTPTransport
+
+        self.base_url = base_url.rstrip("/") if base_url else None
+        self.path = path
+        self.transport = (
+            transport_factory() if transport_factory is not None
+            else HTTPTransport(timeout_s=timeout_s)
+        )
+
+    def _url(self, host: str) -> str:
+        if self.base_url is not None:
+            return f"{self.base_url}/{host}{self.path}"
+        return f"http://{host}{self.path}"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts_out, xmls = [], []
+        for h in batch["host"].to_pylist():
+            try:
+                resp = self.transport.get(self._url(h))
+            except (OSError, http.client.HTTPException):
+                continue
+            if resp.status == 200 and resp.body is not None:
+                hosts_out.append(h)
+                xmls.append(resp.body.decode("utf-8", errors="replace"))
+        return pa.table(
+            {
+                "feed_id": pa.array(hosts_out, pa.string()),
+                "xml": pa.array(xmls, pa.string()),
+            }
+        )
+
+
+def fetch_rss_entries(
+    hosts: "pa.Table | list[str]",
+    base_url: "str | None" = None,
+    timeout_s: float = 5.0,
+    concurrency: "int | tuple" = (1, 4),
+    batch_size: int = 256,
+):
+    """Live feed fetch → flat entry-row Dataset (the input
+    ``stages.rss.parse_rss_entries`` projects): one GET per host, the
+    vectorized RSS-XML parse, zero exchange. Returns the lazy Dataset —
+    callers chain the projection/day-cut and consume it like any other
+    feed-entry source."""
+    import ray.data
+
+    from ..stages.rss import parse_rss_xml
+
+    if isinstance(hosts, list):
+        hosts = pa.table({"host": pa.array(hosts, pa.string())})
+    fetched = ray.data.from_arrow(hosts.select(["host"])).map_batches(
+        FeedFetchStage,
+        fn_constructor_kwargs=dict(base_url=base_url, timeout_s=timeout_s),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    # materialize ONCE (the lazy schema probe would re-hit every feed)
+    return parse_rss_xml(fetched.materialize())

@@ -115,3 +115,66 @@ def parse_sitemaps(ds, xml_col: str = "xml"):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def extract_rss_entries_batch(
+    batch: pa.Table, xml_col: str = "xml", id_col: str = "feed_id"
+) -> pa.Table:
+    """RSS/Atom-ish feed XML → the flat entry rows ``parse_rss_entries``
+    consumes: (entry_id, seq, title, link, published, summary,
+    description) — the engine's feedparser analog
+    (/root/reference/src/secbot/fetchers/advisory.py:61-76 iterates
+    ``feedparser.parse(...).entries``). Same vectorized shape as the
+    sitemap parser: split on ``<item>`` so each fragment holds at most
+    one entry (fragment 0 is the channel header — its ``<title>`` is
+    the FEED title, not an entry — and is dropped by position, not by
+    content), one ``extract_regex`` per field, missing fields → null so
+    the projection's coalesce/default-day fallbacks fire exactly as
+    they do on fixture rows. ``seq`` is the entry's position in its own
+    feed (the deterministic head-limit key), ``entry_id`` =
+    ``{feed_id}#{seq}``."""
+    import numpy as np
+
+    ids = batch[id_col].combine_chunks() if batch.num_rows else batch[id_col]
+    xml = pc.coalesce(batch[xml_col], "")
+    frags = pc.split_pattern(xml, "<item>")
+    frags = frags.combine_chunks() if isinstance(frags, pa.ChunkedArray) else frags
+    lens = pc.list_value_length(frags).to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.array([], np.int64)
+    within = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(starts, lens)
+    keep = within > 0  # fragment 0 per row = channel header
+    flat = pc.list_flatten(frags)
+
+    def field(tag: str):
+        m = pc.extract_regex(flat, rf"<{tag}>(?P<v>[^<]*)</{tag}>")
+        return pc.struct_field(m, "v")
+
+    sel = pa.array(np.flatnonzero(keep), pa.int64())
+    feed_of = ids.take(pa.array(row_idx[keep], pa.int64()))
+    seq = pa.array(within[keep] - 1, pa.int64())
+    entry_id = pc.binary_join_element_wise(
+        feed_of, pa.array([str(s) for s in (within[keep] - 1)], pa.string()), "#"
+    )
+    return pa.table(
+        {
+            "entry_id": entry_id,
+            "seq": seq,
+            "title": field("title").take(sel),
+            "link": field("link").take(sel),
+            "published": field("pubDate").take(sel),
+            "summary": field("summary").take(sel),
+            "description": field("description").take(sel),
+        }
+    )
+
+
+def parse_rss_xml(ds, xml_col: str = "xml", id_col: str = "feed_id"):
+    """Dataset form of :func:`extract_rss_entries_batch` — feed docs
+    in, entry rows out, zero exchange; pipe into
+    :func:`parse_rss_entries` for the projection/day-cut."""
+    return ds.map_batches(
+        lambda t: extract_rss_entries_batch(t, xml_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -52,6 +52,7 @@ class LoopbackStoreServer:
         host: str = "127.0.0.1",
         robots: "pa.Table | None" = None,
         sitemaps: "dict[str, str] | None" = None,
+        feeds: "dict[str, str] | None" = None,
     ):
         self.store = store.combine_chunks()
         self.ids = self.store["image_id"].combine_chunks()
@@ -70,6 +71,8 @@ class LoopbackStoreServer:
                 self.robots[h] = (list(d or []), ms)
         # optional {host: sitemap-xml} → served as /{host}/sitemap.xml
         self.sitemaps: dict[str, str] = dict(sitemaps or {})
+        # optional {host: rss-xml} → served as /{host}/feed.xml
+        self.feeds: dict[str, str] = dict(feeds or {})
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -135,6 +138,25 @@ class LoopbackStoreServer:
             body = render_robots_txt(entry[0], entry[1]).encode()
             handler.send_response(200)
             handler.send_header("Content-Type", "text/plain")
+            handler.send_header("Content-Length", str(len(body)))
+            handler.end_headers()
+            handler.wfile.write(body)
+            return
+        # /{host}/feed.xml — RSS source (absent hosts 404)
+        if len(parts) == 2 and parts[1] == "feed.xml":
+            with self._lock:
+                self.request_log.append(
+                    (time.monotonic(), parts[0], "feed.xml")
+                )
+            xml = self.feeds.get(parts[0])
+            if xml is None:
+                handler.send_response(404)
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
+                return
+            body = xml.encode()
+            handler.send_response(200)
+            handler.send_header("Content-Type", "application/rss+xml")
             handler.send_header("Content-Length", str(len(body)))
             handler.end_headers()
             handler.wfile.write(body)

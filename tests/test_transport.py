@@ -731,3 +731,68 @@ def test_cli_discovery_crawl_hosts_only(ray_session, tmp_path, capsys, monkeypat
     assert rows[-1]["total_fetched"] == 10
     served = {i for _, _, i in srv.request_log}
     assert "sitemap.xml" in served and "robots.txt" in served
+
+
+def test_rss_xml_parse_roundtrip_oracle(ray_session):
+    """The vectorized RSS-XML parser is exact against the row fixture:
+    render make_rss_feed rows to XML, parse back, project through
+    parse_rss_entries — identical output to projecting the ORIGINAL
+    rows (titles/links trimmed, date fallbacks, null-summary coalesce,
+    head-limit by seq). The channel-header <title> must not leak in as
+    an entry."""
+    import ray.data
+
+    from news_crawler_ray.stages.rss import (
+        extract_rss_entries_batch,
+        parse_rss_entries,
+    )
+
+    rows = synth.make_rss_feed(24, seed=42)
+    xml = synth.render_rss_xml(rows, feed_title="KISA-style feed")
+    feed_tbl = pa.table(
+        {"feed_id": pa.array(["kisa.example"], pa.string()),
+         "xml": pa.array([xml], pa.string())}
+    )
+    parsed = extract_rss_entries_batch(feed_tbl)
+    assert parsed.num_rows == 24
+    assert parsed["seq"].to_pylist() == list(range(24))
+    assert "KISA-style feed" not in parsed["title"].to_pylist()
+    # nulls survived the wire: every 3rd summary absent → description
+    n_null = sum(1 for s in parsed["summary"].to_pylist() if s is None)
+    assert n_null == sum(1 for s in rows["summary"].to_pylist() if s is None)
+
+    kw = dict(default_day="2025-06-20", limit=10, day_filter="2025-06-20")
+    got = parse_rss_entries(ray.data.from_arrow(parsed), **kw).take_all()
+    exp = parse_rss_entries(ray.data.from_arrow(rows), **kw).take_all()
+    assert [
+        (r["title"], r["link"], str(r["published"]), r["summary"])
+        for r in sorted(got, key=lambda r: r["entry_id"])
+    ] == [
+        (r["title"], r["link"], str(r["published"]), r["summary"])
+        for r in sorted(exp, key=lambda r: r["entry_id"])
+    ]
+
+
+def test_fetch_rss_entries_over_loopback(ray_session):
+    """Live feed fetch: /feed.xml per host through the transport →
+    entry rows; a host without a feed contributes nothing; entry_id
+    carries the feed host."""
+    from news_crawler_ray.sources.discovery import fetch_rss_entries
+
+    store = synth.make_pagestore(4, seed=3)
+    rows = synth.make_rss_feed(8, seed=7)
+    xml = synth.render_rss_xml(rows)
+    srv = LoopbackStoreServer(
+        store, feeds={"feedhost.example": xml}
+    )
+    with srv as base:
+        ds = fetch_rss_entries(
+            ["feedhost.example", "nofeed.example"], base_url=base,
+            concurrency=1,
+        )
+        got = ds.take_all()
+    assert len(got) == 8
+    assert all(r["entry_id"].startswith("feedhost.example#") for r in got)
+    assert sorted(r["seq"] for r in got) == list(range(8))
+    n_feed_reqs = sum(1 for _, _, i in srv.request_log if i == "feed.xml")
+    assert n_feed_reqs == 2  # both hosts probed exactly once

@@ -268,6 +268,56 @@ def bench_frontier_dedup(fix_dir: str) -> dict:
     }
 
 
+def bench_http_fetch(n: int = 10_000) -> dict:
+    """Live-socket crawl rate: a 1-wave crawl in fetch_mode="http"
+    against the in-process loopback store (testing/httpstore) — real
+    GETs, persistent connections, Arrow-IPC payload decode. Measures
+    the TRANSPORT path's throughput ceiling in-sandbox (the reference's
+    socket path moves O(10-100) URLs/day; politeness budget set high so
+    the wire, not the token bucket, is what's measured)."""
+    import pyarrow.parquet as pq
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from news_crawler_ray.testing.httpstore import LoopbackStoreServer
+
+    store = synth.make_pagestore(
+        n, seed=42, image_pool=64, sizes=(32,)
+    )
+    frontier = synth.make_frontier(n, seed=42)
+    robots = synth.make_robots(seed=42)
+    out_dir = os.path.join(BENCH_IO_DIR, "out_http", str(time.monotonic_ns()))
+    srv = LoopbackStoreServer(store)
+    try:
+        with srv as base:
+            t0 = time.monotonic()
+            res = run_crawl(
+                frontier, None, robots, out_dir,
+                config=CrawlConfig(
+                    max_waves=1,
+                    num_seen_shards=8,
+                    dedup_partitions=8,
+                    compute_crawl_rank=False,
+                    fetch_mode="http",
+                    http_base_url=base,
+                    http_rate_per_s=1e9,
+                    http_burst=1e6,
+                ),
+            )
+            dt = time.monotonic() - t0
+        w = res.waves[0]
+        return {
+            "wall_s": dt,
+            "scheduled": w.scheduled,
+            "fetched_ok": w.fetched_ok,
+            "urls_per_sec": w.scheduled / dt if dt > 0 else 0.0,
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 QUERY_SUBSET = [
     "exact_dedup_docs",
     "token_stats",
@@ -540,6 +590,13 @@ def run_suite(
             "rows": ph["rows"],
             "pairs": ph["pairs"],
             "hashes_per_sec": round(ph["hashes_per_sec"], 1),
+        }
+        hf = bench_http_fetch()
+        result["http_fetch"] = {
+            "wall_s": round(hf["wall_s"], 3),
+            "scheduled": hf["scheduled"],
+            "fetched_ok": hf["fetched_ok"],
+            "urls_per_sec": round(hf["urls_per_sec"], 1),
         }
         result["queries"] = bench_queries(sf_dir)
     ray.shutdown()

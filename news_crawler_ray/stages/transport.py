@@ -122,6 +122,14 @@ class HTTPTransport:
                 conn = http.client.HTTPConnection(
                     parts.hostname, parts.port or 80, timeout=self.timeout_s
                 )
+            # disable Nagle: pipelined small request writes otherwise
+            # serialize on the peer's delayed ACK (~40 ms per request)
+            import socket as _socket
+
+            conn.connect()
+            conn.sock.setsockopt(
+                _socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1
+            )
             self._conns[netloc] = conn
         path = parts.path or "/"
         if parts.query:

@@ -78,6 +78,10 @@ class LoopbackStoreServer:
         class Handler(http.server.BaseHTTPRequestHandler):
             # keep-alive so HTTPTransport's persistent connections are real
             protocol_version = "HTTP/1.1"
+            # headers and body go out as separate writes; without
+            # TCP_NODELAY the second write stalls on the client's
+            # delayed ACK (~40 ms/request — measured 23 req/s!)
+            disable_nagle_algorithm = True
 
             def log_message(self, *a):  # silence default stderr spam
                 pass

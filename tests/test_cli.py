@@ -225,3 +225,29 @@ def test_env_config_precedence_cli_over_env(ray_session, tmp_path, capsys, monke
     cfg = seen_cfgs[-1]
     assert cfg.max_waves == 2
     assert cfg.dedup_partitions == 4
+
+
+def test_env_overrides_cover_round5_fields():
+    """The env layer derives from the dataclass, so every round-5
+    CrawlConfig addition (http transport, recrawl, compaction) is
+    NC_-overridable with correct coercion the moment it's declared."""
+    from news_crawler_ray.settings import crawl_config_env_overrides
+
+    got = crawl_config_env_overrides({
+        "NC_FETCH_MODE": "http",
+        "NC_HTTP_BASE_URL": "http://127.0.0.1:9",
+        "NC_HTTP_TIMEOUT_S": "2.5",
+        "NC_HTTP_ATTEMPTS": "4",
+        "NC_HTTP_EMIT_ETAG": "yes",
+        "NC_HTTP_PRIOR_ETAGS_PATH": "/tmp/prior",
+        "NC_SEEN_COMPACT_EVERY": "4",
+    })
+    assert got == {
+        "fetch_mode": "http",
+        "http_base_url": "http://127.0.0.1:9",
+        "http_timeout_s": 2.5,
+        "http_attempts": 4,
+        "http_emit_etag": True,
+        "http_prior_etags_path": "/tmp/prior",
+        "seen_compact_every": 4,
+    }

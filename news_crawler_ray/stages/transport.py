@@ -135,9 +135,21 @@ class HTTPTransport:
         if parts.query:
             path += "?" + parts.query
         try:
-            conn.request("GET", path, headers=headers or {})
+            hdrs = {"Accept-Encoding": "gzip"}
+            hdrs.update(headers or {})
+            conn.request("GET", path, headers=hdrs)
             resp = conn.getresponse()
             body = resp.read()
+            if body and resp.getheader("Content-Encoding") == "gzip":
+                import gzip as _gzip
+
+                # wire bandwidth saver (IPC payload bodies compress
+                # ~2-4x); a corrupt stream falls through to the caller
+                # as a bad body, not a dead transport
+                try:
+                    body = _gzip.decompress(body)
+                except OSError:
+                    pass
             ra = resp.getheader("Retry-After")
             try:
                 ra_s = float(ra) if ra is not None else None

@@ -53,6 +53,7 @@ class LoopbackStoreServer:
         robots: "pa.Table | None" = None,
         sitemaps: "dict[str, str] | None" = None,
         feeds: "dict[str, str] | None" = None,
+        gzip_payloads: bool = False,
     ):
         self.store = store.combine_chunks()
         self.ids = self.store["image_id"].combine_chunks()
@@ -73,6 +74,8 @@ class LoopbackStoreServer:
         self.sitemaps: dict[str, str] = dict(sitemaps or {})
         # optional {host: rss-xml} → served as /{host}/feed.xml
         self.feeds: dict[str, str] = dict(feeds or {})
+        # gzip page payloads for clients advertising Accept-Encoding
+        self.gzip_payloads = gzip_payloads
         outer = self
 
         class Handler(http.server.BaseHTTPRequestHandler):
@@ -239,6 +242,13 @@ class LoopbackStoreServer:
         handler.send_response(200)
         handler.send_header("Content-Type", "application/vnd.apache.arrow.stream")
         handler.send_header("ETag", etag)
+        if self.gzip_payloads and "gzip" in (
+            handler.headers.get("Accept-Encoding") or ""
+        ):
+            import gzip as _gzip
+
+            body = _gzip.compress(body, 1)
+            handler.send_header("Content-Encoding", "gzip")
         handler.send_header("Content-Length", str(len(body)))
         handler.end_headers()
         handler.wfile.write(body)

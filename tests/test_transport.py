@@ -796,3 +796,45 @@ def test_fetch_rss_entries_over_loopback(ray_session):
     assert sorted(r["seq"] for r in got) == list(range(8))
     n_feed_reqs = sum(1 for _, _, i in srv.request_log if i == "feed.xml")
     assert n_feed_reqs == 2  # both hosts probed exactly once
+
+
+def test_gzip_content_encoding_roundtrip():
+    """Wire compression: the transport advertises Accept-Encoding: gzip
+    and transparently decompresses Content-Encoding: gzip responses —
+    payloads, etags and conditional GETs are identical to the plain
+    wire, and the server really does compress (gzip magic on the raw
+    socket) only when the client asks."""
+    import gzip as _gzip
+    import http.client as hc
+
+    store = synth.make_pagestore(4, seed=71)
+    ids = store["image_id"].to_pylist()
+    srv = LoopbackStoreServer(store, gzip_payloads=True)
+    with srv as base:
+        f = HTTPFetcher(base_url=base, timeout_s=5.0, emit_etag=True)
+        out = f.__call__(_mini_batch(store, ids))
+        assert out["fetch_status"].to_pylist() == ["ok"] * 4
+        assert out["bytes"].to_pylist() == store["bytes"].to_pylist()
+
+        # conditional GET still 304s over the gzip wire
+        etag_map = dict(zip(out["url"].to_pylist(), out["etag"].to_pylist()))
+        f2 = HTTPFetcher(base_url=base, timeout_s=5.0, prior_etags=etag_map)
+        out2 = f2.__call__(_mini_batch(store, ids))
+        assert out2["fetch_status"].to_pylist() == ["not_modified"] * 4
+        f.transport.close()
+        f2.transport.close()
+
+        # raw socket check: gzip only when advertised
+        hostport = base.split("//", 1)[1]
+        c = hc.HTTPConnection(hostport, timeout=5)
+        c.request("GET", f"/h0.example/p/{ids[0]}",
+                  headers={"Accept-Encoding": "gzip"})
+        r = c.getresponse()
+        assert r.getheader("Content-Encoding") == "gzip"
+        assert _gzip.decompress(r.read())[:4]  # valid gzip stream
+        c.request("GET", f"/h0.example/p/{ids[0]}")
+        r2 = c.getresponse()
+        body = r2.read()
+        assert r2.getheader("Content-Encoding") is None
+        assert body[:2] != b"\x1f\x8b"
+        c.close()

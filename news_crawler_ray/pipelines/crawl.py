@@ -41,6 +41,7 @@ import time
 from dataclasses import dataclass, field
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -135,6 +136,15 @@ class CrawlConfig:
     # payload bytes on the wire).
     http_emit_etag: bool = False
     http_prior_etags_path: str | None = None
+    # crawl budgets. max_url_depth: candidates deeper than this are
+    # dropped BEFORE the seen-insert (they stay fetchable if
+    # rediscovered shallower — link-depth cap, not a seen mark).
+    # max_pages: stop starting new waves once cumulative scheduled
+    # URLs reach the budget — wave-granular by design: trimming inside
+    # a wave would strand rows the schedule kernel already marked seen,
+    # breaking resume ("seen but never fetched").
+    max_url_depth: int | None = None
+    max_pages: int | None = None
     broadcast_limit_bytes: int = 1 << 30
     default_delay_ms: int = 1000
     outlink_decay: float = 0.5
@@ -462,13 +472,30 @@ def run_crawl(
             print(f"[crawl-trace] {label}: {time.monotonic() - t_start:.1f}s", flush=True)
         return time.monotonic()
 
+    # page budget resumes from the manifest: finalized waves' scheduled
+    # counts are already durable there
+    cum_scheduled = sum(w.scheduled for w in result.waves)
+
     for wave in range(start_wave, cfg.max_waves):
         t0 = time.monotonic()
         n_candidates = cand_n
         if n_candidates == 0:
             break
+        if cfg.max_pages is not None and cum_scheduled >= cfg.max_pages:
+            break
 
         tp = time.monotonic()
+        if cfg.max_url_depth is not None:
+            # pre-seen depth cap: over-deep candidates vanish from THIS
+            # wave without being marked seen (a shallower rediscovery
+            # later still fetches them)
+            _cap = cfg.max_url_depth
+
+            candidates = candidates.map_batches(
+                lambda t, _c=_cap: t.filter(pc.less_equal(t["depth"], _c)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if cfg.schedule_strategy == "fused":
             from ..stages.index import zip_with_index
             from ..stages.politeness import schedule_fused
@@ -717,6 +744,7 @@ def run_crawl(
         ray.get(ckpt_futs)
         _tr("seen_checkpoint", tp)
         elapsed = time.monotonic() - t0
+        cum_scheduled += counts["total"]
         wm = WaveMetrics(
             wave=wave,
             candidates=n_candidates,

@@ -467,3 +467,60 @@ def test_seen_compaction_bounded_files_and_resume(ray_session, tmp_path):
     res2 = run_crawl(None, store, robots, out, config=cfg, resume=True)
     assert res2.seen.all_keys() == res.seen.all_keys()
     assert len(res2.waves) == 10
+
+
+def test_crawl_budget_caps(ray_session, tmp_path):
+    """Crawl budgets: max_url_depth drops over-deep candidates BEFORE
+    the seen mark (the chain stops discovering past the cap), and
+    max_pages stops starting new waves once cumulative scheduled URLs
+    reach the budget — both against the 12-page chain fixture that
+    otherwise sustains 10 single-URL waves."""
+    import os
+
+    import pyarrow as pa
+
+    from news_crawler_ray.fixtures import synth
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    n = 12
+    host = "news0.example.com"
+    store = synth.make_pagestore(n, seed=13)
+    ids = store["image_id"].to_pylist()
+    caps = [
+        "scene detail"
+        + (f" link:https://{host}/p/{ids[i + 1]}" if i + 1 < n else "")
+        for i in range(n)
+    ]
+    store = store.set_column(
+        store.column_names.index("caption"), "caption",
+        pa.array(caps, pa.string()),
+    )
+    frontier = pa.table(
+        {
+            "url": pa.array([f"https://{host}/p/{ids[0]}"], pa.string()),
+            "host": pa.array([host], pa.string()),
+            "depth": pa.array([0], pa.int32()),
+            "discovered_at": pa.array([0], pa.timestamp("us")),
+            "priority": pa.array([1.0], pa.float64()),
+        }
+    )
+    robots = synth.make_robots(seed=42)
+    common = dict(num_seen_shards=2, dedup_partitions=2)
+
+    # depth cap: seeds at depth 0, children 1, 2, ... → cap 3 admits
+    # exactly 4 pages (depths 0-3); wave 5's depth-4 candidate is
+    # filtered and the crawl drains
+    res_d = run_crawl(
+        frontier, store, robots, str(tmp_path / "depth"),
+        config=CrawlConfig(**common, max_waves=10, max_url_depth=3),
+    )
+    assert sum(w.fetched_ok for w in res_d.waves) == 4
+    assert len(res_d.waves) <= 5
+
+    # page budget: 1 URL scheduled per wave → budget 3 stops after 3
+    res_p = run_crawl(
+        frontier, store, robots, str(tmp_path / "pages"),
+        config=CrawlConfig(**common, max_waves=10, max_pages=3),
+    )
+    assert sum(w.scheduled for w in res_p.waves) == 3
+    assert len(res_p.waves) == 3

@@ -838,3 +838,37 @@ def test_gzip_content_encoding_roundtrip():
         assert r2.getheader("Content-Encoding") is None
         assert body[:2] != b"\x1f\x8b"
         c.close()
+
+
+def test_http_crawl_with_payload_verification(ray_session, tmp_path):
+    """fetch_mode='http' composes with verify_payloads: wire-fetched
+    bytes decode through the same feature/phash-check stage as
+    store-fetched bytes, and the phash invariant holds for every ok
+    row (the codec bytes crossed a real socket unchanged)."""
+    from news_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    store = synth.make_pagestore(120, seed=42)
+    frontier = synth.make_frontier(90, seed=42)
+    robots = synth.make_robots(seed=42)
+    srv = LoopbackStoreServer(store)
+    with srv as base:
+        res = run_crawl(
+            frontier, None, robots, str(tmp_path / "run"),
+            config=CrawlConfig(
+                max_waves=1, num_seen_shards=2, dedup_partitions=2,
+                fetch_mode="http", http_base_url=base,
+                http_rate_per_s=10_000.0, http_burst=64.0,
+                verify_payloads=True,
+            ),
+        )
+    t = pq.read_table(os.path.join(res.out_dir, "fetched"))
+    ok = t.filter(pa.compute.equal(t["fetch_status"], "ok"))
+    assert ok.num_rows > 0
+    assert "decode_ok" in t.column_names and "phash_check" in t.column_names
+    assert all(ok["decode_ok"].to_pylist())
+    # lossless rows: decoded phash equals the store's phash bit-exactly
+    # (lossy QIM rows may differ by a few bits — that tolerance is the
+    # decode_ok invariant's job, asserted above for every row)
+    png = ok.filter(pa.compute.equal(ok["fmt"], "png"))
+    assert png.num_rows > 0
+    assert png["phash_check"].to_pylist() == png["phash"].to_pylist()
